@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Report sinks (SURVEY.md par.2.1 S7/S8).
+  *
+  * The reference writes one nested JSON report object to S3 twice — a
+  * timestamped hierarchical key `daily_kpis/Y/M/D/...` plus a fixed
+  * `daily_kpis/latest/` copy (scripts/glue_scripts.py:16-24,219-253) — and
+  * an earlier CSV variant (data/24-daily_trip_kpis.csv).
+  *
+  * Scale notes: the report itself is tiny (|dates| rows); the Y/M/D layout
+  * generalizes to `partitionBy("year","month","day")`, which at 100 TB is
+  * what enables partition pruning on read. The "latest" alias is a second
+  * overwrite write, not a copy job.
+  */
+object KpiReportSink {
+
+  /** Assemble the nested report struct (metadata + daily_kpis array),
+    * scripts/glue_scripts.py:193-208. Returns a 1-row DataFrame with a
+    * single JSON string column `report`.
+    */
+  def reportJson(kpis: DataFrame, metadata: DataFrame): DataFrame = {
+    val kpiArray = kpis.orderBy(col("pickup_date"))
+      .agg(collect_list(struct(kpis.columns.map(col): _*)).as("daily_kpis"))
+    metadata.crossJoin(kpiArray)
+      .select(to_json(struct(
+        struct(metadata.columns.map(col): _*).as("metadata"),
+        col("daily_kpis"))).as("report"))
+  }
+
+  /** S7: dated path + `latest` alias, both overwrite-idempotent. */
+  def writeJsonReport(report: DataFrame, baseDir: String, datePath: String): Unit = {
+    report.coalesce(1).write.mode(SaveMode.Overwrite).text(s"$baseDir/$datePath")
+    report.coalesce(1).write.mode(SaveMode.Overwrite).text(s"$baseDir/latest")
+  }
+
+  /** S8: CSV KPI sink (golden data/24-daily_trip_kpis.csv shape). */
+  def writeCsvKpis(kpis: DataFrame, path: String): Unit =
+    kpis.coalesce(1).write.mode(SaveMode.Overwrite)
+      .option("header", "true").csv(path)
+}
