@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.TripSources
+
+class TripSourcesSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("parseEvents: permissive JSON parse, both families through one schema") {
+    val raw = Seq(
+      """{"trip_id":"t1","data_type":"trip_start","pickup_datetime":"2024-05-25 10:00:00","estimated_fare_amount":12.5}""",
+      """{"trip_id":"t2","data_type":"trip_end","dropoff_datetime":"2024-05-25 10:30:00","fare_amount":20.0,"passenger_count":1.0}""",
+      """not json at all"""
+    ).toDF("value")
+    val parsed = TripSources.parseEvents(raw)
+    assert(parsed.count() === 3)
+    // malformed row -> all-null struct -> dropped by validation
+    val valid = TripSources.validated(parsed)
+    assert(valid.count() === 2)
+    assert(valid.filter($"data_type" === "trip_start")
+      .select("estimated_fare_amount").as[Double].head() === 12.5)
+  }
+
+  test("validated: type-appropriate timestamp rule") {
+    val events = Seq(
+      ("t1", "trip_start", "2024-05-25 10:00:00", null.asInstanceOf[String]),
+      ("t2", "trip_start", null.asInstanceOf[String], "2024-05-25 11:00:00"), // wrong ts kind
+      ("t3", "trip_end", null.asInstanceOf[String], "2024-05-25 10:30:00"),
+      ("t4", "trip_end", "2024-05-25 10:00:00", null.asInstanceOf[String]), // wrong ts kind
+      (null.asInstanceOf[String], "trip_start", "2024-05-25 10:00:00", null.asInstanceOf[String]),
+      ("t6", "unknown", "2024-05-25 10:00:00", "2024-05-25 10:30:00")
+    ).toDF("trip_id", "data_type", "pickup_datetime", "dropoff_datetime")
+    val out = TripSources.validated(events).select("trip_id").as[String].collect().toSet
+    assert(out === Set("t1", "t3"))
+  }
+
+  test("sanitizeNumerics nulls the attribute, keeps the row") {
+    val df = Seq(
+      ("a", 1.0), ("b", Double.NaN), ("c", Double.PositiveInfinity),
+      ("d", Double.NegativeInfinity)
+    ).toDF("id", "v")
+    val out = TripSources.sanitizeNumerics(df, Seq("v"))
+    assert(out.count() === 4)
+    assert(out.filter($"v".isNotNull).select("id").as[String].collect().toSeq === Seq("a"))
+  }
+
+  test("interleavedFeed: global event-time order across both families") {
+    val s = Seq(("t1", "2024-05-25 10:00:00")).toDF("trip_id", "pickup_datetime")
+    val e = Seq(("t1", "2024-05-25 09:59:00")).toDF("trip_id", "dropoff_datetime")
+    val out = TripSources.interleavedFeed(s, e)
+      .select("data_type").as[String].collect().toSeq
+    assert(out === Seq("trip_end", "trip_start"))
+  }
+}
