@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.{TextAnalysis, TextHash}
 import graft.operators.{KpiAggregator, RawEventStore, TripMatcher}
 import graft.sources.TripSources
 
@@ -36,6 +37,7 @@ object SparkEntry {
     val p = math.pow(10, n)
     floor(c * lit(p)) / lit(p)
   }
+  private def trunc4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = trunc(c, 4)
 
   private def joinedTrips(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir).join(Tables.lineitem(s, dir),
@@ -196,7 +198,35 @@ object SparkEntry {
       val kpis = KpiAggregator.dailyKpis(trips,
         to_date(col("o_orderdate")), col("l_extendedprice"), col("l_orderkey"))
       KpiAggregator.reportMetadata(trips, kpis, to_date(col("o_orderdate")))
-    })
+    }),
+
+    // ---- training-data pipeline: text analysis over `documents` ----------
+
+    // T1: token counting — whitespace + BPE-ish regex tokens.
+    "doc_token_counts" -> ((s, dir) =>
+      TextAnalysis.withTokenCounts(Tables.documents(s, dir))
+        .select(col("doc_id"), col("ws_tokens").cast("long").as("ws_tokens"),
+          col("bpe_tokens").cast("long").as("bpe_tokens"))),
+
+    // T2: quality scoring — length/punct/stopword ratios + composite.
+    "doc_quality" -> ((s, dir) =>
+      TextAnalysis.withQualityScore(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          trunc4(col("len_score")).as("len_score"),
+          trunc4(col("punct_ratio")).as("punct_ratio"),
+          trunc4(col("stopword_ratio")).as("stopword_ratio"),
+          trunc4(col("quality_score")).as("quality_score"))),
+
+    // T3: language-ID by function-word/script hits.
+    "doc_lang_id" -> ((s, dir) =>
+      TextAnalysis.withLangId(Tables.documents(s, dir))
+        .select("doc_id", "lang_pred")),
+
+    // T4: rolling-hash fingerprint (min 60-bit hash over 8-char shingles)
+    // + whole-text md5.
+    "doc_fingerprint" -> ((s, dir) =>
+      TextAnalysis.withFingerprint(Tables.documents(s, dir))
+        .select("doc_id", "fingerprint", "md5_fingerprint"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -309,6 +339,48 @@ object SparkEntry {
       """WITH j AS (SELECT CAST(o.o_orderdate AS DATE) AS d FROM orders o
         |JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
         |SELECT count(*) AS record_count, min(d) AS start_date,
-        |max(d) AS end_date, count(DISTINCT d) AS kpi_count FROM j""".stripMargin
+        |max(d) AS end_date, count(DISTINCT d) AS kpi_count FROM j""".stripMargin,
+
+    "doc_token_counts" ->
+      """SELECT doc_id,
+        |CASE WHEN length(trim(text))=0 THEN 0
+        |ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens,
+        |len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
+        |FROM documents""".stripMargin,
+
+    "doc_quality" ->
+      """WITH q AS (SELECT doc_id,
+        |least(length(text)/500.0, 1.0) AS len_score,
+        |len(regexp_extract_all(text, '[[:punct:]]'))
+        |  / CAST(greatest(length(text),1) AS DOUBLE) AS punct_ratio,
+        |len(regexp_extract_all(lower(text), '\b(the|a|an|and|of|to|in|is|it|that)\b'))
+        |  / CAST(greatest(CASE WHEN length(trim(text))=0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END, 1) AS DOUBLE) AS stopword_ratio
+        |FROM documents)
+        |SELECT doc_id, floor(len_score*10000)/10000 AS len_score,
+        |floor(punct_ratio*10000)/10000 AS punct_ratio,
+        |floor(stopword_ratio*10000)/10000 AS stopword_ratio,
+        |floor((0.4*len_score + 0.3*least(stopword_ratio*5.0,1.0)
+        |  + 0.3*(1.0-least(punct_ratio*10.0,1.0)))*10000)/10000 AS quality_score
+        |FROM q""".stripMargin,
+
+    "doc_lang_id" ->
+      """WITH h AS (SELECT doc_id,
+        |len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is)\b')) AS en,
+        |len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) AS de,
+        |len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une)\b')) AS fr,
+        |len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|que)\b')) AS es,
+        |len(regexp_extract_all(text, '\p{Han}')) AS zh
+        |FROM documents)
+        |SELECT doc_id, CASE WHEN zh > 0 THEN 'zh'
+        |WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+        |WHEN de >= fr AND de >= es THEN 'de'
+        |WHEN fr >= es THEN 'fr' ELSE 'es' END AS lang_pred FROM h""".stripMargin,
+
+    "doc_fingerprint" ->
+      """SELECT doc_id,
+        |list_min(list_transform(range(1, greatest(length(text)-7,1)+1),
+        |  i -> ('0x' || substr(md5(substr(text, i::INT, 8)), 1, 15))::BIGINT)) AS fingerprint,
+        |md5(text) AS md5_fingerprint FROM documents""".stripMargin
   )
 }

@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline over the
+  * `documents` table: token counting, quality scoring, language-ID,
+  * rolling-hash fingerprinting.
+  *
+  * Everything is built-in-function Column expressions (whole-stage
+  * codegen'd, no UDFs) and has a DuckDB-expressible twin in
+  * SparkEntry.oracleSql. Cross-engine determinism hinges on two choices:
+  *  - counts via regexp (identical RE2/Java semantics for the chosen
+  *    patterns);
+  *  - hashes via md5 hex -> first 15 hex chars -> bigint (60 bits), which
+  *    both engines compute identically ([[TextHash.hash60]]).
+  *
+  * Scale notes: all per-row, shuffle-free, pushdown-friendly (only `text`
+  * is read when only these outputs are selected). Per-row cost is O(len)
+  * — at 100 TB these run as a map-only stage.
+  */
+object TextAnalysis {
+
+  /** BPE-ish pre-tokenizer: letter runs, digit runs, single non-space
+    * symbols — the shape of GPT-2's split regex without the lookaheads
+    * RE2 can't run.
+    */
+  val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Small English stopword set for quality scoring / lang-ID. */
+  val StopwordPattern = "\\b(the|a|an|and|of|to|in|is|it|that)\\b"
+
+  private def wsTokens(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** Token counting: whitespace tokens + BPE-ish regex tokens. */
+  def withTokenCounts(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("ws_tokens", wsTokens(col(textCol)))
+      .withColumn("bpe_tokens", regexp_count(col(textCol), lit(BpeTokenPattern)))
+
+  /** Quality scoring: length score, punctuation ratio, stopword ratio and
+    * a fixed-weight composite in [0,1]. Heuristics follow the usual
+    * pretraining-filter shape (length + stopword presence + low symbol
+    * noise); weights are arbitrary but deterministic.
+    */
+  def withQualityScore(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val lenScore = least(length(text) / lit(500.0), lit(1.0))
+    val punctRatio = regexp_count(text, lit("[\\p{Punct}]")) /
+      greatest(length(text), lit(1)).cast("double")
+    val stopRatio = regexp_count(lower(text), lit(StopwordPattern)) /
+      greatest(wsTokens(text), lit(1)).cast("double")
+    df.withColumn("len_score", lenScore)
+      .withColumn("punct_ratio", punctRatio)
+      .withColumn("stopword_ratio", stopRatio)
+      .withColumn("quality_score",
+        lit(0.4) * lenScore +
+          lit(0.3) * least(stopRatio * 5.0, lit(1.0)) +
+          lit(0.3) * (lit(1.0) - least(punctRatio * 10.0, lit(1.0))))
+  }
+
+  /** Language-ID by function-word / script n-gram hits. Priority on ties:
+    * zh (any Han char) > en > de > fr > es. On the synthetic testdata all
+    * rows score 'en' — the discriminator is real, the corpus isn't.
+    */
+  def withLangId(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val low = lower(col(textCol))
+    val en = regexp_count(low, lit("\\b(the|and|of|to|in|is)\\b"))
+    val de = regexp_count(low, lit("\\b(der|die|das|und|ist|nicht)\\b"))
+    val fr = regexp_count(low, lit("\\b(le|la|les|et|est|une)\\b"))
+    val es = regexp_count(low, lit("\\b(el|los|las|es|una|que)\\b"))
+    val zh = regexp_count(col(textCol), lit("\\p{IsHan}"))
+    df.withColumn("lang_pred",
+      when(zh > 0, "zh")
+        .when(en >= de && en >= fr && en >= es, "en")
+        .when(de >= fr && de >= es, "de")
+        .when(fr >= es, "fr")
+        .otherwise("es"))
+  }
+
+  /** Rolling-hash document fingerprint: min over the 60-bit hashes of all
+    * k-char shingles (winnowing-lite, k=8), plus the whole-text md5. Equal
+    * fingerprints => near-certain containment of a common k-gram window.
+    */
+  def withFingerprint(df: DataFrame, textCol: String = "text", k: Int = 8): DataFrame = {
+    val text = col(textCol)
+    val positions = sequence(lit(1), greatest(length(text) - (k - 1), lit(1)))
+    df.withColumn("fingerprint",
+        array_min(transform(positions, i => TextHash.hash60(text.substr(i, lit(k))))))
+      .withColumn("md5_fingerprint", md5(text))
+  }
+}

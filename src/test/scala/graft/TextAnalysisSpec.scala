@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{TextAnalysis, TextHash}
+
+class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("token counts: whitespace and BPE-ish tokens") {
+    val df = Seq(
+      (1L, "hello world"),
+      (2L, "it's 42 tokens, right?"),
+      (3L, "   "),
+      (4L, "one")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.withTokenCounts(df)
+      .select("doc_id", "ws_tokens", "bpe_tokens")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(out(1L) === ((2, 2)))
+    // it ' s 42 tokens , right ?  => 8 bpe tokens
+    assert(out(2L) === ((4, 8)))
+    assert(out(3L) === ((0, 0)))
+    assert(out(4L) === ((1, 1)))
+  }
+
+  test("quality score: stopword-rich plain text beats symbol soup") {
+    val df = Seq(
+      (1L, "the cat sat on the mat and it is a fine day in the sun"),
+      (2L, "@@@@ #### $$$$ %%%% ^^^^ &&&& **** (((( )))) ____")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.withQualityScore(df)
+      .select("doc_id", "quality_score")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) > out(2L))
+    assert(out.values.forall(s => s >= 0.0 && s <= 1.0))
+  }
+
+  test("language-ID picks the language with most function-word hits") {
+    val df = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "der Hund und die Katze ist nicht da"),
+      (3L, "le chat et la maison est une belle"),
+      (4L, "el perro y los gatos es una casa que"),
+      (5L, "中文文本")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.withLangId(df).select("doc_id", "lang_pred")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es", 5L -> "zh"))
+  }
+
+  test("fingerprint: identical text => identical; shared k-gram window collapses min-hash") {
+    val df = Seq(
+      (1L, "abcdefghijklmnop"),
+      (2L, "abcdefghijklmnop"),
+      (3L, "zzzzzzzzzzzzzzzz")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.withFingerprint(df)
+      .select("doc_id", "fingerprint", "md5_fingerprint")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out(1L) === out(2L))
+    assert(out(1L)._1 !== out(3L)._1)
+  }
+
+  test("hash60 is stable and within 60 bits") {
+    val df = Seq("abc").toDF("s")
+      .select(TextHash.hash60(col("s")).as("h"))
+    val h = df.as[Long].head()
+    // first 15 hex chars of md5('abc') = 900150983cd24fb -> base 10
+    assert(h === java.lang.Long.parseLong("900150983cd24fb", 16))
+  }
+
+  test("minhash signature: similar shingle sets share most components") {
+    val a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val b = "the quick brown fox jumps over the lazy dog near the river bank now"
+    val c = "completely different words appear here without any overlap whatsoever at all"
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val sig = df.select(col("doc_id"),
+      TextHash.minHashSignature(TextHash.wordShingles(col("text"), 3), 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def agree(x: Seq[Long], y: Seq[Long]) = x.zip(y).count { case (p, q) => p == q }
+    assert(agree(sig(1L), sig(2L)) > agree(sig(1L), sig(3L)))
+    assert(agree(sig(1L), sig(3L)) === 0)
+  }
+
+  test("simhash: near-duplicates are hamming-close, unrelated texts are not") {
+    val a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val b = "the quick brown fox jumps over the lazy dog near the river bank now"
+    val c = "completely different words appear here without any overlap whatsoever at all"
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val sh = df.select(col("doc_id"),
+      TextHash.simHash(TextHash.wordShingles(col("text"), 2), 16).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(hamming(sh(1L), sh(2L)) < hamming(sh(1L), sh(3L)))
+  }
+}
