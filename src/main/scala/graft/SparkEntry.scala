@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextAnalysis, TextHash}
-import graft.operators.{KpiAggregator, RawEventStore, TripMatcher}
+import graft.operators.{Dedup, KpiAggregator, RawEventStore, SimilaritySearch, TripMatcher}
 import graft.sources.TripSources
 
 /** Driver contract — one named query per implemented operator of
@@ -56,6 +56,90 @@ object SparkEntry {
     Tables.events(s, dir).select(col("event_id"),
       concat_ws("#", lit("RAW"), col("event_type"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")).as("sk"))
+
+  // ---- dedup / similarity corpora (deterministically injected dups; the
+  // testdata has no natural duplicates) and their oracle-SQL twins --------
+
+  /** Exact-dup corpus: identical copies of every 10th doc under new ids. */
+  private def docDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    d.unionByName(d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+  }
+
+  /** Near-dup corpus: every 20th doc copied with two extra tokens. */
+  private def docNearDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    d.unionByName(d.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(col("text"), lit(" extradup token")).as("text")))
+  }
+
+  /** Embedding corpus with identical copies of every 25th vector. */
+  private def embDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    e.unionByName(e.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+  }
+
+  private def annQueries(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).filter(col("vec_id") % 50 === 0)
+
+  // SQL fragment generators for the DuckDB oracles. Constants (seeds,
+  // hyperplanes, shingle sizes) must track the Scala operators exactly.
+  private val corpusExactSql =
+    """corpus AS (SELECT doc_id, text FROM documents UNION ALL
+      |SELECT doc_id+100000 AS doc_id, text FROM documents WHERE doc_id%10=0)""".stripMargin
+  private val corpusNearSql =
+    """corpus AS (SELECT doc_id, text FROM documents UNION ALL
+      |SELECT doc_id+100000 AS doc_id, text || ' extradup token' AS text
+      |FROM documents WHERE doc_id%20=0)""".stripMargin
+  private val embCorpusSql =
+    """corpus AS (SELECT vec_id, embedding FROM embeddings UNION ALL
+      |SELECT vec_id+100000 AS vec_id, embedding FROM embeddings WHERE vec_id%25=0)""".stripMargin
+
+  /** Shingle CTEs over `corpus` for word n-grams (mirrors TextHash.wordShingles
+    * + array_distinct).
+    */
+  private def shingleSql(n: Int): String =
+    s"""tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM corpus),
+       |shs AS (SELECT doc_id, list_distinct(list_transform(
+       |  range(0, greatest(len(toks)-$n,0)+1),
+       |  i -> array_to_string(toks[(i+1):(i+$n)], ' '))) AS shingles FROM tok)""".stripMargin
+
+  private def hash60Sql(e: String): String =
+    s"('0x'||substr(md5($e),1,15))::BIGINT"
+
+  /** 16-term minhash signature list (seeds 0..15, TextHash.hash60Seeded). */
+  private def minhashSigSql: String =
+    "[" + (0 until 16).map(k =>
+      s"list_min(list_transform(shingles, s -> ${hash60Sql(s"$k::VARCHAR||':'||s")}))")
+      .mkString(", ") + "]"
+
+  /** 16-bit simhash over the shingle set (TextHash.simHash). */
+  private def simhashSql: String = {
+    val terms = (0 until 16).map { b =>
+      s"""CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $b) & 1 = 1
+         | THEN 1 ELSE -1 END)) > 0 THEN ${1L << b} ELSE 0 END""".stripMargin
+    }
+    terms.mkString("(", " + ", ")")
+  }
+
+  /** Sequential-order double cosine (SimilaritySearch.cosine). */
+  private def dotSql(a: String, b: String): String =
+    (1 to SimilaritySearch.Dim).map(i => s"$a[$i]::DOUBLE*$b[$i]::DOUBLE").mkString(" + ")
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** 8-bit Rademacher LSH bucket (SimilaritySearch.lshBucket). */
+  private def bucketSql(v: String): String = {
+    val planes = SimilaritySearch.hyperplanes(8)
+    (0 until 8).map { j =>
+      val proj = (1 to SimilaritySearch.Dim)
+        .map(i => s"$v[$i]::DOUBLE*${planes(j)(i - 1)}.0").mkString(" + ")
+      s"CASE WHEN ($proj) > 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+  }
 
   // ---- the contract -------------------------------------------------------
 
@@ -226,7 +310,56 @@ object SparkEntry {
     // + whole-text md5.
     "doc_fingerprint" -> ((s, dir) =>
       TextAnalysis.withFingerprint(Tables.documents(s, dir))
-        .select("doc_id", "fingerprint", "md5_fingerprint"))
+        .select("doc_id", "fingerprint", "md5_fingerprint")),
+
+    // ---- deduplication suite over injected-duplicate corpora -------------
+
+    // DD1: exact dedup — hash-groupBy on md5(text), keep smallest id.
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactDedup(docDupCorpus(s, dir))),
+
+    // DD2: exact n-gram Jaccard pairs via inverted-index join.
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(docNearDupCorpus(s, dir), n = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), col("inter"), col("size_a"),
+          col("size_b"), trunc4(col("jaccard")).as("jaccard"))),
+
+    // DD3: MinHash+LSH candidate pairs (16 hashes, 4 bands x 4 rows).
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minHashLshPairs(docNearDupCorpus(s, dir))
+        .select(col("id_a"), col("id_b"),
+          trunc4(col("sig_agreement")).as("sig_agreement"))),
+
+    // DD4: per-doc 16-bit SimHash signatures.
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simHashes(docNearDupCorpus(s, dir))
+        .select(col("id").as("doc_id"), col("simhash"))),
+
+    // DD5: SimHash near-dup pairs (hamming <= 1, byte-blocked self-join).
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simHashPairs(docNearDupCorpus(s, dir))
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))),
+
+    // DD6: embedding-cosine near-dup pairs (brute force baseline).
+    "dedup_embedding_cosine" -> ((s, dir) =>
+      Dedup.embeddingNearDups(embDupCorpus(s, dir), threshold = 0.9)
+        .select(col("id_a"), col("id_b"), trunc4(col("cosine")).as("cosine"))),
+
+    // ---- similarity search over embeddings -------------------------------
+
+    // SS1: brute-force cosine top-10 per query vector (exact baseline).
+    "ann_bruteforce_topk" -> ((s, dir) =>
+      SimilaritySearch.bruteForceTopK(Tables.embeddings(s, dir),
+          annQueries(s, dir), k = 10)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"), trunc4(col("cosine")).as("cosine"))),
+
+    // SS2: LSH-bucketed top-10 (8-bit random-hyperplane buckets).
+    "ann_lsh_topk" -> ((s, dir) =>
+      SimilaritySearch.lshTopK(Tables.embeddings(s, dir),
+          annQueries(s, dir), k = 10, bits = 8)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"), trunc4(col("cosine")).as("cosine")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -381,6 +514,96 @@ object SparkEntry {
       """SELECT doc_id,
         |list_min(list_transform(range(1, greatest(length(text)-7,1)+1),
         |  i -> ('0x' || substr(md5(substr(text, i::INT, 8)), 1, 15))::BIGINT)) AS fingerprint,
-        |md5(text) AS md5_fingerprint FROM documents""".stripMargin
+        |md5(text) AS md5_fingerprint FROM documents""".stripMargin,
+
+    "dedup_exact" ->
+      s"""WITH $corpusExactSql
+         |SELECT md5(text) AS text_hash, min(doc_id) AS kept_id,
+         |count(*) AS n_copies FROM corpus GROUP BY md5(text)""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH $corpusNearSql,
+         |${shingleSql(3)},
+         |sh AS (SELECT doc_id AS id, unnest(shingles) AS shingle FROM shs),
+         |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+         |pairs AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+         |  GROUP BY 1, 2)
+         |SELECT p.id_a, p.id_b, p.inter, sa.sz AS size_a, sb.sz AS size_b,
+         |floor(p.inter/(sa.sz+sb.sz-p.inter)::DOUBLE*10000)/10000 AS jaccard
+         |FROM pairs p JOIN sizes sa ON p.id_a = sa.id
+         |JOIN sizes sb ON p.id_b = sb.id
+         |WHERE p.inter/(sa.sz+sb.sz-p.inter)::DOUBLE >= 0.5""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      s"""WITH $corpusNearSql,
+         |${shingleSql(3)},
+         |sig AS (SELECT doc_id AS id, $minhashSigSql AS sig FROM shs),
+         |banded AS (SELECT id, sig, t.b AS band,
+         |  array_to_string(sig[(t.b*4+1):(t.b*4+4)], ':') AS key
+         |  FROM sig, range(0,4) t(b)),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM banded a
+         |  JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+         |agr AS (SELECT c.id_a, c.id_b,
+         |  list_sum(list_transform(range(1,17),
+         |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))/16.0 AS a
+         |  FROM cand c JOIN sig sa ON c.id_a = sa.id JOIN sig sb ON c.id_b = sb.id)
+         |SELECT id_a, id_b, floor(a*10000)/10000 AS sig_agreement
+         |FROM agr WHERE a >= 0.5""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH $corpusNearSql,
+         |${shingleSql(2)},
+         |hss AS (SELECT doc_id, list_transform(shingles,
+         |  s -> ${hash60Sql("s")}) AS hs FROM shs)
+         |SELECT doc_id, ($simhashSql)::BIGINT AS simhash FROM hss""".stripMargin,
+
+    "dedup_simhash_pairs" ->
+      s"""WITH $corpusNearSql,
+         |${shingleSql(2)},
+         |hss AS (SELECT doc_id, list_transform(shingles,
+         |  s -> ${hash60Sql("s")}) AS hs FROM shs),
+         |sh AS (SELECT doc_id AS id, $simhashSql AS simhash FROM hss),
+         |blocked AS (SELECT id, simhash, t.b AS block,
+         |  (simhash >> (t.b*8)) & 255 AS byte FROM sh, range(0,2) t(b)),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |  a.simhash AS sh_a, b.simhash AS sh_b FROM blocked a JOIN blocked b
+         |  ON a.block = b.block AND a.byte = b.byte AND a.id < b.id)
+         |SELECT id_a, id_b, bit_count(xor(sh_a, sh_b))::BIGINT AS hamming
+         |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 1""".stripMargin,
+
+    "dedup_embedding_cosine" ->
+      s"""WITH $embCorpusSql,
+         |scored AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${cosSql("a.embedding", "b.embedding")} AS cosine
+         |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, floor(cosine*10000)/10000 AS cosine
+         |FROM scored WHERE cosine >= 0.9""".stripMargin,
+
+    "ann_bruteforce_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |  WHERE vec_id % 50 = 0),
+         |scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+         |  ${cosSql("q.qv", "e.embedding")} AS cosine
+         |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+         |ranked AS (SELECT query_id, neighbor_id, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank,
+         |  cosine FROM scored)
+         |SELECT query_id, neighbor_id, rank,
+         |floor(cosine*10000)/10000 AS cosine FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "ann_lsh_topk" ->
+      s"""WITH bkt AS (SELECT vec_id, embedding,
+         |  ${bucketSql("embedding")} AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM bkt
+         |  WHERE vec_id % 50 = 0),
+         |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+         |  ${cosSql("q.qv", "c.embedding")} AS cosine
+         |  FROM bkt c JOIN q ON c.bucket = q.bucket WHERE c.vec_id <> q.query_id),
+         |ranked AS (SELECT query_id, neighbor_id, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank,
+         |  cosine FROM scored)
+         |SELECT query_id, neighbor_id, rank,
+         |floor(cosine*10000)/10000 AS cosine FROM ranked WHERE rank <= 10""".stripMargin
   )
 }

@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHash
+
+/** Deduplication suite for the training-data pipeline: exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash, embedding-cosine.
+  *
+  * The reference's only dedup is an in-batch first-wins dict
+  * (scripts/lambda1.py:119-150 — covered by
+  * [[RawEventStore.dedupFirstWins]]); everything here is the extension
+  * surface a 100 TB pretraining pipeline needs.
+  *
+  * Scale design:
+  *  - exact: one hash aggregate on md5(text) — shuffle |docs| rows of
+  *    (hash,id), no text movement.
+  *  - n-gram Jaccard: inverted-index join (explode shingles, equi-join on
+  *    shingle, count per pair) — the standard all-pairs similarity plan;
+  *    output bounded by pairs sharing >=1 shingle. Hot shingles are the
+  *    skew risk at scale -> drop-stopword-shingle / df-cap filters belong
+  *    in front (approximated here by distinct-shingle sets per doc).
+  *  - MinHash+LSH: signature (k seeded min-hashes) -> band keys ->
+  *    equi-join on (band, key) — candidate generation is O(|docs|·bands)
+  *    shuffle rows, never O(n^2); banding math: P(candidate) =
+  *    1-(1-j^r)^b with r=4, b=4.
+  *  - SimHash: per-doc 16-bit signature, near-dup = small Hamming
+  *    distance; self-join is blocked on the signature's two bytes
+  *    (pigeonhole: hamming<=2 pairs share at least one untouched byte).
+  *  - embedding cosine: brute-force all-pairs (correctness baseline);
+  *    the LSH-bucketed scale path lives in [[SimilaritySearch]].
+  *
+  * Every hash is [[TextHash.hash60]] (md5-derived) so DuckDB oracles can
+  * recompute results bit-identically.
+  */
+object Dedup {
+
+  /** Exact dedup: group identical texts by md5, keep the smallest id.
+    * Returns (text_hash, kept_id, n_copies).
+    */
+  def exactDedup(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("kept_id"), count(lit(1)).as("n_copies"))
+
+  /** Per-doc distinct word-shingle sets, the shared front of the Jaccard
+    * and MinHash paths.
+    */
+  private def shingled(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+      array_distinct(TextHash.wordShingles(col(textCol), n)).as("shingles"))
+
+  /** Exact n-gram Jaccard near-dup pairs via inverted-index join.
+    * Returns (id_a, id_b, inter, size_a, size_b, jaccard) for pairs with
+    * jaccard >= threshold, id_a < id_b.
+    */
+  def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = shingled(docs, idCol, textCol, n)
+      .select(col("id"), explode(col("shingles")).as("shingle"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "size_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "size_b"), "id_b")
+      .withColumn("jaccard",
+        col("inter") / (col("size_a") + col("size_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
+  }
+
+  /** MinHash signatures: (id, sig array<long> of length numHashes). */
+  def minHashSignatures(docs: DataFrame, n: Int = 3, numHashes: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    shingled(docs, idCol, textCol, n)
+      .select(col("id"), TextHash.minHashSignature(col("shingles"), numHashes).as("sig"))
+
+  /** MinHash+LSH candidate pairs: band the signature (bands x rowsPerBand
+    * = numHashes), equi-join on (band, band-key), score candidates by
+    * signature agreement. Returns (id_a, id_b, sig_agreement) with
+    * agreement >= minAgreement, id_a < id_b.
+    */
+  def minHashLshPairs(docs: DataFrame, n: Int = 3, numHashes: Int = 16,
+      bands: Int = 4, minAgreement: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val rows = numHashes / bands
+    val sigs = minHashSignatures(docs, n, numHashes, idCol, textCol)
+    val banded = sigs.select(col("id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.as("band"),
+          concat_ws(":", slice(col("sig"), b * rows + 1, lit(rows))).as("key")))).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band"), col("bk.key"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+    cand.withColumn("sig_agreement",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0),
+          (acc, v) => acc + v) / lit(numHashes.toDouble))
+      .filter(col("sig_agreement") >= minAgreement)
+      .select("id_a", "id_b", "sig_agreement")
+  }
+
+  /** SimHash per doc: (id, simhash) with `bits`-bit signatures over word
+    * 2-shingles.
+    */
+  def simHashes(docs: DataFrame, bits: Int = 16, shingleN: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    shingled(docs, idCol, textCol, shingleN)
+      .select(col("id"), TextHash.simHash(col("shingles"), bits).as("simhash"))
+
+  /** SimHash near-dup pairs: Hamming distance <= maxHamming. The self-join
+    * is blocked on signature bytes (a pair within hamming<=maxHamming for
+    * maxHamming < blocks must agree on at least one block — pigeonhole),
+    * so the join is equi on (block, byte), never a cross product.
+    */
+  def simHashPairs(docs: DataFrame, bits: Int = 16, maxHamming: Int = 1,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = simHashes(docs, bits, 2, idCol, textCol)
+    val blocks = 2 // 2 bytes for 16 bits; maxHamming < blocks required
+    require(maxHamming < blocks, "pigeonhole blocking needs maxHamming < blocks")
+    val blocked = sh.select(col("id"), col("simhash"),
+      explode(array((0 until blocks).map(b =>
+        struct(lit(b).as("block"),
+          shiftright(col("simhash"), b * 8).bitwiseAND(0xFF).as("byte"))): _*)).as("bb"))
+      .select(col("id"), col("simhash"), col("bb.block"), col("bb.byte"))
+    blocked.as("a")
+      .join(blocked.as("b"),
+        col("a.block") === col("b.block") && col("a.byte") === col("b.byte") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Embedding-cosine near-dup pairs, brute force (the correctness
+    * baseline; LSH-bucketed scale path in [[SimilaritySearch]]). Cosine is
+    * computed in double, sequential element order, so oracle engines agree
+    * bitwise.
+    */
+  def embeddingNearDups(embs: DataFrame, threshold: Double = 0.9,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
+      .withColumn("cosine", SimilaritySearch.cosine(col("a.v"), col("b.v")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
+  }
+}

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (array<float>), extension surface for the training-data pipeline.
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k per query — one broadcast of
+  *    the (small) query set against the full corpus, ranked per query.
+  *    Correctness baseline and the right plan whenever |queries| is small:
+  *    a single map-side pass over the corpus, no shuffle of the corpus
+  *    itself, topK via per-query window (rank <= k).
+  *  - [[lshTopK]]: random-hyperplane LSH — each vector gets a b-bit sign
+  *    bucket; candidates are bucket-mates only, so the join is equi on the
+  *    bucket id and the per-bucket work is |bucket|^2 << n^2. The
+  *    hyperplanes are a fixed Rademacher (+-1) matrix generated from a
+  *    seeded LCG — deterministic constants, so a DuckDB oracle recomputes
+  *    the same buckets bit-for-bit.
+  *
+  * Cosine is computed in double with strictly sequential element order
+  * (fold), making Spark and DuckDB results bit-identical.
+  */
+object SimilaritySearch {
+
+  /** Embedding dimensionality of the testdata corpus. */
+  val Dim = 64
+
+  /** Cosine similarity of two array<float> columns, double precision,
+    * sequential fold order (oracle-stable).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** The fixed Rademacher hyperplane matrix: `bits` rows of `Dim` values
+    * in {-1,+1}, from a seeded 64-bit LCG (MMIX constants). Deterministic
+    * across engines/runs; embedded as literals in oracle SQL.
+    */
+  def hyperplanes(bits: Int): Array[Array[Int]] = {
+    var state = 0x5DEECE66DL
+    def next(): Long = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      state
+    }
+    Array.fill(bits)(Array.fill(Dim)(if ((next() >>> 32 & 1) == 1L) 1 else -1))
+  }
+
+  /** Sign-bucket id: bit j set iff dot(v, hyperplane_j) > 0. */
+  def lshBucket(v: Column, bits: Int): Column = {
+    val planes = hyperplanes(bits)
+    (0 until bits).map { j =>
+      val proj = aggregate(
+        zip_with(v, lit(planes(j)), (x, s) => x.cast("double") * s.cast("double")),
+        lit(0.0), (acc, t) => acc + t)
+      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Exact top-k: for each query vector, the k corpus ids with the highest
+    * cosine (ties broken by id). `queries` should be small — it is
+    * broadcast against the corpus.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = c.join(broadcast(q), col("id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("qv"), col("v")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /** LSH-bucketed top-k: same contract as [[bruteForceTopK]] but only
+    * bucket-mates are candidates. Trades recall for a corpus-sized equi
+    * join instead of |q| x |corpus| work; recall grows with fewer bits or
+    * multi-probe.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      lshBucket(col(vecCol), bits).as("bucket"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      lshBucket(col(vecCol), bits).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("qv"), col("v")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"), col("cosine"))
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SimilaritySearch
+
+class SimilaritySearchSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("bruteForceTopK: ranks are 1..k, cosine non-increasing per query") {
+    val corpus = Tables.embeddings(spark, sf)
+    val queries = corpus.filter(col("vec_id") % 50 === 0)
+    val out = SimilaritySearch.bruteForceTopK(corpus, queries, k = 5)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+    assert(out.nonEmpty)
+    out.foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getAs[Int]("rank"))
+      assert(byRank.map(_.getAs[Int]("rank")).toSeq === (1 to byRank.length))
+      val cosines = byRank.map(_.getAs[Double]("cosine")).toSeq
+      assert(cosines === cosines.sorted.reverse)
+      assert(!rows.exists(r => r.getAs[Long]("neighbor_id") == r.getAs[Long]("query_id")))
+    }
+  }
+
+  test("lshTopK returns a subset-consistent ranking: every result is a true bucket-mate hit") {
+    val corpus = Tables.embeddings(spark, sf)
+    val queries = corpus.filter(col("vec_id") % 50 === 0)
+    val exact = SimilaritySearch.bruteForceTopK(corpus, queries, k = 200)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, n, c) => (q, n) -> c }.toMap
+    val approx = SimilaritySearch.lshTopK(corpus, queries, k = 5, bits = 4)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    assert(approx.nonEmpty)
+    // every LSH hit must carry the same cosine the exact path computes
+    approx.foreach { case (q, n, c) =>
+      assert(math.abs(exact.getOrElse((q, n), Double.NaN) - c) < 1e-12 ||
+        !exact.contains((q, n))) // beyond exact k=200 tail is fine
+    }
+  }
+
+  test("lshBucket is deterministic and within bit range") {
+    val corpus = Tables.embeddings(spark, sf).limit(50)
+    val b1 = corpus.select(SimilaritySearch.lshBucket(col("embedding"), 8).as("b"))
+      .as[Long].collect().toSeq
+    val b2 = corpus.select(SimilaritySearch.lshBucket(col("embedding"), 8).as("b"))
+      .as[Long].collect().toSeq
+    assert(b1 === b2)
+    assert(b1.forall(b => b >= 0 && b < 256))
+  }
+
+  test("cosine: orthogonal -> 0, identical -> 1, opposite -> -1") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(1.0f, 2.0f), Array(1.0f, 2.0f)),
+      (Array(1.0f, 2.0f), Array(-1.0f, -2.0f))
+    ).toDF("a", "b")
+    val out = df.select(SimilaritySearch.cosine(col("a"), col("b")).as("c"))
+      .as[Double].collect().toSeq
+    assert(math.abs(out(0)) < 1e-12)
+    assert(math.abs(out(1) - 1.0) < 1e-12)
+    assert(math.abs(out(2) + 1.0) < 1e-12)
+  }
+}
