@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextAnalysis, TextHash}
-import graft.operators.{Dedup, KpiAggregator, RawEventStore, SimilaritySearch, TripMatcher}
-import graft.sources.TripSources
+import graft.operators.{Dedup, KpiAggregator, RawEventStore, Sessionize, SimilaritySearch, TripMatcher}
+import graft.sources.{MediaColumns, TripSources}
 
 /** Driver contract — one named query per implemented operator of
   * SURVEY.md par.2, each with a DuckDB-equivalent oracle SQL over the same
@@ -359,7 +359,38 @@ object SparkEntry {
       SimilaritySearch.lshTopK(Tables.embeddings(s, dir),
           annQueries(s, dir), k = 10, bits = 8)
         .select(col("query_id"), col("neighbor_id"),
-          col("rank").cast("long").as("rank"), trunc4(col("cosine")).as("cosine")))
+          col("rank").cast("long").as("rank"), trunc4(col("cosine")).as("cosine"))),
+
+    // ---- sessionization / top-k / multimodal -----------------------------
+
+    // SW1: gap-based sessions per user (session_window, 30 min gap).
+    "sessionize_events" -> ((s, dir) =>
+      Sessionize.sessions(Tables.events(s, dir), col("user_id"), col("ts"),
+          col("value"))
+        .select(col("key").as("user_id"), col("session_start"),
+          col("session_end"), col("n_events"),
+          trunc4(col("total_value")).as("total_value"))),
+
+    // SW2: top-3 events per user by value (WindowGroupLimit pushdown).
+    "topk_per_user" -> ((s, dir) =>
+      Sessionize.topKPerKey(Tables.events(s, dir), Seq("user_id"),
+          col("value"), col("event_id"), k = 3)
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("rank").cast("long").as("rank"))),
+
+    // M1: opaque-binary media metadata (payload synthesized from text).
+    "media_metadata" -> ((s, dir) =>
+      MediaColumns.mediaFromDocuments(Tables.documents(s, dir))
+        .select(col("doc_id"), col("media_type"),
+          col("n_bytes").cast("long").as("n_bytes"),
+          md5(col("payload")).as("payload_md5"))),
+
+    // M2: frame sampling over the binary payload (stride windows).
+    "media_frames" -> ((s, dir) =>
+      MediaColumns.frameSample(MediaColumns.mediaFromDocuments(
+          Tables.documents(s, dir)))
+        .select(col("doc_id"), col("media_type"),
+          col("frame_idx").cast("long").as("frame_idx"), col("frame_md5")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -604,6 +635,44 @@ object SparkEntry {
          |  PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank,
          |  cosine FROM scored)
          |SELECT query_id, neighbor_id, rank,
-         |floor(cosine*10000)/10000 AS cosine FROM ranked WHERE rank <= 10""".stripMargin
+         |floor(cosine*10000)/10000 AS cosine FROM ranked WHERE rank <= 10""".stripMargin,
+
+    // Session semantics mirror: Spark session_window merges events up to
+    // and INCLUDING last_ts + gap, so a new session needs gap STRICTLY
+    // exceeded (verified in SessionizeMediaSpec).
+    "sessionize_events" ->
+      """WITH o AS (SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |    OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |  ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |count(*) AS n_events, floor(sum(value)*10000)/10000 AS total_value
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "topk_per_user" ->
+      """SELECT user_id, event_id, value, rank FROM (
+        |SELECT user_id, event_id, value, row_number() OVER (
+        |  PARTITION BY user_id ORDER BY value DESC, event_id) AS rank
+        |FROM events) t WHERE rank <= 3""".stripMargin,
+
+    // DuckDB's md5/substring lack BLOB overloads; the corpus is pure ASCII
+    // (verified octet_length == length at sf0.01/0.1), so VARCHAR ops are
+    // byte-equivalent to Spark's binary ops here.
+    "media_metadata" ->
+      """SELECT doc_id,
+        |(['image','audio','video'])[(doc_id % 3 + 1)::INT] AS media_type,
+        |octet_length(text::BLOB) AS n_bytes, md5(text) AS payload_md5
+        |FROM documents""".stripMargin,
+
+    "media_frames" ->
+      """WITH m AS (SELECT doc_id,
+        |  (['image','audio','video'])[(doc_id % 3 + 1)::INT] AS media_type,
+        |  text AS payload FROM documents)
+        |SELECT doc_id, media_type, j AS frame_idx,
+        |md5(substring(payload, (j*64+1)::INT, 16)) AS frame_md5
+        |FROM m, range(0,4) t(j)
+        |WHERE length(substring(payload, (j*64+1)::INT, 16)) > 0""".stripMargin
   )
 }

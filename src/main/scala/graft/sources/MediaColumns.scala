@@ -1,0 +1,107 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One media record: opaque binary payload + typed metadata. The payload
+  * travels as a `binary` column; nothing downstream assumes it is
+  * decodable by Spark itself.
+  */
+final case class MediaRecord(
+    doc_id: Long,
+    media_type: String,
+    payload: Array[Byte],
+    n_bytes: Int)
+
+/** Extracted per-record features (the output shape of the decode stage). */
+final case class MediaFeatures(
+    doc_id: Long,
+    media_type: String,
+    n_bytes: Int,
+    byte_mean: Double,
+    byte_histogram: Array[Long])
+
+/** Multimodal-column plumbing for the training-data pipeline: treat
+  * image/audio/video as opaque `binary` columns with typed metadata, and
+  * run decode / feature-extraction as partition-local batch functions.
+  *
+  * The Spark-side mechanics here are real and tested — schema, typed
+  * Encoders, `mapPartitions` batch shape (the Scala analogue of
+  * `mapInPandas`: one iterator per partition, amortized per-batch setup,
+  * no per-row driver involvement, no shuffle). The codec itself is a
+  * STUB: this container has no image/audio libraries, so
+  * [[decodeFeatures]] computes deterministic byte statistics where a real
+  * deployment would call the decoder — swap [[stubDecode]] only.
+  *
+  * Scale notes: payloads stay columnar parquet binary; feature extraction
+  * is a map-only stage that parallelizes per partition; partition sizing
+  * for 100 TB of media is governed by
+  * `spark.sql.files.maxPartitionBytes`, not row counts.
+  */
+object MediaColumns {
+
+  /** Synthesize a deterministic media corpus from the documents table:
+    * payload = UTF-8 bytes of the text (stands in for encoded media),
+    * media_type round-robins image/audio/video.
+    */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+      encode(col("text"), "UTF-8").as("payload"))
+      .withColumn("n_bytes", octet_length(col("payload")))
+
+  /** The decoder seam. A real deployment decodes `payload` (JPEG/WAV/...)
+    * here; this container has no codecs, so the stub derives
+    * deterministic per-byte statistics instead. Signature and batch shape
+    * are what a real decoder needs: whole payload in, features out.
+    */
+  private def stubDecode(payload: Array[Byte]): (Double, Array[Long]) = {
+    val hist = new Array[Long](16)
+    var sum = 0L
+    var i = 0
+    while (i < payload.length) {
+      val b = payload(i) & 0xFF
+      hist(b >> 4) += 1
+      sum += b
+      i += 1
+    }
+    (if (payload.length == 0) 0.0 else sum.toDouble / payload.length, hist)
+  }
+
+  /** Feature extraction as a partition-local batch map — the plumbing a
+    * real decode stage uses (mapInPandas-shaped: iterator in, iterator
+    * out, one call per partition).
+    */
+  def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { records =>
+      // per-partition setup would init the codec once here
+      records.map { r =>
+        val (mean, hist) = stubDecode(r.payload)
+        MediaFeatures(r.doc_id, r.media_type, r.n_bytes, mean, hist)
+      }
+    }
+  }
+
+  /** Frame sampling: every `stride` bytes take a `frameLen`-byte window —
+    * the binary-plumbing shape of video frame extraction (positions and
+    * batch layout real; "frame" content is whatever the payload holds).
+    * Pure built-in expressions, so it is oracle-checkable.
+    */
+  def frameSample(media: DataFrame, frames: Int = 4, stride: Int = 64,
+      frameLen: Int = 16): DataFrame =
+    media.select(col("doc_id"), col("media_type"),
+      posexplode(transform(sequence(lit(0), lit(frames - 1)), j =>
+        col("payload").substr(j * stride + 1, lit(frameLen)))))
+      .withColumnRenamed("pos", "frame_idx")
+      .withColumn("frame_md5", md5(col("col")))
+      .filter(octet_length(col("col")) > 0)
+      .select("doc_id", "media_type", "frame_idx", "frame_md5")
+
+  /** Typed seam for the decode path. */
+  def asMediaRecords(media: DataFrame): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.select("doc_id", "media_type", "payload", "n_bytes").as[MediaRecord]
+  }
+}

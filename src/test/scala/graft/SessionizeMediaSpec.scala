@@ -1,0 +1,72 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sessionize
+import graft.sources.MediaColumns
+
+class SessionizeMediaSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("sessions: gap merge is boundary-inclusive; past-gap event starts a new session") {
+    val events = Seq(
+      (1L, ts("2024-05-25 10:00:00"), 1.0),
+      (1L, ts("2024-05-25 10:20:00"), 2.0), // within 30m: same session
+      (1L, ts("2024-05-25 10:50:00"), 3.0), // exactly +30m: still merged (inclusive)
+      (1L, ts("2024-05-25 11:20:01"), 4.0), // 30m01s after last: NEW session
+      (2L, ts("2024-05-25 09:00:00"), 5.0)
+    ).toDF("user_id", "ts", "value")
+    val out = Sessionize.sessions(events, col("user_id"), col("ts"), col("value"))
+      .orderBy("key", "session_start").collect()
+    assert(out.length === 3)
+    val first = out(0)
+    assert(first.getAs[Long]("key") === 1L)
+    assert(first.getAs[Long]("n_events") === 3L)
+    assert(first.getAs[Double]("total_value") === 6.0)
+    assert(out(1).getAs[Long]("n_events") === 1L)
+    assert(out(2).getAs[Long]("key") === 2L)
+  }
+
+  test("topKPerKey keeps exactly k rows per key with deterministic ties") {
+    val df = (1 to 10).map(i => (i % 2, i.toLong, (i % 3).toDouble))
+      .toDF("grp", "id", "v")
+    val out = Sessionize.topKPerKey(df, Seq("grp"), col("v"), col("id"), 3)
+    assert(out.count() === 6)
+    assert(out.groupBy("grp").count().collect().forall(_.getLong(1) == 3L))
+    // rank 1 in grp 1 = highest v (2.0), smallest id among ties (id=2)
+    val top = out.filter(col("grp") === 1 && col("rank") === 1).collect().head
+    assert(top.getAs[Long]("id") === 5L) // v: ids 1,3,5,7,9 -> v = 1,0,2,1,0; max v=2 at id 5
+  }
+
+  test("media plumbing: synthesis, typed decode stub, frame sampling") {
+    val docs = Seq((0L, "a" * 300), (1L, "bc" * 10), (2L, "x")).toDF("doc_id", "text")
+    val media = MediaColumns.mediaFromDocuments(docs)
+    assert(media.columns.toSet === Set("doc_id", "media_type", "payload", "n_bytes"))
+    val byId = media.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(0L).getAs[String]("media_type") === "image")
+    assert(byId(1L).getAs[String]("media_type") === "audio")
+    assert(byId(0L).getAs[Int]("n_bytes") === 300)
+
+    val feats = MediaColumns.decodeFeatures(MediaColumns.asMediaRecords(media))
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(feats(0L).byte_mean === 'a'.toDouble)
+    assert(feats(0L).byte_histogram(6) === 300L) // 'a'=0x61 -> bucket 6
+    assert(feats(2L).n_bytes === 1)
+
+    val frames = MediaColumns.frameSample(media)
+    // doc 0: 300 bytes -> frames at 1,65,129,193 all present; doc 2: only frame 0
+    val byDoc = frames.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDoc(0L) === 4L)
+    assert(byDoc(2L) === 1L)
+    // identical windows hash identically
+    val md5s = frames.filter(col("doc_id") === 0).select("frame_md5")
+      .as[String].collect().toSet
+    assert(md5s.size === 1)
+  }
+}
