@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextHash
@@ -44,13 +45,31 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("kept_id"), count(lit(1)).as("n_copies"))
 
-  /** Per-doc distinct word-shingle sets, the shared front of the Jaccard
-    * and MinHash paths.
+  /** Per-doc distinct word shingles as ROWS (id, s) — the shared front of
+    * the Jaccard/MinHash/SimHash paths.
+    *
+    * Relational formulation: posexplode tokens, window `lead` to stitch n
+    * consecutive tokens, filter to full shingles, distinct. Semantically
+    * identical to `array_distinct(TextHash.wordShingles(...))` exploded
+    * (concat_ws skips the trailing nulls for docs shorter than n tokens,
+    * yielding the same single whole-doc shingle), but every operator here
+    * is codegen'd — the HOF transform/slice chain was the dominant cost
+    * of all three text-dedup queries at sf0.1 — and the window's
+    * hash-partitioning by id is reused by downstream per-doc aggregates.
     */
-  private def shingled(docs: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame =
-    docs.select(col(idCol).as("id"),
-      array_distinct(TextHash.wordShingles(col(textCol), n)).as("shingles"))
+  private def shingleRows(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("id").orderBy("pos")
+    val cnt = Window.partitionBy("id")
+    toks
+      .withColumn("n_toks", count(lit(1)).over(cnt))
+      .withColumn("s", concat_ws(" ",
+        (0 until n).map(j => lead(col("tok"), j).over(w)): _*))
+      .filter(col("pos") <= greatest(col("n_toks") - n, lit(0)))
+      .select("id", "s").distinct()
+  }
 
   /** Exact n-gram Jaccard near-dup pairs via inverted-index join.
     * Returns (id_a, id_b, inter, size_a, size_b, jaccard) for pairs with
@@ -58,8 +77,8 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = shingled(docs, idCol, textCol, n)
-      .select(col("id"), explode(col("shingles")).as("shingle"))
+    val sh = shingleRows(docs, idCol, textCol, n)
+      .withColumnRenamed("s", "shingle")
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
@@ -75,11 +94,23 @@ object Dedup {
       .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
   }
 
-  /** MinHash signatures: (id, sig array<long> of length numHashes). */
+  /** MinHash signatures: (id, sig array<long> of length numHashes).
+    *
+    * Relational formulation — explode shingles, hash each with the k
+    * seeded functions as PLAIN codegen'd columns, take k mins in one
+    * partial+final hash aggregate. Bit-identical to the array-level
+    * [[TextHash.minHashSignature]] (same hashes, same mins) but stays in
+    * WholeStageCodegen; the HOF version is interpreted and was 4x slower
+    * at sf0.1.
+    */
   def minHashSignatures(docs: DataFrame, n: Int = 3, numHashes: Int = 16,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    shingled(docs, idCol, textCol, n)
-      .select(col("id"), TextHash.minHashSignature(col("shingles"), numHashes).as("sig"))
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, n)
+    val mins = (0 until numHashes).map(k =>
+      min(TextHash.hash60Seeded(col("s"), k)).as(s"h$k"))
+    sh.groupBy("id").agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(k => col(s"h$k")): _*).as("sig"))
+  }
 
   /** MinHash+LSH candidate pairs: band the signature (bands x rowsPerBand
     * = numHashes), equi-join on (band, band-key), score candidates by
@@ -113,11 +144,24 @@ object Dedup {
 
   /** SimHash per doc: (id, simhash) with `bits`-bit signatures over word
     * 2-shingles.
+    *
+    * Relational formulation: one hash60 per shingle (the HOF version
+    * recomputed the md5 per BIT), then `bits` conditional sums in a
+    * single hash aggregate, then bit packing — all codegen'd.
     */
   def simHashes(docs: DataFrame, bits: Int = 16, shingleN: Int = 2,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    shingled(docs, idCol, textCol, shingleN)
-      .select(col("id"), TextHash.simHash(col("shingles"), bits).as("simhash"))
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val hashed = shingleRows(docs, idCol, textCol, shingleN)
+      .select(col("id"), TextHash.hash60(col("s")).as("h"))
+    val bitSums = (0 until bits).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+        .as(s"b$b"))
+    hashed.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"),
+        (0 until bits).map(b =>
+          when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+          .as("simhash"))
+  }
 
   /** SimHash near-dup pairs: Hamming distance <= maxHamming. The self-join
     * is blocked on signature bytes (a pair within hamming<=maxHamming for
@@ -153,9 +197,13 @@ object Dedup {
     */
   def embeddingNearDups(embs: DataFrame, threshold: Double = 0.9,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val e = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val dot = graft.functions.VectorFunctions.dotF _
+    // norms once per ROW before the pair join — not once per pair
+    val e = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("nrm"))
     e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
-      .withColumn("cosine", SimilaritySearch.cosine(col("a.v"), col("b.v")))
+      .withColumn("cosine", SimilaritySearch.cosineFromNorms(
+        dot(col("a.v"), col("b.v")), col("a.nrm"), col("b.nrm")))
       .filter(col("cosine") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }

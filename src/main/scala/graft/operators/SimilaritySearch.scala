@@ -29,14 +29,23 @@ object SimilaritySearch {
   val Dim = 64
 
   /** Cosine similarity of two array<float> columns, double precision,
-    * sequential fold order (oracle-stable).
+    * sequential fold order (oracle-stable). Backed by the codegen'd
+    * [[graft.functions.DotProductFloat]] — the HOF
+    * `aggregate(zip_with(...))` formulation is interpreted and was ~90%
+    * of all-pairs query time at sf0.1.
     */
   def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+    val dot = graft.functions.VectorFunctions.dotF _
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
+
+  /** Pair cosine from a precomputed dot and per-side norms — use on join
+    * paths so each row's norm is computed once, not once per pair.
+    * sqrt(dot(a,a))*sqrt(dot(b,b)) is kept as-is (not fused to
+    * sqrt(na*nb)) so the bits match [[cosine]] and the oracle.
+    */
+  def cosineFromNorms(dotAB: Column, normA: Column, normB: Column): Column =
+    dotAB / (normA * normB)
 
   /** The fixed Rademacher hyperplane matrix: `bits` rows of `Dim` values
     * in {-1,+1}, from a seeded 64-bit LCG (MMIX constants). Deterministic
@@ -51,13 +60,13 @@ object SimilaritySearch {
     Array.fill(bits)(Array.fill(Dim)(if ((next() >>> 32 & 1) == 1L) 1 else -1))
   }
 
-  /** Sign-bucket id: bit j set iff dot(v, hyperplane_j) > 0. */
+  /** Sign-bucket id: bit j set iff dot(v, hyperplane_j) > 0. Uses the
+    * codegen'd dot product with the plane as a float-array literal.
+    */
   def lshBucket(v: Column, bits: Int): Column = {
     val planes = hyperplanes(bits)
     (0 until bits).map { j =>
-      val proj = aggregate(
-        zip_with(v, lit(planes(j)), (x, s) => x.cast("double") * s.cast("double")),
-        lit(0.0), (acc, t) => acc + t)
+      val proj = graft.functions.VectorFunctions.dotF(v, lit(planes(j).map(_.toFloat)))
       when(proj > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
@@ -68,10 +77,14 @@ object SimilaritySearch {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val dot = graft.functions.VectorFunctions.dotF _
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("nrm"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("qnrm"))
     val scored = c.join(broadcast(q), col("id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("qv"), col("v")))
+      .withColumn("cosine",
+        cosineFromNorms(dot(col("qv"), col("v")), col("qnrm"), col("nrm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("id"))
     scored.withColumn("rank", row_number().over(w))
@@ -86,13 +99,17 @@ object SimilaritySearch {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dot = graft.functions.VectorFunctions.dotF _
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
-      lshBucket(col(vecCol), bits).as("bucket"))
+      lshBucket(col(vecCol), bits).as("bucket"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("nrm"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      lshBucket(col(vecCol), bits).as("bucket"))
+      lshBucket(col(vecCol), bits).as("bucket"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("qnrm"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("qv"), col("v")))
+      .withColumn("cosine",
+        cosineFromNorms(dot(col("qv"), col("v")), col("qnrm"), col("nrm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("id"))
     scored.withColumn("rank", row_number().over(w))
