@@ -390,7 +390,22 @@ object SparkEntry {
       MediaColumns.frameSample(MediaColumns.mediaFromDocuments(
           Tables.documents(s, dir)))
         .select(col("doc_id"), col("media_type"),
-          col("frame_idx").cast("long").as("frame_idx"), col("frame_md5")))
+          col("frame_idx").cast("long").as("frame_idx"), col("frame_md5"))),
+
+    // O3: multi-key sort (notebook cell 13). Sort itself is not hashable
+    // output — the oracle compares the sorted-stable row set.
+    "multi_key_sort" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice")),
+
+    // P13: date formatting / hierarchical key layout + epoch metadata
+    // (glue_scripts.py:17-24,196-198).
+    "date_key_layout" -> ((s, dir) =>
+      Tables.events(s, dir).select(col("event_id"),
+        date_format(col("ts"), "yyyy/MM/dd").as("ymd_path"),
+        date_format(col("ts"), "yyyy-MM-dd-HH-mm-ss").as("file_stamp"),
+        unix_timestamp(col("ts")).as("epoch_s")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -673,6 +688,15 @@ object SparkEntry {
         |SELECT doc_id, media_type, j AS frame_idx,
         |md5(substring(payload, (j*64+1)::INT, 16)) AS frame_md5
         |FROM m, range(0,4) t(j)
-        |WHERE length(substring(payload, (j*64+1)::INT, 16)) > 0""".stripMargin
+        |WHERE length(substring(payload, (j*64+1)::INT, 16)) > 0""".stripMargin,
+
+    "multi_key_sort" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice
+        |FROM lineitem ORDER BY l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+
+    "date_key_layout" ->
+      """SELECT event_id, strftime(ts, '%Y/%m/%d') AS ymd_path,
+        |strftime(ts, '%Y-%m-%d-%H-%M-%S') AS file_stamp,
+        |floor(epoch(ts))::BIGINT AS epoch_s FROM events""".stripMargin
   )
 }
