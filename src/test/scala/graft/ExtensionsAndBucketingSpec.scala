@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Two scale-mechanics checks:
+  *  - GraftExtensions registers the native expression for SQL use;
+  *  - bucketing both matcher inputs by trip key makes the equi-join
+  *    shuffle-free (the SURVEY.md J1 scale note, demonstrated).
+  */
+class ExtensionsAndBucketingSpec extends AnyFunSuite with SparkTestBase {
+
+  test("GraftExtensions: dot_product_float callable from SQL") {
+    // force session creation (getOrCreate would reuse the base session and
+    // skip extensions); the SparkContext is still shared JVM-wide.
+    val base = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = SparkSession.builder()
+        .master("local[2]")
+        .appName("graft-ext-test")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val r = s.sql(
+        "SELECT dot_product_float(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d")
+        .head().getDouble(0)
+      assert(r === 11.0)
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
+  test("bucketed matcher inputs join without an exchange") {
+    import spark.implicits._
+    val starts = (1 to 1000).map(i => (s"t$i", s"2024-05-25 10:${i % 60}:00"))
+      .toDF("trip_id", "pickup_datetime")
+    val ends = (1 to 900).map(i => (s"t$i", 10.0 + i))
+      .toDF("trip_id", "fare_amount")
+
+    starts.write.mode("overwrite").bucketBy(8, "trip_id")
+      .sortBy("trip_id").saveAsTable("b_starts")
+    ends.write.mode("overwrite").bucketBy(8, "trip_id")
+      .sortBy("trip_id").saveAsTable("b_ends")
+
+    // disable auto-broadcast so the join would otherwise shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_starts")
+        .join(spark.table("b_ends"), Seq("trip_id"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should be shuffle-free, got:\n$plan")
+      assert(joined.count() === 900)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS b_starts")
+      spark.sql("DROP TABLE IF EXISTS b_ends")
+    }
+  }
+}

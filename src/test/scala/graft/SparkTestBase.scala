@@ -14,6 +14,7 @@ trait SparkTestBase extends BeforeAndAfterAll { self: Suite =>
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.warehouse.dir", "/tmp/graft-test-warehouse")
     .appName("graft-test")
     .getOrCreate()
 
