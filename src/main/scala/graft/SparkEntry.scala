@@ -110,11 +110,15 @@ object SparkEntry {
   private def hash60Sql(e: String): String =
     s"('0x'||substr(md5($e),1,15))::BIGINT"
 
-  /** 16-term minhash signature list (seeds 0..15, TextHash.hash60Seeded). */
-  private def minhashSigSql: String =
-    "[" + (0 until 16).map(k =>
-      s"list_min(list_transform(shingles, s -> ${hash60Sql(s"$k::VARCHAR||':'||s")}))")
-      .mkString(", ") + "]"
+  /** 16-term minhash signature list over the pre-hashed shingle list `hs`
+    * (TextHash.mixSeeded affine family, same constants).
+    */
+  private def minhashSigSql: String = {
+    val m = graft.functions.TextHash.Mersenne61
+    "[" + graft.functions.TextHash.mixConstants(16).map { case (a, b, c) =>
+      s"list_min(list_transform(hs, h -> ($a*(h & 1073741823) + $b*(h >> 30) + $c) % $m))"
+    }.mkString(", ") + "]"
+  }
 
   /** 16-bit simhash over the shingle set (TextHash.simHash). */
   private def simhashSql: String = {
@@ -584,7 +588,9 @@ object SparkEntry {
     "dedup_minhash_lsh" ->
       s"""WITH $corpusNearSql,
          |${shingleSql(3)},
-         |sig AS (SELECT doc_id AS id, $minhashSigSql AS sig FROM shs),
+         |hss AS (SELECT doc_id, list_transform(shingles,
+         |  s -> ${hash60Sql("s")}) AS hs FROM shs),
+         |sig AS (SELECT doc_id AS id, $minhashSigSql AS sig FROM hss),
          |banded AS (SELECT id, sig, t.b AS band,
          |  array_to_string(sig[(t.b*4+1):(t.b*4+4)], ':') AS key
          |  FROM sig, range(0,4) t(b)),

@@ -24,11 +24,40 @@ object TextHash {
     conv(substring(md5(s.cast("string")), 1, 15), 16, 10).cast("long")
 
   /** Seeded variant: k independent hash functions via seed-prefixing —
-    * h_i(x) = hash60(i || ':' || x). Cheap, engine-portable, and
-    * empirically uniform (md5 avalanche).
+    * h_i(x) = hash60(i || ':' || x). Engine-portable and uniform (md5
+    * avalanche) but pays one md5 per (seed, value); prefer
+    * [[mixSeeded]] over a single [[hash60]] when k hashes of the same
+    * value are needed.
     */
   def hash60Seeded(s: Column, seed: Int): Column =
     hash60(concat_ws(":", lit(seed.toString), s.cast("string")))
+
+  /** Per-seed affine constants for [[mixSeeded]], from a deterministic
+    * LCG (same MMIX multiplier as SimilaritySearch.hyperplanes). a,b are
+    * odd 31-bit, c is 60-bit.
+    */
+  def mixConstants(numSeeds: Int): Array[(Long, Long, Long)] = {
+    var state = 0x2545F4914F6CDD1DL
+    def next(): Long = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      state >>> 3
+    }
+    Array.fill(numSeeds)((
+      (next() & 0x7FFFFFFFL) | 1L,
+      (next() & 0x7FFFFFFFL) | 1L,
+      next() & ((1L << 60) - 1)))
+  }
+
+  /** k-th universal-style hash of an existing 60-bit hash, md5-free:
+    * h_k = (a_k*(h & 2^30-1) + b_k*(h >> 30) + c_k) mod (2^61-1).
+    * All terms stay under 2^63 (no overflow — DuckDB would raise on it),
+    * all ops are plain codegen'd arithmetic, and the formula is embedded
+    * verbatim in the oracle SQL. One md5 + k mixes replaces k md5s.
+    */
+  def mixSeeded(h: Column, seed: Int, constants: Array[(Long, Long, Long)]): Column = {
+    val (a, b, c) = constants(seed)
+    (lit(a) * h.bitwiseAND(0x3FFFFFFFL) + lit(b) * shiftright(h, 30) + lit(c)) % Mersenne61
+  }
 
   /** Word shingles: array of n-grams of `n` consecutive whitespace tokens.
     * Documents shorter than n tokens yield their single full-token join, so

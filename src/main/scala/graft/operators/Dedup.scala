@@ -74,11 +74,27 @@ object Dedup {
   /** Exact n-gram Jaccard near-dup pairs via inverted-index join.
     * Returns (id_a, id_b, inter, size_a, size_b, jaccard) for pairs with
     * jaccard >= threshold, id_a < id_b.
+    *
+    * `maxDocFreq`: skew guard for the 100 TB path. A shingle appearing in
+    * d documents contributes d^2 join rows; boilerplate shingles make the
+    * inverted-index join quadratic on one key. Capping document frequency
+    * drops those shingles BEFORE the join (two cheap aggregates), at the
+    * cost of slightly underestimating the intersection for pairs that
+    * shared a hot shingle. None preserves exact semantics (and the
+    * oracle); production near-dup mining at scale wants a cap.
     */
   def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = shingleRows(docs, idCol, textCol, n)
+      idCol: String = "doc_id", textCol: String = "text",
+      maxDocFreq: Option[Long] = None): DataFrame = {
+    val all = shingleRows(docs, idCol, textCol, n)
       .withColumnRenamed("s", "shingle")
+    val sh = maxDocFreq match {
+      case None => all
+      case Some(cap) =>
+        val hot = all.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("shingle")
+        all.join(broadcast(hot), Seq("shingle"), "left_anti")
+    }
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
@@ -96,18 +112,19 @@ object Dedup {
 
   /** MinHash signatures: (id, sig array<long> of length numHashes).
     *
-    * Relational formulation — explode shingles, hash each with the k
-    * seeded functions as PLAIN codegen'd columns, take k mins in one
-    * partial+final hash aggregate. Bit-identical to the array-level
-    * [[TextHash.minHashSignature]] (same hashes, same mins) but stays in
-    * WholeStageCodegen; the HOF version is interpreted and was 4x slower
-    * at sf0.1.
+    * Relational formulation — one md5-derived 60-bit hash per shingle,
+    * then k affine mixes ([[TextHash.mixSeeded]], md5-free) and k mins in
+    * one partial+final hash aggregate, all codegen'd. The earlier
+    * k-md5s-per-shingle family cost 16x the hashing work for the same
+    * minhash quality.
     */
   def minHashSignatures(docs: DataFrame, n: Int = 3, numHashes: Int = 16,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sh = shingleRows(docs, idCol, textCol, n)
+      .select(col("id"), TextHash.hash60(col("s")).as("h"))
+    val consts = TextHash.mixConstants(numHashes)
     val mins = (0 until numHashes).map(k =>
-      min(TextHash.hash60Seeded(col("s"), k)).as(s"h$k"))
+      min(TextHash.mixSeeded(col("h"), k, consts)).as(s"h$k"))
     sh.groupBy("id").agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until numHashes).map(k => col(s"h$k")): _*).as("sig"))
   }

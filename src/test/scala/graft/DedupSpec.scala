@@ -33,6 +33,20 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs.size === 3, s"unexpected pairs: $pairs")
   }
 
+  test("jaccardPairs maxDocFreq drops hot shingles before the join") {
+    // 'the quick brown'... shingles shared by docs 1,2,4 have df=3; cap=2
+    // removes them, so pair (1,2) loses shared shingles and its jaccard
+    // drops below threshold, while the exact-dup pair (1,4) still matches
+    // on the remaining (df<=2) shingles it shares exclusively.
+    val capped = Dedup.jaccardPairs(base, n = 3, threshold = 0.5,
+      maxDocFreq = Some(2L))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.jaccardPairs(base, n = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped.subsetOf(exact))
+    assert(capped.contains((1L, 4L)))
+  }
+
   test("minHashLshPairs surfaces the same dup structure as exact jaccard") {
     val got = Dedup.minHashLshPairs(base, minAgreement = 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
