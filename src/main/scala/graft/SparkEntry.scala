@@ -365,6 +365,13 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"), trunc4(col("cosine")).as("cosine"))),
 
+    // SS3: IVF top-10 — sampled centroids, cell assignment, nprobe=4.
+    "ann_ivf_topk" -> ((s, dir) =>
+      SimilaritySearch.ivfTopK(Tables.embeddings(s, dir),
+          annQueries(s, dir), k = 10)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"), trunc4(col("cosine")).as("cosine"))),
+
     // ---- sessionization / top-k / multimodal -----------------------------
 
     // SW1: gap-based sessions per user (session_window, 30 min gap).
@@ -652,6 +659,30 @@ object SparkEntry {
          |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
          |  ${cosSql("q.qv", "c.embedding")} AS cosine
          |  FROM bkt c JOIN q ON c.bucket = q.bucket WHERE c.vec_id <> q.query_id),
+         |ranked AS (SELECT query_id, neighbor_id, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank,
+         |  cosine FROM scored)
+         |SELECT query_id, neighbor_id, rank,
+         |floor(cosine*10000)/10000 AS cosine FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "ann_ivf_topk" ->
+      s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cv
+         |  FROM embeddings WHERE vec_id % 37 = 0),
+         |vecs AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+         |assign AS (SELECT id, v, centroid_id FROM (
+         |  SELECT v.id, v.v, c.centroid_id, row_number() OVER (
+         |    PARTITION BY v.id ORDER BY ${cosSql("v.v", "c.cv")} DESC,
+         |    c.centroid_id) AS crank FROM vecs v, cents c) t WHERE crank = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |  WHERE vec_id % 50 = 0),
+         |probes AS (SELECT query_id, qv, centroid_id FROM (
+         |  SELECT q.query_id, q.qv, c.centroid_id, row_number() OVER (
+         |    PARTITION BY q.query_id ORDER BY ${cosSql("q.qv", "c.cv")} DESC,
+         |    c.centroid_id) AS prank FROM q, cents c) t WHERE prank <= 4),
+         |scored AS (SELECT p.query_id, a.id AS neighbor_id,
+         |  ${cosSql("p.qv", "a.v")} AS cosine
+         |  FROM assign a JOIN probes p ON a.centroid_id = p.centroid_id
+         |  WHERE a.id <> p.query_id),
          |ranked AS (SELECT query_id, neighbor_id, row_number() OVER (
          |  PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank,
          |  cosine FROM scored)

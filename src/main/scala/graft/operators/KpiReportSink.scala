@@ -40,4 +40,18 @@ object KpiReportSink {
   def writeCsvKpis(kpis: DataFrame, path: String): Unit =
     kpis.coalesce(1).write.mode(SaveMode.Overwrite)
       .option("header", "true").csv(path)
+
+  /** The Y/M/D key layout at scale: `partitionBy` on derived date parts,
+    * so readers prune partitions instead of listing a flat bucket
+    * (generalizes glue_scripts.py:16-24's hand-built hierarchical keys).
+    * Dynamic overwrite replaces only the partitions present in `df`.
+    */
+  def writePartitionedByDay(df: DataFrame, dateCol: String, path: String): Unit =
+    df.withColumn("year", year(col(dateCol)))
+      .withColumn("month", month(col(dateCol)))
+      .withColumn("day", dayofmonth(col(dateCol)))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("year", "month", "day")
+      .parquet(path)
 }

@@ -92,6 +92,66 @@ object SimilaritySearch {
       .select(col("query_id"), col("id").as("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** IVF (inverted-file) index structures: a deterministic centroid set —
+    * every `centroidEvery`-th vector by id, the degenerate-but-portable
+    * "sampled centroids, zero Lloyd iterations" variant — plus cell
+    * assignment of each corpus vector to its max-cosine centroid (ties by
+    * centroid id). Real IVF runs k-means here; sampling keeps the
+    * structure identical (cells, probes, residual top-k) while staying
+    * bit-reproducible in a SQL oracle, which an iterative k-means is not.
+    */
+  def ivfAssignments(corpus: DataFrame, centroidEvery: Int = 37,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dot = graft.functions.VectorFunctions.dotF _
+    val cents = corpus.filter(col(idCol) % centroidEvery === 0)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("cv"),
+        sqrt(dot(col(vecCol), col(vecCol))).as("cnrm"))
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("nrm"))
+    val scored = vecs.join(broadcast(cents), lit(true))
+      .withColumn("csim",
+        cosineFromNorms(dot(col("v"), col("cv")), col("nrm"), col("cnrm")))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("csim").desc, col("centroid_id"))
+    scored.withColumn("crank", row_number().over(w))
+      .filter(col("crank") === 1)
+      .select(col("id"), col("v"), col("nrm"), col("centroid_id"))
+  }
+
+  /** IVF top-k: probe the `nprobe` nearest cells per query, rank only
+    * their members. The 100 TB shape: centroid scoring is a broadcast
+    * map-only pass; candidate search is an equi-join on centroid_id
+    * touching ~nprobe/|cells| of the corpus.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      centroidEvery: Int = 37, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dot = graft.functions.VectorFunctions.dotF _
+    val assigned = ivfAssignments(corpus, centroidEvery, idCol, vecCol)
+    val cents = corpus.filter(col(idCol) % centroidEvery === 0)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("cv"),
+        sqrt(dot(col(vecCol), col(vecCol))).as("cnrm"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("qnrm"))
+    val probes = q.join(broadcast(cents), lit(true))
+      .withColumn("csim",
+        cosineFromNorms(dot(col("qv"), col("cv")), col("qnrm"), col("cnrm")))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("centroid_id"))
+    val probed = probes.withColumn("prank", row_number().over(pw))
+      .filter(col("prank") <= nprobe)
+      .select("query_id", "qv", "qnrm", "centroid_id")
+    val scored = assigned.join(broadcast(probed), Seq("centroid_id"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("cosine",
+        cosineFromNorms(dot(col("qv"), col("v")), col("qnrm"), col("nrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"), col("cosine"))
+  }
+
   /** LSH-bucketed top-k: same contract as [[bruteForceTopK]] but only
     * bucket-mates are candidates. Trades recall for a corpus-sized equi
     * join instead of |q| x |corpus| work; recall grows with fewer bits or

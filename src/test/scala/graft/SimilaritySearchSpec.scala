@@ -43,6 +43,30 @@ class SimilaritySearchSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("ivfTopK: results are a subset of brute-force with correct per-query ranking") {
+    val corpus = Tables.embeddings(spark, sf)
+    val queries = corpus.filter(col("vec_id") % 50 === 0)
+    val exact = SimilaritySearch.bruteForceTopK(corpus, queries, k = 500)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, n, c) => (q, n) -> c }.toMap
+    val ivf = SimilaritySearch.ivfTopK(corpus, queries, k = 10,
+      centroidEvery = 11, nprobe = 4).collect()
+    assert(ivf.nonEmpty)
+    ivf.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getAs[Int]("rank"))
+      assert(byRank.map(_.getAs[Int]("rank")).toSeq === (1 to byRank.length))
+      val cosines = byRank.map(_.getAs[Double]("cosine")).toSeq
+      assert(cosines === cosines.sorted.reverse)
+    }
+    // every IVF hit carries the true cosine (same value the exact path computes)
+    ivf.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      exact.get(key).foreach(c =>
+        assert(math.abs(c - r.getAs[Double]("cosine")) < 1e-12))
+    }
+  }
+
   test("lshBucket is deterministic and within bit range") {
     val corpus = Tables.embeddings(spark, sf).limit(50)
     val b1 = corpus.select(SimilaritySearch.lshBucket(col("embedding"), 8).as("b"))

@@ -73,6 +73,21 @@ class SinkSpec extends AnyFunSuite with SparkTestBase {
     assert(stored.select("trip_id").as[String].collect().toSet === Set("a", "b"))
   }
 
+  test("partitioned day layout: pruned read touches one partition") {
+    import org.apache.spark.sql.functions.to_date
+    val df = Seq(("2024-05-25", 1.0), ("2024-05-26", 2.0), ("2024-06-01", 3.0))
+      .toDF("d", "v").withColumn("d", to_date(col("d")))
+    val dir = tmp() + "/bydate"
+    KpiReportSink.writePartitionedByDay(df, "d", dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 3)
+    val pruned = back.filter(col("year") === 2024 && col("month") === 5 && col("day") === 25)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(year"),
+      s"expected partition pruning in:\n$plan")
+    assert(pruned.count() === 1)
+  }
+
   test("KPI report end-to-end from the reference tables") {
     val trips = Tables.orders(spark, "/root/testdata/sf0.001")
       .join(Tables.lineitem(spark, "/root/testdata/sf0.001"),
