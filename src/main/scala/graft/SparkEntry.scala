@@ -349,6 +349,19 @@ object SparkEntry {
       Dedup.embeddingNearDups(embDupCorpus(s, dir), threshold = 0.9)
         .select(col("id_a"), col("id_b"), trunc4(col("cosine")).as("cosine"))),
 
+    // DD7: embedding near-dup via LSH buckets (the scale path; equi-join
+    // on sign bucket instead of the O(n^2) pair join).
+    "dedup_embedding_lsh" -> ((s, dir) =>
+      Dedup.embeddingNearDupsLsh(embDupCorpus(s, dir), threshold = 0.9)
+        .select(col("id_a"), col("id_b"), trunc4(col("cosine")).as("cosine"))),
+
+    // P15: base64 encode/decode roundtrip (lambda1.py:31's decode step).
+    "base64_roundtrip" -> ((s, dir) =>
+      Tables.events(s, dir).select(col("event_id"),
+        base64(encode(col("event_type"), "UTF-8")).as("b64"),
+        decode(unbase64(base64(encode(col("event_type"), "UTF-8"))), "UTF-8")
+          .as("roundtrip"))),
+
     // ---- similarity search over embeddings -------------------------------
 
     // SS1: brute-force cosine top-10 per query vector (exact baseline).
@@ -638,6 +651,21 @@ object SparkEntry {
          |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
          |SELECT id_a, id_b, floor(cosine*10000)/10000 AS cosine
          |FROM scored WHERE cosine >= 0.9""".stripMargin,
+
+    "dedup_embedding_lsh" ->
+      s"""WITH $embCorpusSql,
+         |bkt AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+         |  FROM corpus),
+         |scored AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${cosSql("a.embedding", "b.embedding")} AS cosine
+         |  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, floor(cosine*10000)/10000 AS cosine
+         |FROM scored WHERE cosine >= 0.9""".stripMargin,
+
+    "base64_roundtrip" ->
+      """SELECT event_id, to_base64(event_type::BLOB) AS b64,
+        |from_base64(to_base64(event_type::BLOB))::VARCHAR AS roundtrip
+        |FROM events""".stripMargin,
 
     "ann_bruteforce_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings

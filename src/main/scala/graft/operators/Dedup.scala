@@ -224,4 +224,27 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }
+
+  /** Embedding near-dup, LSH-bucketed — the scale path. Candidates are
+    * pairs sharing a random-hyperplane sign bucket; exact cosine +
+    * threshold then filters. The pair join is equi on the bucket id (cost
+    * sum(|bucket|^2), never n^2); high-cosine pairs land in the same
+    * bucket with probability (1 - theta/pi)^bits, = 1 for exact
+    * duplicates, so near-certain candidates survive while the join stays
+    * linear-ish. Fewer bits or multi-probe trades cost for recall.
+    */
+  def embeddingNearDupsLsh(embs: DataFrame, threshold: Double = 0.9,
+      bits: Int = 8, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val dot = graft.functions.VectorFunctions.dotF _
+    val e = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("nrm"),
+      SimilaritySearch.lshBucket(col(vecCol), bits).as("bucket"))
+    e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("cosine", SimilaritySearch.cosineFromNorms(
+        dot(col("a.v"), col("b.v")), col("a.nrm"), col("b.nrm")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
+  }
 }

@@ -74,4 +74,17 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(out.head.getAs[Long]("id_b") === 2L)
     assert(math.abs(out.head.getAs[Double]("cosine") - 1.0) < 1e-9)
   }
+
+  test("embeddingNearDupsLsh finds every exact-dup pair brute force finds") {
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dup = embs.select("vec_id", "embedding").unionByName(
+      embs.filter($"vec_id" % 25 === 0)
+        .select(($"vec_id" + 100000L).as("vec_id"), $"embedding"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val brute = pairs(Dedup.embeddingNearDups(dup))
+    val lsh = pairs(Dedup.embeddingNearDupsLsh(dup))
+    assert(lsh === brute, "identical vectors always share an LSH bucket")
+    assert(brute.nonEmpty)
+  }
 }
