@@ -355,6 +355,16 @@ object SparkEntry {
       Dedup.embeddingNearDupsLsh(embDupCorpus(s, dir), threshold = 0.9)
         .select(col("id_a"), col("id_b"), trunc4(col("cosine")).as("cosine"))),
 
+    // A5 (extension): HLL++ approximate distinct users per day. No
+    // oracleSql on purpose: DuckDB's approx sketch differs; the driver
+    // records a rows-only check and AggregatesSpec bounds the error vs
+    // exact counts.
+    "approx_distinct_users_daily" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("event_date"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          count(lit(1)).as("n_events"))),
+
     // P15: base64 encode/decode roundtrip (lambda1.py:31's decode step).
     "base64_roundtrip" -> ((s, dir) =>
       Tables.events(s, dir).select(col("event_id"),
