@@ -52,6 +52,23 @@ object TripSources {
         .as("e"))
       .select(col("e.*"))
 
+  /** S3 with quarantine: PERMISSIVE parse keeping a `_corrupt_record`
+    * side channel (SURVEY.md par.2.7 delivery row). Returns the parsed
+    * frame with `corrupt` = the raw line for undecodable records, null
+    * otherwise — callers split it into the main flow and a quarantine
+    * sink instead of silently dropping poison records.
+    */
+  def parseEventsWithCorrupt(raw: DataFrame, valueCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val schema = StructType(TripSchemas.tripEvent.fields :+
+      StructField("_corrupt_record", StringType))
+    raw.select(from_json(col(valueCol).cast("string"), schema,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt_record"))
+        .as("e"))
+      .select(col("e.*"))
+      .withColumnRenamed("_corrupt_record", "corrupt")
+  }
+
   /** P2: required-field validation (scripts/lambda1.py:38-47) — drop events
     * lacking `trip_id`, `data_type`, or the type-appropriate timestamp.
     */

@@ -1,0 +1,59 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Stream endpoints for the trip pipeline (SURVEY.md par.2.1 S2/S3).
+  *
+  * The pipeline itself is transport-agnostic: everything downstream of
+  * [[rawFromFiles]]/[[rawFromKafka]] consumes a DataFrame with a string
+  * `value` column (one JSON event per row) — the Kafka wire shape. The
+  * reference's Kinesis boundary maps to Kafka in production (partition
+  * key = trip_id, at-least-once, SURVEY.md par.2.1 S2); this container
+  * has no broker or kafka connector jar, so [[rawFromKafka]] is the
+  * documented builder while tests and local runs use file/memory
+  * sources.
+  */
+object TripStreams {
+
+  /** Testable file-based stream source: one JSON event per line under
+    * `dir`; new files are discovered per micro-batch. `maxFilesPerTrigger`
+    * bounds batch size (the replay-throttle analogue of
+    * to_kinesis.py:38's 0.1 s sleep — rate is controlled by the source,
+    * not a per-record sleep).
+    */
+  def rawFromFiles(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 10): DataFrame =
+    spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(dir)
+
+  /** Production stream source: Kafka topic, `value` = JSON event bytes.
+    * Requires the spark-sql-kafka connector on the classpath (not in
+    * this container).
+    */
+  def rawFromKafka(spark: SparkSession, brokers: String, topic: String): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load()
+      .select(col("value").cast("string").as("value"))
+
+  /** S2 producer sink: key by trip_id (per-trip ordering within a
+    * partition, exactly the reference's partition-key choice,
+    * to_kinesis.py:66) and JSON-serialize the row. Same jar caveat.
+    */
+  def toKafka(events: DataFrame, brokers: String, topic: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    events
+      .select(col("trip_id").cast("string").as("key"),
+        to_json(struct(col("*"))).as("value"))
+      .writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+}

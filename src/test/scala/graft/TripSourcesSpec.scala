@@ -23,6 +23,34 @@ class TripSourcesSpec extends AnyFunSuite with SparkTestBase {
       .select("estimated_fare_amount").as[Double].head() === 12.5)
   }
 
+  test("parseEventsWithCorrupt quarantines poison records instead of dropping") {
+    val raw = Seq(
+      """{"trip_id":"t1","data_type":"trip_start","pickup_datetime":"2024-05-25 10:00:00"}""",
+      """{{{ definitely not json""",
+      """{"trip_id":"t2","data_type":"trip_end","dropoff_datetime":"x","fare_amount":1.0}"""
+    ).toDF("value")
+    val parsed = graft.sources.TripSources.parseEventsWithCorrupt(raw)
+    val good = parsed.filter($"corrupt".isNull)
+    val quarantined = parsed.filter($"corrupt".isNotNull)
+    assert(good.count() === 2)
+    assert(quarantined.count() === 1)
+    assert(quarantined.select("corrupt").as[String].head().contains("definitely not json"))
+  }
+
+  test("file-based stream source feeds the pipeline (S2/S3 transport shape)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-feed").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/events.jsonl"),
+      Seq(
+        """{"trip_id":"f1","data_type":"trip_start","pickup_datetime":"2024-05-25 10:00:00"}""",
+        """{"trip_id":"f1","data_type":"trip_end","dropoff_datetime":"2024-05-25 10:20:00","fare_amount":7.5,"passenger_count":1.0}"""
+      ).mkString("\n"))
+    val raw = graft.sources.TripStreams.rawFromFiles(spark, dir)
+    val q = graft.streaming.StreamingTripPipeline.pipeline(raw)
+      .writeStream.format("memory").queryName("file_fed").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("file_fed").count() === 1)
+  }
+
   test("validated: type-appropriate timestamp rule") {
     val events = Seq(
       ("t1", "trip_start", "2024-05-25 10:00:00", null.asInstanceOf[String]),
