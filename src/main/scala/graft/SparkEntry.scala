@@ -388,12 +388,51 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"), trunc4(col("cosine")).as("cosine"))),
 
+    // SS2b: multi-probe LSH — also probes the `bits` hamming-1 buckets.
+    "ann_lsh_multiprobe_topk" -> ((s, dir) =>
+      SimilaritySearch.lshTopK(Tables.embeddings(s, dir),
+          annQueries(s, dir), k = 10, bits = 8, multiProbe = true)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"), trunc4(col("cosine")).as("cosine"))),
+
     // SS3: IVF top-10 — sampled centroids, cell assignment, nprobe=4.
     "ann_ivf_topk" -> ((s, dir) =>
       SimilaritySearch.ivfTopK(Tables.embeddings(s, dir),
           annQueries(s, dir), k = 10)
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"), trunc4(col("cosine")).as("cosine"))),
+
+    // ---- general analytics: multi-way star joins --------------------------
+
+    // MW1: revenue by nation — lineitem ⋈ orders ⋈ customer ⋈ nation ⋈
+    // region; dims broadcast, one agg. Classic Catalyst join-planning
+    // exercise beyond the reference's single equi-join.
+    "revenue_by_nation" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        // exact decimal sum: float sums over ~20k-row groups differ by
+        // ~1e-3 across accumulation orders, so no truncation is safe;
+        // decimal aggregation is order-independent and bit-stable.
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // MW2: left-semi join — customers with at least one urgent order.
+    "customers_with_urgent_orders" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_nationkey")
+    }),
 
     // ---- sessionization / top-k / multimodal -----------------------------
 
@@ -702,6 +741,38 @@ object SparkEntry {
          |  cosine FROM scored)
          |SELECT query_id, neighbor_id, rank,
          |floor(cosine*10000)/10000 AS cosine FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "ann_lsh_multiprobe_topk" ->
+      s"""WITH bkt AS (SELECT vec_id, embedding,
+         |  ${bucketSql("embedding")} AS bucket FROM embeddings),
+         |q AS (SELECT query_id, qv, unnest(probes) AS bucket FROM (
+         |  SELECT vec_id AS query_id, embedding AS qv,
+         |  [bucket${(0 until 8).map(j => s", xor(bucket, ${1L << j})").mkString}] AS probes
+         |  FROM bkt WHERE vec_id % 50 = 0) t),
+         |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+         |  ${cosSql("q.qv", "c.embedding")} AS cosine
+         |  FROM bkt c JOIN q ON c.bucket = q.bucket WHERE c.vec_id <> q.query_id),
+         |ranked AS (SELECT query_id, neighbor_id, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank,
+         |  cosine FROM scored)
+         |SELECT query_id, neighbor_id, rank,
+         |floor(cosine*10000)/10000 AS cosine FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "revenue_by_nation" ->
+      """SELECT r_name, n_name,
+        |CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+        |  AS DOUBLE) AS revenue,
+        |count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "customers_with_urgent_orders" ->
+      """SELECT c_custkey, c_name, c_nationkey FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |AND o.o_orderpriority = '1-URGENT')""".stripMargin,
 
     "ann_ivf_topk" ->
       s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cv

@@ -158,18 +158,30 @@ object SimilaritySearch {
     * multi-probe.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 8,
+      multiProbe: Boolean = false,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val dot = graft.functions.VectorFunctions.dotF _
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       lshBucket(col(vecCol), bits).as("bucket"),
       sqrt(dot(col(vecCol), col(vecCol))).as("nrm"))
+    // multi-probe: each query also probes the `bits` neighboring buckets
+    // at Hamming distance 1 (one hyperplane sign flipped) — recall rises
+    // steeply for near-boundary vectors at the cost of (bits+1)x probe
+    // rows, still tiny vs the corpus
+    val probeBuckets =
+      if (!multiProbe) array(lshBucket(col(vecCol), bits))
+      else array(lshBucket(col(vecCol), bits) +:
+        (0 until bits).map(j =>
+          lshBucket(col(vecCol), bits).bitwiseXOR(1L << j)): _*)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      lshBucket(col(vecCol), bits).as("bucket"),
+      explode(probeBuckets).as("bucket"),
       sqrt(dot(col(vecCol), col(vecCol))).as("qnrm"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("id") =!= col("query_id"))
       .withColumn("cosine",
         cosineFromNorms(dot(col("qv"), col("v")), col("qnrm"), col("nrm")))
+    // no dedup needed: a corpus vector lives in exactly one bucket and
+    // the probed buckets are distinct, so each (query, id) pair scores once
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("id"))
     scored.withColumn("rank", row_number().over(w))

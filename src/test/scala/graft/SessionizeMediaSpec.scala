@@ -32,6 +32,31 @@ class SessionizeMediaSpec extends AnyFunSuite with SparkTestBase {
     assert(out(2).getAs[Long]("key") === 2L)
   }
 
+  test("sessions run streaming: session_window + watermark emits closed sessions") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "10 minutes")
+    val q = graft.operators.Sessionize.sessions(events,
+        col("user_id"), col("ts"), col("value"))
+      .writeStream.format("memory").queryName("live_sessions")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts("2024-05-25 10:00:00"), 1.0),
+        (1L, ts("2024-05-25 10:10:00"), 2.0))
+      q.processAllAvailable()
+      // advance watermark far past the session end -> session closes
+      input.addData((2L, ts("2024-05-25 12:00:00"), 9.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("live_sessions").collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Long]("key") === 1L)
+    assert(rows.head.getAs[Long]("n_events") === 2L)
+    assert(rows.head.getAs[Double]("total_value") === 3.0)
+  }
+
   test("topKPerKey keeps exactly k rows per key with deterministic ties") {
     val df = (1 to 10).map(i => (i % 2, i.toLong, (i % 3).toDouble))
       .toDF("grp", "id", "v")
