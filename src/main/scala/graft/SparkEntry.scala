@@ -316,6 +316,19 @@ object SparkEntry {
       TextAnalysis.withFingerprint(Tables.documents(s, dir))
         .select("doc_id", "fingerprint", "md5_fingerprint")),
 
+    // T5: winnowing fingerprints (k=8 grams, w=4 windows) — the
+    // position-robust local fingerprint set.
+    "doc_winnow_fingerprints" -> ((s, dir) =>
+      TextAnalysis.winnowFingerprints(Tables.documents(s, dir))
+        .select(col("id").as("doc_id"), col("fingerprint"))),
+
+    // T6: corpus word frequencies (explode + count — the canonical
+    // distributed word count).
+    "word_counts" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))),
+
     // ---- deduplication suite over injected-duplicate corpora -------------
 
     // DD1: exact dedup — hash-groupBy on md5(text), keep smallest id.
@@ -634,6 +647,19 @@ object SparkEntry {
         |list_min(list_transform(range(1, greatest(length(text)-7,1)+1),
         |  i -> ('0x' || substr(md5(substr(text, i::INT, 8)), 1, 15))::BIGINT)) AS fingerprint,
         |md5(text) AS md5_fingerprint FROM documents""".stripMargin,
+
+    "doc_winnow_fingerprints" ->
+      s"""WITH g AS (SELECT doc_id, i - 1 AS pos,
+         |  ${hash60Sql("substr(text, i::INT, 8)")} AS h
+         |  FROM documents, unnest(range(1, greatest(length(text)-7,1)+1)) AS u(i)),
+         |wm AS (SELECT doc_id, pos, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin FROM g)
+         |SELECT DISTINCT doc_id, wmin AS fingerprint FROM wm WHERE pos >= 3""".stripMargin,
+
+    "word_counts" ->
+      """SELECT word, count(*) AS n FROM (
+        |SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+        |FROM documents) t GROUP BY word""".stripMargin,
 
     "dedup_exact" ->
       s"""WITH $corpusExactSql

@@ -90,4 +90,27 @@ object TextAnalysis {
         array_min(transform(positions, i => TextHash.hash60(text.substr(i, lit(k))))))
       .withColumn("md5_fingerprint", md5(text))
   }
+
+  /** Full winnowing (Schleimer/Wilkerson/Aiken): hash every k-gram, then
+    * keep the minimum of each sliding window of `w` consecutive hashes —
+    * the standard local-fingerprint scheme whose selected set is
+    * position-robust (any substring match of length >= w+k-1 shares a
+    * fingerprint). Returns one row per distinct selected hash:
+    * (id, fingerprint). Relational form: posexplode k-grams, min over a
+    * ROWS window of w, distinct — codegen throughout, and identical
+    * frame semantics exist in the oracle's SQL dialect.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 8, w: Int = 4): DataFrame = {
+    val grams = df.select(col(idCol).as("id"),
+      posexplode(TextHash.charShingles(col(textCol), k)).as(Seq("pos", "gram")))
+      .select(col("id"), col("pos"), TextHash.hash60(col("gram")).as("h"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    grams
+      .withColumn("wmin", min(col("h")).over(win))
+      .filter(col("pos") >= w - 1) // only full windows select fingerprints
+      .select(col("id"), col("wmin").as("fingerprint"))
+      .distinct()
+  }
 }
