@@ -415,6 +415,42 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"), trunc4(col("cosine")).as("cosine"))),
 
+    // SS4: scalar int8 quantization of embeddings (per-vector min/max,
+    // floor-based so both engines bit-agree), exploded to scalar rows.
+    "embedding_quantize" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .withColumn("vmin", array_min(col("embedding")).cast("double"))
+        .withColumn("vmax", array_max(col("embedding")).cast("double"))
+      e.select(col("vec_id"), col("vmin"), col("vmax"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"),
+          least(floor((col("x").cast("double") - col("vmin")) /
+            greatest(col("vmax") - col("vmin"), lit(1e-12)) * 256.0), lit(255.0))
+            .cast("long").as("q"))
+    }),
+
+    // T7: reproducible stratified sampling — hash-based (not rand()), so
+    // the sample is stable across runs/engines; rate by lang.
+    "doc_sample_stratified" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("bucket", TextHash.hash60(col("text")) % 100)
+        .filter(col("bucket") <
+          when(col("lang") === "en", 10).otherwise(30))
+        .select("doc_id", "lang", "bucket")),
+
+    // A6: exact group quantiles of event values (linear interpolation —
+    // same definition as the oracle's quantile_cont).
+    "value_quantiles_by_type" -> ((s, dir) =>
+      Tables.events(s, dir).filter(col("value").isNotNull && !isnan(col("value")))
+        .groupBy("event_type")
+        .agg(percentile(col("value"), lit(0.25)).as("p25"),
+          percentile(col("value"), lit(0.5)).as("p50"),
+          percentile(col("value"), lit(0.75)).as("p75"),
+          percentile(col("value"), lit(0.95)).as("p95"))
+        .select(col("event_type"), trunc4(col("p25")).as("p25"),
+          trunc4(col("p50")).as("p50"), trunc4(col("p75")).as("p75"),
+          trunc4(col("p95")).as("p95"))),
+
     // ---- general analytics: multi-way star joins --------------------------
 
     // MW1: revenue by nation — lineitem ⋈ orders ⋈ customer ⋈ nation ⋈
@@ -783,6 +819,30 @@ object SparkEntry {
          |  cosine FROM scored)
          |SELECT query_id, neighbor_id, rank,
          |floor(cosine*10000)/10000 AS cosine FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "embedding_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |  CAST(list_min(embedding) AS DOUBLE) AS vmin,
+        |  CAST(list_max(embedding) AS DOUBLE) AS vmax FROM embeddings)
+        |SELECT vec_id, i - 1 AS dim,
+        |CAST(least(floor((embedding[i::INT]::DOUBLE - vmin)
+        |  / greatest(vmax - vmin, 1e-12) * 256.0), 255.0) AS BIGINT) AS q
+        |FROM e, unnest(range(1, len(embedding)+1)) AS u(i)""".stripMargin,
+
+    "doc_sample_stratified" ->
+      s"""SELECT doc_id, lang, bucket FROM (
+         |SELECT doc_id, lang, ${hash60Sql("text")} % 100 AS bucket
+         |FROM documents) t
+         |WHERE bucket < CASE WHEN lang = 'en' THEN 10 ELSE 30 END""".stripMargin,
+
+    "value_quantiles_by_type" ->
+      """SELECT event_type,
+        |floor(quantile_cont(value, 0.25)*10000)/10000 AS p25,
+        |floor(quantile_cont(value, 0.5)*10000)/10000 AS p50,
+        |floor(quantile_cont(value, 0.75)*10000)/10000 AS p75,
+        |floor(quantile_cont(value, 0.95)*10000)/10000 AS p95
+        |FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        |GROUP BY event_type""".stripMargin,
 
     "revenue_by_nation" ->
       """SELECT r_name, n_name,
