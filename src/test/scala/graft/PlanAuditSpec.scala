@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan hygiene gate over the whole query contract: no query may plan a
+  * cartesian product or nested-loop join unless it is one of the
+  * documented all-pairs baselines. Catches a regressions class that
+  * row-level oracles cannot (results stay right while the plan goes
+  * quadratic).
+  */
+class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
+
+  /** All-pairs by design: brute-force scoring paths whose non-equi pair
+    * predicates (id < id, id != id, lit(true)) have no shuffle key.
+    */
+  private val allPairsByDesign = Set(
+    "dedup_embedding_cosine", // exact O(n^2) baseline
+    "ann_bruteforce_topk",    // |q| x corpus exact baseline
+    "ann_ivf_topk",           // corpus x centroids assignment (broadcast)
+    "report_metadata"         // 1-row x 1-row metadata crossJoin
+  )
+
+  test("no unintentional cartesian/nested-loop joins across the contract") {
+    val sf = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      val nested = plan.contains("BroadcastNestedLoopJoin") ||
+        plan.contains("CartesianProduct")
+      if (nested && !allPairsByDesign.contains(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unexpected nested-loop/cartesian plans in: ${offenders.mkString(", ")}")
+  }
+
+  test("every query result is non-empty at sf0.001 (driver smoke analogue)") {
+    val sf = "/root/testdata/sf0.001"
+    val empty = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      if (fn(spark, sf).limit(1).count() == 0) Some(name) else None
+    }
+    assert(empty.isEmpty, s"empty results at sf0.001: ${empty.mkString(", ")}")
+  }
+
+  test("oracleSql keys are a subset of queries and name every column consistently") {
+    val qs = SparkEntry.queries.keySet
+    val orphans = SparkEntry.oracleSql.keySet.diff(qs)
+    assert(orphans.isEmpty, s"oracleSql without a query: ${orphans.mkString(", ")}")
+    val noOracle = qs.diff(SparkEntry.oracleSql.keySet)
+    // rows-only checks are deliberate and enumerated
+    assert(noOracle === Set("approx_distinct_users_daily"),
+      s"queries silently missing an oracle: ${noOracle.mkString(", ")}")
+  }
+}
