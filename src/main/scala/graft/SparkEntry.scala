@@ -329,6 +329,23 @@ object SparkEntry {
         .select(explode(split(trim(col("text")), "\\s+")).as("word"))
         .groupBy("word").agg(count(lit(1)).as("n"))),
 
+    // T8: the curation pipeline — the training-data flagship. Compose
+    // quality scoring, language-ID, token bounds, and exact dedup
+    // (keep-first) into the standard pretraining filter chain; one
+    // map-only pass plus one dedup aggregate at any scale.
+    "curate_documents" -> ((s, dir) => {
+      val scored = TextAnalysis.withLangId(
+        TextAnalysis.withQualityScore(
+          TextAnalysis.withTokenCounts(Tables.documents(s, dir))))
+      val kept = Dedup.exactDedup(Tables.documents(s, dir))
+        .select(col("kept_id").as("doc_id"))
+      scored.join(kept, Seq("doc_id"), "left_semi")
+        .filter(col("quality_score") >= 0.5 && col("lang_pred") === "en" &&
+          col("ws_tokens").between(20, 1000))
+        .select(col("doc_id"), col("ws_tokens").cast("long").as("ws_tokens"),
+          trunc4(col("quality_score")).as("quality_score"), col("lang_pred"))
+    }),
+
     // ---- deduplication suite over injected-duplicate corpora -------------
 
     // DD1: exact dedup — hash-groupBy on md5(text), keep smallest id.
@@ -711,6 +728,37 @@ object SparkEntry {
       """SELECT word, count(*) AS n FROM (
         |SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
         |FROM documents) t GROUP BY word""".stripMargin,
+
+    "curate_documents" ->
+      """WITH q AS (SELECT doc_id, text,
+        |  least(length(text)/500.0, 1.0) AS len_score,
+        |  len(regexp_extract_all(text, '[[:punct:]]'))
+        |    / CAST(greatest(length(text),1) AS DOUBLE) AS punct_ratio,
+        |  len(regexp_extract_all(lower(text), '\b(the|a|an|and|of|to|in|is|it|that)\b'))
+        |    / CAST(greatest(CASE WHEN length(trim(text))=0 THEN 0
+        |        ELSE len(string_split_regex(trim(text), '\s+')) END, 1) AS DOUBLE) AS stopword_ratio,
+        |  CASE WHEN length(trim(text))=0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens
+        |  FROM documents),
+        |sc AS (SELECT doc_id, ws_tokens, text,
+        |  0.4*len_score + 0.3*least(stopword_ratio*5.0,1.0)
+        |    + 0.3*(1.0-least(punct_ratio*10.0,1.0)) AS quality_score FROM q),
+        |h AS (SELECT doc_id,
+        |  len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is)\b')) AS en,
+        |  len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) AS de,
+        |  len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une)\b')) AS fr,
+        |  len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|que)\b')) AS es,
+        |  len(regexp_extract_all(text, '\p{Han}')) AS zh FROM documents),
+        |lang AS (SELECT doc_id, CASE WHEN zh > 0 THEN 'zh'
+        |  WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+        |  WHEN de >= fr AND de >= es THEN 'de'
+        |  WHEN fr >= es THEN 'fr' ELSE 'es' END AS lang_pred FROM h),
+        |kept AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+        |SELECT s.doc_id, s.ws_tokens,
+        |floor(s.quality_score*10000)/10000 AS quality_score, l.lang_pred
+        |FROM sc s JOIN lang l USING (doc_id) JOIN kept k ON s.doc_id = k.doc_id
+        |WHERE s.quality_score >= 0.5 AND l.lang_pred = 'en'
+        |AND s.ws_tokens BETWEEN 20 AND 1000""".stripMargin,
 
     "dedup_exact" ->
       s"""WITH $corpusExactSql

@@ -60,6 +60,14 @@ class StreamingTripPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(out.count() === 1)
   }
 
+  test("duplicate arriving in a LATER batch is still dropped (cross-batch dedup state)") {
+    val out = runPipeline(Seq(
+      Seq(startJson("t10", "2024-05-25 10:00:00")),
+      Seq(startJson("t10", "2024-05-25 10:00:00")), // dup, next micro-batch
+      Seq(endJson("t10", "2024-05-25 10:30:00"))))
+    assert(out.count() === 1)
+  }
+
   test("unmatched start emits nothing; dropoff outside the trip window does not match") {
     val out = runPipeline(Seq(Seq(
       startJson("t4", "2024-05-25 10:00:00"),
