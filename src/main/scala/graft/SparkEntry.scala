@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextAnalysis, TextHash}
@@ -344,6 +345,36 @@ object SparkEntry {
           col("ws_tokens").between(20, 1000))
         .select(col("doc_id"), col("ws_tokens").cast("long").as("ws_tokens"),
           trunc4(col("quality_score")).as("quality_score"), col("lang_pred"))
+    }),
+
+    // T9: PII redaction — email/phone scrub with deterministic injection
+    // (the corpus has no natural PII).
+    "doc_pii_redact" -> ((s, dir) => {
+      val seeded = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 15 === 0,
+          concat(col("text"), lit(" contact me at user"), col("doc_id"),
+            lit("@example.com or +1-555-0"), col("doc_id"), lit("99")))
+          .otherwise(col("text")).as("text"))
+      seeded.select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("text"),
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+          "\\+?[0-9][0-9()\\-\\. ]{7,}[0-9]", "<PHONE>").as("redacted"),
+        (col("text") rlike "@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}").as("had_email"))
+    }),
+
+    // T10: sequence packing — concat-then-chunk binning for LLM training
+    // batches: running token total in deterministic doc order, bin =
+    // which 2048-token block the document STARTS in.
+    "pack_documents" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+      TextAnalysis.withTokenCounts(Tables.documents(s, dir))
+        .select(col("doc_id"), col("ws_tokens"))
+        .withColumn("offset", coalesce(sum(col("ws_tokens")).over(w), lit(0)))
+        .select(col("doc_id"), col("ws_tokens").cast("long").as("ws_tokens"),
+          col("offset").cast("long").as("offset"),
+          floor(col("offset") / 2048).cast("long").as("bin"))
     }),
 
     // ---- deduplication suite over injected-duplicate corpora -------------
@@ -728,6 +759,33 @@ object SparkEntry {
       """SELECT word, count(*) AS n FROM (
         |SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
         |FROM documents) t GROUP BY word""".stripMargin,
+
+    // DuckDB regexp_replace needs the 'g' flag to match Spark's
+    // replace-all semantics.
+    "doc_pii_redact" ->
+      """WITH seeded AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 15 = 0 THEN text || ' contact me at user' ||
+        |    doc_id || '@example.com or +1-555-0' || doc_id || '99'
+        |  ELSE text END AS text FROM documents)
+        |SELECT doc_id,
+        |regexp_replace(regexp_replace(text,
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |  '\+?[0-9][0-9()\-\. ]{7,}[0-9]', '<PHONE>', 'g') AS redacted,
+        |regexp_matches(text, '@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') AS had_email
+        |FROM seeded""".stripMargin,
+
+    "pack_documents" ->
+      """WITH t AS (SELECT doc_id,
+        |  CASE WHEN length(trim(text))=0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens
+        |  FROM documents)
+        |SELECT doc_id, ws_tokens,
+        |CAST(coalesce(sum(ws_tokens) OVER (ORDER BY doc_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset,
+        |CAST(floor(coalesce(sum(ws_tokens) OVER (ORDER BY doc_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0)
+        |  AS BIGINT) AS bin
+        |FROM t""".stripMargin,
 
     "curate_documents" ->
       """WITH q AS (SELECT doc_id, text,
