@@ -63,6 +63,21 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(out(1L)._1 !== out(3L)._1)
   }
 
+  test("winnowing guarantee: docs sharing a long substring share a fingerprint") {
+    // shared block of length 40 >= w+k-1 = 11 -> must share >=1 fingerprint
+    val shared = "qwertyuiopasdfghjklzxcvbnm1234567890QWER"
+    val df = Seq(
+      (1L, "aaaaaaaaaa" + shared + "bbbbbbbbbb"),
+      (2L, "cccccccccc" + shared + "dddddddddd"),
+      (3L, "eeeeeeeeeeffffffffffgggggggggghhhhhhhhhh")
+    ).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(df)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared substring must share a fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty, "unrelated docs should not collide")
+  }
+
   test("hash60 is stable and within 60 bits") {
     val df = Seq("abc").toDF("s")
       .select(TextHash.hash60(col("s")).as("h"))
