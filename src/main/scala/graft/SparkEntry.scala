@@ -389,6 +389,20 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("inter"), col("size_a"),
           col("size_b"), trunc4(col("jaccard")).as("jaccard"))),
 
+    // DD2b: containment pairs — asymmetric |A∩B|/|A| catches subsumption
+    // (a 15-token prefix excerpt of every 20th doc is injected; its
+    // containment in the original is 1.0 while Jaccard stays low).
+    "dedup_containment" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val corpus = d.unionByName(d.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          array_join(slice(split(trim(col("text")), "\\s+"), 1, 15), " ").as("text")))
+      Dedup.containmentPairs(corpus, n = 3, threshold = 0.9)
+        .select(col("id_a"), col("id_b"),
+          trunc4(col("containment_a")).as("containment_a"),
+          trunc4(col("containment_b")).as("containment_b"))
+    }),
+
     // DD3: MinHash+LSH candidate pairs (16 hashes, 4 bands x 4 rows).
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minHashLshPairs(docNearDupCorpus(s, dir))
@@ -836,6 +850,24 @@ object SparkEntry {
          |FROM pairs p JOIN sizes sa ON p.id_a = sa.id
          |JOIN sizes sb ON p.id_b = sb.id
          |WHERE p.inter/(sa.sz+sb.sz-p.inter)::DOUBLE >= 0.5""".stripMargin,
+
+    "dedup_containment" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL
+         |SELECT doc_id+100000 AS doc_id,
+         |array_to_string((string_split_regex(trim(text), '\\s+'))[1:15], ' ') AS text
+         |FROM documents WHERE doc_id%20=0),
+         |${shingleSql(3)},
+         |sh AS (SELECT doc_id AS id, unnest(shingles) AS shingle FROM shs),
+         |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+         |pairs AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+         |  GROUP BY 1, 2)
+         |SELECT p.id_a, p.id_b,
+         |floor(p.inter/sa.sz::DOUBLE*10000)/10000 AS containment_a,
+         |floor(p.inter/sb.sz::DOUBLE*10000)/10000 AS containment_b
+         |FROM pairs p JOIN sizes sa ON p.id_a = sa.id
+         |JOIN sizes sb ON p.id_b = sb.id
+         |WHERE p.inter/sa.sz::DOUBLE >= 0.9 OR p.inter/sb.sz::DOUBLE >= 0.9""".stripMargin,
 
     "dedup_minhash_lsh" ->
       s"""WITH $corpusNearSql,

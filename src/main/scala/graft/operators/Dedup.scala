@@ -110,6 +110,31 @@ object Dedup {
       .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
   }
 
+  /** Containment pairs: asymmetric near-dup metric |A∩B| / |A| — catches
+    * quote-inclusion and subsumption that symmetric Jaccard misses (a
+    * short doc fully contained in a long one has low Jaccard but
+    * containment 1.0). Same inverted-index join as [[jaccardPairs]].
+    * Returns pairs where EITHER side's containment >= threshold.
+    */
+  def containmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.9,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, n)
+      .withColumnRenamed("s", "shingle")
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "size_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "size_b"), "id_b")
+      .withColumn("containment_a", col("inter") / col("size_a").cast("double"))
+      .withColumn("containment_b", col("inter") / col("size_b").cast("double"))
+      .filter(col("containment_a") >= threshold || col("containment_b") >= threshold)
+      .select("id_a", "id_b", "containment_a", "containment_b")
+  }
+
   /** MinHash signatures: (id, sig array<long> of length numHashes).
     *
     * Relational formulation — one md5-derived 60-bit hash per shingle,

@@ -88,6 +88,37 @@ class SinkSpec extends AnyFunSuite with SparkTestBase {
     assert(pruned.count() === 1)
   }
 
+  test("streaming KPIs land in the partitioned day layout via foreachBatch") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[String]
+    val dir = tmp() + "/kpi_days"
+    val completed = StreamingTripPipeline.pipeline(input.toDF())
+    val q = StreamingTripPipeline.dailyKpiStream(completed)
+      .writeStream
+      .option("checkpointLocation", tmp() + "/ckpt2")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          KpiReportSink.writePartitionedByDay(batch, "pickup_date", dir)
+        }
+      }
+      .outputMode("append")
+      .start()
+    try {
+      input.addData(Seq(
+        """{"trip_id":"d1","data_type":"trip_start","pickup_datetime":"2024-05-25 09:00:00"}""",
+        """{"trip_id":"d1","data_type":"trip_end","dropoff_datetime":"2024-05-25 09:20:00","fare_amount":12.0,"passenger_count":1.0}"""))
+      q.processAllAvailable()
+      // advance both watermark sides far enough to close the 05-25 window
+      input.addData(Seq(
+        """{"trip_id":"d2","data_type":"trip_start","pickup_datetime":"2024-05-29 09:00:00"}""",
+        """{"trip_id":"d2","data_type":"trip_end","dropoff_datetime":"2024-05-29 09:10:00","fare_amount":1.0,"passenger_count":1.0}"""))
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = spark.read.parquet(dir)
+    assert(back.filter(col("year") === 2024 && col("month") === 5 && col("day") === 25).count() === 1)
+    assert(back.select("total_fare").as[Double].collect().toSet === Set(12.0))
+  }
+
   test("KPI report end-to-end from the reference tables") {
     val trips = Tables.orders(spark, "/root/testdata/sf0.001")
       .join(Tables.lineitem(spark, "/root/testdata/sf0.001"),
