@@ -470,6 +470,36 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"), trunc4(col("cosine")).as("cosine"))),
 
+    // SS1b: brute-force top-10 via the typed TopKAggregator instead of a
+    // window — partial aggregation caps every partial buffer at k, so
+    // the shuffle carries <= k rows per (query, partition). Must equal
+    // ann_bruteforce_topk row-for-row (same oracle).
+    "ann_topk_agg" -> ((s, dir) => {
+      import s.implicits._
+      val dot = graft.functions.VectorFunctions.dotF _
+      val corpus = Tables.embeddings(s, dir)
+      val queries = annQueries(s, dir)
+      val c = corpus.select(col("vec_id").as("id"), col("embedding").as("v"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+      val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("qnrm"))
+      val scored = c.join(broadcast(q), col("id") =!= col("query_id"))
+        .select(col("query_id"),
+          SimilaritySearch.cosineFromNorms(dot(col("qv"), col("v")),
+            col("qnrm"), col("nrm")).as("cosine"),
+          col("id"))
+        .as[(Long, Double, Long)]
+      scored.groupByKey(_._1)
+        .mapValues(r => (r._2, r._3))
+        .agg(new graft.functions.TopKAggregator(10).toColumn.name("tk"))
+        .flatMap { case (qid, tk) =>
+          tk.zipWithIndex.map { case ((cos, id), i) => (qid, id, (i + 1).toLong, cos) }
+        }
+        .toDF("query_id", "neighbor_id", "rank", "cosine")
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          trunc4(col("cosine")).as("cosine"))
+    }),
+
     // SS3: IVF top-10 — sampled centroids, cell assignment, nprobe=4.
     "ann_ivf_topk" -> ((s, dir) =>
       SimilaritySearch.ivfTopK(Tables.embeddings(s, dir),
@@ -951,6 +981,18 @@ object SparkEntry {
          |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
          |  ${cosSql("q.qv", "c.embedding")} AS cosine
          |  FROM bkt c JOIN q ON c.bucket = q.bucket WHERE c.vec_id <> q.query_id),
+         |ranked AS (SELECT query_id, neighbor_id, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank,
+         |  cosine FROM scored)
+         |SELECT query_id, neighbor_id, rank,
+         |floor(cosine*10000)/10000 AS cosine FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "ann_topk_agg" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |  WHERE vec_id % 50 = 0),
+         |scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+         |  ${cosSql("q.qv", "e.embedding")} AS cosine
+         |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
          |ranked AS (SELECT query_id, neighbor_id, row_number() OVER (
          |  PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank,
          |  cosine FROM scored)

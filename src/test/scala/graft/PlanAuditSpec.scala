@@ -16,6 +16,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
   private val allPairsByDesign = Set(
     "dedup_embedding_cosine", // exact O(n^2) baseline
     "ann_bruteforce_topk",    // |q| x corpus exact baseline
+    "ann_topk_agg",           // same all-pairs scoring, aggregator ranking
     "ann_ivf_topk",           // corpus x centroids assignment (broadcast)
     "report_metadata"         // 1-row x 1-row metadata crossJoin
   )
