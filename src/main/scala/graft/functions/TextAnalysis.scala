@@ -102,8 +102,21 @@ object TextAnalysis {
     */
   def winnowFingerprints(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 8, w: Int = 4): DataFrame = {
-    val grams = df.select(col(idCol).as("id"),
-      posexplode(TextHash.charShingles(col(textCol), k)).as(Seq("pos", "gram")))
+    // Grams built relationally — posexplode chars + lead/concat_ws — not
+    // via the charShingles HOF: interpreted transform/substr dominated
+    // this operator's cost at sf0.1. concat_ws skips trailing-null leads,
+    // so a doc shorter than k chars yields its whole text as the single
+    // gram, exactly like charShingles; partial tail grams are filtered.
+    val ordWin = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos")
+    val cntWin = org.apache.spark.sql.expressions.Window.partitionBy("id")
+    val chars = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), "")).as(Seq("pos", "ch")))
+    val grams = chars
+      .withColumn("n_chars", count(lit(1)).over(cntWin))
+      .withColumn("gram", concat_ws("",
+        col("ch") +: (1 until k).map(j => lead(col("ch"), j).over(ordWin)): _*))
+      .filter(col("pos") <= greatest(col("n_chars") - k, lit(0)))
       .select(col("id"), col("pos"), TextHash.hash60(col("gram")).as("h"))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy("pos").rowsBetween(-(w - 1), 0)
