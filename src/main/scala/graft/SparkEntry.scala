@@ -403,6 +403,16 @@ object SparkEntry {
           trunc4(col("containment_b")).as("containment_b"))
     }),
 
+    // DD2c: near-dup clusters — connected components over the Jaccard
+    // pair list, cluster_id = min reachable doc_id. The step pair lists
+    // can't provide: transitive chains collapse so dedup keeps exactly
+    // one representative per group.
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.nearDupClusters(
+        Dedup.jaccardPairs(docNearDupCorpus(s, dir), n = 3, threshold = 0.5)
+          .select("id_a", "id_b"))
+        .select(col("id").as("doc_id"), col("cluster_id"))),
+
     // DD3: MinHash+LSH candidate pairs (16 hashes, 4 bands x 4 rows).
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minHashLshPairs(docNearDupCorpus(s, dir))
@@ -898,6 +908,25 @@ object SparkEntry {
          |FROM pairs p JOIN sizes sa ON p.id_a = sa.id
          |JOIN sizes sb ON p.id_b = sb.id
          |WHERE p.inter/sa.sz::DOUBLE >= 0.9 OR p.inter/sb.sz::DOUBLE >= 0.9""".stripMargin,
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $corpusNearSql,
+         |${shingleSql(3)},
+         |sh AS (SELECT doc_id AS id, unnest(shingles) AS shingle FROM shs),
+         |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+         |prs AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+         |  GROUP BY 1, 2),
+         |jp AS (SELECT p.id_a, p.id_b FROM prs p
+         |  JOIN sizes sa ON p.id_a = sa.id JOIN sizes sb ON p.id_b = sb.id
+         |  WHERE p.inter/(sa.sz+sb.sz-p.inter)::DOUBLE >= 0.5),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM jp
+         |  UNION ALL SELECT id_b, id_a FROM jp),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
+         |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
 
     "dedup_minhash_lsh" ->
       s"""WITH $corpusNearSql,

@@ -232,6 +232,38 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Near-dup CLUSTERS from a pair list: connected components by
+    * min-label propagation to fixpoint. Pair lists alone can't drive
+    * dedup — transitive chains (a~b, b~c) must collapse to one cluster so
+    * exactly one representative (the min id) is kept per group.
+    *
+    * Iterations are a driver-controlled fixpoint over DataFrame ops (the
+    * standard CC formulation, bounded by component diameter — near-dup
+    * components are shallow in practice); each step is one equi-join +
+    * min-aggregate, both shuffled on id, with localCheckpoint truncating
+    * the lineage. Returns (id, cluster_id = min id reachable).
+    */
+  def nearDupClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("cluster_id"))
+      val next = labels.unionByName(viaNeighbor)
+        .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "id")
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels = next
+    }
+    labels
+  }
+
   /** Embedding-cosine near-dup pairs, brute force (the correctness
     * baseline; LSH-bucketed scale path in [[SimilaritySearch]]). Cosine is
     * computed in double, sequential element order, so oracle engines agree

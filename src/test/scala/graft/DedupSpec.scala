@@ -75,6 +75,15 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(out.head.getAs[Double]("cosine") - 1.0) < 1e-9)
   }
 
+  test("nearDupClusters collapses transitive chains to one component") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (7L, 9L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.nearDupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L))
+  }
+
   test("embeddingNearDupsLsh finds every exact-dup pair brute force finds") {
     val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val dup = embs.select("vec_id", "embedding").unionByName(
