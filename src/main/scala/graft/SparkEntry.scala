@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextAnalysis, TextHash}
-import graft.operators.{Dedup, KpiAggregator, RawEventStore, Sessionize, SimilaritySearch, TripMatcher}
+import graft.operators.{Dedup, KpiAggregator, RawEventStore, SequencePack, Sessionize, SimilaritySearch, TripMatcher}
 import graft.sources.{MediaColumns, TripSources}
 
 /** Driver contract — one named query per implemented operator of
@@ -365,17 +365,16 @@ object SparkEntry {
 
     // T10: sequence packing — concat-then-chunk binning for LLM training
     // batches: running token total in deterministic doc order, bin =
-    // which 2048-token block the document STARTS in.
-    "pack_documents" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-      TextAnalysis.withTokenCounts(Tables.documents(s, dir))
-        .select(col("doc_id"), col("ws_tokens"))
-        .withColumn("offset", coalesce(sum(col("ws_tokens")).over(w), lit(0)))
+    // which 2048-token block the document STARTS in. The prefix sum is
+    // the two-phase distributed formulation (SequencePack) — a
+    // partitionless Window.orderBy would drag the whole corpus through
+    // one task (gated in PlanAuditSpec).
+    "pack_documents" -> ((s, dir) =>
+      SequencePack.packOffsets(
+        TextAnalysis.withTokenCounts(Tables.documents(s, dir))
+          .select(col("doc_id"), col("ws_tokens")))
         .select(col("doc_id"), col("ws_tokens").cast("long").as("ws_tokens"),
-          col("offset").cast("long").as("offset"),
-          floor(col("offset") / 2048).cast("long").as("bin"))
-    }),
+          col("offset"), col("bin"))),
 
     // ---- deduplication suite over injected-duplicate corpora -------------
 

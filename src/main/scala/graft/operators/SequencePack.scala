@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM training batches: a DISTRIBUTED cumulative
+  * token sum in deterministic id order, plus greedy bin assignment.
+  *
+  * A naive `Window.orderBy(id)` prefix sum has no partition spec, so
+  * Spark moves the entire corpus through ONE task — fine at test scale,
+  * fatal at 100 TB. Here the classic two-phase formulation instead:
+  *
+  *  1. bucket every row by a deterministic range of the (unique) id —
+  *     `bucket = (id - min) / width` with `width` sized from one tiny
+  *     min/max aggregate, so bucketing needs no sampling and no caching
+  *     (unlike `repartitionByRange` + `spark_partition_id()`, whose
+  *     boundaries are not reproducible across the two passes);
+  *  2. one hash aggregate computes per-bucket token totals — at most
+  *     `buckets` rows come back to the driver, independent of corpus
+  *     size — and a running sum over them yields each bucket's global
+  *     prefix offset;
+  *  3. a window partitioned BY BUCKET computes the within-bucket running
+  *     sum (max task = one bucket, ~1/buckets of the data), and a
+  *     broadcast join adds the bucket offset.
+  *
+  * The result is bit-identical to the single-task window (integer sums,
+  * unique order key) while every stage stays bounded: scale the corpus
+  * 100x and only `buckets` needs to grow, not any single task.
+  */
+object SequencePack {
+
+  /** Adds `offset` (tokens strictly before this row in `idCol` order) and
+    * `bin` (= offset / binSize: which fixed-size token block the row
+    * STARTS in) to `docs`. `idCol` must be unique and numeric; `tokensCol`
+    * integral and non-negative.
+    */
+  def packOffsets(docs: DataFrame, idCol: String = "doc_id",
+      tokensCol: String = "ws_tokens", binSize: Long = 2048,
+      buckets: Int = 256): DataFrame = {
+    val spark = docs.sparkSession
+    val base = docs.select(col(idCol), col(tokensCol))
+    val stats = base.agg(min(col(idCol)).cast("long").as("lo"),
+      max(col(idCol)).cast("long").as("hi")).head()
+    if (stats.isNullAt(0)) {
+      // empty input: keep the schema contract
+      return base.withColumn("offset", lit(0L)).withColumn("bin", lit(0L))
+    }
+    val lo = stats.getLong(0)
+    val hi = stats.getLong(1)
+    val width = math.max((hi - lo) / buckets, 0L) + 1L
+    val bucketExpr = ((col(idCol).cast("long") - lit(lo)) / lit(width))
+      .cast("long").as("_bucket")
+
+    // phase 1: per-bucket totals -> driver (<= buckets rows) -> prefix sums
+    val totals = base.select(bucketExpr, col(tokensCol).cast("long").as("_t"))
+      .groupBy("_bucket").agg(sum(col("_t")).as("_t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (b, t) =>
+      val row = (b, acc); acc += t; row
+    }
+    val offsetDf = spark.createDataFrame(offsets.toSeq)
+      .toDF("_bucket", "_bucket_offset")
+
+    // phase 2: within-bucket running sum + broadcast bucket offset
+    val w = Window.partitionBy("_bucket").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.withColumn("_bucket", bucketExpr)
+      .join(broadcast(offsetDf), Seq("_bucket"))
+      .withColumn("offset",
+        (coalesce(sum(col(tokensCol)).over(w), lit(0L)) +
+          col("_bucket_offset")).cast("long"))
+      .withColumn("bin", floor(col("offset") / binSize).cast("long"))
+      .drop("_bucket", "_bucket_offset")
+  }
+}

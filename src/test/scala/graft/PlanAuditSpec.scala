@@ -33,6 +33,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       s"unexpected nested-loop/cartesian plans in: ${offenders.mkString(", ")}")
   }
 
+  test("no partitionless window over the corpus in any contract query") {
+    // a Window with an empty partition spec funnels its ENTIRE input
+    // through one task — the pack_documents scale-killer class. Checked
+    // on the optimized logical plan (stable under AQE re-planning).
+    val sf = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val bad = fn(spark, sf).queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }
+      if (bad.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"partitionless Window plans in: ${offenders.mkString(", ")}")
+  }
+
   test("every query result is non-empty at sf0.001 (driver smoke analogue)") {
     val sf = "/root/testdata/sf0.001"
     val empty = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
