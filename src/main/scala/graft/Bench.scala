@@ -9,6 +9,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    Tables.configure(spark)
     spark.sparkContext.setLogLevel("WARN")
     // warm the session (codegen, parquet footer caches, exec pools) so
     // the alphabetically-first query doesn't absorb one-time init

@@ -16,6 +16,9 @@ object GraftSession {
   def builder(cores: Int = Runtime.getRuntime.availableProcessors(),
       local: Boolean = true): SparkSession.Builder = {
     val b = SparkSession.builder()
+      // session-wide: nanos-timestamp parquet reads as BIGINT (see
+      // Tables.configure — the builders set it so no loader mutates conf)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

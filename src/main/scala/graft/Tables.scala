@@ -7,17 +7,27 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects (PARQUET_TYPE_ILLEGAL). Read it as a nanos Long and
-    * truncate to micros — exactly what DuckDB does internally when it loads
-    * a TIMESTAMP_NS column, so oracle comparisons stay bit-identical.
+  /** Session config every graft session needs: `events.ts` is parquet
+    * TIMESTAMP(NANOS), which Spark's vectorized reader rejects
+    * (PARQUET_TYPE_ILLEGAL) unless nanos columns are read as Long.
+    * SESSION-WIDE effect by design — every nanos-timestamp parquet column
+    * in the session comes back BIGINT; [[events]] is the only such table
+    * here and re-encodes it. Called once by the session builders
+    * (Verify/Bench/SparkTestBase), not per table load.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  def configure(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark
+  }
+
+  /** Reads the nanos Long (see [[configure]]) and truncates to micros —
+    * exactly what DuckDB does internally when it loads a TIMESTAMP_NS
+    * column, so oracle comparisons stay bit-identical.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame =
     apply(spark, dir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr(
         "timestamp_micros(ts div 1000)"))
-  }
   def orders(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")

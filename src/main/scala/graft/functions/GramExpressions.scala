@@ -1,0 +1,158 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DataTypes, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native k-char-gram hashing for document fingerprinting.
+  *
+  * The relational formulation (posexplode one row PER CHARACTER, stitch
+  * grams with `lead` windows, hash, min over a second window) multiplies
+  * the corpus by its character count through two hash-partitioned window
+  * stages — it was the dominant cost of `doc_winnow_fingerprints` at
+  * sf0.1. These expressions do the whole per-document computation in one
+  * codegen'd pass: no row blowup, no window shuffle, output already
+  * distinct per document. Winnowing a corpus becomes a pure map stage.
+  *
+  * Hashing matches [[TextHash.hash60]] bit-for-bit (first 15 hex chars of
+  * the md5 = top 60 bits of the first 8 digest bytes), so oracle SQL and
+  * the relational twins agree exactly. Positions are Java chars — the
+  * same code units `split(text, '')`/`substr` walk; the corpus is ASCII
+  * (verified octet_length == length, see media_metadata note).
+  */
+object GramHashes {
+
+  private val md = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
+  /** TextHash.hash60 on the JVM: top 60 bits of the md5 digest. */
+  def hash60(s: String): Long = {
+    val d = md.get()
+    d.reset()
+    val b = d.digest(s.getBytes(StandardCharsets.UTF_8))
+    val v = ((b(0) & 0xffL) << 56) | ((b(1) & 0xffL) << 48) |
+      ((b(2) & 0xffL) << 40) | ((b(3) & 0xffL) << 32) |
+      ((b(4) & 0xffL) << 24) | ((b(5) & 0xffL) << 16) |
+      ((b(6) & 0xffL) << 8) | (b(7) & 0xffL)
+    v >>> 4
+  }
+
+  /** hash60 of every k-gram at positions 0..max(len-k,0): a doc shorter
+    * than k chars yields its whole text as the single gram — identical to
+    * [[TextHash.charShingles]] and the oracle's substr loop.
+    */
+  private def gramHashes(text: UTF8String, k: Int): Array[Long] = {
+    val s = text.toString
+    val len = s.length
+    val m = math.max(len - k, 0) + 1
+    val out = new Array[Long](m)
+    var p = 0
+    while (p < m) {
+      out(p) = hash60(s.substring(p, math.min(p + k, len)))
+      p += 1
+    }
+    out
+  }
+
+  /** Winnowing selection: distinct minima of every window of w
+    * consecutive gram hashes (full windows only). Docs with fewer than w
+    * grams — shorter than k+w-1 chars — produce NO fingerprints by
+    * design: they are below winnowing's guarantee length and are covered
+    * by the whole-text [[minGram]] / exact-dedup paths instead.
+    */
+  def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val h = gramHashes(text, k)
+    if (h.length < w) return new GenericArrayData(Array.empty[Long])
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var p = w - 1
+    while (p < h.length) {
+      var mn = h(p - w + 1)
+      var j = p - w + 2
+      while (j <= p) {
+        if (h(j) < mn) mn = h(j)
+        j += 1
+      }
+      seen.add(mn)
+      p += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) {
+      out(i) = it.next()
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Whole-document fingerprint: min gram hash (array_min of the gram
+    * hashes — the [[TextAnalysis.withFingerprint]] kernel).
+    */
+  def minGram(text: UTF8String, k: Int): Long = {
+    val h = gramHashes(text, k)
+    var mn = h(0)
+    var i = 1
+    while (i < h.length) {
+      if (h(i) < mn) mn = h(i)
+      i += 1
+    }
+    mn
+  }
+}
+
+private[functions] trait GramExpression extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${t.sql}")
+  }
+}
+
+/** array<long> of the distinct winnowing fingerprints of a text column —
+  * one codegen'd call per row into [[GramHashes.winnow]].
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends GramExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+
+  override def nullSafeEval(t: Any): Any =
+    GramHashes.winnow(t.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GramHashes.winnow($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Min gram hash of a text column (whole-document rolling fingerprint). */
+case class MinGramHash(child: Expression, k: Int) extends GramExpression {
+  override def dataType: DataType = DataTypes.LongType
+  override def prettyName: String = "min_gram_hash"
+
+  override def nullSafeEval(t: Any): Any =
+    GramHashes.minGram(t.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GramHashes.minGram($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Column-level API for the gram expressions. */
+object GramFunctions {
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column =
+    Bridge.column(WinnowFingerprints(Bridge.expression(text), k, w))
+  def minGramHash(text: Column, k: Int): Column =
+    Bridge.column(MinGramHash(Bridge.expression(text), k))
+}

@@ -82,25 +82,42 @@ object TextAnalysis {
   /** Rolling-hash document fingerprint: min over the 60-bit hashes of all
     * k-char shingles (winnowing-lite, k=8), plus the whole-text md5. Equal
     * fingerprints => near-certain containment of a common k-gram window.
+    * The min-gram kernel is the native codegen'd [[MinGramHash]] (the HOF
+    * transform/array_min chain is interpreted and allocates per row).
     */
-  def withFingerprint(df: DataFrame, textCol: String = "text", k: Int = 8): DataFrame = {
-    val text = col(textCol)
-    val positions = sequence(lit(1), greatest(length(text) - (k - 1), lit(1)))
-    df.withColumn("fingerprint",
-        array_min(transform(positions, i => TextHash.hash60(text.substr(i, lit(k))))))
-      .withColumn("md5_fingerprint", md5(text))
-  }
+  def withFingerprint(df: DataFrame, textCol: String = "text", k: Int = 8): DataFrame =
+    df.withColumn("fingerprint", GramFunctions.minGramHash(col(textCol), k))
+      .withColumn("md5_fingerprint", md5(col(textCol)))
 
   /** Full winnowing (Schleimer/Wilkerson/Aiken): hash every k-gram, then
     * keep the minimum of each sliding window of `w` consecutive hashes —
     * the standard local-fingerprint scheme whose selected set is
     * position-robust (any substring match of length >= w+k-1 shares a
     * fingerprint). Returns one row per distinct selected hash:
-    * (id, fingerprint). Relational form: posexplode k-grams, min over a
-    * ROWS window of w, distinct — codegen throughout, and identical
-    * frame semantics exist in the oracle's SQL dialect.
+    * (id, fingerprint).
+    *
+    * The whole per-document computation runs inside the native codegen'd
+    * [[WinnowFingerprints]] expression — a pure map stage (no char
+    * explode, no window shuffle, no global distinct: the expression
+    * already dedups within the doc and id is in every row).
+    *
+    * Coverage floor (by design, matching the oracle): a document with
+    * fewer than w full k-grams — shorter than k+w-1 (= 11 default) chars
+    * — yields NO winnow fingerprints; such docs sit below winnowing's
+    * match-guarantee length and are covered by [[withFingerprint]] /
+    * exact dedup instead.
     */
   def winnowFingerprints(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 8, w: Int = 4): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(GramFunctions.winnowFingerprints(col(textCol), k, w))
+        .as("fingerprint"))
+
+  /** The relational formulation of [[winnowFingerprints]] — kept as the
+    * independent spec twin for the native expression (char posexplode,
+    * lead-window gram stitch, min over a ROWS window of w, distinct).
+    */
+  private[graft] def winnowFingerprintsRelational(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 8, w: Int = 4): DataFrame = {
     // Grams built relationally — posexplode chars + lead/concat_ws — not
     // via the charShingles HOF: interpreted transform/substr dominated

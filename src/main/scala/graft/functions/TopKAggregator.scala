@@ -23,8 +23,13 @@ import org.apache.spark.sql.expressions.Aggregator
 class TopKAggregator(k: Int)
     extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
 
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+    // total order via Double.compare so NaN sorts GREATEST — matching
+    // Spark's ORDER BY cosine DESC (NaN first), which the window-ranked
+    // twin query relies on; plain > would silently drop NaN scores
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   override def zero: Seq[(Double, Long)] = Vector.empty
 

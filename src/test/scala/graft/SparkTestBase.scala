@@ -20,6 +20,7 @@ trait SparkTestBase extends BeforeAndAfterAll { self: Suite =>
 
   override def beforeAll(): Unit = {
     super.beforeAll()
+    Tables.configure(spark)
     spark.sparkContext.setLogLevel("WARN")
   }
 }

@@ -78,6 +78,34 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert((fps(1L) & fps(3L)).isEmpty, "unrelated docs should not collide")
   }
 
+  test("native winnow expression equals the relational formulation") {
+    // edge cases: shorter than k (8), shorter than k+w-1 (11), exactly 11,
+    // empty, plus real corpus text at sf0.001
+    val edges = Seq((1L, "short"), (2L, "abcdefghij"), (3L, "abcdefghijk"),
+      (4L, ""), (5L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").limit(200)
+    Seq(edges, corpus).foreach { df =>
+      val native = TextAnalysis.winnowFingerprints(df)
+      val relational = TextAnalysis.winnowFingerprintsRelational(df)
+      assert(native.exceptAll(relational).isEmpty &&
+        relational.exceptAll(native).isEmpty)
+    }
+  }
+
+  test("native min-gram hash equals the HOF array_min formulation") {
+    val df = Seq((1L, "short"), (2L, "abcdefghijklmnop"), (3L, "a"))
+      .toDF("doc_id", "text")
+      .unionByName(Tables.documents(spark, "/root/testdata/sf0.001")
+        .select("doc_id", "text").limit(200))
+    val hof = df.select(col("doc_id"), array_min(transform(
+      sequence(lit(1), greatest(length(col("text")) - 7, lit(1))),
+      i => TextHash.hash60(col("text").substr(i, lit(8))))).as("fingerprint"))
+    val native = TextAnalysis.withFingerprint(df).select("doc_id", "fingerprint")
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
+  }
+
   test("hash60 is stable and within 60 bits") {
     val df = Seq("abc").toDF("s")
       .select(TextHash.hash60(col("s")).as("h"))
