@@ -108,6 +108,23 @@ object SparkEntry {
        |  range(0, greatest(len(toks)-$n,0)+1),
        |  i -> array_to_string(toks[(i+1):(i+$n)], ' '))) AS shingles FROM tok)""".stripMargin
 
+  /** Capped shingle-row CTE `sh` (mirrors Dedup.shingles' maxDocFreq
+    * skew guard: shingles in more than `cap` docs are dropped before the
+    * pair join, and set sizes count the capped universe).
+    */
+  private def cappedShSql(cap: Long): String =
+    s"""sh0 AS (SELECT doc_id AS id, unnest(shingles) AS shingle FROM shs),
+       |hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > $cap),
+       |sh AS (SELECT id, shingle FROM sh0
+       |  WHERE shingle NOT IN (SELECT shingle FROM hot))""".stripMargin
+
+  /** The df-cap used by the oracled jaccard/containment/clusters queries.
+    * At the test SFs no shingle exceeds it (max df 28 at sf0.1), so the
+    * capped results equal the exact ones; at 100 TB it is the guard that
+    * keeps a boilerplate shingle from making the join quadratic.
+    */
+  private val ShingleDfCap = 100L
+
   private def hash60Sql(e: String): String =
     s"('0x'||substr(md5($e),1,15))::BIGINT"
 
@@ -382,9 +399,11 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactDedup(docDupCorpus(s, dir))),
 
-    // DD2: exact n-gram Jaccard pairs via inverted-index join.
+    // DD2: exact n-gram Jaccard pairs via inverted-index join, df-capped
+    // (the 100 TB skew guard; a no-op at test SFs, mirrored in the oracle).
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      Dedup.jaccardPairs(docNearDupCorpus(s, dir), n = 3, threshold = 0.5)
+      Dedup.jaccardPairs(docNearDupCorpus(s, dir), n = 3, threshold = 0.5,
+          maxDocFreq = Some(ShingleDfCap))
         .select(col("id_a"), col("id_b"), col("inter"), col("size_a"),
           col("size_b"), trunc4(col("jaccard")).as("jaccard"))),
 
@@ -396,7 +415,8 @@ object SparkEntry {
       val corpus = d.unionByName(d.filter(col("doc_id") % 20 === 0)
         .select((col("doc_id") + 100000L).as("doc_id"),
           array_join(slice(split(trim(col("text")), "\\s+"), 1, 15), " ").as("text")))
-      Dedup.containmentPairs(corpus, n = 3, threshold = 0.9)
+      Dedup.containmentPairs(corpus, n = 3, threshold = 0.9,
+          maxDocFreq = Some(ShingleDfCap))
         .select(col("id_a"), col("id_b"),
           trunc4(col("containment_a")).as("containment_a"),
           trunc4(col("containment_b")).as("containment_b"))
@@ -408,7 +428,8 @@ object SparkEntry {
     // one representative per group.
     "dedup_clusters" -> ((s, dir) =>
       Dedup.nearDupClusters(
-        Dedup.jaccardPairs(docNearDupCorpus(s, dir), n = 3, threshold = 0.5)
+        Dedup.jaccardPairs(docNearDupCorpus(s, dir), n = 3, threshold = 0.5,
+            maxDocFreq = Some(ShingleDfCap))
           .select("id_a", "id_b"))
         .select(col("id").as("doc_id"), col("cluster_id"))),
 
@@ -509,7 +530,8 @@ object SparkEntry {
           trunc4(col("cosine")).as("cosine"))
     }),
 
-    // SS3: IVF top-10 — sampled centroids, cell assignment, nprobe=4.
+    // SS3: IVF top-10 — fixed-k sampled centroids (constant in corpus
+    // size), cell assignment, nprobe=4.
     "ann_ivf_topk" -> ((s, dir) =>
       SimilaritySearch.ivfTopK(Tables.embeddings(s, dir),
           annQueries(s, dir), k = 10)
@@ -879,7 +901,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" ->
       s"""WITH $corpusNearSql,
          |${shingleSql(3)},
-         |sh AS (SELECT doc_id AS id, unnest(shingles) AS shingle FROM shs),
+         |${cappedShSql(ShingleDfCap)},
          |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
          |pairs AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
          |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
@@ -896,7 +918,7 @@ object SparkEntry {
          |array_to_string((string_split_regex(trim(text), '\\s+'))[1:15], ' ') AS text
          |FROM documents WHERE doc_id%20=0),
          |${shingleSql(3)},
-         |sh AS (SELECT doc_id AS id, unnest(shingles) AS shingle FROM shs),
+         |${cappedShSql(ShingleDfCap)},
          |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
          |pairs AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
          |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
@@ -911,7 +933,7 @@ object SparkEntry {
     "dedup_clusters" ->
       s"""WITH RECURSIVE $corpusNearSql,
          |${shingleSql(3)},
-         |sh AS (SELECT doc_id AS id, unnest(shingles) AS shingle FROM shs),
+         |${cappedShSql(ShingleDfCap)},
          |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
          |prs AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
          |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
@@ -1102,8 +1124,10 @@ object SparkEntry {
         |AND o.o_orderpriority = '1-URGENT')""".stripMargin,
 
     "ann_ivf_topk" ->
-      s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cv
-         |  FROM embeddings WHERE vec_id % 37 = 0),
+      s"""WITH cents AS (SELECT centroid_id, cv FROM (
+         |  SELECT vec_id AS centroid_id, embedding AS cv,
+         |    ${hash60Sql("CAST(vec_id AS VARCHAR)")} AS h
+         |  FROM embeddings ORDER BY h, centroid_id LIMIT 64) tc),
          |vecs AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
          |assign AS (SELECT id, v, centroid_id FROM (
          |  SELECT v.id, v.v, c.centroid_id, row_number() OVER (

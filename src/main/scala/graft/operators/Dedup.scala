@@ -71,69 +71,112 @@ object Dedup {
       .select("id", "s").distinct()
   }
 
-  /** Exact n-gram Jaccard near-dup pairs via inverted-index join.
-    * Returns (id_a, id_b, inter, size_a, size_b, jaccard) for pairs with
-    * jaccard >= threshold, id_a < id_b.
+  /** The shared inverted-index relation of the set-similarity family:
+    * (id, shingle, sz) rows — per-doc distinct word n-gram shingles with
+    * the doc's POST-CAP distinct-shingle count attached.
+    *
+    * Callers mining several metrics over one corpus (jaccard +
+    * containment + clustering) should build this ONCE and feed it to the
+    * `*FromShingles` variants; the doc-level wrappers do exactly that,
+    * materializing the relation so the self-join's two sides and any
+    * downstream fixpoint scan it instead of re-running the
+    * explode/window/distinct pipeline per use (it appeared 4x in the
+    * un-shared physical plan).
     *
     * `maxDocFreq`: skew guard for the 100 TB path. A shingle appearing in
     * d documents contributes d^2 join rows; boilerplate shingles make the
     * inverted-index join quadratic on one key. Capping document frequency
-    * drops those shingles BEFORE the join (two cheap aggregates), at the
-    * cost of slightly underestimating the intersection for pairs that
-    * shared a hot shingle. None preserves exact semantics (and the
-    * oracle); production near-dup mining at scale wants a cap.
+    * drops those shingles BEFORE the join: the hot set is tiny by
+    * construction (only shingles with df > cap), so it broadcasts, and
+    * the anti-join costs no extra shuffle of the shingle relation. `sz`
+    * counts the CAPPED universe, so capped similarities stay
+    * self-consistent (an exact-dup pair keeps jaccard/containment 1.0
+    * after the cap removes its boilerplate). None preserves exact
+    * semantics; production near-dup mining at scale wants a cap.
+    *
+    * The `sz` window and the cap's anti-join both ride the id hash
+    * partitioning established by the shingle construction (broadcast
+    * joins preserve the streamed side's partitioning), so attaching sizes
+    * costs a per-partition sort, not a shuffle — the separate sizes
+    * aggregate + two pair-list joins of the unshared formulation
+    * disappear entirely.
     */
-  def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
-      idCol: String = "doc_id", textCol: String = "text",
-      maxDocFreq: Option[Long] = None): DataFrame = {
-    val all = shingleRows(docs, idCol, textCol, n)
-      .withColumnRenamed("s", "shingle")
-    val sh = maxDocFreq match {
+  def shingles(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text", maxDocFreq: Option[Long] = None,
+      materialize: Boolean = false): DataFrame = {
+    val rows = shingleRows(docs, idCol, textCol, n)
+    // lazy local checkpoint: no job at plan-construction time; the first
+    // action materializes the rows once and every downstream branch
+    // (df-cap aggregate, both self-join sides) reads the materialized
+    // partitions. On a multi-executor cluster prefer reliable
+    // checkpointing or recompute (materialize = false) per fault-model.
+    val all = if (materialize) rows.localCheckpoint(false) else rows
+    val capped = maxDocFreq match {
       case None => all
       case Some(cap) =>
-        val hot = all.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .filter(col("df") > cap).select("shingle")
-        all.join(broadcast(hot), Seq("shingle"), "left_anti")
+        val hot = all.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("s")
+        all.join(broadcast(hot), Seq("s"), "left_anti")
     }
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a")
+    capped
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("id")))
+      .withColumnRenamed("s", "shingle")
+  }
+
+  /** Pair intersection counts with both sides' set sizes carried through
+    * the aggregate (sz is constant per id, so min() just forwards it):
+    * (id_a, id_b, inter, size_a, size_b), id_a < id_b.
+    */
+  private def pairStats(sh: DataFrame): DataFrame =
+    sh.as("a")
       .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
         col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "size_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "size_b"), "id_b")
+      .agg(count(lit(1)).as("inter"),
+        min(col("a.sz")).as("size_a"), min(col("b.sz")).as("size_b"))
+
+  /** Exact n-gram Jaccard near-dup pairs via inverted-index join.
+    * Returns (id_a, id_b, inter, size_a, size_b, jaccard) for pairs with
+    * jaccard >= threshold, id_a < id_b. See [[shingles]] for the shared
+    * relation and the `maxDocFreq` skew guard.
+    */
+  def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxDocFreq: Option[Long] = None): DataFrame =
+    jaccardFromShingles(
+      shingles(docs, n, idCol, textCol, maxDocFreq, materialize = true),
+      threshold)
+
+  /** [[jaccardPairs]] over a pre-built [[shingles]] relation. */
+  def jaccardFromShingles(sh: DataFrame, threshold: Double = 0.5): DataFrame =
+    pairStats(sh)
       .withColumn("jaccard",
         col("inter") / (col("size_a") + col("size_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
-  }
 
   /** Containment pairs: asymmetric near-dup metric |A∩B| / |A| — catches
     * quote-inclusion and subsumption that symmetric Jaccard misses (a
     * short doc fully contained in a long one has low Jaccard but
-    * containment 1.0). Same inverted-index join as [[jaccardPairs]].
+    * containment 1.0). Same inverted-index join as [[jaccardPairs]], same
+    * `maxDocFreq` skew guard (see [[shingles]]).
     * Returns pairs where EITHER side's containment >= threshold.
     */
   def containmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.9,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = shingleRows(docs, idCol, textCol, n)
-      .withColumnRenamed("s", "shingle")
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
-        col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "size_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "size_b"), "id_b")
+      idCol: String = "doc_id", textCol: String = "text",
+      maxDocFreq: Option[Long] = None): DataFrame =
+    containmentFromShingles(
+      shingles(docs, n, idCol, textCol, maxDocFreq, materialize = true),
+      threshold)
+
+  /** [[containmentPairs]] over a pre-built [[shingles]] relation. */
+  def containmentFromShingles(sh: DataFrame,
+      threshold: Double = 0.9): DataFrame =
+    pairStats(sh)
       .withColumn("containment_a", col("inter") / col("size_a").cast("double"))
       .withColumn("containment_b", col("inter") / col("size_b").cast("double"))
       .filter(col("containment_a") >= threshold || col("containment_b") >= threshold)
       .select("id_a", "id_b", "containment_a", "containment_b")
-  }
 
   /** MinHash signatures: (id, sig array<long> of length numHashes).
     *
@@ -232,6 +275,16 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Eager lineage-truncating materialization for iterative fixpoints:
+    * RELIABLE `checkpoint()` when the context has a checkpoint dir (the
+    * cluster deploy — survives executor loss), executor-local
+    * `localCheckpoint()` otherwise (single-node/test: no dir needed, but
+    * a lost executor would force recompute-from-nothing).
+    */
+  private def iterCheckpoint(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
   /** Near-dup CLUSTERS from a pair list: connected components by
     * min-label propagation to fixpoint. Pair lists alone can't drive
     * dedup — transitive chains (a~b, b~c) must collapse to one cluster so
@@ -239,32 +292,45 @@ object Dedup {
     *
     * Iterations are a driver-controlled fixpoint over DataFrame ops (the
     * standard CC formulation, bounded by component diameter — near-dup
-    * components are shallow in practice); each step is one equi-join +
-    * min-aggregate, both shuffled on id, with localCheckpoint truncating
-    * the lineage. Returns (id, cluster_id = min id reachable).
+    * components are shallow in practice; for web-scale deep graphs the
+    * large/small-star variant halves rounds to O(log n)). Each iteration
+    * costs exactly TWO jobs: one equi-join + min-aggregate that folds the
+    * convergence test into the same pass (`_changed` is computed next to
+    * the new label, then checkpointed), and a near-free existence scan of
+    * the materialized result — no per-iteration re-join of old vs new
+    * labels. Set `sparkContext.setCheckpointDir` to make the per-round
+    * materialization fault-tolerant (see [[iterCheckpoint]]).
+    * Returns (id, cluster_id = min id reachable).
     */
   def nearDupClusters(pairs: DataFrame): DataFrame = {
     // materialize the edge list ONCE: it is tiny (the near-dup pair list)
     // but its lineage is the whole shingle/join pipeline, which every
     // fixpoint iteration would otherwise recompute (measured 15s -> 3s
     // at sf0.1)
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster_id", col("id"))
-      .localCheckpoint()
+    val edges = iterCheckpoint(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    var labels = iterCheckpoint(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("cluster_id", col("id")))
     var changed = 1L
     while (changed > 0) {
-      val viaNeighbor = edges
+      val nbrMin = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
-        .select(col("src").as("id"), col("cluster_id"))
-      val next = labels.unionByName(viaNeighbor)
-        .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"))
-        .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "id")
-        .filter(col("cluster_id") =!= col("old")).count()
-      labels = next
+        .select(col("src").as("id"), col("cluster_id").as("nbr"))
+        .groupBy("id").agg(min(col("nbr")).as("nbr"))
+      // new label AND the convergence flag in one checkpointed pass
+      val next = iterCheckpoint(
+        labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("cluster_id"),
+              coalesce(col("nbr"), col("cluster_id"))).as("cluster_id"),
+            (col("nbr") < col("cluster_id")).as("_changed")))
+      // full count, not limit(1): a limit's incremental scan can launch a
+      // variable number of jobs when the result is empty (the converged
+      // case), and the input here is already-materialized blocks
+      changed = next.filter(col("_changed")).count()
+      labels = next.drop("_changed")
     }
     labels
   }

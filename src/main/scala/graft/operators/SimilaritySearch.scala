@@ -92,20 +92,36 @@ object SimilaritySearch {
       .select(col("query_id"), col("id").as("neighbor_id"), col("rank"), col("cosine"))
   }
 
-  /** IVF (inverted-file) index structures: a deterministic centroid set —
-    * every `centroidEvery`-th vector by id, the degenerate-but-portable
-    * "sampled centroids, zero Lloyd iterations" variant — plus cell
-    * assignment of each corpus vector to its max-cosine centroid (ties by
-    * centroid id). Real IVF runs k-means here; sampling keeps the
-    * structure identical (cells, probes, residual top-k) while staying
-    * bit-reproducible in a SQL oracle, which an iterative k-means is not.
+  /** The fixed-size deterministic centroid set of the IVF index: the
+    * `numCentroids` corpus vectors with the smallest
+    * (hash60(id), id) — a seeded uniform sample whose SIZE IS CONSTANT IN
+    * THE CORPUS SIZE. The earlier every-37th-id variant made |centroids|
+    * proportional to n, so the centroid broadcast grew without bound and
+    * cell assignment was O(n^2/37); hash-order-limit keeps the broadcast
+    * O(numCentroids) forever and plans as a per-partition top-k
+    * (TakeOrderedAndProject), never a full sort. Real IVF runs k-means
+    * here; a deterministic sample keeps the structure identical (cells,
+    * probes, residual top-k) while staying bit-reproducible in a SQL
+    * oracle, which an iterative k-means is not.
     */
-  def ivfAssignments(corpus: DataFrame, centroidEvery: Int = 37,
+  def ivfCentroids(corpus: DataFrame, numCentroids: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val dot = graft.functions.VectorFunctions.dotF _
-    val cents = corpus.filter(col(idCol) % centroidEvery === 0)
-      .select(col(idCol).as("centroid_id"), col(vecCol).as("cv"),
-        sqrt(dot(col(vecCol), col(vecCol))).as("cnrm"))
+    corpus.select(col(idCol).as("centroid_id"), col(vecCol).as("cv"),
+        sqrt(dot(col(vecCol), col(vecCol))).as("cnrm"),
+        graft.functions.TextHash.hash60(col(idCol).cast("string")).as("_h"))
+      .orderBy(col("_h"), col("centroid_id"))
+      .limit(numCentroids)
+      .drop("_h")
+  }
+
+  /** Cell assignment of each corpus vector to its max-cosine centroid
+    * (ties by centroid id), over the [[ivfCentroids]] fixed-k set.
+    */
+  def ivfAssignments(corpus: DataFrame, numCentroids: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dot = graft.functions.VectorFunctions.dotF _
+    val cents = ivfCentroids(corpus, numCentroids, idCol, vecCol)
     val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       sqrt(dot(col(vecCol), col(vecCol))).as("nrm"))
     val scored = vecs.join(broadcast(cents), lit(true))
@@ -120,17 +136,16 @@ object SimilaritySearch {
 
   /** IVF top-k: probe the `nprobe` nearest cells per query, rank only
     * their members. The 100 TB shape: centroid scoring is a broadcast
-    * map-only pass; candidate search is an equi-join on centroid_id
-    * touching ~nprobe/|cells| of the corpus.
+    * map-only pass against a CONSTANT-size centroid set; candidate search
+    * is an equi-join on centroid_id touching ~nprobe/numCentroids of the
+    * corpus.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      centroidEvery: Int = 37, nprobe: Int = 4,
+      numCentroids: Int = 64, nprobe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val dot = graft.functions.VectorFunctions.dotF _
-    val assigned = ivfAssignments(corpus, centroidEvery, idCol, vecCol)
-    val cents = corpus.filter(col(idCol) % centroidEvery === 0)
-      .select(col(idCol).as("centroid_id"), col(vecCol).as("cv"),
-        sqrt(dot(col(vecCol), col(vecCol))).as("cnrm"))
+    val assigned = ivfAssignments(corpus, numCentroids, idCol, vecCol)
+    val cents = ivfCentroids(corpus, numCentroids, idCol, vecCol)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       sqrt(dot(col(vecCol), col(vecCol))).as("qnrm"))
     val probes = q.join(broadcast(cents), lit(true))

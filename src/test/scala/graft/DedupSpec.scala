@@ -47,6 +47,32 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(capped.contains((1L, 4L)))
   }
 
+  test("containmentPairs maxDocFreq drops hot shingles; exact dups survive") {
+    // shingles shared by docs 1,2,4 have df=3; cap=2 drops them. The
+    // near-dup pair (1,2) then shares nothing and disappears, while the
+    // exact-dup pair (1,4) keeps containment 1.0 in the capped universe
+    // (sz counts post-cap shingles, so the metric stays self-consistent).
+    val uncapped = Dedup.containmentPairs(base, n = 3, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((1L, 2L)), "10/11 shared shingles >= 0.9")
+    assert(uncapped.contains((1L, 4L)))
+    val capped = Dedup.containmentPairs(base, n = 3, threshold = 0.9,
+      maxDocFreq = Some(2L))
+      .select("id_a", "id_b", "containment_a").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(!capped.contains((1L, 2L)), "hot shingles dropped before the join")
+    assert(capped((1L, 4L)) === 1.0)
+  }
+
+  test("jaccardFromShingles over a shared shingles relation matches jaccardPairs") {
+    val sh = Dedup.shingles(base, n = 3)
+    val viaShared = Dedup.jaccardFromShingles(sh, threshold = 0.5)
+      .select("id_a", "id_b", "inter", "size_a", "size_b").collect().toSet
+    val direct = Dedup.jaccardPairs(base, n = 3, threshold = 0.5)
+      .select("id_a", "id_b", "inter", "size_a", "size_b").collect().toSet
+    assert(viaShared === direct)
+  }
+
   test("minHashLshPairs surfaces the same dup structure as exact jaccard") {
     val got = Dedup.minHashLshPairs(base, minAgreement = 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
@@ -82,6 +108,64 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
       7L -> 7L, 8L -> 7L, 9L -> 7L))
+  }
+
+  test("nearDupClusters job/stage budget per iteration (folded convergence test)") {
+    // chain 1-2-3-4: min-label needs 4 rounds (3 propagating + 1 quiet).
+    // With AQE off the fixpoint measures a STABLE 16 jobs / 26 stages
+    // (asserted with slack: 18/30). The convergence test reads the
+    // checkpointed round result; a regression to the old shape — a
+    // per-round shuffle join of old vs new labels — adds ~2 stages per
+    // round and busts the stage bound.
+    // statusTracker is fed by the async listener bus; poll until the
+    // group's numbers stop moving before asserting on them
+    def groupStats(): (Int, Int) = {
+      val st = spark.sparkContext.statusTracker
+      def read(): (Int, Int) = {
+        val ids = st.getJobIdsForGroup("cc-jobs")
+        (ids.length, ids.flatMap(i => st.getJobInfo(i).map(_.stageIds.length).toSeq).sum)
+      }
+      var last = read()
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(100)
+        val now = read()
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
+      last
+    }
+    // AQE materializes each shuffle stage as its own job, which makes job
+    // counts meaningless as a budget; turn it off for a deterministic
+    // one-job-per-action shape (the operator itself is AQE-agnostic)
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.sparkContext.setJobGroup("cc-jobs", "nearDupClusters job budget")
+    val (jobs0, stages0) = groupStats()
+    val out = try Dedup.nearDupClusters(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b"))
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    val (jobs1, stages1) = groupStats()
+    spark.sparkContext.clearJobGroup()
+    assert(out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    val (jobs, stages) = (jobs1 - jobs0, stages1 - stages0)
+    assert(jobs <= 18 && stages <= 30,
+      s"nearDupClusters fixpoint launched $jobs jobs / $stages stages for a 4-round chain")
+  }
+
+  test("nearDupClusters uses reliable checkpoints when a checkpoint dir is set") {
+    // NOTE: a SparkContext's checkpoint dir cannot be unset; the shared
+    // test session keeps it for the rest of the JVM, which only makes
+    // later fixpoints use the reliable (slower, fault-tolerant) path.
+    // This test therefore runs AFTER the job-budget test above, which
+    // assumes the local-checkpoint job shape.
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val out = Dedup.nearDupClusters(Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    val sub = new java.io.File(dir).listFiles()
+    assert(sub != null && sub.nonEmpty, "no reliable checkpoint data written")
   }
 
   test("embeddingNearDupsLsh finds every exact-dup pair brute force finds") {
