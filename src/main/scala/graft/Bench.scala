@@ -1,6 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: every contract query once, one JSON line.
+  * A crashing query is recorded as an entry in `"errors"` (and echoed to
+  * stderr) instead of masquerading as a fast timing; successful queries
+  * keep their timings either way, and the process still emits the JSON
+  * contract line so partial failure never zeroes the round's numbers.
+  */
 object Bench {
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -18,13 +32,23 @@ object Bench {
     // across rounds (Map iteration order is not stable across builds)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val outcome = try {
+        fn(spark, sfDir).count()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
+          .linesIterator.next().take(300)
+        System.err.println(s"[bench] $name FAILED — $msg")
+        Left(msg)
+      }
+      name -> outcome
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.collect { case (k, Right(v)) => s"${jstr(k)}:$v" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, Left(m)) => s"${jstr(k)}:${jstr(m)}" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, Right(v)) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":${results.count(_._2.isLeft)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

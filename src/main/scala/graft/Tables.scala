@@ -24,10 +24,15 @@ object Tables {
     * exactly what DuckDB does internally when it loads a TIMESTAMP_NS
     * column, so oracle comparisons stay bit-identical.
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    // defensive + idempotent: a session built outside the in-repo
+    // builders (which all call configure) would otherwise fail the nanos
+    // read with PARQUET_TYPE_ILLEGAL
+    configure(spark)
     apply(spark, dir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr(
         "timestamp_micros(ts div 1000)"))
+  }
   def orders(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")

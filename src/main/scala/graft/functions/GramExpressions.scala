@@ -48,29 +48,61 @@ object GramHashes {
   /** hash60 of every k-gram at positions 0..max(len-k,0): a doc shorter
     * than k chars yields its whole text as the single gram — identical to
     * [[TextHash.charShingles]] and the oracle's substr loop.
+    *
+    * Gram positions are CODE POINTS, the unit SQL `substr` counts in both
+    * Spark and DuckDB. The fast path walks UTF-16 code units, valid
+    * whenever the string has no supplementary characters (all BMP text,
+    * not just ASCII); any surrogate pair routes to the code-point walk so
+    * a non-BMP corpus fingerprints identically to the oracles instead of
+    * silently diverging.
     */
   private def gramHashes(text: UTF8String, k: Int): Array[Long] = {
     val s = text.toString
     val len = s.length
-    val m = math.max(len - k, 0) + 1
-    val out = new Array[Long](m)
-    var p = 0
-    while (p < m) {
-      out(p) = hash60(s.substring(p, math.min(p + k, len)))
-      p += 1
+    if (s.codePointCount(0, len) == len) {
+      val m = math.max(len - k, 0) + 1
+      val out = new Array[Long](m)
+      var p = 0
+      while (p < m) {
+        out(p) = hash60(s.substring(p, math.min(p + k, len)))
+        p += 1
+      }
+      out
+    } else {
+      val cps = s.codePoints().toArray
+      val n = cps.length
+      val m = math.max(n - k, 0) + 1
+      val out = new Array[Long](m)
+      var p = 0
+      while (p < m) {
+        out(p) = hash60(new String(cps, p, math.min(k, n - p)))
+        p += 1
+      }
+      out
     }
-    out
   }
 
   /** Winnowing selection: distinct minima of every window of w
     * consecutive gram hashes (full windows only). Docs with fewer than w
     * grams — shorter than k+w-1 chars — produce NO fingerprints by
-    * design: they are below winnowing's guarantee length and are covered
+    * default: they are below winnowing's guarantee length and are covered
     * by the whole-text [[minGram]] / exact-dedup paths instead.
+    * `coverShort` lifts that floor by emitting the single partial-window
+    * minimum (= [[minGram]]) for such docs, for pipelines that run the
+    * winnow path without a separate exact-dedup pass.
     */
-  def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+  def winnow(text: UTF8String, k: Int, w: Int, coverShort: Boolean): ArrayData = {
     val h = gramHashes(text, k)
-    if (h.length < w) return new GenericArrayData(Array.empty[Long])
+    if (h.length < w) {
+      if (!coverShort) return new GenericArrayData(Array.empty[Long])
+      var mn = h(0)
+      var i = 1
+      while (i < h.length) {
+        if (h(i) < mn) mn = h(i)
+        i += 1
+      }
+      return new GenericArrayData(Array(mn))
+    }
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     var p = w - 1
     while (p < h.length) {
@@ -117,18 +149,21 @@ private[functions] trait GramExpression extends UnaryExpression {
 }
 
 /** array<long> of the distinct winnowing fingerprints of a text column —
-  * one codegen'd call per row into [[GramHashes.winnow]].
+  * one codegen'd call per row into [[GramHashes.winnow]]. `coverShort`
+  * emits the partial-window minimum for docs below the k+w-1 guarantee
+  * length instead of nothing (see [[GramHashes.winnow]]).
   */
-case class WinnowFingerprints(child: Expression, k: Int, w: Int)
-    extends GramExpression {
+case class WinnowFingerprints(child: Expression, k: Int, w: Int,
+    coverShort: Boolean = false) extends GramExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "winnow_fingerprints"
 
   override def nullSafeEval(t: Any): Any =
-    GramHashes.winnow(t.asInstanceOf[UTF8String], k, w)
+    GramHashes.winnow(t.asInstanceOf[UTF8String], k, w, coverShort)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.GramHashes.winnow($c, $k, $w)")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GramHashes.winnow($c, $k, $w, $coverShort)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -151,8 +186,9 @@ case class MinGramHash(child: Expression, k: Int) extends GramExpression {
 
 /** Column-level API for the gram expressions. */
 object GramFunctions {
-  def winnowFingerprints(text: Column, k: Int, w: Int): Column =
-    Bridge.column(WinnowFingerprints(Bridge.expression(text), k, w))
+  def winnowFingerprints(text: Column, k: Int, w: Int,
+      coverShort: Boolean = false): Column =
+    Bridge.column(WinnowFingerprints(Bridge.expression(text), k, w, coverShort))
   def minGramHash(text: Column, k: Int): Column =
     Bridge.column(MinGramHash(Bridge.expression(text), k))
 }

@@ -105,12 +105,16 @@ object TextAnalysis {
     * fewer than w full k-grams — shorter than k+w-1 (= 11 default) chars
     * — yields NO winnow fingerprints; such docs sit below winnowing's
     * match-guarantee length and are covered by [[withFingerprint]] /
-    * exact dedup instead.
+    * exact dedup instead. Pass `coverShort = true` to emit the single
+    * partial-window minimum for those docs instead (for pipelines that
+    * skip the exact-dedup pass); the oracled contract query keeps the
+    * default.
     */
   def winnowFingerprints(df: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", k: Int = 8, w: Int = 4): DataFrame =
+      textCol: String = "text", k: Int = 8, w: Int = 4,
+      coverShort: Boolean = false): DataFrame =
     df.select(col(idCol).as("id"),
-      explode(GramFunctions.winnowFingerprints(col(textCol), k, w))
+      explode(GramFunctions.winnowFingerprints(col(textCol), k, w, coverShort))
         .as("fingerprint"))
 
   /** The relational formulation of [[winnowFingerprints]] — kept as the

@@ -34,12 +34,19 @@ object SequencePack {
     * `bin` (= offset / binSize: which fixed-size token block the row
     * STARTS in) to `docs`. `idCol` must be unique and numeric; `tokensCol`
     * integral and non-negative.
+    *
+    * EAGER AT CONSTRUCTION: phase 1 (id range + per-bucket totals) runs
+    * two Spark jobs when this method is CALLED, not when the result is
+    * acted on — a two-phase prefix sum cannot size its offset table
+    * lazily. `docs` is materialized (lazy local checkpoint) before the
+    * first pass so the upstream computation (e.g. token counting) runs
+    * once, not once per pass.
     */
   def packOffsets(docs: DataFrame, idCol: String = "doc_id",
       tokensCol: String = "ws_tokens", binSize: Long = 2048,
       buckets: Int = 256): DataFrame = {
     val spark = docs.sparkSession
-    val base = docs.select(col(idCol), col(tokensCol))
+    val base = docs.select(col(idCol), col(tokensCol)).localCheckpoint(false)
     val stats = base.agg(min(col(idCol)).cast("long").as("lo"),
       max(col(idCol)).cast("long").as("hi")).head()
     if (stats.isNullAt(0)) {
@@ -49,8 +56,12 @@ object SequencePack {
     val lo = stats.getLong(0)
     val hi = stats.getLong(1)
     val width = math.max((hi - lo) / buckets, 0L) + 1L
-    val bucketExpr = ((col(idCol).cast("long") - lit(lo)) / lit(width))
-      .cast("long").as("_bucket")
+    // exact integer floor-div (id - lo >= 0, width >= 1). Spark's `/` on
+    // longs is IEEE double division: inexact past 2^53, and both phases
+    // MUST bucket identically or offsets silently skew.
+    val bucketExpr = expr(
+      s"CAST((CAST(`$idCol` AS BIGINT) - ${lo}L) DIV ${width}L AS BIGINT)")
+      .as("_bucket")
 
     // phase 1: per-bucket totals -> driver (<= buckets rows) -> prefix sums
     val totals = base.select(bucketExpr, col(tokensCol).cast("long").as("_t"))

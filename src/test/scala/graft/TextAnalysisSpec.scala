@@ -94,8 +94,35 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("winnow coverShort emits the min-gram for docs below the guarantee length") {
+    val df = Seq((1L, "short"), (2L, "abcdefghij"), (3L, "abcdefghijk"),
+      (5L, "a much longer document body for the unchanged case"))
+      .toDF("doc_id", "text")
+    // default: sub-guarantee docs (< k+w-1 = 11 chars) yield nothing
+    val default0 = TextAnalysis.winnowFingerprints(df)
+    assert(!default0.collect().map(_.getLong(0)).toSet.exists(Set(1L, 2L)))
+    // coverShort: they yield exactly the single partial-window min,
+    // which is by construction the whole-doc min-gram fingerprint
+    val covered = TextAnalysis.winnowFingerprints(df, coverShort = true)
+    val covMap = covered.collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val minG = df.select(col("doc_id"),
+        graft.functions.GramFunctions.minGramHash(col("text"), 8).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(covMap(1L) === Set(minG(1L)))
+    assert(covMap(2L) === Set(minG(2L)))
+    // at/above the guarantee length the flag changes nothing
+    val longDefault = default0.filter(col("id") >= 3L)
+    val longCovered = covered.filter(col("id") >= 3L)
+    assert(longDefault.exceptAll(longCovered).isEmpty &&
+      longCovered.exceptAll(longDefault).isEmpty)
+  }
+
   test("native min-gram hash equals the HOF array_min formulation") {
-    val df = Seq((1L, "short"), (2L, "abcdefghijklmnop"), (3L, "a"))
+    // doc 4 exercises the non-BMP code-point walk: SQL substring counts
+    // code points, so grams around the surrogate pairs must align
+    val df = Seq((1L, "short"), (2L, "abcdefghijklmnop"), (3L, "a"),
+      (4L, "abc𝄞defghij𝄞klmno"))
       .toDF("doc_id", "text")
       .unionByName(Tables.documents(spark, "/root/testdata/sf0.001")
         .select("doc_id", "text").limit(200))
