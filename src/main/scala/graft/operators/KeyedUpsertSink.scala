@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** S4: last-write-wins keyed upsert store — the semantics of the
+  * reference's DynamoDB `put_item`/`batch_write_item` overwrite
+  * (scripts/lambda1.py:152-177, scripts/lambda2.py:145-166): writing a
+  * key REPLACES its row, so re-delivering the same batch leaves the
+  * store's content identical instead of appending duplicates (the gap an
+  * append-parquet store hits under at-least-once replay).
+  *
+  * Mechanics: each upsert merges the incoming batch with the current
+  * store generation via one windowed rank over the key columns — the
+  * batch side outranks the store side (put-overwrite), and `orderCol`
+  * orders duplicate keys WITHIN a batch (the reference's sequential
+  * put_items make the last one win). With `versionWins = true` the rank
+  * is by `orderCol` alone across both sides, i.e. a conditional-write /
+  * version-LWW merge where a stale replayed batch cannot regress a newer
+  * stored row.
+  *
+  * The merged result is written to a NEW generation directory
+  * `gen-<batchId>` and a `_CURRENT` pointer file is atomically rewritten
+  * to it; readers resolve the pointer first, so a crash mid-write leaves
+  * the previous generation intact (plain overwrite-in-place would
+  * destroy the store). Superseded generations are pruned after the flip.
+  * Single-writer by design — exactly the streaming foreachBatch model.
+  *
+  * 100 TB posture: rewriting the full store per batch is the plain-
+  * parquet cost of these semantics; at warehouse scale the same merge
+  * (identical plan: union + window rank by key) targets a keyed table
+  * format's MERGE (Delta/Iceberg) or a keyed store (the reference's
+  * DynamoDB). The semantics, idempotence, and foreachBatch plumbing are
+  * what this operator pins down; nothing here assumes local storage.
+  */
+object KeyedUpsertSink {
+
+  private val Pointer = "_CURRENT"
+
+  /** The store's current content, or None before the first upsert. */
+  def readStore(spark: SparkSession, storeDir: String): Option[DataFrame] = {
+    val ptr = new Path(storeDir, Pointer)
+    val fs = ptr.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(ptr)) None
+    else {
+      val in = fs.open(ptr)
+      val gen = try scala.io.Source.fromInputStream(in).mkString.trim
+      finally in.close()
+      Some(spark.read.parquet(new Path(storeDir, gen).toString))
+    }
+  }
+
+  /** Merge `batch` into the store at `storeDir` by `keys`. See class doc
+    * for the put-overwrite vs `versionWins` merge order. `batchId` names
+    * the generation — re-running the same batch id rewrites the same
+    * generation (idempotent restart).
+    */
+  def upsertBatch(batch: DataFrame, storeDir: String, keys: Seq[String],
+      orderCol: String, batchId: Long,
+      versionWins: Boolean = false): Unit = {
+    val spark = batch.sparkSession
+    val stamped = batch.withColumn("_src", lit(1))
+    val all = readStore(spark, storeDir) match {
+      case Some(cur) => cur.withColumn("_src", lit(0)).unionByName(stamped)
+      case None => stamped
+    }
+    val order =
+      if (versionWins) Seq(col(orderCol).desc, col("_src").desc)
+      else Seq(col("_src").desc, col(orderCol).desc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    val merged = all.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn", "_src")
+    val gen = s"gen-$batchId"
+    // deterministic layout (key-sorted) so a re-delivered batch
+    // reproduces the store content exactly
+    merged.orderBy(keys.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(new Path(storeDir, gen).toString)
+
+    val ptr = new Path(storeDir, Pointer)
+    val fs = ptr.getFileSystem(spark.sessionState.newHadoopConf())
+    val prev = if (fs.exists(ptr)) {
+      val in = fs.open(ptr)
+      try Some(scala.io.Source.fromInputStream(in).mkString.trim)
+      finally in.close()
+    } else None
+    val out = fs.create(ptr, true)
+    try out.write(gen.getBytes("UTF-8")) finally out.close()
+    // prune the superseded generation (never the one just pointed at)
+    prev.filter(_ != gen)
+      .foreach(p => fs.delete(new Path(storeDir, p), true))
+  }
+
+  /** foreachBatch adapter: `writeStream.foreachBatch(
+    * KeyedUpsertSink.upserter(dir, Seq("trip_id","sk"), "ts"))`.
+    * Structured Streaming re-runs a failed micro-batch with the SAME
+    * batch id, which lands in the same generation — exactly-once store
+    * content on top of at-least-once delivery.
+    */
+  def upserter(storeDir: String, keys: Seq[String], orderCol: String,
+      versionWins: Boolean = false): (DataFrame, Long) => Unit =
+    (batch, id) => upsertBatch(batch, storeDir, keys, orderCol, id, versionWins)
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{KpiAggregator, KpiReportSink}
+import graft.operators.{KeyedUpsertSink, KpiAggregator, KpiReportSink}
 import graft.streaming.StreamingTripPipeline
 
 /** Sink coverage (SURVEY.md par.2.1): S4 keyed store via streaming
@@ -70,6 +70,64 @@ class SinkSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
     val stored = spark.read.parquet(dir)
     assert(stored.count() === 2) // poison record filtered by validation
+    assert(stored.select("trip_id").as[String].collect().toSet === Set("a", "b"))
+  }
+
+  test("S4 keyed upsert: re-delivered batch leaves store content identical; put overwrites") {
+    val dir = tmp() + "/upsert"
+    val keys = Seq("trip_id", "sk")
+    def snap(): Seq[(String, String, String, Double)] =
+      KeyedUpsertSink.readStore(spark, dir).get
+        .select("trip_id", "sk", "ts", "value")
+        .as[(String, String, String, Double)].collect().toSeq.sorted
+    val b1 = Seq(
+      ("t1", "RAW#click#1", "2024-05-25 10:00:00", 5.0),
+      ("t1", "RAW#click#1", "2024-05-25 10:00:05", 5.5), // in-batch dup: last wins
+      ("t2", "RAW#view#1", "2024-05-25 10:01:00", 6.0)
+    ).toDF("trip_id", "sk", "ts", "value")
+    KeyedUpsertSink.upsertBatch(b1, dir, keys, "ts", batchId = 0L)
+    val s1 = snap()
+    assert(s1.length === 2, "in-batch duplicate keys collapse (last put wins)")
+    assert(s1.find(_._1 == "t1").get._4 === 5.5)
+
+    // the at-least-once case: the SAME batch re-delivered (even under a
+    // new batch id) must leave the store content identical
+    KeyedUpsertSink.upsertBatch(b1, dir, keys, "ts", batchId = 1L)
+    assert(snap() === s1, "re-delivery duplicated or reordered the store")
+
+    // put-overwrite: a later batch replaces the keyed row outright
+    val b2 = Seq(("t1", "RAW#click#1", "2024-05-25 11:00:00", 9.0))
+      .toDF("trip_id", "sk", "ts", "value")
+    KeyedUpsertSink.upsertBatch(b2, dir, keys, "ts", batchId = 2L)
+    val s2 = snap()
+    assert(s2.length === 2)
+    assert(s2.find(_._1 == "t1").get._4 === 9.0)
+
+    // versionWins: a STALE replay cannot regress the newer stored row
+    KeyedUpsertSink.upsertBatch(b1, dir, keys, "ts", batchId = 3L,
+      versionWins = true)
+    assert(snap() === s2, "stale replay regressed a newer row under versionWins")
+  }
+
+  test("S4 keyed upsert drives a streaming foreachBatch store") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[String]
+    val dir = tmp() + "/upsert_stream"
+    val validated = StreamingTripPipeline.parseAndValidate(input.toDF())
+      .withColumn("sk", concat_ws("#", col("data_type"), col("trip_id")))
+    val q = validated.writeStream
+      .option("checkpointLocation", tmp() + "/ckpt_upsert")
+      .foreachBatch(KeyedUpsertSink.upserter(dir, Seq("trip_id", "sk"), "event_ts"))
+      .start()
+    try {
+      input.addData(Seq(
+        """{"trip_id":"a","data_type":"trip_start","pickup_datetime":"2024-05-25 10:00:00"}""",
+        """{"trip_id":"a","data_type":"trip_start","pickup_datetime":"2024-05-25 10:00:00"}""",
+        """{"trip_id":"b","data_type":"trip_end","dropoff_datetime":"2024-05-25 10:30:00","fare_amount":9.5,"passenger_count":1.0}"""))
+      q.processAllAvailable()
+    } finally q.stop()
+    val stored = KeyedUpsertSink.readStore(spark, dir).get
+    assert(stored.count() === 2, "keyed store holds one row per (trip_id, sk)")
     assert(stored.select("trip_id").as[String].collect().toSet === Set("a", "b"))
   }
 
