@@ -393,6 +393,17 @@ object SparkEntry {
         .select(col("doc_id"), col("ws_tokens").cast("long").as("ws_tokens"),
           col("offset"), col("bin"))),
 
+    // T10b: greedy FIRST-FIT bin packing — the bounded-bin doc→bin
+    // assignment a dataloader consumes (no bin exceeds 2048 tokens;
+    // docs never split). Distributed as exact first-fit within
+    // deterministic 512-doc groups, bins namespaced per group
+    // (SequencePack.binPackFirstFit); the oracle replays the identical
+    // greedy fold as a DuckDB recursive CTE over per-group state.
+    "pack_bins_firstfit" -> ((s, dir) =>
+      SequencePack.binPackFirstFit(
+        TextAnalysis.withTokenCounts(Tables.documents(s, dir))
+          .select(col("doc_id"), col("ws_tokens")))),
+
     // ---- deduplication suite over injected-duplicate corpora -------------
 
     // DD1: exact dedup — hash-groupBy on md5(text), keep smallest id.
@@ -861,6 +872,36 @@ object SparkEntry {
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0)
         |  AS BIGINT) AS bin
         |FROM t""".stripMargin,
+
+    // The recursive CTE folds the same greedy first-fit step the Scala
+    // operator applies per group: `loads` is the open-bin load list,
+    // idx the first bin with room (list_position = 0 when none — DuckDB
+    // returns 0, not NULL, for not-found). The in-place bin update uses
+    // a zip+transform rebuild: dynamic slice-concat (l[:i-1]||[x]||l[i+1:])
+    // degenerates in DuckDB 1.0's recursion.
+    "pack_bins_firstfit" ->
+      """WITH RECURSIVE t AS MATERIALIZED (SELECT doc_id,
+        |  CAST(CASE WHEN length(trim(text))=0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS ws_tokens
+        |  FROM documents),
+        |g AS MATERIALIZED (SELECT doc_id, ws_tokens, doc_id // 512 AS grp,
+        |  row_number() OVER (PARTITION BY (doc_id // 512) ORDER BY doc_id) AS rn FROM t),
+        |ff AS (
+        |  SELECT grp, rn, doc_id, ws_tokens, CAST(0 AS BIGINT) AS bin,
+        |    CAST(0 AS BIGINT) AS bin_offset, [ws_tokens] AS loads
+        |  FROM g WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.grp, s.rn, s.doc_id, s.ws_tokens,
+        |    CAST(CASE WHEN s.idx = 0 THEN len(s.loads) ELSE s.idx - 1 END AS BIGINT),
+        |    CAST(CASE WHEN s.idx = 0 THEN 0 ELSE s.loads[s.idx] END AS BIGINT),
+        |    CASE WHEN s.idx = 0 THEN list_append(s.loads, s.ws_tokens)
+        |      ELSE list_transform(list_zip(s.loads, range(1, len(s.loads)+1)), p ->
+        |        CASE WHEN p[2] = s.idx THEN p[1] + s.ws_tokens ELSE p[1] END) END
+        |  FROM (SELECT g.grp, g.rn, g.doc_id, g.ws_tokens, ff.loads,
+        |      list_position(list_transform(ff.loads, l -> l + g.ws_tokens <= 2048), true) AS idx
+        |    FROM ff JOIN g ON g.grp = ff.grp AND g.rn = ff.rn + 1) s
+        |)
+        |SELECT doc_id, ws_tokens, grp*512 + bin AS bin, bin_offset FROM ff""".stripMargin,
 
     "curate_documents" ->
       """WITH q AS (SELECT doc_id, text,

@@ -85,4 +85,49 @@ object SequencePack {
       .withColumn("bin", floor(col("offset") / binSize).cast("long"))
       .drop("_bucket", "_bucket_offset")
   }
+
+  /** Greedy FIRST-FIT bin packing: the doc→bin assignment an LLM
+    * dataloader consumes when bins must not overflow `binCapacity`
+    * tokens (unlike [[packOffsets]]' concat-then-chunk, where a doc can
+    * straddle a block boundary). Returns
+    * (doc_id, ws_tokens, bin, bin_offset): `bin` is the assigned bin id,
+    * `bin_offset` the token position within it.
+    *
+    * Exact global first-fit is inherently sequential (each placement
+    * depends on every open bin's load), so the distributed formulation
+    * is GROUP-LOCAL first-fit, the standard packing compromise at scale:
+    * docs are partitioned into deterministic bounded groups
+    * (`group = id div groupSize`, at most `groupSize` docs each), exact
+    * first-fit runs inside each group in id order, and bin ids are
+    * namespaced per group (`group*groupSize + local bin` — collision-free
+    * since a group opens at most `groupSize` bins). Groups pack in
+    * parallel with ZERO cross-group coordination; each task holds at
+    * most `groupSize` (id, tokens) pairs. Packing quality matches global
+    * first-fit up to one partially-filled bin per group.
+    *
+    * A doc larger than `binCapacity` opens (and overflows) its own bin —
+    * first-fit never splits a document; chunk oversized docs upstream.
+    * Ids must be non-negative (integer div defines the grouping).
+    */
+  def binPackFirstFit(docs: DataFrame, idCol: String = "doc_id",
+      tokensCol: String = "ws_tokens", binCapacity: Long = 2048,
+      groupSize: Int = 512): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(tokensCol).cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(_._1 / groupSize)
+      .flatMapGroups { (group, it) =>
+        val rows = it.toArray.sortBy(_._1)
+        val loads = scala.collection.mutable.ArrayBuffer.empty[Long]
+        rows.iterator.map { case (id, sz) =>
+          val i = loads.indexWhere(_ + sz <= binCapacity)
+          val (bin, off) =
+            if (i < 0) { loads += sz; (loads.length - 1, 0L) }
+            else { val o = loads(i); loads(i) += sz; (i, o) }
+          (id, sz, group * groupSize + bin, off)
+        }
+      }
+      .toDF(idCol, tokensCol, "bin", "bin_offset")
+  }
 }

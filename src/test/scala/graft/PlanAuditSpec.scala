@@ -49,6 +49,35 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       s"partitionless Window plans in: ${offenders.mkString(", ")}")
   }
 
+  test("source filters reach the parquet scan (PushedFilters non-empty)") {
+    // the queries whose filters are expressible as parquet data filters;
+    // a regression that buries the predicate behind a non-pushable
+    // projection re-reads the full table at 100 TB
+    val mustPush = Seq("trip_type_filter", "validated_events",
+      "customers_with_urgent_orders")
+    val sf = "/root/testdata/sf0.001"
+    val pushedRe = """PushedFilters: \[[^\]]""".r
+    val offenders = mustPush.filterNot { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      pushedRe.findFirstIn(plan).isDefined
+    }
+    assert(offenders.isEmpty,
+      s"no non-empty PushedFilters in the scans of: ${offenders.mkString(", ")}")
+  }
+
+  test("revenue_by_nation broadcasts its dimension joins") {
+    // nation and region are O(10^2) rows at any SF — shuffling the fact
+    // table against them would be the classic 100 TB join mistake; the
+    // broadcast() hints must survive planning
+    val plan = SparkEntry.queries("revenue_by_nation")(
+        spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 2,
+      s"expected >=2 BroadcastHashJoin (nation, region), found $broadcasts in:\n$plan")
+  }
+
   test("every query result is non-empty at sf0.001 (driver smoke analogue)") {
     val sf = "/root/testdata/sf0.001"
     val empty = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
