@@ -347,6 +347,12 @@ object SparkEntry {
         .select(explode(split(trim(col("text")), "\\s+")).as("word"))
         .groupBy("word").agg(count(lit(1)).as("n"))),
 
+    // T11: normalization — lowercase + whitespace collapse, the standard
+    // front of a dedup chain (case/spacing variants dedup together).
+    "doc_normalize" -> ((s, dir) =>
+      TextAnalysis.withNormalized(Tables.documents(s, dir))
+        .select(col("doc_id"), col("norm_text"), col("n_chars_norm"))),
+
     // T8: the curation pipeline — the training-data flagship. Compose
     // quality scoring, language-ID, token bounds, and exact dedup
     // (keep-first) into the standard pretraining filter chain; one
@@ -443,6 +449,18 @@ object SparkEntry {
             maxDocFreq = Some(ShingleDfCap))
           .select("id_a", "id_b"))
         .select(col("id").as("doc_id"), col("cluster_id"))),
+
+    // DD2d: winnow-fingerprint near-dup pairs — docs sharing >= 5 local
+    // winnowing fingerprints (native codegen'd expression, no shingle
+    // explode). Catches copied PASSAGES that whole-doc Jaccard dilutes.
+    // The fingerprint df-cap is much tighter than the shingle one (10 vs
+    // 100): winnow minima concentrate on low-hash common grams, so
+    // common-phrase fingerprints are both the skew risk AND noise —
+    // measured at sf0.01, cap 10 + minShared 5 keeps 24/25 injected
+    // near-dup pairs while cutting the pair list 1800x.
+    "dedup_winnow_pairs" -> ((s, dir) =>
+      Dedup.winnowPairs(docNearDupCorpus(s, dir), minShared = 5,
+        maxDocFreq = Some(10L))),
 
     // DD3: MinHash+LSH candidate pairs (16 hashes, 4 bands x 4 rows).
     "dedup_minhash_lsh" -> ((s, dir) =>
@@ -989,6 +1007,27 @@ object SparkEntry {
          |  UNION
          |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
          |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+
+    "dedup_winnow_pairs" ->
+      s"""WITH $corpusNearSql,
+         |g AS (SELECT doc_id, i - 1 AS pos,
+         |  ${hash60Sql("substr(text, i::INT, 8)")} AS h
+         |  FROM corpus, unnest(range(1, greatest(length(text)-7,1)+1)) AS u(i)),
+         |wm AS (SELECT doc_id, pos, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin FROM g),
+         |fp0 AS (SELECT DISTINCT doc_id AS id, wmin AS f FROM wm WHERE pos >= 3),
+         |hot AS (SELECT f FROM fp0 GROUP BY f HAVING count(*) > 10),
+         |fp AS (SELECT id, f FROM fp0 WHERE f NOT IN (SELECT f FROM hot))
+         |SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+         |FROM fp a JOIN fp b ON a.f = b.f AND a.id < b.id
+         |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin,
+
+    "doc_normalize" ->
+      """SELECT doc_id,
+        |regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm_text,
+        |CAST(length(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS BIGINT)
+        |  AS n_chars_norm
+        |FROM documents""".stripMargin,
 
     "dedup_minhash_lsh" ->
       s"""WITH $corpusNearSql,

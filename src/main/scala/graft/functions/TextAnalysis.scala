@@ -117,6 +117,16 @@ object TextAnalysis {
       explode(GramFunctions.winnowFingerprints(col(textCol), k, w, coverShort))
         .as("fingerprint"))
 
+  /** Text normalization, the standard front of a dedup/curation chain:
+    * lowercase, trim, collapse whitespace runs to single spaces. Applied
+    * BEFORE hashing/shingling so case/spacing variants of the same text
+    * dedup together. Map-only at any scale.
+    */
+  def withNormalized(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("norm_text",
+        regexp_replace(trim(lower(col(textCol))), "\\s+", " "))
+      .withColumn("n_chars_norm", length(col("norm_text")).cast("long"))
+
   /** The relational formulation of [[winnowFingerprints]] — kept as the
     * independent spec twin for the native expression (char posexplode,
     * lead-window gram stitch, min over a ROWS window of w, distinct).

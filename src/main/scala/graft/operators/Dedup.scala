@@ -178,6 +178,38 @@ object Dedup {
       .filter(col("containment_a") >= threshold || col("containment_b") >= threshold)
       .select("id_a", "id_b", "containment_a", "containment_b")
 
+  /** Winnow-fingerprint near-dup pairs: docs sharing at least `minShared`
+    * winnowing fingerprints ([[graft.functions.GramExpressions]] — one
+    * codegen'd map pass per doc, no shingle explode). Winnowing
+    * guarantees any shared substring of length >= k+w-1 chars yields a
+    * shared fingerprint, so this catches COPIED PASSAGES (plagiarism-
+    * style reuse) that token-level Jaccard dilutes away in long docs.
+    * The pair join is the same inverted-index equi-join as
+    * [[jaccardPairs]], over the (much smaller, ~1/w) fingerprint set —
+    * `maxDocFreq` is the same hot-key guard. Returns
+    * (id_a, id_b, n_shared), id_a < id_b.
+    */
+  def winnowPairs(docs: DataFrame, k: Int = 8, w: Int = 4,
+      minShared: Long = 2, idCol: String = "doc_id",
+      textCol: String = "text", maxDocFreq: Option[Long] = None): DataFrame = {
+    val all = graft.functions.TextAnalysis
+      .winnowFingerprints(docs, idCol, textCol, k, w)
+      .localCheckpoint(false)
+    val fps = maxDocFreq match {
+      case None => all
+      case Some(cap) =>
+        val hot = all.groupBy("fingerprint").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("fingerprint")
+        all.join(broadcast(hot), Seq("fingerprint"), "left_anti")
+    }
+    fps.as("a")
+      .join(fps.as("b"), col("a.fingerprint") === col("b.fingerprint") &&
+        col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** MinHash signatures: (id, sig array<long> of length numHashes).
     *
     * Relational formulation — one md5-derived 60-bit hash per shingle,

@@ -73,6 +73,23 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(viaShared === direct)
   }
 
+  test("winnowPairs finds copied passages that whole-doc jaccard dilutes") {
+    val shared = "qwertyuiopasdfghjklzxcvbnm1234567890QWERTYUIOPZXCVBNM"
+    val docs = Seq(
+      (1L, "intro alpha beta " + shared + " outro gamma delta"),
+      (2L, "different opening words here " + shared + " and unrelated closing"),
+      (3L, "no overlap with anything else at all in this document body")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(docs, minShared = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)),
+      "the shared 53-char passage must pair 1-2 and nothing else")
+    // the hot-key cap drops fingerprints common to too many docs
+    val capped = Dedup.winnowPairs(docs, minShared = 2, maxDocFreq = Some(1L))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped.isEmpty, "df-cap=1 removes every shared fingerprint")
+  }
+
   test("minHashLshPairs surfaces the same dup structure as exact jaccard") {
     val got = Dedup.minHashLshPairs(base, minAgreement = 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
