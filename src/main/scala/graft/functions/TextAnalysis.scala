@@ -34,10 +34,38 @@ object TextAnalysis {
     when(length(trim(text)) === 0, lit(0))
       .otherwise(size(split(trim(text), "\\s+")))
 
+  /** The fused per-doc counters (ONE native pass — see
+    * [[TextStatsKernel]]); the regexp formulation below is the spec twin.
+    */
+  private def stats(text: Column): Column = TextStatsFunctions.textStats(text)
+
+  /** The regexp-built twin of [[TextStatsKernel]] — 10 scans per row,
+    * kept as the independent parity oracle for the native expression
+    * (TextAnalysisSpec compares all nine counters on edge cases and real
+    * corpus text).
+    */
+  private[graft] def textStatsRelational(df: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val low = lower(text)
+    df.select(col("*"),
+      wsTokens(text).as("ws_tokens"),
+      regexp_count(text, lit(BpeTokenPattern)).as("bpe_tokens"),
+      regexp_count(text, lit("[\\p{Punct}]")).as("punct"),
+      regexp_count(low, lit(StopwordPattern)).as("stop_hits"),
+      regexp_count(low, lit("\\b(the|and|of|to|in|is)\\b")).as("en_hits"),
+      regexp_count(low, lit("\\b(der|die|das|und|ist|nicht)\\b")).as("de_hits"),
+      regexp_count(low, lit("\\b(le|la|les|et|est|une)\\b")).as("fr_hits"),
+      regexp_count(low, lit("\\b(el|los|las|es|una|que)\\b")).as("es_hits"),
+      regexp_count(text, lit("\\p{IsHan}")).as("zh_hits"))
+  }
+
   /** Token counting: whitespace tokens + BPE-ish regex tokens. */
   def withTokenCounts(df: DataFrame, textCol: String = "text"): DataFrame =
-    df.withColumn("ws_tokens", wsTokens(col(textCol)))
-      .withColumn("bpe_tokens", regexp_count(col(textCol), lit(BpeTokenPattern)))
+    df.withColumn("_ts", stats(col(textCol)))
+      .withColumn("ws_tokens", col("_ts.ws_tokens"))
+      .withColumn("bpe_tokens", col("_ts.bpe_tokens"))
+      .drop("_ts")
 
   /** Quality scoring: length score, punctuation ratio, stopword ratio and
     * a fixed-weight composite in [0,1]. Heuristics follow the usual
@@ -47,17 +75,19 @@ object TextAnalysis {
   def withQualityScore(df: DataFrame, textCol: String = "text"): DataFrame = {
     val text = col(textCol)
     val lenScore = least(length(text) / lit(500.0), lit(1.0))
-    val punctRatio = regexp_count(text, lit("[\\p{Punct}]")) /
+    val punctRatio = col("_ts.punct") /
       greatest(length(text), lit(1)).cast("double")
-    val stopRatio = regexp_count(lower(text), lit(StopwordPattern)) /
-      greatest(wsTokens(text), lit(1)).cast("double")
-    df.withColumn("len_score", lenScore)
+    val stopRatio = col("_ts.stop_hits") /
+      greatest(col("_ts.ws_tokens"), lit(1)).cast("double")
+    df.withColumn("_ts", stats(text))
+      .withColumn("len_score", lenScore)
       .withColumn("punct_ratio", punctRatio)
       .withColumn("stopword_ratio", stopRatio)
       .withColumn("quality_score",
         lit(0.4) * lenScore +
           lit(0.3) * least(stopRatio * 5.0, lit(1.0)) +
           lit(0.3) * (lit(1.0) - least(punctRatio * 10.0, lit(1.0))))
+      .drop("_ts")
   }
 
   /** Language-ID by function-word / script n-gram hits. Priority on ties:
@@ -65,18 +95,19 @@ object TextAnalysis {
     * rows score 'en' — the discriminator is real, the corpus isn't.
     */
   def withLangId(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val low = lower(col(textCol))
-    val en = regexp_count(low, lit("\\b(the|and|of|to|in|is)\\b"))
-    val de = regexp_count(low, lit("\\b(der|die|das|und|ist|nicht)\\b"))
-    val fr = regexp_count(low, lit("\\b(le|la|les|et|est|une)\\b"))
-    val es = regexp_count(low, lit("\\b(el|los|las|es|una|que)\\b"))
-    val zh = regexp_count(col(textCol), lit("\\p{IsHan}"))
-    df.withColumn("lang_pred",
-      when(zh > 0, "zh")
-        .when(en >= de && en >= fr && en >= es, "en")
-        .when(de >= fr && de >= es, "de")
-        .when(fr >= es, "fr")
-        .otherwise("es"))
+    val en = col("_ts.en_hits")
+    val de = col("_ts.de_hits")
+    val fr = col("_ts.fr_hits")
+    val es = col("_ts.es_hits")
+    val zh = col("_ts.zh_hits")
+    df.withColumn("_ts", stats(col(textCol)))
+      .withColumn("lang_pred",
+        when(zh > 0, "zh")
+          .when(en >= de && en >= fr && en >= es, "en")
+          .when(de >= fr && de >= es, "de")
+          .when(fr >= es, "fr")
+          .otherwise("es"))
+      .drop("_ts")
   }
 
   /** Rolling-hash document fingerprint: min over the 60-bit hashes of all

@@ -133,6 +133,46 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
   }
 
+  test("native text_stats equals the 10-regex relational formulation") {
+    // edge cases the fused kernel's hand-rolled classes must survive:
+    // space-only trim vs \s+ split quirks, underscores as \w, apostrophe
+    // boundaries, digit-adjacent words, non-ASCII letters, surrogate
+    // pairs, Han codepoints, ASCII punct ranges
+    val edges = Seq(
+      "", " ", "\t", " \t ", "  a  ", "\tab c", "a b\t", "the the the",
+      "_the_ the the2 1the", "l'est d'une chose", "the1 42 a an of",
+      "café 𝄞 中文 the and", "a-b.c,d;e:f!g?h", "(the) [and] {of}",
+      "der und die das ist nicht", "le la les et est une",
+      "el los las es una que", "~`!@#$%^&*()_+-=[]{}|;':\",./<>?",
+      "ABC DEF the THE The", "xy\fz", "中the文and国"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    // plus randomized ASCII soup (fixed seeds — each sample is cheap here)
+    val gen = org.scalacheck.Gen.listOfN(80, org.scalacheck.Gen.frequency(
+      6 -> org.scalacheck.Gen.alphaNumChar,
+      2 -> org.scalacheck.Gen.oneOf(' ', '\t', '\n', '.', ',', '!', '_', '\''),
+      1 -> org.scalacheck.Gen.oneOf("the", "and", "est", "que", "ist")))
+      .map(_.map {
+        case s: String => s" $s "
+        case c => c.toString
+      }.mkString)
+    val fuzz = (0 until 60).flatMap(i => gen.apply(
+        org.scalacheck.Gen.Parameters.default, org.scalacheck.rng.Seed(7L + i)))
+      .zipWithIndex.map { case (t, i) => (1000L + i, t) }
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").limit(200)
+
+    val cols = Seq("ws_tokens", "bpe_tokens", "punct", "stop_hits",
+      "en_hits", "de_hits", "fr_hits", "es_hits", "zh_hits")
+    Seq((edges ++ fuzz).toDF("doc_id", "text"), corpus).foreach { df =>
+      val native = df.select(col("doc_id"),
+        graft.functions.TextStatsFunctions.textStats(col("text")).as("_ts"))
+        .select(col("doc_id") +: cols.map(c => col(s"_ts.$c").as(c)): _*)
+      val twin = TextAnalysis.textStatsRelational(df).select("doc_id", cols: _*)
+      val diff = native.exceptAll(twin).unionByName(twin.exceptAll(native))
+      assert(diff.isEmpty, s"counter mismatch rows:\n${diff.limit(5).collect().mkString("\n")}")
+    }
+  }
+
   test("hash60 is stable and within 60 bits") {
     val df = Seq("abc").toDF("s")
       .select(TextHash.hash60(col("s")).as("h"))
