@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.DotProductFloat
+import graft.functions.{DotProductFloat, MinGramHash, TextStats, WinnowFingerprints}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions, so `spark.sql("SELECT
@@ -17,6 +17,13 @@ import graft.functions.DotProductFloat
   *   --conf spark.sql.extensions=graft.GraftExtensions   // cluster-wide
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(fn: String, name: String, e: Expression): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $name must be an integer literal, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("dot_product_float"),
@@ -25,6 +32,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           s"dot_product_float expects 2 arguments, got ${children.length}")
         DotProductFloat(children.head, children(1))
+      }))
+
+    // winnow_fingerprints(text, k, w) — distinct winnowing fingerprint
+    // array of a text column (see functions.GramExpressions)
+    ext.injectFunction((
+      new FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"winnow_fingerprints expects (text, k, w), got ${children.length} args")
+        WinnowFingerprints(children.head,
+          intArg("winnow_fingerprints", "k", children(1)),
+          intArg("winnow_fingerprints", "w", children(2)))
+      }))
+
+    // min_gram_hash(text, k) — whole-document rolling min-gram fingerprint
+    ext.injectFunction((
+      new FunctionIdentifier("min_gram_hash"),
+      new ExpressionInfo(classOf[MinGramHash].getName, "min_gram_hash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"min_gram_hash expects (text, k), got ${children.length} args")
+        MinGramHash(children.head, intArg("min_gram_hash", "k", children(1)))
+      }))
+
+    // text_stats(text) — the fused per-doc counter struct
+    ext.injectFunction((
+      new FunctionIdentifier("text_stats"),
+      new ExpressionInfo(classOf[TextStats].getName, "text_stats"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"text_stats expects 1 argument, got ${children.length}")
+        TextStats(children.head)
       }))
   }
 }

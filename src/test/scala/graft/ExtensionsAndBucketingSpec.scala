@@ -28,6 +28,17 @@ class ExtensionsAndBucketingSpec extends AnyFunSuite with SparkTestBase {
         "SELECT dot_product_float(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d")
         .head().getDouble(0)
       assert(r === 11.0)
+      // the text-side natives are registered too
+      val wf = s.sql(
+        "SELECT size(winnow_fingerprints('the quick brown fox jumps', 8, 4)) AS n")
+        .head().getInt(0)
+      assert(wf > 0)
+      val mg = s.sql("SELECT min_gram_hash('abcdefghij', 8) AS h").head().getLong(0)
+      assert(mg > 0)
+      val ts = s.sql(
+        "SELECT text_stats('the quick brown fox and the dog').ws_tokens AS w")
+        .head().getInt(0)
+      assert(ts === 7)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
