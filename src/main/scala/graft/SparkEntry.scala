@@ -347,6 +347,16 @@ object SparkEntry {
         .select(explode(split(trim(col("text")), "\\s+")).as("word"))
         .groupBy("word").agg(count(lit(1)).as("n"))),
 
+    // T12: Gopher-style repetition signals — dup-token and top-bigram
+    // fractions, the quality complement to dedup (template/generated
+    // text repeats itself long before it duplicates documents).
+    "doc_repetition" -> ((s, dir) =>
+      TextAnalysis.withRepetitionStats(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          trunc4(col("dup_token_frac")).as("dup_token_frac"),
+          trunc4(col("top_bigram_frac")).as("top_bigram_frac"),
+          col("n_tokens").cast("long").as("n_tokens"))),
+
     // T11: normalization — lowercase + whitespace collapse, the standard
     // front of a dedup chain (case/spacing variants dedup together).
     "doc_normalize" -> ((s, dir) =>
@@ -1021,6 +1031,23 @@ object SparkEntry {
          |SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
          |FROM fp a JOIN fp b ON a.f = b.f AND a.id < b.id
          |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin,
+
+    "doc_repetition" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+        |  FROM documents),
+        |m AS (SELECT doc_id, len(toks) AS nt, len(list_distinct(toks)) AS dt,
+        |  greatest(len(toks)-1, 0) AS nb FROM t),
+        |bg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
+        |  FROM t, unnest(range(1, len(toks))) u(i)),
+        |top AS (SELECT doc_id, max(c) AS topc FROM (
+        |  SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY doc_id)
+        |SELECT m.doc_id,
+        |floor((CASE WHEN nt = 0 THEN 0 ELSE 1 - dt/nt::DOUBLE END)*10000)/10000
+        |  AS dup_token_frac,
+        |floor((CASE WHEN nb = 0 THEN 0 ELSE coalesce(topc, 0)/nb::DOUBLE END)*10000)/10000
+        |  AS top_bigram_frac,
+        |CAST(nt AS BIGINT) AS n_tokens
+        |FROM m LEFT JOIN top USING (doc_id)""".stripMargin,
 
     "doc_normalize" ->
       """SELECT doc_id,

@@ -148,6 +148,50 @@ object TextAnalysis {
       explode(GramFunctions.winnowFingerprints(col(textCol), k, w, coverShort))
         .as("fingerprint"))
 
+  /** Gopher-style repetition signals: `dup_token_frac` (1 − distinct/total
+    * tokens) and `top_bigram_frac` (most frequent word bigram / total
+    * bigrams) — machine-generated and template text repeats itself long
+    * before it duplicates whole documents, so these are the standard
+    * quality complement to exact/near dedup. One native map-only pass
+    * ([[RepetitionKernel]]); tokens are maximal `\S+` runs.
+    */
+  def withRepetitionStats(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("_rs", TextStatsFunctions.repetitionStats(col(textCol)))
+      .withColumn("n_tokens", col("_rs.total_tokens"))
+      .withColumn("dup_token_frac",
+        when(col("_rs.total_tokens") === 0, lit(0.0))
+          .otherwise(lit(1.0) - col("_rs.distinct_tokens") /
+            col("_rs.total_tokens").cast("double")))
+      .withColumn("top_bigram_frac",
+        when(col("_rs.total_bigrams") === 0, lit(0.0))
+          .otherwise(col("_rs.top_bigram") /
+            col("_rs.total_bigrams").cast("double")))
+      .drop("_rs")
+
+  /** The explode/window twin of [[RepetitionKernel]], kept as the spec
+    * parity oracle (shuffles per doc — the native pass doesn't).
+    */
+  private[graft] def repetitionRelational(df: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val toks = df.select(col("*"),
+      regexp_extract_all(col(textCol), lit("\\S+"), lit(0)).as("_toks"))
+    val base = toks.select(col("*"),
+      size(col("_toks")).as("total_tokens"),
+      size(array_distinct(col("_toks"))).as("distinct_tokens"),
+      greatest(size(col("_toks")) - 1, lit(0)).as("total_bigrams"))
+    val grams = toks.select(col("doc_id").as("_id"),
+        posexplode(col("_toks")).as(Seq("_pos", "_tok")))
+      .withColumn("_nxt", lead(col("_tok"), 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("_id").orderBy("_pos")))
+      .filter(col("_nxt").isNotNull)
+      .groupBy(col("_id"), concat_ws(" ", col("_tok"), col("_nxt")).as("_g"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy("_id").agg(max(col("_c")).cast("int").as("_top"))
+    base.join(grams, base("doc_id") === grams("_id"), "left")
+      .withColumn("top_bigram", coalesce(col("_top"), lit(0)))
+      .drop("_id", "_top", "_toks")
+  }
+
   /** Text normalization, the standard front of a dedup/curation chain:
     * lowercase, trim, collapse whitespace runs to single spaces. Applied
     * BEFORE hashing/shingling so case/spacing variants of the same text

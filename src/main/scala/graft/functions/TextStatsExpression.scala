@@ -163,7 +163,81 @@ case class TextStats(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Word-repetition counters for Gopher-style quality filtering: machine-
+  * generated and template text repeats itself long before it repeats
+  * whole documents, so per-doc repetition fractions are the standard
+  * complement to exact/near dedup.
+  *
+  * Tokens are maximal `\S+` runs (regexp_extract_all semantics — no
+  * split() empty-token quirks). One pass, one small per-doc hash map:
+  * (total_tokens, distinct_tokens, total_bigrams, top_bigram_count).
+  */
+object RepetitionKernel {
+
+  val Schema: StructType = StructType(Seq(
+    StructField("total_tokens", IntegerType, nullable = false),
+    StructField("distinct_tokens", IntegerType, nullable = false),
+    StructField("total_bigrams", IntegerType, nullable = false),
+    StructField("top_bigram", IntegerType, nullable = false)))
+
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  def compute(text: UTF8String): InternalRow = {
+    val s = text.toString
+    val len = s.length
+    val toks = new java.util.ArrayList[String]()
+    var i = 0
+    while (i < len) {
+      if (!isWs(s.charAt(i))) {
+        val start = i
+        while (i < len && !isWs(s.charAt(i))) i += 1
+        toks.add(s.substring(start, i))
+      } else i += 1
+    }
+    val n = toks.size
+    val distinct = new java.util.HashSet[String](toks)
+    var top = 0
+    if (n > 1) {
+      val counts = new java.util.HashMap[String, Int]()
+      var j = 0
+      while (j < n - 1) {
+        val g = toks.get(j) + " " + toks.get(j + 1)
+        val c = counts.merge(g, 1, Integer.sum)
+        if (c > top) top = c
+        j += 1
+      }
+    }
+    new GenericInternalRow(Array[Any](n, distinct.size, math.max(n - 1, 0), top))
+  }
+}
+
+/** struct(total_tokens, distinct_tokens, total_bigrams, top_bigram) of a
+  * text column — one codegen'd call per row into
+  * [[RepetitionKernel.compute]].
+  */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${t.sql}")
+  }
+  override def dataType: DataType = RepetitionKernel.Schema
+  override def prettyName: String = "repetition_stats"
+
+  override def nullSafeEval(t: Any): Any =
+    RepetitionKernel.compute(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RepetitionKernel.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextStatsFunctions {
   def textStats(text: Column): Column =
     Bridge.column(TextStats(Bridge.expression(text)))
+  def repetitionStats(text: Column): Column =
+    Bridge.column(RepetitionStats(Bridge.expression(text)))
 }

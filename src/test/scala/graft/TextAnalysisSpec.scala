@@ -173,6 +173,39 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("repetition stats: hand-checked fractions and native/relational parity") {
+    val df = Seq(
+      (1L, "a a a a"),                       // 4 toks, 1 distinct; "a a" x3 of 3
+      (2L, "the cat sat on the mat"),        // 6 toks, 5 distinct; all bigrams unique
+      (3L, "buy now buy now buy now"),       // 6 toks, 2 distinct; "buy now" 3 of 5
+      (4L, ""), (5L, "one"),
+      (6L, "  spaced   out\ttokens  ")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.withRepetitionStats(df)
+      .select("doc_id", "n_tokens", "dup_token_frac", "top_bigram_frac")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((4, 0.75, 1.0)))
+    assert(out(2L)._2 === 1.0 - 5.0 / 6.0)
+    assert(out(2L)._3 === 0.2) // "the cat/cat sat/sat on/on the/the mat" all 1 of 5
+    assert(out(3L) === ((6, 1.0 - 2.0 / 6.0, 0.6)))
+    assert(out(4L) === ((0, 0.0, 0.0)))
+    assert(out(5L) === ((1, 0.0, 0.0)))
+    assert(out(6L)._1 === 3)
+
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").limit(200)
+    val cols = Seq("total_tokens", "distinct_tokens", "total_bigrams", "top_bigram")
+    Seq(df, corpus).foreach { d =>
+      val native = d.select(col("doc_id"),
+          graft.functions.TextStatsFunctions.repetitionStats(col("text")).as("_rs"))
+        .select(col("doc_id") +: cols.map(c => col(s"_rs.$c").as(c)): _*)
+      val twin = TextAnalysis.repetitionRelational(d).select("doc_id", cols: _*)
+      val diff = native.exceptAll(twin).unionByName(twin.exceptAll(native))
+      assert(diff.isEmpty, s"repetition mismatch:\n${diff.limit(5).collect().mkString("\n")}")
+    }
+  }
+
   test("hash60 is stable and within 60 bits") {
     val df = Seq("abc").toDF("s")
       .select(TextHash.hash60(col("s")).as("h"))
