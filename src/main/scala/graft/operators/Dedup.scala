@@ -239,11 +239,14 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val rows = numHashes / bands
     val sigs = minHashSignatures(docs, n, numHashes, idCol, textCol)
+    // lazy-materialized: both self-join sides scan the banded rows
+    // instead of re-running the whole signature pipeline
     val banded = sigs.select(col("id"), col("sig"),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>
         struct(b.as("band"),
           concat_ws(":", slice(col("sig"), b * rows + 1, lit(rows))).as("key")))).as("bk"))
       .select(col("id"), col("sig"), col("bk.band"), col("bk.key"))
+      .localCheckpoint(false)
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -295,6 +298,7 @@ object Dedup {
         struct(lit(b).as("block"),
           shiftright(col("simhash"), b * 8).bitwiseAND(0xFF).as("byte"))): _*)).as("bb"))
       .select(col("id"), col("simhash"), col("bb.block"), col("bb.byte"))
+      .localCheckpoint(false) // both self-join sides scan this, not the pipeline
     blocked.as("a")
       .join(blocked.as("b"),
         col("a.block") === col("b.block") && col("a.byte") === col("b.byte") &&
@@ -400,6 +404,7 @@ object Dedup {
     val e = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
       sqrt(dot(col(vecCol), col(vecCol))).as("nrm"),
       SimilaritySearch.lshBucket(col(vecCol), bits).as("bucket"))
+      .localCheckpoint(false) // bucket projections compute once, not per side
     e.as("a").join(e.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .withColumn("cosine", SimilaritySearch.cosineFromNorms(
