@@ -25,9 +25,17 @@ object Bench {
       .getOrCreate()
     Tables.configure(spark)
     spark.sparkContext.setLogLevel("WARN")
-    // warm the session (codegen, parquet footer caches, exec pools) so
-    // the alphabetically-first query doesn't absorb one-time init
+    // warm the session so the alphabetically-first query of each codegen
+    // family doesn't absorb its one-time init (join/KPI path via entry;
+    // shingle-window, vector, and gram kernels via tiny sf0.001 runs —
+    // measured: the first shingle query otherwise pays ~3s of codegen
+    // that belongs to no query)
     SparkEntry.entry(spark).count()
+    Seq("dedup_ngram_jaccard", "ann_lsh_topk", "doc_winnow_fingerprints")
+      .foreach { q =>
+        try SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
+        catch { case _: Throwable => () } // warmup only — real run reports below
+      }
     // deterministic name order so per-query timings are comparable
     // across rounds (Map iteration order is not stable across builds)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -380,6 +380,27 @@ object SparkEntry {
           trunc4(col("quality_score")).as("quality_score"), col("lang_pred"))
     }),
 
+    // T8b: strict curation — the T8 chain plus the Gopher-style
+    // repetition gates (dup-token and top-bigram caps). Still one fused
+    // map pass over each doc (TextStats + RepetitionStats) + the dedup
+    // semi-join.
+    "curate_documents_strict" -> ((s, dir) => {
+      val scored = TextAnalysis.withRepetitionStats(
+        TextAnalysis.withLangId(
+          TextAnalysis.withQualityScore(
+            TextAnalysis.withTokenCounts(Tables.documents(s, dir)))))
+      val kept = Dedup.exactDedup(Tables.documents(s, dir))
+        .select(col("kept_id").as("doc_id"))
+      scored.join(kept, Seq("doc_id"), "left_semi")
+        .filter(col("quality_score") >= 0.5 && col("lang_pred") === "en" &&
+          col("ws_tokens").between(20, 1000) &&
+          col("dup_token_frac") <= 0.6 && col("top_bigram_frac") <= 0.2)
+        .select(col("doc_id"), col("ws_tokens").cast("long").as("ws_tokens"),
+          trunc4(col("quality_score")).as("quality_score"), col("lang_pred"),
+          trunc4(col("dup_token_frac")).as("dup_token_frac"),
+          trunc4(col("top_bigram_frac")).as("top_bigram_frac"))
+    }),
+
     // T9: PII redaction — email/phone scrub with deterministic injection
     // (the corpus has no natural PII).
     "doc_pii_redact" -> ((s, dir) => {
@@ -961,6 +982,52 @@ object SparkEntry {
         |FROM sc s JOIN lang l USING (doc_id) JOIN kept k ON s.doc_id = k.doc_id
         |WHERE s.quality_score >= 0.5 AND l.lang_pred = 'en'
         |AND s.ws_tokens BETWEEN 20 AND 1000""".stripMargin,
+
+    "curate_documents_strict" ->
+      """WITH q AS (SELECT doc_id, text,
+        |  least(length(text)/500.0, 1.0) AS len_score,
+        |  len(regexp_extract_all(text, '[[:punct:]]'))
+        |    / CAST(greatest(length(text),1) AS DOUBLE) AS punct_ratio,
+        |  len(regexp_extract_all(lower(text), '\b(the|a|an|and|of|to|in|is|it|that)\b'))
+        |    / CAST(greatest(CASE WHEN length(trim(text))=0 THEN 0
+        |        ELSE len(string_split_regex(trim(text), '\s+')) END, 1) AS DOUBLE) AS stopword_ratio,
+        |  CASE WHEN length(trim(text))=0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens
+        |  FROM documents),
+        |sc AS (SELECT doc_id, ws_tokens, text,
+        |  0.4*len_score + 0.3*least(stopword_ratio*5.0,1.0)
+        |    + 0.3*(1.0-least(punct_ratio*10.0,1.0)) AS quality_score FROM q),
+        |h AS (SELECT doc_id,
+        |  len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is)\b')) AS en,
+        |  len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) AS de,
+        |  len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une)\b')) AS fr,
+        |  len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|que)\b')) AS es,
+        |  len(regexp_extract_all(text, '\p{Han}')) AS zh FROM documents),
+        |lang AS (SELECT doc_id, CASE WHEN zh > 0 THEN 'zh'
+        |  WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+        |  WHEN de >= fr AND de >= es THEN 'de'
+        |  WHEN fr >= es THEN 'fr' ELSE 'es' END AS lang_pred FROM h),
+        |kept AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |rep0 AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+        |repm AS (SELECT doc_id, len(toks) AS nt, len(list_distinct(toks)) AS dt,
+        |  greatest(len(toks)-1, 0) AS nb FROM rep0),
+        |repbg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
+        |  FROM rep0, unnest(range(1, len(toks))) u(i)),
+        |reptop AS (SELECT doc_id, max(c) AS topc FROM (
+        |  SELECT doc_id, g, count(*) AS c FROM repbg GROUP BY 1, 2) GROUP BY doc_id),
+        |rep AS (SELECT m.doc_id,
+        |  CASE WHEN nt = 0 THEN 0 ELSE 1 - dt/nt::DOUBLE END AS dup_frac,
+        |  CASE WHEN nb = 0 THEN 0 ELSE coalesce(topc, 0)/nb::DOUBLE END AS top_frac
+        |  FROM repm m LEFT JOIN reptop USING (doc_id))
+        |SELECT s.doc_id, s.ws_tokens,
+        |floor(s.quality_score*10000)/10000 AS quality_score, l.lang_pred,
+        |floor(r.dup_frac*10000)/10000 AS dup_token_frac,
+        |floor(r.top_frac*10000)/10000 AS top_bigram_frac
+        |FROM sc s JOIN lang l USING (doc_id) JOIN kept k ON s.doc_id = k.doc_id
+        |JOIN rep r ON s.doc_id = r.doc_id
+        |WHERE s.quality_score >= 0.5 AND l.lang_pred = 'en'
+        |AND s.ws_tokens BETWEEN 20 AND 1000
+        |AND r.dup_frac <= 0.6 AND r.top_frac <= 0.2""".stripMargin,
 
     "dedup_exact" ->
       s"""WITH $corpusExactSql
