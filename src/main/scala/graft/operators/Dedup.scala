@@ -321,24 +321,28 @@ object Dedup {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint()
 
-  /** Near-dup CLUSTERS from a pair list: connected components by
-    * min-label propagation to fixpoint. Pair lists alone can't drive
-    * dedup — transitive chains (a~b, b~c) must collapse to one cluster so
+  /** Near-dup CLUSTERS from a pair list: connected components,
+    * cluster_id = min id reachable. Pair lists alone can't drive dedup —
+    * transitive chains (a~b, b~c) must collapse to one cluster so
     * exactly one representative (the min id) is kept per group.
     *
-    * Iterations are a driver-controlled fixpoint over DataFrame ops (the
-    * standard CC formulation, bounded by component diameter — near-dup
-    * components are shallow in practice; for web-scale deep graphs the
-    * large/small-star variant halves rounds to O(log n)). Each iteration
-    * costs exactly TWO jobs: one equi-join + min-aggregate that folds the
-    * convergence test into the same pass (`_changed` is computed next to
-    * the new label, then checkpointed), and a near-free existence scan of
-    * the materialized result — no per-iteration re-join of old vs new
-    * labels. Set `sparkContext.setCheckpointDir` to make the per-round
+    * HYBRID execution, the shape production near-dup pipelines use:
+    * after thresholding, the edge list is orders of magnitude smaller
+    * than the corpus, so when it fits comfortably on the driver
+    * (`driverMaxEdges` rows) the components come from a single
+    * union-find pass — exact, deterministic, and free of per-round job
+    * latency. Past the threshold (web-scale graphs) the DISTRIBUTED
+    * min-label fixpoint below takes over: each iteration costs exactly
+    * two jobs — one equi-join + min-aggregate that folds the convergence
+    * test into the same pass (`_changed` is computed next to the new
+    * label, then checkpointed) and a near-free scan of the materialized
+    * result — bounded by component diameter (near-dup components are
+    * shallow; large/small-star would halve rounds for deep graphs). Set
+    * `sparkContext.setCheckpointDir` to make the per-round
     * materialization fault-tolerant (see [[iterCheckpoint]]).
-    * Returns (id, cluster_id = min id reachable).
     */
-  def nearDupClusters(pairs: DataFrame): DataFrame = {
+  def nearDupClusters(pairs: DataFrame,
+      driverMaxEdges: Long = 1000000L): DataFrame = {
     // materialize the edge list ONCE: it is tiny (the near-dup pair list)
     // but its lineage is the whole shingle/join pipeline, which every
     // fixpoint iteration would otherwise recompute (measured 15s -> 3s
@@ -346,6 +350,7 @@ object Dedup {
     val edges = iterCheckpoint(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    if (edges.count() <= driverMaxEdges) return unionFindClusters(edges)
     var labels = iterCheckpoint(
       edges.select(col("src").as("id")).distinct()
         .withColumn("cluster_id", col("id")))
@@ -369,6 +374,34 @@ object Dedup {
       labels = next.drop("_changed")
     }
     labels
+  }
+
+  /** Driver-side union-find over a collected (already materialized,
+    * bounded) edge list; result matches the distributed fixpoint
+    * row-for-row (id, cluster_id = min id of the component).
+    */
+  private def unionFindClusters(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // union-by-min keeps every root the minimum of its component
+    val rows = parent.keysIterator.map(id => (id, find(id))).toSeq.sorted
+    spark.createDataFrame(rows).toDF("id", "cluster_id")
   }
 
   /** Embedding-cosine near-dup pairs, brute force (the correctness

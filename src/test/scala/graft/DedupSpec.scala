@@ -118,13 +118,19 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(out.head.getAs[Double]("cosine") - 1.0) < 1e-9)
   }
 
-  test("nearDupClusters collapses transitive chains to one component") {
+  test("nearDupClusters collapses transitive chains to one component (both paths)") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (7L, 9L))
       .toDF("id_a", "id_b")
-    val out = Dedup.nearDupClusters(pairs).collect()
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L)
+    // driver union-find fast path (default) and distributed fixpoint
+    // (forced via driverMaxEdges = 0) must agree exactly
+    val fast = Dedup.nearDupClusters(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
-      7L -> 7L, 8L -> 7L, 9L -> 7L))
+    val dist = Dedup.nearDupClusters(pairs, driverMaxEdges = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast === expected)
+    assert(dist === expected)
   }
 
   test("nearDupClusters job/stage budget per iteration (folded convergence test)") {
@@ -158,8 +164,11 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.sparkContext.setJobGroup("cc-jobs", "nearDupClusters job budget")
     val (jobs0, stages0) = groupStats()
+    // driverMaxEdges = 0 forces the DISTRIBUTED fixpoint whose job shape
+    // this test budgets (the default would take the union-find fast path)
     val out = try Dedup.nearDupClusters(
-      Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b"))
+      Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b"),
+      driverMaxEdges = 0L)
     finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
     val (jobs1, stages1) = groupStats()
     spark.sparkContext.clearJobGroup()
