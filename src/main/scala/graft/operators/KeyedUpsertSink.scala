@@ -61,6 +61,16 @@ object KeyedUpsertSink {
       orderCol: String, batchId: Long,
       versionWins: Boolean = false): Unit = {
     val spark = batch.sparkSession
+    val fs = new Path(storeDir).getFileSystem(spark.sessionState.newHadoopConf())
+    val ptr = new Path(storeDir, Pointer)
+    def pointer(): Option[String] =
+      if (!fs.exists(ptr)) None
+      else {
+        val in = fs.open(ptr)
+        try Some(scala.io.Source.fromInputStream(in).mkString.trim)
+        finally in.close()
+      }
+
     val stamped = batch.withColumn("_src", lit(1))
     val all = readStore(spark, storeDir) match {
       case Some(cur) => cur.withColumn("_src", lit(0)).unionByName(stamped)
@@ -72,20 +82,20 @@ object KeyedUpsertSink {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     val merged = all.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn", "_src")
-    val gen = s"gen-$batchId"
+    // never write the generation the pointer currently names: if a crash
+    // hit AFTER a pointer flip but before the caller committed its own
+    // checkpoint, the re-run batch id equals the current generation, and
+    // Overwrite would delete the very files the merge is reading from.
+    // Alternating a suffix keeps the write target always distinct.
+    val prev = pointer()
+    val base = s"gen-$batchId"
+    val gen = if (prev.contains(base)) base + "r" else base
     // deterministic layout (key-sorted) so a re-delivered batch
     // reproduces the store content exactly
     merged.orderBy(keys.map(col): _*)
       .write.mode(SaveMode.Overwrite)
       .parquet(new Path(storeDir, gen).toString)
 
-    val ptr = new Path(storeDir, Pointer)
-    val fs = ptr.getFileSystem(spark.sessionState.newHadoopConf())
-    val prev = if (fs.exists(ptr)) {
-      val in = fs.open(ptr)
-      try Some(scala.io.Source.fromInputStream(in).mkString.trim)
-      finally in.close()
-    } else None
     val out = fs.create(ptr, true)
     try out.write(gen.getBytes("UTF-8")) finally out.close()
     // prune the superseded generation (never the one just pointed at)

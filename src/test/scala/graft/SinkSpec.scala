@@ -107,6 +107,13 @@ class SinkSpec extends AnyFunSuite with SparkTestBase {
     KeyedUpsertSink.upsertBatch(b1, dir, keys, "ts", batchId = 3L,
       versionWins = true)
     assert(snap() === s2, "stale replay regressed a newer row under versionWins")
+
+    // crash-after-pointer-flip shape: the SAME batch id re-runs while the
+    // pointer already names its generation; the merge must not overwrite
+    // the files it is reading (alternating generation suffix)
+    KeyedUpsertSink.upsertBatch(b1, dir, keys, "ts", batchId = 3L,
+      versionWins = true)
+    assert(snap() === s2, "same-batch-id re-run corrupted the store")
   }
 
   test("S4 keyed upsert drives a streaming foreachBatch store") {
