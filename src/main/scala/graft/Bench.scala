@@ -31,10 +31,17 @@ object Bench {
     // measured: the first shingle query otherwise pays ~3s of codegen
     // that belongs to no query)
     SparkEntry.entry(spark).count()
+    // smallest available SF for the family warmups; fall back to the
+    // bench dir itself rather than silently skipping (a skipped warmup
+    // re-attaches ~3s of codegen to the first query of each family)
+    val warmDir = Seq("/root/testdata/sf0.001", sfDir)
+      .find(d => new java.io.File(d).isDirectory).getOrElse(sfDir)
     Seq("dedup_ngram_jaccard", "ann_lsh_topk", "doc_winnow_fingerprints")
       .foreach { q =>
-        try SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
-        catch { case _: Throwable => () } // warmup only — real run reports below
+        try SparkEntry.queries(q)(spark, warmDir).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warmup $q failed: ${e.getMessage}")
+        }
       }
     // deterministic name order so per-query timings are comparable
     // across rounds (Map iteration order is not stable across builds)

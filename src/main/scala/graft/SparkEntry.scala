@@ -368,9 +368,7 @@ object SparkEntry {
     // (keep-first) into the standard pretraining filter chain; one
     // map-only pass plus one dedup aggregate at any scale.
     "curate_documents" -> ((s, dir) => {
-      val scored = TextAnalysis.withLangId(
-        TextAnalysis.withQualityScore(
-          TextAnalysis.withTokenCounts(Tables.documents(s, dir))))
+      val scored = TextAnalysis.withTextFeatures(Tables.documents(s, dir))
       val kept = Dedup.exactDedup(Tables.documents(s, dir))
         .select(col("kept_id").as("doc_id"))
       scored.join(kept, Seq("doc_id"), "left_semi")
@@ -386,9 +384,7 @@ object SparkEntry {
     // semi-join.
     "curate_documents_strict" -> ((s, dir) => {
       val scored = TextAnalysis.withRepetitionStats(
-        TextAnalysis.withLangId(
-          TextAnalysis.withQualityScore(
-            TextAnalysis.withTokenCounts(Tables.documents(s, dir)))))
+        TextAnalysis.withTextFeatures(Tables.documents(s, dir)))
       val kept = Dedup.exactDedup(Tables.documents(s, dir))
         .select(col("kept_id").as("doc_id"))
       scored.join(kept, Seq("doc_id"), "left_semi")

@@ -148,6 +148,43 @@ object TextAnalysis {
       explode(GramFunctions.winnowFingerprints(col(textCol), k, w, coverShort))
         .as("fingerprint"))
 
+  /** Every TextStats-derived feature from ONE kernel call: token counts,
+    * the quality columns, and `lang_pred` in a single `_ts` projection.
+    * The individual helpers each instantiate their own `text_stats`
+    * (CollapseProject won't merge projects that would duplicate a
+    * non-cheap expression, so chaining them runs the kernel once PER
+    * HELPER); composition pipelines — curation — should use this.
+    * Column formulas are identical to [[withTokenCounts]] /
+    * [[withQualityScore]] / [[withLangId]].
+    */
+  def withTextFeatures(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val lenScore = least(length(text) / lit(500.0), lit(1.0))
+    val punctRatio = col("_ts.punct") /
+      greatest(length(text), lit(1)).cast("double")
+    val stopRatio = col("_ts.stop_hits") /
+      greatest(col("_ts.ws_tokens"), lit(1)).cast("double")
+    val (en, de, fr, es, zh) = (col("_ts.en_hits"), col("_ts.de_hits"),
+      col("_ts.fr_hits"), col("_ts.es_hits"), col("_ts.zh_hits"))
+    df.withColumn("_ts", stats(text))
+      .withColumn("ws_tokens", col("_ts.ws_tokens"))
+      .withColumn("bpe_tokens", col("_ts.bpe_tokens"))
+      .withColumn("len_score", lenScore)
+      .withColumn("punct_ratio", punctRatio)
+      .withColumn("stopword_ratio", stopRatio)
+      .withColumn("quality_score",
+        lit(0.4) * lenScore +
+          lit(0.3) * least(stopRatio * 5.0, lit(1.0)) +
+          lit(0.3) * (lit(1.0) - least(punctRatio * 10.0, lit(1.0))))
+      .withColumn("lang_pred",
+        when(zh > 0, "zh")
+          .when(en >= de && en >= fr && en >= es, "en")
+          .when(de >= fr && de >= es, "de")
+          .when(fr >= es, "fr")
+          .otherwise("es"))
+      .drop("_ts")
+  }
+
   /** Gopher-style repetition signals: `dup_token_frac` (1 − distinct/total
     * tokens) and `top_bigram_frac` (most frequent word bigram / total
     * bigrams) — machine-generated and template text repeats itself long

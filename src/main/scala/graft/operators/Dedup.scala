@@ -101,6 +101,20 @@ object Dedup {
     * aggregate + two pair-list joins of the unshared formulation
     * disappear entirely.
     */
+  /** The shared document-frequency cap: drop rows whose `keyCol` value
+    * appears in more than `cap` rows. The hot set is tiny by
+    * construction (only keys with df > cap), so it broadcasts and the
+    * anti-join costs no extra shuffle of `rows`.
+    */
+  private def dfCap(rows: DataFrame, keyCol: String,
+      cap: Option[Long]): DataFrame = cap match {
+    case None => rows
+    case Some(c) =>
+      val hot = rows.groupBy(keyCol).agg(count(lit(1)).as("df"))
+        .filter(col("df") > c).select(keyCol)
+      rows.join(broadcast(hot), Seq(keyCol), "left_anti")
+  }
+
   def shingles(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
       textCol: String = "text", maxDocFreq: Option[Long] = None,
       materialize: Boolean = false): DataFrame = {
@@ -111,14 +125,7 @@ object Dedup {
     // partitions. On a multi-executor cluster prefer reliable
     // checkpointing or recompute (materialize = false) per fault-model.
     val all = if (materialize) rows.localCheckpoint(false) else rows
-    val capped = maxDocFreq match {
-      case None => all
-      case Some(cap) =>
-        val hot = all.groupBy("s").agg(count(lit(1)).as("df"))
-          .filter(col("df") > cap).select("s")
-        all.join(broadcast(hot), Seq("s"), "left_anti")
-    }
-    capped
+    dfCap(all, "s", maxDocFreq)
       .withColumn("sz", count(lit(1)).over(Window.partitionBy("id")))
       .withColumnRenamed("s", "shingle")
   }
@@ -195,13 +202,7 @@ object Dedup {
     val all = graft.functions.TextAnalysis
       .winnowFingerprints(docs, idCol, textCol, k, w)
       .localCheckpoint(false)
-    val fps = maxDocFreq match {
-      case None => all
-      case Some(cap) =>
-        val hot = all.groupBy("fingerprint").agg(count(lit(1)).as("df"))
-          .filter(col("df") > cap).select("fingerprint")
-        all.join(broadcast(hot), Seq("fingerprint"), "left_anti")
-    }
+    val fps = dfCap(all, "fingerprint", maxDocFreq)
     fps.as("a")
       .join(fps.as("b"), col("a.fingerprint") === col("b.fingerprint") &&
         col("a.id") < col("b.id"))
@@ -347,9 +348,13 @@ object Dedup {
     // but its lineage is the whole shingle/join pipeline, which every
     // fixpoint iteration would otherwise recompute (measured 15s -> 3s
     // at sf0.1)
+    // ids normalized to LongType up front so BOTH paths (driver
+    // union-find and distributed fixpoint) return the identical schema
     val edges = iterCheckpoint(
-      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+      pairs.select(col("id_a").cast("long").as("src"),
+          col("id_b").cast("long").as("dst"))
+        .unionByName(pairs.select(col("id_b").cast("long").as("src"),
+          col("id_a").cast("long").as("dst"))))
     if (edges.count() <= driverMaxEdges) return unionFindClusters(edges)
     var labels = iterCheckpoint(
       edges.select(col("src").as("id")).distinct()

@@ -22,11 +22,17 @@ import org.apache.spark.sql.functions._
   * stored row.
   *
   * The merged result is written to a NEW generation directory
-  * `gen-<batchId>` and a `_CURRENT` pointer file is atomically rewritten
-  * to it; readers resolve the pointer first, so a crash mid-write leaves
-  * the previous generation intact (plain overwrite-in-place would
-  * destroy the store). Superseded generations are pruned after the flip.
-  * Single-writer by design — exactly the streaming foreachBatch model.
+  * `gen-<batchId>` and the `_CURRENT` pointer file is replaced by an
+  * ATOMIC rename (temp file + FileContext OVERWRITE rename — a plain
+  * truncating rewrite would leave an empty pointer on a crash between
+  * truncate and write); readers resolve the pointer first, so a crash
+  * mid-write leaves the previous generation intact (plain
+  * overwrite-in-place would destroy the store). Pruning keeps a
+  * ONE-GENERATION grace window: only generations older than the
+  * previous one are deleted, so a reader's lazy DataFrame stays valid
+  * across one subsequent upsert — readers holding a frame longer than
+  * that must materialize it. Single-writer by design — exactly the
+  * streaming foreachBatch model.
   *
   * 100 TB posture: rewriting the full store per batch is the plain-
   * parquet cost of these semantics; at warehouse scale the same merge
@@ -54,8 +60,10 @@ object KeyedUpsertSink {
 
   /** Merge `batch` into the store at `storeDir` by `keys`. See class doc
     * for the put-overwrite vs `versionWins` merge order. `batchId` names
-    * the generation — re-running the same batch id rewrites the same
-    * generation (idempotent restart).
+    * the generation; a re-run of the same batch id whose generation is
+    * already current writes an alternate suffix instead — Overwrite on
+    * the directory the merge is lazily reading would delete its own
+    * input (the crash-after-flip restart shape).
     */
   def upsertBatch(batch: DataFrame, storeDir: String, keys: Seq[String],
       orderCol: String, batchId: Long,
@@ -76,9 +84,15 @@ object KeyedUpsertSink {
       case Some(cur) => cur.withColumn("_src", lit(0)).unionByName(stamped)
       case None => stamped
     }
+    // final tiebreak: a whole-row hash, so duplicate keys with EQUAL
+    // orderCol still pick the same winner on every replay (row_number
+    // over a non-unique ordering is otherwise shuffle-dependent, which
+    // would break re-delivery idempotence); fully identical rows tie
+    // harmlessly
+    val rowHash = xxhash64(batch.columns.map(col): _*)
     val order =
-      if (versionWins) Seq(col(orderCol).desc, col("_src").desc)
-      else Seq(col("_src").desc, col(orderCol).desc)
+      if (versionWins) Seq(col(orderCol).desc, col("_src").desc, rowHash.desc)
+      else Seq(col("_src").desc, col(orderCol).desc, rowHash.desc)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     val merged = all.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn", "_src")
@@ -96,11 +110,25 @@ object KeyedUpsertSink {
       .write.mode(SaveMode.Overwrite)
       .parquet(new Path(storeDir, gen).toString)
 
-    val out = fs.create(ptr, true)
+    // atomic pointer flip: write a temp file, then OVERWRITE-rename it
+    // onto _CURRENT (atomic on local and HDFS via FileContext) — a
+    // truncating fs.create would leave an EMPTY pointer if the process
+    // died between truncate and write
+    val tmp = new Path(storeDir, s"$Pointer.tmp")
+    val out = fs.create(tmp, true)
     try out.write(gen.getBytes("UTF-8")) finally out.close()
-    // prune the superseded generation (never the one just pointed at)
-    prev.filter(_ != gen)
-      .foreach(p => fs.delete(new Path(storeDir, p), true))
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      tmp.toUri, spark.sessionState.newHadoopConf())
+    fc.rename(fc.makeQualified(tmp), fc.makeQualified(ptr),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // prune with a one-generation grace window: delete every gen-* that
+    // is neither the new current nor its immediate predecessor, so a
+    // lazy reader resolved just before this flip still finds its files
+    val keep = Set(Some(gen), prev).flatten
+    val stat = fs.listStatus(new Path(storeDir))
+    stat.filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-") &&
+        !keep.contains(s.getPath.getName))
+      .foreach(s => fs.delete(s.getPath, true))
   }
 
   /** foreachBatch adapter: `writeStream.foreachBatch(

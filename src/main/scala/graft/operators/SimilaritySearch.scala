@@ -119,9 +119,17 @@ object SimilaritySearch {
     * (ties by centroid id), over the [[ivfCentroids]] fixed-k set.
     */
   def ivfAssignments(corpus: DataFrame, numCentroids: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfAssignmentsFromCentroids(corpus,
+      ivfCentroids(corpus, numCentroids, idCol, vecCol), idCol, vecCol)
+
+  /** [[ivfAssignments]] over a pre-built centroid frame — callers that
+    * also probe the centroids (ivfTopK) build them ONCE instead of
+    * paying the corpus-wide top-k selection per use.
+    */
+  def ivfAssignmentsFromCentroids(corpus: DataFrame, cents: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val dot = graft.functions.VectorFunctions.dotF _
-    val cents = ivfCentroids(corpus, numCentroids, idCol, vecCol)
     val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       sqrt(dot(col(vecCol), col(vecCol))).as("nrm"))
     val scored = vecs.join(broadcast(cents), lit(true))
@@ -144,8 +152,11 @@ object SimilaritySearch {
       numCentroids: Int = 64, nprobe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val dot = graft.functions.VectorFunctions.dotF _
-    val assigned = ivfAssignments(corpus, numCentroids, idCol, vecCol)
+    // one corpus-wide centroid selection, lazily materialized (64 rows)
+    // — both the assignment pass and the probe pass read it
     val cents = ivfCentroids(corpus, numCentroids, idCol, vecCol)
+      .localCheckpoint(false)
+    val assigned = ivfAssignmentsFromCentroids(corpus, cents, idCol, vecCol)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       sqrt(dot(col(vecCol), col(vecCol))).as("qnrm"))
     val probes = q.join(broadcast(cents), lit(true))
