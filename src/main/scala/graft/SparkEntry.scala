@@ -153,6 +153,13 @@ object SparkEntry {
   private def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
+  /** Subspace dot product for the PQ oracle: 8 terms of a[aOff+i]*b[bOff+i],
+    * strictly left-to-right like the Spark-side sliced dot.
+    */
+  private def subDotSql(a: String, aOff: String, b: String, bOff: String): String =
+    (1 to 8).map(i => s"$a[$aOff + $i]::DOUBLE * $b[$bOff + $i]::DOUBLE")
+      .mkString(" + ")
+
   /** 8-bit Rademacher LSH bucket (SimilaritySearch.lshBucket). */
   private def bucketSql(v: String): String = {
     val planes = SimilaritySearch.hyperplanes(8)
@@ -593,6 +600,16 @@ object SparkEntry {
           annQueries(s, dir), k = 10)
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"), trunc4(col("cosine")).as("cosine"))),
+
+    // SS5: product-quantization top-10 — corpus encoded as 8 codes/vector
+    // against a seeded 16-entry codebook; queries answered from a
+    // per-query lookup table with a strict left-to-right 8-term fold.
+    "ann_pq_topk" -> ((s, dir) =>
+      SimilaritySearch.pqTopK(Tables.embeddings(s, dir),
+          annQueries(s, dir), k = 10)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"),
+          trunc4(col("approx_score")).as("approx_score"))),
 
     // SS4: scalar int8 quantization of embeddings (per-vector min/max,
     // floor-based so both engines bit-agree), exploded to scalar rows.
@@ -1234,6 +1251,41 @@ object SparkEntry {
          |  cosine FROM scored)
          |SELECT query_id, neighbor_id, rank,
          |floor(cosine*10000)/10000 AS cosine FROM ranked WHERE rank <= 10""".stripMargin,
+
+    // The 8-term score sum is written out literally (left-associative,
+    // matching Spark's sequential fold) — an aggregate SUM would
+    // accumulate in partition order and drift low bits.
+    "ann_pq_topk" -> {
+      val l2 = s"(${subDotSql("e.embedding", "(c.s*8)", "e.embedding", "(c.s*8)")})" +
+        s" - 2.0*(${subDotSql("e.embedding", "(c.s*8)", "c.cv", "(c.s*8)")})" +
+        s" + (${subDotSql("c.cv", "(c.s*8)", "c.cv", "(c.s*8)")})"
+      val qdot = subDotSql("q.embedding", "(c.s*8)", "c.cv", "(c.s*8)")
+      val fold = (0 until 8)
+        .map(s => s"l.lut[${s * 16} + cd.codes[${s + 1}] + 1]").mkString(" + ")
+      s"""WITH cb0 AS (SELECT vec_id AS cid, embedding AS cv,
+         |  ${hash60Sql("CAST(vec_id AS VARCHAR)")} AS h
+         |  FROM embeddings ORDER BY h, cid LIMIT 16),
+         |cb1 AS (SELECT cv, row_number() OVER (ORDER BY h, cid) - 1 AS code FROM cb0),
+         |cb AS (SELECT t.s, cb1.code, cb1.cv FROM cb1, range(0, 8) t(s)),
+         |enc0 AS (SELECT e.vec_id AS id, c.s, c.code, $l2 AS l2
+         |  FROM embeddings e, cb c),
+         |enc AS (SELECT id, s, code FROM (SELECT id, s, code,
+         |  row_number() OVER (PARTITION BY id, s ORDER BY l2, code) AS rk
+         |  FROM enc0) t WHERE rk = 1),
+         |codes AS (SELECT id, list(code ORDER BY s) AS codes FROM enc GROUP BY id),
+         |lut0 AS (SELECT q.vec_id AS query_id, c.s, c.code, $qdot AS d
+         |  FROM embeddings q, cb c WHERE q.vec_id % 50 = 0),
+         |lut AS (SELECT query_id, list(d ORDER BY s, code) AS lut
+         |  FROM lut0 GROUP BY query_id),
+         |scored AS (SELECT l.query_id, cd.id AS neighbor_id, $fold AS approx
+         |  FROM codes cd, lut l WHERE cd.id <> l.query_id),
+         |ranked AS (SELECT query_id, neighbor_id, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY approx DESC, neighbor_id) AS rank,
+         |  approx FROM scored)
+         |SELECT query_id, neighbor_id, rank,
+         |floor(approx*10000)/10000 AS approx_score FROM ranked
+         |WHERE rank <= 10""".stripMargin
+    },
 
     "doc_counts_cube" ->
       """SELECT lang, source, count(*) AS n_docs,

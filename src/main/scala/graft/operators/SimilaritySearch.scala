@@ -178,6 +178,101 @@ object SimilaritySearch {
       .select(col("query_id"), col("id").as("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** Product-quantization top-k (asymmetric distance computation): the
+    * standard memory-at-scale ANN scoring. The corpus is ENCODED once —
+    * each vector becomes `subspaces` small codes (its nearest codebook
+    * entry per 8-dim slice, L2, ties by code) — and a query is answered
+    * from the codes alone: per query, one dot product against each of
+    * the `subspaces * codebookSize` codebook slices builds a lookup
+    * table, and every corpus vector's approximate score is a sequential
+    * 8-term table fold (no full-dimension dot per candidate). At 100 TB
+    * the encoded corpus is ~64x smaller than the float vectors and the
+    * per-candidate cost drops from d mults to `subspaces` adds.
+    *
+    * Determinism for the oracle: the codebook is the same seeded
+    * hash-order sample as [[ivfCentroids]] (collected to the driver —
+    * codebookSize rows — and re-emitted with explicit code ids, the
+    * bounded-driver-table pattern of SequencePack; EAGER at plan
+    * construction), L2 uses the dot-product identity with a fixed
+    * expression shape, and both engines fold the score table strictly
+    * left-to-right. Returns (query_id, neighbor_id, rank, approx_score);
+    * scores are approximations — rank quality, not exactness, is the
+    * contract (spec asserts recall vs brute force).
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      subspaces: Int = 8, codebookSize: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(Dim % subspaces == 0, "subspaces must divide Dim")
+    val sub = Dim / subspaces
+    val dot = graft.functions.VectorFunctions.dotF _
+    val spark = corpus.sparkSession
+
+    // codebook: the codebookSize hash-order sample vectors, sliced into
+    // per-subspace codewords with explicit code ids (driver table of
+    // subspaces*codebookSize rows, constant in corpus size)
+    val sample = corpus
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"),
+        graft.functions.TextHash.hash60(col(idCol).cast("string")).as("_h"))
+      .orderBy(col("_h"), col("cid"))
+      .limit(codebookSize)
+      .select("cid", "cv").collect()
+    val cbRows = for {
+      (row, code) <- sample.zipWithIndex
+      s <- 0 until subspaces
+    } yield (s, code,
+      row.getSeq[Float](1).slice(s * sub, (s + 1) * sub).toArray)
+    val cb = broadcast(spark.createDataFrame(cbRows.toSeq)
+      .toDF("s", "code", "cvec"))
+
+    // encode: nearest codeword per (vector, subspace) — L2 via the dot
+    // identity, ties by code id
+    def slices(v: org.apache.spark.sql.Column) =
+      explode(array((0 until subspaces).map(s =>
+        struct(lit(s).as("s"), slice(v, s * sub + 1, sub).as("sv"))): _*))
+    val enc0 = corpus
+      .select(col(idCol).as("id"), slices(col(vecCol)).as("sl"))
+      .select(col("id"), col("sl.s").as("s"), col("sl.sv").as("sv"))
+      .join(cb, Seq("s"))
+      .withColumn("l2",
+        dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("cvec")) +
+          dot(col("cvec"), col("cvec")))
+    val ew = Window.partitionBy(col("id"), col("s"))
+      .orderBy(col("l2"), col("code"))
+    val encoded = enc0.withColumn("r", row_number().over(ew))
+      .filter(col("r") === 1)
+      .groupBy("id")
+      .agg(transform(sort_array(collect_list(struct(col("s"), col("code")))),
+        e => e.getField("code")).as("codes"))
+
+    // per-query lookup table: dot(query slice s, codeword (s, j)),
+    // ordered by (s, code) so lut[s*codebookSize + code] addresses it
+    val lut = queries
+      .select(col(idCol).as("query_id"), slices(col(vecCol)).as("sl"))
+      .select(col("query_id"), col("sl.s").as("s"), col("sl.sv").as("qv"))
+      .join(cb, Seq("s"))
+      .select(col("query_id"), col("s"), col("code"),
+        dot(col("qv"), col("cvec")).as("d"))
+      .groupBy("query_id")
+      .agg(transform(
+        sort_array(collect_list(struct(col("s"), col("code"), col("d")))),
+        e => e.getField("d")).as("lut"))
+
+    // score every corpus code list against every query lut: a strict
+    // left-to-right fold over the subspaces (bit-stable across engines)
+    val scored = encoded.join(broadcast(lut),
+        col("id") =!= col("query_id"))
+      .withColumn("approx_score",
+        aggregate(sequence(lit(0), lit(subspaces - 1)), lit(0.0),
+          (acc, s) => acc + element_at(col("lut"),
+            s * codebookSize + element_at(col("codes"), s + 1) + 1)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_score").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"),
+        col("approx_score"))
+  }
+
   /** LSH-bucketed top-k: same contract as [[bruteForceTopK]] but only
     * bucket-mates are candidates. Trades recall for a corpus-sized equi
     * join instead of |q| x |corpus| work; recall grows with fewer bits or

@@ -96,6 +96,23 @@ class SimilaritySearchSpec extends AnyFunSuite with SparkTestBase {
       f"IVF recall@10 collapsed to $recall%.2f — candidate routing is broken")
   }
 
+  test("pqTopK: recall vs brute force beats random and runs deterministically") {
+    val corpus = Tables.embeddings(spark, sf)
+    val queries = corpus.filter(col("vec_id") % 50 === 0)
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = hits(SimilaritySearch.bruteForceTopK(corpus, queries, k = 10))
+    val pq1 = hits(SimilaritySearch.pqTopK(corpus, queries, k = 10))
+    val pq2 = hits(SimilaritySearch.pqTopK(corpus, queries, k = 10))
+    assert(pq1 === pq2, "PQ codes/scores must be run-deterministic")
+    // 16 codewords over near-uniform random vectors is the hard case;
+    // random ranking would score ~10/500 = 0.02 — the floor guards the
+    // code path, not the corpus
+    val recall = (exact & pq1).size.toDouble / exact.size
+    assert(recall >= 0.1,
+      f"PQ recall@10 collapsed to $recall%.2f — encoding or LUT fold broken")
+  }
+
   test("lshBucket is deterministic and within bit range") {
     val corpus = Tables.embeddings(spark, sf).limit(50)
     val b1 = corpus.select(SimilaritySearch.lshBucket(col("embedding"), 8).as("b"))
