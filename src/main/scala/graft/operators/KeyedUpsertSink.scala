@@ -1,7 +1,7 @@
 package graft.operators
 
-import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -12,78 +12,135 @@ import org.apache.spark.sql.functions._
   * store's content identical instead of appending duplicates (the gap an
   * append-parquet store hits under at-least-once replay).
   *
-  * Mechanics: each upsert merges the incoming batch with the current
-  * store generation via one windowed rank over the key columns — the
-  * batch side outranks the store side (put-overwrite), and `orderCol`
-  * orders duplicate keys WITHIN a batch (the reference's sequential
-  * put_items make the last one win). With `versionWins = true` the rank
-  * is by `orderCol` alone across both sides, i.e. a conditional-write /
-  * version-LWW merge where a stale replayed batch cannot regress a newer
-  * stored row.
+  * Mechanics: the store is hash-BUCKETED by key into `numBuckets` fixed
+  * buckets (`pmod(xxhash64(keys), n)`). Each upsert computes the set of
+  * buckets its batch touches, reads ONLY those buckets' current files,
+  * merges batch-over-store via one windowed rank over the key columns —
+  * the batch side outranks the store side (put-overwrite), and
+  * `orderCol` orders duplicate keys WITHIN a batch (the reference's
+  * sequential put_items make the last one win) — and rewrites ONLY the
+  * touched buckets into a new generation directory
+  * `gen-<batchId>/bucket=<i>`. Untouched buckets are never read, never
+  * rewritten, and their files stay byte-identical in place: per-batch
+  * cost is O(touched buckets), not O(store) — the same cost shape as
+  * the reference's DynamoDB writes, which touch only the batch's keys
+  * (lambda1.py:152-177). With `versionWins = true` the rank is by
+  * `orderCol` alone across both sides, i.e. a conditional-write /
+  * version-LWW merge where a stale replayed batch cannot regress a
+  * newer stored row.
   *
-  * The merged result is written to a NEW generation directory
-  * `gen-<batchId>` and the `_CURRENT` pointer file is replaced by an
-  * ATOMIC rename (temp file + FileContext OVERWRITE rename — a plain
-  * truncating rewrite would leave an empty pointer on a crash between
-  * truncate and write); readers resolve the pointer first, so a crash
-  * mid-write leaves the previous generation intact (plain
-  * overwrite-in-place would destroy the store). Pruning keeps a
-  * ONE-GENERATION grace window: only generations older than the
-  * previous one are deleted, so a reader's lazy DataFrame stays valid
-  * across one subsequent upsert — readers holding a frame longer than
-  * that must materialize it. Single-writer by design — exactly the
-  * streaming foreachBatch model.
+  * The `_CURRENT` pointer file maps every bucket to the generation that
+  * last wrote it (plus the fixed bucket count, pinned at store
+  * creation). The flip is a single ATOMIC rename of the whole map (temp
+  * file + FileContext OVERWRITE rename — a plain truncating rewrite
+  * would leave an empty pointer on a crash between truncate and write);
+  * readers resolve the map first, so a crash mid-write leaves every
+  * bucket's previous generation intact. Pruning keeps a ONE-GENERATION
+  * grace window PER BUCKET: a bucket's superseded files are deleted
+  * only once a later upsert supersedes them again, so a reader's lazy
+  * DataFrame stays valid across one subsequent upsert — readers holding
+  * a frame longer than that must materialize it. Single-writer by
+  * design — exactly the streaming foreachBatch model.
   *
-  * 100 TB posture: rewriting the full store per batch is the plain-
-  * parquet cost of these semantics; at warehouse scale the same merge
-  * (identical plan: union + window rank by key) targets a keyed table
-  * format's MERGE (Delta/Iceberg) or a keyed store (the reference's
-  * DynamoDB). The semantics, idempotence, and foreachBatch plumbing are
-  * what this operator pins down; nothing here assumes local storage.
+  * 100 TB posture: bucketing caps the per-batch rewrite at the touched
+  * buckets' data; size `numBuckets` so a bucket ≈ a few GB and a
+  * micro-batch touching k distinct keys rewrites at most k buckets. At
+  * warehouse scale the same merge (identical plan: union + window rank
+  * by key) targets a keyed table format's MERGE (Delta/Iceberg) or a
+  * keyed store (the reference's DynamoDB); nothing here assumes local
+  * storage.
   */
 object KeyedUpsertSink {
 
   private val Pointer = "_CURRENT"
 
-  /** The store's current content, or None before the first upsert. */
-  def readStore(spark: SparkSession, storeDir: String): Option[DataFrame] = {
+  /** Default bucket count for new stores; pinned into `_CURRENT` at
+    * creation so later upserts can't silently re-bucket.
+    */
+  val DefaultNumBuckets = 16
+
+  /** Pointer-file state: the pinned bucket count and, for each bucket
+    * that has ever been written, the generation dir holding its current
+    * content.
+    */
+  private[graft] case class StoreState(numBuckets: Int, gens: Map[Int, String])
+
+  /** The bucket-id expression for a row — MUST be the single definition
+    * used by writer and readers alike, or a key's rows scatter across
+    * buckets.
+    */
+  private[graft] def bucketExpr(keys: Seq[String], numBuckets: Int): Column =
+    pmod(xxhash64(keys.map(col): _*), lit(numBuckets.toLong)).cast("int")
+
+  private def fileSystem(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private[graft] def readState(spark: SparkSession, storeDir: String): Option[StoreState] = {
+    val fs = fileSystem(spark, storeDir)
     val ptr = new Path(storeDir, Pointer)
-    val fs = ptr.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(ptr)) None
     else {
       val in = fs.open(ptr)
-      val gen = try scala.io.Source.fromInputStream(in).mkString.trim
-      finally in.close()
-      Some(spark.read.parquet(new Path(storeDir, gen).toString))
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      val n = lines.head.stripPrefix("buckets=").toInt
+      val gens = lines.tail.map { l =>
+        val Array(b, g) = l.split("=", 2)
+        b.toInt -> g
+      }.toMap
+      Some(StoreState(n, gens))
     }
   }
 
+  private def bucketPath(storeDir: String, gen: String, bucket: Int): Path =
+    new Path(storeDir, s"$gen/bucket=$bucket")
+
+  /** The store's current content, or None before the first upsert.
+    * Reads each bucket from the generation its pointer entry names; the
+    * `bucket=<i>` dirs are passed as root paths, so no partition column
+    * is inferred — the frame has exactly the upserted schema.
+    */
+  def readStore(spark: SparkSession, storeDir: String): Option[DataFrame] =
+    readState(spark, storeDir).map { st =>
+      val paths = st.gens.toSeq.sortBy(_._1)
+        .map { case (b, g) => bucketPath(storeDir, g, b).toString }
+      spark.read.parquet(paths: _*)
+    }
+
   /** Merge `batch` into the store at `storeDir` by `keys`. See class doc
-    * for the put-overwrite vs `versionWins` merge order. `batchId` names
-    * the generation; a re-run of the same batch id whose generation is
-    * already current writes an alternate suffix instead — Overwrite on
-    * the directory the merge is lazily reading would delete its own
-    * input (the crash-after-flip restart shape).
+    * for the bucketed layout and the put-overwrite vs `versionWins`
+    * merge order. `batchId` names the generation; a re-run of the same
+    * batch id whose generation is already current writes an alternate
+    * suffix instead — Overwrite on a directory the merge is lazily
+    * reading would delete its own input (the crash-after-flip restart
+    * shape). `numBuckets` only takes effect on store CREATION; an
+    * existing store's pinned count always wins.
     */
   def upsertBatch(batch: DataFrame, storeDir: String, keys: Seq[String],
-      orderCol: String, batchId: Long,
-      versionWins: Boolean = false): Unit = {
+      orderCol: String, batchId: Long, versionWins: Boolean = false,
+      numBuckets: Int = DefaultNumBuckets): Unit = {
     val spark = batch.sparkSession
-    val fs = new Path(storeDir).getFileSystem(spark.sessionState.newHadoopConf())
-    val ptr = new Path(storeDir, Pointer)
-    def pointer(): Option[String] =
-      if (!fs.exists(ptr)) None
-      else {
-        val in = fs.open(ptr)
-        try Some(scala.io.Source.fromInputStream(in).mkString.trim)
-        finally in.close()
-      }
+    val fs = fileSystem(spark, storeDir)
+    val state = readState(spark, storeDir)
+    val n = state.map(_.numBuckets).getOrElse(numBuckets)
+    val gens = state.map(_.gens).getOrElse(Map.empty[Int, String])
+    val bkt = bucketExpr(keys, n)
 
+    // the buckets this batch lands in — a tiny distinct over ≤n values,
+    // the price of reading (and rewriting) only those buckets below
+    val touched: Seq[Int] =
+      batch.select(bkt.as("_bkt")).distinct().collect().map(_.getInt(0)).toSeq.sorted
+    if (touched.isEmpty) return
+
+    // current content of ONLY the touched buckets; untouched buckets
+    // are never read
+    val curPaths = touched.flatMap(b =>
+      gens.get(b).map(g => bucketPath(storeDir, g, b).toString))
     val stamped = batch.withColumn("_src", lit(1))
-    val all = readStore(spark, storeDir) match {
-      case Some(cur) => cur.withColumn("_src", lit(0)).unionByName(stamped)
-      case None => stamped
-    }
+    val all = if (curPaths.isEmpty) stamped
+      else spark.read.parquet(curPaths: _*).withColumn("_src", lit(0))
+        .unionByName(stamped)
     // final tiebreak: a whole-row hash, so duplicate keys with EQUAL
     // orderCol still pick the same winner on every replay (row_number
     // over a non-unique ordering is otherwise shuffle-dependent, which
@@ -96,39 +153,59 @@ object KeyedUpsertSink {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     val merged = all.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn", "_src")
-    // never write the generation the pointer currently names: if a crash
+
+    // never write a generation the pointer currently names: if a crash
     // hit AFTER a pointer flip but before the caller committed its own
-    // checkpoint, the re-run batch id equals the current generation, and
+    // checkpoint, the re-run batch id equals a current generation, and
     // Overwrite would delete the very files the merge is reading from.
     // Alternating a suffix keeps the write target always distinct.
-    val prev = pointer()
     val base = s"gen-$batchId"
-    val gen = if (prev.contains(base)) base + "r" else base
-    // deterministic layout (key-sorted) so a re-delivered batch
-    // reproduces the store content exactly
-    merged.orderBy(keys.map(col): _*)
-      .write.mode(SaveMode.Overwrite)
+    val gen = if (gens.values.exists(_ == base)) base + "r" else base
+    // deterministic layout (bucket-partitioned, key-sorted within) so a
+    // re-delivered batch reproduces the touched buckets' content exactly
+    merged.withColumn("bucket", bucketExpr(keys, n))
+      .repartition(math.min(n, touched.size * 2), col("bucket"))
+      .sortWithinPartitions(col("bucket") +: keys.map(col): _*)
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
       .parquet(new Path(storeDir, gen).toString)
 
     // atomic pointer flip: write a temp file, then OVERWRITE-rename it
     // onto _CURRENT (atomic on local and HDFS via FileContext) — a
     // truncating fs.create would leave an EMPTY pointer if the process
     // died between truncate and write
+    val newGens = gens ++ touched.map(_ -> gen)
+    val body = (s"buckets=$n" +:
+      newGens.toSeq.sortBy(_._1).map { case (b, g) => s"$b=$g" })
+      .mkString("\n")
     val tmp = new Path(storeDir, s"$Pointer.tmp")
     val out = fs.create(tmp, true)
-    try out.write(gen.getBytes("UTF-8")) finally out.close()
+    try out.write(body.getBytes("UTF-8")) finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       tmp.toUri, spark.sessionState.newHadoopConf())
-    fc.rename(fc.makeQualified(tmp), fc.makeQualified(ptr),
+    fc.rename(fc.makeQualified(tmp), fc.makeQualified(new Path(storeDir, Pointer)),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    // prune with a one-generation grace window: delete every gen-* that
-    // is neither the new current nor its immediate predecessor, so a
-    // lazy reader resolved just before this flip still finds its files
-    val keep = Set(Some(gen), prev).flatten
-    val stat = fs.listStatus(new Path(storeDir))
-    stat.filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-") &&
-        !keep.contains(s.getPath.getName))
-      .foreach(s => fs.delete(s.getPath, true))
+
+    // prune with a one-generation grace window PER BUCKET: a bucket
+    // subdir survives while either the new map or the just-replaced map
+    // references it, so a lazy reader resolved just before this flip
+    // still finds its files; a generation dir with no surviving buckets
+    // is removed whole
+    val live: Set[(String, Int)] =
+      (newGens.toSeq ++ gens.toSeq).map { case (b, g) => (g, b) }.toSet
+    fs.listStatus(new Path(storeDir))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-"))
+      .foreach { g =>
+        val genName = g.getPath.getName
+        val subs = fs.listStatus(g.getPath)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+        var kept = 0
+        subs.foreach { s =>
+          val b = s.getPath.getName.stripPrefix("bucket=").toInt
+          if (live((genName, b))) kept += 1
+          else fs.delete(s.getPath, true)
+        }
+        if (kept == 0 && genName != gen) fs.delete(g.getPath, true)
+      }
   }
 
   /** foreachBatch adapter: `writeStream.foreachBatch(
@@ -138,6 +215,8 @@ object KeyedUpsertSink {
     * content on top of at-least-once delivery.
     */
   def upserter(storeDir: String, keys: Seq[String], orderCol: String,
-      versionWins: Boolean = false): (DataFrame, Long) => Unit =
-    (batch, id) => upsertBatch(batch, storeDir, keys, orderCol, id, versionWins)
+      versionWins: Boolean = false,
+      numBuckets: Int = DefaultNumBuckets): (DataFrame, Long) => Unit =
+    (batch, id) =>
+      upsertBatch(batch, storeDir, keys, orderCol, id, versionWins, numBuckets)
 }

@@ -116,6 +116,71 @@ class SinkSpec extends AnyFunSuite with SparkTestBase {
     assert(snap() === s2, "same-batch-id re-run corrupted the store")
   }
 
+  test("S4 bucketed upsert: untouched buckets stay byte-identical; only touched buckets rewrite") {
+    import java.security.MessageDigest
+    val dir = tmp() + "/bucketed"
+    val keys = Seq("trip_id", "sk")
+    val n = 8
+    // seed rows spread across many buckets
+    val b1 = (0 until 64).map(i => (s"t$i", s"RAW#e$i", f"2024-05-25 10:00:$i%02d", i.toDouble))
+      .toDF("trip_id", "sk", "ts", "value")
+    KeyedUpsertSink.upsertBatch(b1, dir, keys, "ts", batchId = 0L, numBuckets = n)
+
+    val st1 = KeyedUpsertSink.readState(spark, dir).get
+    assert(st1.numBuckets === n)
+    assert(st1.gens.values.toSet === Set("gen-0"), "all buckets written by the seed batch")
+
+    // one-key update batch → exactly one touched bucket
+    val hot = Seq(("t7", "RAW#e7", "2024-05-25 12:00:00", 99.0))
+      .toDF("trip_id", "sk", "ts", "value")
+    val hotBucket = hot.select(KeyedUpsertSink.bucketExpr(keys, n)).head().getInt(0)
+
+    // fingerprint every file of every NON-hot bucket before the upsert
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def md5(p: org.apache.hadoop.fs.Path): String = {
+      val in = fs.open(p)
+      val bytes = try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 64 * 1024, false)
+        out.toByteArray
+      } finally in.close()
+      MessageDigest.getInstance("MD5").digest(bytes).map("%02x".format(_)).mkString
+    }
+    def bucketFiles(gen: String, b: Int): Map[String, (Long, String)] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir, s"$gen/bucket=$b"))
+        .filter(_.isFile).filterNot(_.getPath.getName.startsWith("_"))
+        .map(s => s.getPath.toString -> (s.getModificationTime, md5(s.getPath))).toMap
+    val coldBuckets = st1.gens.keySet - hotBucket
+    val before = coldBuckets.map(b => b -> bucketFiles(st1.gens(b), b)).toMap
+
+    KeyedUpsertSink.upsertBatch(hot, dir, keys, "ts", batchId = 1L, numBuckets = n)
+
+    val st2 = KeyedUpsertSink.readState(spark, dir).get
+    assert(st2.gens(hotBucket) === "gen-1", "touched bucket advanced to the new generation")
+    coldBuckets.foreach { b =>
+      assert(st2.gens(b) === st1.gens(b), s"untouched bucket $b pointer moved")
+      assert(bucketFiles(st2.gens(b), b) === before(b),
+        s"untouched bucket $b files changed (path, mtime, or bytes)")
+    }
+    // content is still the merged whole
+    val stored = KeyedUpsertSink.readStore(spark, dir).get
+    assert(stored.count() === 64)
+    assert(stored.filter(col("trip_id") === "t7").select("value").as[Double].head() === 99.0)
+
+    // a second touch of the hot bucket prunes gen-1's copy only after
+    // the grace window: gen-0's copy of the hot bucket is gone now
+    KeyedUpsertSink.upsertBatch(hot.withColumn("value", lit(100.0)), dir, keys,
+      "ts", batchId = 2L, numBuckets = n)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, s"gen-0/bucket=$hotBucket")),
+      "superseded-twice bucket copy should be pruned")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, s"gen-1/bucket=$hotBucket")),
+      "one-generation grace window keeps the previous copy")
+    coldBuckets.foreach { b =>
+      assert(bucketFiles("gen-0", b) === before(b), "cold buckets still untouched after two upserts")
+    }
+  }
+
   test("S4 keyed upsert drives a streaming foreachBatch store") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[String]
