@@ -58,6 +58,47 @@ object SparkEntry {
       concat_ws("#", lit("RAW"), col("event_type"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")).as("sk"))
 
+  /** Batch twin of [[graft.streaming.TripStore]]: the LWW final state of
+    * the reference's table after RAW ingest, COMPLETED puts, and the
+    * matcher's processed_by_matcher flips, on orders=starts /
+    * lineitem=ends (deduped to first lineitem per (order, shipdate) so
+    * end SKs are unique, as the streaming dedup guarantees on trips).
+    */
+  private def tripStoreFinal(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.TripStore
+    val starts = Tables.orders(s, dir).select(
+      col("o_orderkey").cast("string").as("trip_id"),
+      lit("trip_start").as("data_type"),
+      col("o_orderdate").cast("string").as("pickup_datetime"),
+      col("o_totalprice").as("estimated_fare_amount"),
+      lit(null).cast("string").as("dropoff_datetime"),
+      lit(null).cast("double").as("fare_amount"))
+    // l_linenumber alone is NOT unique in the synthetic table; extend to
+    // a total order so both engines pick the same "first" lineitem
+    val endRank = Window.partitionBy(col("l_orderkey"), col("l_shipdate"))
+      .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"))
+    val ends = Tables.lineitem(s, dir)
+      .withColumn("_rn", row_number().over(endRank)).filter(col("_rn") === 1)
+      .select(
+        col("l_orderkey").cast("string").as("trip_id"),
+        lit("trip_end").as("data_type"),
+        lit(null).cast("string").as("pickup_datetime"),
+        lit(null).cast("double").as("estimated_fare_amount"),
+        col("l_shipdate").cast("string").as("dropoff_datetime"),
+        col("l_extendedprice").as("fare_amount"))
+    val sAttrs = Seq("pickup_datetime", "estimated_fare_amount")
+    val eAttrs = Seq("dropoff_datetime", "fare_amount")
+    val completed = starts
+      .select(col("trip_id"), col("pickup_datetime"), col("estimated_fare_amount"))
+      .join(ends.select(col("trip_id"), col("dropoff_datetime"), col("fare_amount")),
+        Seq("trip_id"))
+    TripStore.finalState(
+      TripStore.rawItems(starts.unionByName(ends), sAttrs, eAttrs)
+        .unionByName(TripStore.completedItems(completed, sAttrs, eAttrs))
+        .unionByName(TripStore.processedRawItems(completed, sAttrs, eAttrs)))
+  }
+
   // ---- dedup / similarity corpora (deterministically injected dups; the
   // testdata has no natural duplicates) and their oracle-SQL twins --------
 
@@ -209,6 +250,14 @@ object SparkEntry {
 
     // The flagship (SURVEY.md par.7.2): join + daily KPI aggregate.
     "completed_trip_kpis" -> ((s, dir) => completedTripKpis(s, dir)),
+
+    // S4 + status lifecycle: the final state of the reference's single
+    // DynamoDB table — RAW items (lambda1.py:50-60), COMPLETED items
+    // (lambda2.py:79-87), matched RAW pairs flipped to
+    // processed_by_matcher (lambda2.py:249-251) — as the LWW merge the
+    // bucketed upsert store converges to. orders=starts, lineitem=ends
+    // (first lineitem per (order, shipdate), so SKs are unique).
+    "trip_store_final" -> ((s, dir) => tripStoreFinal(s, dir)),
 
     // Anti-join: still-unmatched starts, the derived `status='raw'` set
     // (README.md:57 semantics made declarative).
@@ -773,6 +822,50 @@ object SparkEntry {
         |min(l.l_extendedprice) AS minimum_fare
         |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         |GROUP BY CAST(o.o_orderdate AS DATE)""".stripMargin,
+
+    "trip_store_final" ->
+      """WITH starts AS (
+        |  SELECT CAST(o_orderkey AS VARCHAR) AS trip_id,
+        |         CAST(o_orderdate AS VARCHAR) AS pickup_datetime,
+        |         o_totalprice AS estimated_fare_amount FROM orders),
+        |ends AS (
+        |  SELECT CAST(l_orderkey AS VARCHAR) AS trip_id,
+        |         CAST(l_shipdate AS VARCHAR) AS dropoff_datetime,
+        |         l_extendedprice AS fare_amount
+        |  FROM (SELECT l_orderkey, l_shipdate, l_extendedprice,
+        |        row_number() OVER (PARTITION BY l_orderkey, l_shipdate
+        |          ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice)
+        |          AS rn FROM lineitem) t WHERE rn = 1),
+        |items AS (
+        |  SELECT trip_id, concat_ws('#', 'RAW', 'trip_start', pickup_datetime) AS sk,
+        |    'trip_start' AS data_type, 'raw' AS status, CAST(0 AS BIGINT) AS status_rank,
+        |    CAST(NULL AS VARCHAR) AS processed_at, pickup_datetime,
+        |    estimated_fare_amount, CAST(NULL AS VARCHAR) AS dropoff_datetime,
+        |    CAST(NULL AS DOUBLE) AS fare_amount FROM starts
+        |  UNION ALL
+        |  SELECT trip_id, concat_ws('#', 'RAW', 'trip_end', dropoff_datetime),
+        |    'trip_end', 'raw', 0, NULL, NULL, NULL, dropoff_datetime, fare_amount
+        |  FROM ends
+        |  UNION ALL
+        |  SELECT s.trip_id, concat_ws('#', 'COMPLETED', e.dropoff_datetime),
+        |    'completed_trip', 'completed', 1, NULL, s.pickup_datetime,
+        |    s.estimated_fare_amount, e.dropoff_datetime, e.fare_amount
+        |  FROM starts s JOIN ends e USING (trip_id)
+        |  UNION ALL
+        |  SELECT s.trip_id, concat_ws('#', 'RAW', 'trip_start', s.pickup_datetime),
+        |    'trip_start', 'processed_by_matcher', 1, e.dropoff_datetime,
+        |    s.pickup_datetime, s.estimated_fare_amount, NULL, NULL
+        |  FROM starts s JOIN ends e USING (trip_id)
+        |  UNION ALL
+        |  SELECT s.trip_id, concat_ws('#', 'RAW', 'trip_end', e.dropoff_datetime),
+        |    'trip_end', 'processed_by_matcher', 1, e.dropoff_datetime,
+        |    NULL, NULL, e.dropoff_datetime, e.fare_amount
+        |  FROM starts s JOIN ends e USING (trip_id))
+        |SELECT trip_id, sk, data_type, status, status_rank, processed_at,
+        |  pickup_datetime, estimated_fare_amount, dropoff_datetime, fare_amount
+        |FROM (SELECT *, row_number() OVER (PARTITION BY trip_id, sk
+        |      ORDER BY status_rank DESC, processed_at DESC NULLS LAST) AS rn
+        |      FROM items) f WHERE rn = 1""".stripMargin,
 
     "unmatched_trips" ->
       """SELECT o_orderkey AS trip_id, o_custkey, o_orderstatus, o_totalprice,
