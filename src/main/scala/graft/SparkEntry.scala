@@ -660,6 +660,16 @@ object SparkEntry {
           col("rank").cast("long").as("rank"),
           trunc4(col("approx_score")).as("approx_score"))),
 
+    // SS6: IVF-PQ top-10 — IVF cells prune WHICH codes are scored
+    // (nprobe=8 of 64 cells), PQ codes make each candidate an 8-add
+    // table fold. The composed 100 TB ANN index shape.
+    "ann_ivfpq_topk" -> ((s, dir) =>
+      SimilaritySearch.ivfPqTopK(Tables.embeddings(s, dir),
+          annQueries(s, dir), k = 10)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"),
+          trunc4(col("approx_score")).as("approx_score"))),
+
     // SS4: scalar int8 quantization of embeddings (per-vector min/max,
     // floor-based so both engines bit-agree), exploded to scalar rows.
     "embedding_quantize" -> ((s, dir) => {
@@ -1372,6 +1382,58 @@ object SparkEntry {
          |  FROM lut0 GROUP BY query_id),
          |scored AS (SELECT l.query_id, cd.id AS neighbor_id, $fold AS approx
          |  FROM codes cd, lut l WHERE cd.id <> l.query_id),
+         |ranked AS (SELECT query_id, neighbor_id, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY approx DESC, neighbor_id) AS rank,
+         |  approx FROM scored)
+         |SELECT query_id, neighbor_id, rank,
+         |floor(approx*10000)/10000 AS approx_score FROM ranked
+         |WHERE rank <= 10""".stripMargin
+    },
+
+    // IVF-PQ: the ann_pq_topk machinery with scoring restricted to each
+    // query's nprobe=8 nearest of the 64 ann_ivf_topk cells.
+    "ann_ivfpq_topk" -> {
+      val l2 = s"(${subDotSql("e.embedding", "(c.s*8)", "e.embedding", "(c.s*8)")})" +
+        s" - 2.0*(${subDotSql("e.embedding", "(c.s*8)", "c.cv", "(c.s*8)")})" +
+        s" + (${subDotSql("c.cv", "(c.s*8)", "c.cv", "(c.s*8)")})"
+      val qdot = subDotSql("q.embedding", "(c.s*8)", "c.cv", "(c.s*8)")
+      val fold = (0 until 8)
+        .map(s => s"l.lut[${s * 16} + cd.codes[${s + 1}] + 1]").mkString(" + ")
+      s"""WITH cents AS (SELECT centroid_id, cv FROM (
+         |  SELECT vec_id AS centroid_id, embedding AS cv,
+         |    ${hash60Sql("CAST(vec_id AS VARCHAR)")} AS h
+         |  FROM embeddings ORDER BY h, centroid_id LIMIT 64) tc),
+         |vecs AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+         |assign AS (SELECT id, centroid_id FROM (
+         |  SELECT v.id, c.centroid_id, row_number() OVER (
+         |    PARTITION BY v.id ORDER BY ${cosSql("v.v", "c.cv")} DESC,
+         |    c.centroid_id) AS crank FROM vecs v, cents c) t WHERE crank = 1),
+         |cb0 AS (SELECT vec_id AS cid, embedding AS cv,
+         |  ${hash60Sql("CAST(vec_id AS VARCHAR)")} AS h
+         |  FROM embeddings ORDER BY h, cid LIMIT 16),
+         |cb1 AS (SELECT cv, row_number() OVER (ORDER BY h, cid) - 1 AS code FROM cb0),
+         |cb AS (SELECT t.s, cb1.code, cb1.cv FROM cb1, range(0, 8) t(s)),
+         |enc0 AS (SELECT e.vec_id AS id, c.s, c.code, $l2 AS l2
+         |  FROM embeddings e, cb c),
+         |enc AS (SELECT id, s, code FROM (SELECT id, s, code,
+         |  row_number() OVER (PARTITION BY id, s ORDER BY l2, code) AS rk
+         |  FROM enc0) t WHERE rk = 1),
+         |codes AS (SELECT id, list(code ORDER BY s) AS codes FROM enc GROUP BY id),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |  WHERE vec_id % 50 = 0),
+         |probes AS (SELECT query_id, centroid_id FROM (
+         |  SELECT q.query_id, c.centroid_id, row_number() OVER (
+         |    PARTITION BY q.query_id ORDER BY ${cosSql("q.qv", "c.cv")} DESC,
+         |    c.centroid_id) AS prank FROM q, cents c) t WHERE prank <= 8),
+         |lut0 AS (SELECT q.vec_id AS query_id, c.s, c.code, $qdot AS d
+         |  FROM embeddings q, cb c WHERE q.vec_id % 50 = 0),
+         |lut AS (SELECT query_id, list(d ORDER BY s, code) AS lut
+         |  FROM lut0 GROUP BY query_id),
+         |scored AS (SELECT p.query_id, cd.id AS neighbor_id, $fold AS approx
+         |  FROM codes cd JOIN assign a ON cd.id = a.id
+         |  JOIN probes p ON a.centroid_id = p.centroid_id
+         |  JOIN lut l ON l.query_id = p.query_id
+         |  WHERE cd.id <> p.query_id),
          |ranked AS (SELECT query_id, neighbor_id, row_number() OVER (
          |  PARTITION BY query_id ORDER BY approx DESC, neighbor_id) AS rank,
          |  approx FROM scored)

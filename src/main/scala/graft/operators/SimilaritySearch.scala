@@ -202,14 +202,42 @@ object SimilaritySearch {
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       subspaces: Int = 8, codebookSize: Int = 16,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cb = pqCodebook(corpus, subspaces, codebookSize, idCol, vecCol)
+    val encoded = pqEncode(corpus.select(col(idCol).as("id"),
+      col(vecCol).as("v")), cb, subspaces)
+    val lut = pqLut(queries, cb, subspaces, idCol, vecCol)
+
+    // score every corpus code list against every query lut: a strict
+    // left-to-right fold over the subspaces (bit-stable across engines)
+    val scored = encoded.join(broadcast(lut),
+        col("id") =!= col("query_id"))
+      .withColumn("approx_score", pqFold(subspaces, codebookSize))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_score").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"),
+        col("approx_score"))
+  }
+
+  /** Per-subspace slice explosion: one (s, 8-dim slice) row per vector
+    * per subspace.
+    */
+  private def pqSlices(v: Column, subspaces: Int): Column = {
+    val sub = Dim / subspaces
+    explode(array((0 until subspaces).map(s =>
+      struct(lit(s).as("s"), slice(v, s * sub + 1, sub).as("sv"))): _*))
+  }
+
+  /** PQ codebook: the codebookSize hash-order sample vectors, sliced
+    * into per-subspace codewords with explicit code ids (driver table of
+    * subspaces*codebookSize rows, constant in corpus size; EAGER at plan
+    * construction — the bounded-driver-table pattern of SequencePack).
+    */
+  private def pqCodebook(corpus: DataFrame, subspaces: Int, codebookSize: Int,
+      idCol: String, vecCol: String): DataFrame = {
     require(Dim % subspaces == 0, "subspaces must divide Dim")
     val sub = Dim / subspaces
-    val dot = graft.functions.VectorFunctions.dotF _
-    val spark = corpus.sparkSession
-
-    // codebook: the codebookSize hash-order sample vectors, sliced into
-    // per-subspace codewords with explicit code ids (driver table of
-    // subspaces*codebookSize rows, constant in corpus size)
     val sample = corpus
       .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"),
         graft.functions.TextHash.hash60(col(idCol).cast("string")).as("_h"))
@@ -221,50 +249,99 @@ object SimilaritySearch {
       s <- 0 until subspaces
     } yield (s, code,
       row.getSeq[Float](1).slice(s * sub, (s + 1) * sub).toArray)
-    val cb = broadcast(spark.createDataFrame(cbRows.toSeq)
-      .toDF("s", "code", "cvec"))
+    corpus.sparkSession.createDataFrame(cbRows.toSeq).toDF("s", "code", "cvec")
+  }
 
-    // encode: nearest codeword per (vector, subspace) — L2 via the dot
-    // identity, ties by code id
-    def slices(v: org.apache.spark.sql.Column) =
-      explode(array((0 until subspaces).map(s =>
-        struct(lit(s).as("s"), slice(v, s * sub + 1, sub).as("sv"))): _*))
-    val enc0 = corpus
-      .select(col(idCol).as("id"), slices(col(vecCol)).as("sl"))
-      .select(col("id"), col("sl.s").as("s"), col("sl.sv").as("sv"))
-      .join(cb, Seq("s"))
+  /** Encode: nearest codeword per (vector, subspace) — L2 via the dot
+    * identity, ties by code id — collected to one `codes` array per id.
+    * `vecs` must have columns (id, v); any `carry` columns pass through
+    * (single-valued per id).
+    */
+  private def pqEncode(vecs: DataFrame, cb: DataFrame, subspaces: Int,
+      carry: Seq[String] = Nil): DataFrame = {
+    val dot = graft.functions.VectorFunctions.dotF _
+    val enc0 = vecs
+      .select(col("id") +: pqSlices(col("v"), subspaces).as("sl") +:
+        carry.map(col): _*)
+      .select(col("id") +: col("sl.s").as("s") +: col("sl.sv").as("sv") +:
+        carry.map(col): _*)
+      .join(broadcast(cb), Seq("s"))
       .withColumn("l2",
         dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("cvec")) +
           dot(col("cvec"), col("cvec")))
     val ew = Window.partitionBy(col("id"), col("s"))
       .orderBy(col("l2"), col("code"))
-    val encoded = enc0.withColumn("r", row_number().over(ew))
+    enc0.withColumn("r", row_number().over(ew))
       .filter(col("r") === 1)
       .groupBy("id")
       .agg(transform(sort_array(collect_list(struct(col("s"), col("code")))),
-        e => e.getField("code")).as("codes"))
+        e => e.getField("code")).as("codes"),
+        carry.map(c => first(col(c)).as(c)): _*)
+  }
 
-    // per-query lookup table: dot(query slice s, codeword (s, j)),
-    // ordered by (s, code) so lut[s*codebookSize + code] addresses it
-    val lut = queries
-      .select(col(idCol).as("query_id"), slices(col(vecCol)).as("sl"))
+  /** Per-query lookup table: dot(query slice s, codeword (s, j)),
+    * ordered by (s, code) so lut[s*codebookSize + code] addresses it.
+    */
+  private def pqLut(queries: DataFrame, cb: DataFrame, subspaces: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    val dot = graft.functions.VectorFunctions.dotF _
+    queries
+      .select(col(idCol).as("query_id"), pqSlices(col(vecCol), subspaces).as("sl"))
       .select(col("query_id"), col("sl.s").as("s"), col("sl.sv").as("qv"))
-      .join(cb, Seq("s"))
+      .join(broadcast(cb), Seq("s"))
       .select(col("query_id"), col("s"), col("code"),
         dot(col("qv"), col("cvec")).as("d"))
       .groupBy("query_id")
       .agg(transform(
         sort_array(collect_list(struct(col("s"), col("code"), col("d")))),
         e => e.getField("d")).as("lut"))
+  }
 
-    // score every corpus code list against every query lut: a strict
-    // left-to-right fold over the subspaces (bit-stable across engines)
-    val scored = encoded.join(broadcast(lut),
-        col("id") =!= col("query_id"))
-      .withColumn("approx_score",
-        aggregate(sequence(lit(0), lit(subspaces - 1)), lit(0.0),
-          (acc, s) => acc + element_at(col("lut"),
-            s * codebookSize + element_at(col("codes"), s + 1) + 1)))
+  /** The ADC score: a strict left-to-right fold of lut entries addressed
+    * by the row's codes (bit-stable across engines). Expects columns
+    * `lut` and `codes`.
+    */
+  private def pqFold(subspaces: Int, codebookSize: Int): Column =
+    aggregate(sequence(lit(0), lit(subspaces - 1)), lit(0.0),
+      (acc, s) => acc + element_at(col("lut"),
+        s * codebookSize + element_at(col("codes"), s + 1) + 1))
+
+  /** IVF-PQ top-k — the standard 100 TB ANN index shape: IVF cells prune
+    * WHICH codes are scored (only the query's `nprobe` nearest cells),
+    * PQ codes make each scored candidate cheap (`subspaces` adds off a
+    * per-query lookup table instead of a d-dim dot product). Composes
+    * [[ivfCentroids]]/[[ivfAssignmentsFromCentroids]] with the
+    * [[pqTopK]] machinery; candidate generation is an equi-join on
+    * centroid_id (bounded fanout), scoring touches ~nprobe/numCentroids
+    * of the corpus codes per query instead of all of them ([[pqTopK]]'s
+    * flat scan).
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      numCentroids: Int = 64, nprobe: Int = 8,
+      subspaces: Int = 8, codebookSize: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dot = graft.functions.VectorFunctions.dotF _
+    val cents = ivfCentroids(corpus, numCentroids, idCol, vecCol)
+      .localCheckpoint(false)
+    val assigned = ivfAssignmentsFromCentroids(corpus, cents, idCol, vecCol)
+    val cb = pqCodebook(corpus, subspaces, codebookSize, idCol, vecCol)
+    val encoded = pqEncode(assigned.select(col("id"), col("v"), col("centroid_id")),
+      cb, subspaces, carry = Seq("centroid_id"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("qnrm"))
+    val probes = q.join(broadcast(cents), lit(true))
+      .withColumn("csim",
+        cosineFromNorms(dot(col("qv"), col("cv")), col("qnrm"), col("cnrm")))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("centroid_id"))
+    val probed = probes.withColumn("prank", row_number().over(pw))
+      .filter(col("prank") <= nprobe)
+      .select("query_id", "centroid_id")
+    val lut = pqLut(queries, cb, subspaces, idCol, vecCol)
+    val scored = encoded.join(broadcast(probed), Seq("centroid_id"))
+      .filter(col("id") =!= col("query_id"))
+      .join(broadcast(lut), Seq("query_id"))
+      .withColumn("approx_score", pqFold(subspaces, codebookSize))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_score").desc, col("id"))
     scored.withColumn("rank", row_number().over(w))

@@ -18,6 +18,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     "ann_bruteforce_topk",    // |q| x corpus exact baseline
     "ann_topk_agg",           // same all-pairs scoring, aggregator ranking
     "ann_ivf_topk",           // corpus x centroids assignment (broadcast)
+    "ann_ivfpq_topk",         // same constant-size centroid broadcast; scoring itself is equi
     "ann_pq_topk",            // |q| x corpus CODE scoring (8 adds/pair by design)
     "report_metadata"         // 1-row x 1-row metadata crossJoin
   )

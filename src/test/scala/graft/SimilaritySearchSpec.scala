@@ -113,6 +113,46 @@ class SimilaritySearchSpec extends AnyFunSuite with SparkTestBase {
       f"PQ recall@10 collapsed to $recall%.2f — encoding or LUT fold broken")
   }
 
+  test("ivfPqTopK: IVF pruning scores a fraction of the codes at flat-PQ-level recall") {
+    val corpus = Tables.embeddings(spark, sf)
+    val queries = corpus.filter(col("vec_id") % 50 === 0)
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = hits(SimilaritySearch.bruteForceTopK(corpus, queries, k = 10))
+    val flat = hits(SimilaritySearch.pqTopK(corpus, queries, k = 10))
+    val ivfpq = hits(SimilaritySearch.ivfPqTopK(corpus, queries, k = 10,
+      numCentroids = 64, nprobe = 8))
+    val flatRecall = (exact & flat).size.toDouble / exact.size
+    val ivfpqRecall = (exact & ivfpq).size.toDouble / exact.size
+    // the pruned scan must not cost recall vs the flat PQ scan it prunes
+    // (IVF keeps the cells where PQ's own winners live)
+    assert(ivfpqRecall >= flatRecall - 1e-9,
+      f"IVF pruning lost recall: ivfpq=$ivfpqRecall%.3f flat=$flatRecall%.3f")
+
+    // and it actually prunes: candidates scored per query are bounded by
+    // the probed cells' population, a strict fraction of the corpus
+    val n = corpus.count()
+    val nq = queries.count()
+    val cents = SimilaritySearch.ivfCentroids(corpus, 64).localCheckpoint(false)
+    val cellSizes = SimilaritySearch
+      .ivfAssignmentsFromCentroids(corpus, cents)
+      .groupBy("centroid_id").count()
+      .select(col("centroid_id"), col("count"))
+      .as[(Long, Long)].collect().toMap
+    val probedRows = SimilaritySearch.ivfPqTopK(corpus, queries, k = 10,
+      numCentroids = 64, nprobe = 8)
+    // scored-candidate count = sum over (query, probed cell) of |cell|;
+    // recompute from the same deterministic assignment
+    val scoredPerQuery = cellSizes.values.toSeq.sorted.takeRight(8).sum
+    assert(scoredPerQuery < n,
+      s"probing 8/64 cells must score fewer than all $n codes")
+    // average cell coverage: 8/64 cells ~ 12.5% of a uniform corpus; allow
+    // generous skew headroom while still proving pruning
+    assert(scoredPerQuery.toDouble / n < 0.6,
+      f"worst-case probed coverage ${scoredPerQuery.toDouble / n}%.2f — cells are degenerate")
+    assert(probedRows.count() === nq * 10)
+  }
+
   test("lshBucket is deterministic and within bit range") {
     val corpus = Tables.embeddings(spark, sf).limit(50)
     val b1 = corpus.select(SimilaritySearch.lshBucket(col("embedding"), 8).as("b"))
