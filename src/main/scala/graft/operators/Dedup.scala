@@ -115,16 +115,25 @@ object Dedup {
       rows.join(broadcast(hot), Seq(keyCol), "left_anti")
   }
 
+  /** Lazy lineage-truncating materialization for relations scanned by
+    * several downstream branches (df-cap aggregate, both self-join
+    * sides): RELIABLE `checkpoint(eager=false)` when the context has a
+    * checkpoint dir (the cluster deploy — survives executor loss),
+    * executor-local `localCheckpoint(eager=false)` otherwise
+    * (single-node/test: no dir needed, but a lost executor forces
+    * recompute-from-nothing). Lazy either way: no job at
+    * plan-construction time; the first action materializes once.
+    */
+  private[graft] def sharedRelation(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(false)
+    else df.localCheckpoint(false)
+
   def shingles(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
       textCol: String = "text", maxDocFreq: Option[Long] = None,
       materialize: Boolean = false): DataFrame = {
     val rows = shingleRows(docs, idCol, textCol, n)
-    // lazy local checkpoint: no job at plan-construction time; the first
-    // action materializes the rows once and every downstream branch
-    // (df-cap aggregate, both self-join sides) reads the materialized
-    // partitions. On a multi-executor cluster prefer reliable
-    // checkpointing or recompute (materialize = false) per fault-model.
-    val all = if (materialize) rows.localCheckpoint(false) else rows
+    val all = if (materialize) sharedRelation(rows) else rows
     dfCap(all, "s", maxDocFreq)
       .withColumn("sz", count(lit(1)).over(Window.partitionBy("id")))
       .withColumnRenamed("s", "shingle")
@@ -247,7 +256,7 @@ object Dedup {
         struct(b.as("band"),
           concat_ws(":", slice(col("sig"), b * rows + 1, lit(rows))).as("key")))).as("bk"))
       .select(col("id"), col("sig"), col("bk.band"), col("bk.key"))
-      .localCheckpoint(false)
+      .transform(sharedRelation)
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -299,7 +308,7 @@ object Dedup {
         struct(lit(b).as("block"),
           shiftright(col("simhash"), b * 8).bitwiseAND(0xFF).as("byte"))): _*)).as("bb"))
       .select(col("id"), col("simhash"), col("bb.block"), col("bb.byte"))
-      .localCheckpoint(false) // both self-join sides scan this, not the pipeline
+      .transform(sharedRelation) // both self-join sides scan this, not the pipeline
     blocked.as("a")
       .join(blocked.as("b"),
         col("a.block") === col("b.block") && col("a.byte") === col("b.byte") &&

@@ -194,6 +194,29 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(sub != null && sub.nonEmpty, "no reliable checkpoint data written")
   }
 
+  test("sharedRelation materializes reliably when a checkpoint dir is set") {
+    // Runs after the test above, so the shared context HAS a checkpoint
+    // dir: the shingles/LSH/simhash shared relations must route their
+    // materialization through reliable checkpoint files (fault-tolerant
+    // on a cluster), not executor-local blocks.
+    assert(spark.sparkContext.getCheckpointDir.isDefined,
+      "suite ordering broke: expected the checkpoint dir set by the CC test")
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w v"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs, materialize = true)
+    sh.count() // lazy checkpoint materializes on first action
+    def reliablyCheckpointed(rdd: org.apache.spark.rdd.RDD[_]): Boolean =
+      (rdd.isCheckpointed && rdd.getCheckpointFile.isDefined) ||
+        rdd.dependencies.exists(d => reliablyCheckpointed(d.rdd))
+    assert(reliablyCheckpointed(sh.queryExecution.toRdd),
+      "no reliable checkpoint file in the materialized shingle relation's lineage")
+    // and the lazy construction ran no job at plan time: a fresh frame
+    // before any action has no checkpoint yet
+    val fresh = Dedup.shingles(docs, materialize = true)
+    assert(!reliablyCheckpointed(fresh.queryExecution.toRdd),
+      "materialization must stay lazy (no job at plan construction)")
+  }
+
   test("embeddingNearDupsLsh finds every exact-dup pair brute force finds") {
     val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val dup = embs.select("vec_id", "embedding").unionByName(
