@@ -58,6 +58,24 @@ object SparkEntry {
       concat_ws("#", lit("RAW"), col("event_type"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")).as("sk"))
 
+  /** The salted-skew-join contract query: a fifth of all events remapped
+    * onto one hot user, joined to a derived user dim through
+    * [[SkewJoin.saltedInner]]. The shuffle_hash hint keeps the join a
+    * real shuffle (the dim would otherwise broadcast at test scale and
+    * no salting would be observable in the plan).
+    */
+  private[graft] def skewedUserJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_id"),
+      when(col("event_id") % 5 === 0, lit(1L)).otherwise(col("user_id"))
+        .as("user_id"),
+      col("value"))
+    val users = ev.select(col("user_id")).distinct()
+      .select(col("user_id"), (col("user_id") % 10).as("segment"))
+    graft.operators.SkewJoin
+      .saltedInner(ev, users.hint("shuffle_hash"), "user_id", salt = 8)
+      .select("event_id", "user_id", "segment", "value")
+  }
+
   /** Batch twin of [[graft.streaming.TripStore]]: the LWW final state of
     * the reference's table after RAW ingest, COMPLETED puts, and the
     * matcher's processed_by_matcher flips, on orders=starts /
@@ -266,6 +284,12 @@ object SparkEntry {
       val ends = Tables.lineitem(s, dir).withColumnRenamed("l_orderkey", "trip_id")
       TripMatcher.unmatchedStarts(starts, ends)
     }),
+
+    // Salted skew join on a deliberately hot key: event_id % 5 == 0 remaps
+    // ~20% of events onto one user. Salting is result-invariant (spec
+    // SkewSpec proves equality with the plain join; PlanAudit proves the
+    // physical join shuffles on (user_id, _salt)).
+    "skewed_user_join" -> ((s, dir) => skewedUserJoin(s, dir)),
 
     // D1: first-occurrence dedup on the natural key (lambda1.py:119-150).
     "dedup_first_wins" -> ((s, dir) =>
@@ -881,6 +905,15 @@ object SparkEntry {
       """SELECT o_orderkey AS trip_id, o_custkey, o_orderstatus, o_totalprice,
         |o_orderdate, o_orderpriority FROM orders o
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)""".stripMargin,
+
+    "skewed_user_join" ->
+      """WITH ev AS (SELECT event_id,
+        |  CASE WHEN event_id % 5 = 0 THEN 1 ELSE user_id END AS user_id, value
+        |  FROM events),
+        |users AS (SELECT user_id, user_id % 10 AS segment
+        |  FROM (SELECT DISTINCT user_id FROM ev) u)
+        |SELECT e.event_id, e.user_id, s.segment, e.value
+        |FROM ev e JOIN users s ON e.user_id = s.user_id""".stripMargin,
 
     "dedup_first_wins" ->
       """SELECT event_id, ts, user_id, event_type, value, props FROM (

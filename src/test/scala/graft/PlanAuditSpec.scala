@@ -80,6 +80,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       s"expected >=2 BroadcastHashJoin (nation, region), found $broadcasts in:\n$plan")
   }
 
+  test("skewed_user_join shuffles on (user_id, _salt), not a broadcast") {
+    val plan = SparkEntry.queries("skewed_user_join")(
+        spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    val shuffled = plan.contains("ShuffledHashJoin") ||
+      plan.contains("SortMergeJoin")
+    assert(shuffled, s"salted join must be a shuffle join, got:\n${plan.take(2000)}")
+    // the join keys carry the salt: the ShuffledHashJoin keys line lists
+    // both user_id and _salt
+    val keysLine = plan.linesIterator
+      .find(l => l.contains("ShuffledHashJoin") || l.contains("SortMergeJoin"))
+      .getOrElse("")
+    assert(keysLine.contains("user_id") && keysLine.contains("_salt"),
+      s"join keys must include the salt, got: $keysLine")
+  }
+
   test("every query result is non-empty at sf0.001 (driver smoke analogue)") {
     val sf = "/root/testdata/sf0.001"
     val empty = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
