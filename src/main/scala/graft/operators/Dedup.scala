@@ -365,11 +365,24 @@ object Dedup {
         .unionByName(pairs.select(col("id_b").cast("long").as("src"),
           col("id_a").cast("long").as("dst"))))
     if (edges.count() <= driverMaxEdges) return unionFindClusters(edges)
+    minLabelClusters(edges)._1
+  }
+
+  /** The distributed min-label fixpoint over a BOTH-DIRECTIONS edge
+    * list: label(u) := min(label(u), min of neighbor labels) until no
+    * label changes, `maxRounds` capping the iteration for callers that
+    * measure convergence. Returns (labels, rounds run, converged).
+    * Rounds scale with component DIAMETER — right for shallow near-dup
+    * graphs; see [[nearDupClustersStar]] for deep (path-shaped) ones.
+    */
+  private[graft] def minLabelClusters(edges: DataFrame,
+      maxRounds: Int = Int.MaxValue): (DataFrame, Int, Boolean) = {
     var labels = iterCheckpoint(
       edges.select(col("src").as("id")).distinct()
         .withColumn("cluster_id", col("id")))
     var changed = 1L
-    while (changed > 0) {
+    var rounds = 0
+    while (changed > 0 && rounds < maxRounds) {
       val nbrMin = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .select(col("src").as("id"), col("cluster_id").as("nbr"))
@@ -386,8 +399,78 @@ object Dedup {
       // case), and the input here is already-materialized blocks
       changed = next.filter(col("_changed")).count()
       labels = next.drop("_changed")
+      rounds += 1
     }
-    labels
+    (labels, rounds, changed == 0)
+  }
+
+  /** Connected components via ALTERNATING LARGE-STAR / SMALL-STAR
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SOCC'14) — the deep-graph variant: rounds scale with log of the
+    * component size, not its diameter, so a path-shaped component (a
+    * containment CHAIN from passage dedup) converges in a handful of
+    * rounds where [[nearDupClusters]]' min-label fixpoint needs
+    * diameter-many. Same contract: (id, cluster_id = min id of the
+    * component) for every id in the pair list.
+    *
+    *  - large-star(u): every neighbor v > u re-attaches to
+    *    m = min(N(u) ∪ u) — long tails fold toward minima.
+    *  - small-star(u): every neighbor v < u, and u itself, attaches to m
+    *    — stars flatten so every node points at its current minimum.
+    *
+    * Both are one groupBy + equi-join per pass over an edge list that
+    * only shrinks (dedup after each op); convergence = the small-star
+    * output reaching a fixpoint (set equality with the previous round,
+    * two counts + one exceptAll over checkpointed blocks).
+    */
+  def nearDupClustersStar(pairs: DataFrame): DataFrame = {
+    val edges = iterCheckpoint(
+      pairs.select(col("id_a").cast("long").as("src"),
+        col("id_b").cast("long").as("dst"))).distinct()
+    starClusters(edges)._1
+  }
+
+  /** [[nearDupClustersStar]] over a normalized directed edge list, with
+    * the round counter exposed. Returns (labels, rounds, converged).
+    */
+  private[graft] def starClusters(edges: DataFrame,
+      maxRounds: Int = Int.MaxValue): (DataFrame, Int, Boolean) = {
+    def sym(e: DataFrame): DataFrame =
+      e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+    // m(u) = min(N(u) ∪ {u}) over the symmetrized neighborhood
+    def mins(se: DataFrame): DataFrame =
+      se.groupBy("src").agg(min(col("dst")).as("_mn"))
+        .select(col("src"), least(col("src"), col("_mn")).as("m"))
+    def largeStar(e: DataFrame): DataFrame = {
+      val se = sym(e)
+      se.join(mins(se), "src").filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val se = sym(e)
+      val m = mins(se)
+      se.join(m, "src").filter(col("dst") < col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .unionByName(m.select(col("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct()
+    }
+    var cur = iterCheckpoint(smallStar(largeStar(edges)))
+    var rounds = 1
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val next = iterCheckpoint(smallStar(largeStar(cur)))
+      converged = next.count() == cur.count() &&
+        next.exceptAll(cur).count() == 0
+      cur = next
+      if (!converged) rounds += 1
+    }
+    // the fixpoint is a star set (v, component-min): labels are the
+    // sources plus each center mapped to itself
+    val labels = cur.select(col("src").as("id"), col("dst").as("cluster_id"))
+      .unionByName(cur.select(col("dst").as("id"), col("dst").as("cluster_id"))
+        .distinct())
+    (labels, rounds, converged)
   }
 
   /** Driver-side union-find over a collected (already materialized,

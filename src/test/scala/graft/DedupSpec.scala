@@ -194,6 +194,46 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(sub != null && sub.nonEmpty, "no reliable checkpoint data written")
   }
 
+  test("nearDupClustersStar equals the union-find/min-label result on chains and forests") {
+    // transitive chain + separate 2-component + isolated pair, with ids
+    // deliberately out of order so min-propagation direction matters
+    val pairs = Seq((5L, 9L), (9L, 2L), (2L, 7L), (30L, 20L), (40L, 41L))
+      .toDF("id_a", "id_b")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = m(Dedup.nearDupClusters(pairs)) // union-find path
+    assert(expected === Map(5L -> 2L, 9L -> 2L, 2L -> 2L, 7L -> 2L,
+      30L -> 20L, 20L -> 20L, 40L -> 40L, 41L -> 40L))
+    assert(m(Dedup.nearDupClustersStar(pairs)) === expected)
+    // and against the distributed min-label fixpoint on the same edges
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    assert(m(Dedup.minLabelClusters(edges)._1) === expected)
+  }
+
+  test("alternating stars converge in far fewer rounds than min-label on a path graph") {
+    // a 200-edge path: component diameter 200 — the worst case for
+    // min-label (rounds ~ diameter), the motivating case for stars
+    // (rounds ~ log n)
+    val n = 200
+    val pairs = (1 to n).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+
+    val (starLabels, starRounds, starConverged) =
+      Dedup.starClusters(pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+    assert(starConverged, "stars must reach the fixpoint")
+    assert(starRounds <= 8, s"stars took $starRounds rounds on a ${n}-path")
+    assert(starLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      === (1 to n + 1).map(i => i.toLong -> 1L).toMap)
+
+    // min-label, capped at the stars' budget, must NOT have converged —
+    // the measured round-count drop
+    val (_, mlRounds, mlConverged) = Dedup.minLabelClusters(edges, maxRounds = 8)
+    assert(mlRounds === 8 && !mlConverged,
+      s"min-label unexpectedly converged in $mlRounds rounds on a ${n}-path")
+  }
+
   test("sharedRelation materializes reliably when a checkpoint dir is set") {
     // Runs after the test above, so the shared context HAS a checkpoint
     // dir: the shingles/LSH/simhash shared relations must route their
