@@ -57,6 +57,67 @@ class SessionizeMediaSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.head.getAs[Double]("total_value") === 3.0)
   }
 
+  test("streaming sessionization golden case: closed sessions equal the batch result on both providers") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val RocksDb =
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+
+    // the contract feed: the events table's session columns, one
+    // deterministic frame driving BOTH the batch aggregate and the stream
+    val feed = Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, Timestamp, Option[Double])].collect().toSeq
+    assert(feed.nonEmpty)
+    val expected = Sessionize.sessions(
+        feed.toDF("user_id", "ts", "value"),
+        col("user_id"), col("ts"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Double])))
+      .toSet
+    val horizon = new Timestamp(
+      feed.map(_._2.getTime).max + 30L * 24 * 3600 * 1000)
+
+    Seq(None, Some(RocksDb)).foreach { provider =>
+      val old = spark.conf.getOption(ProviderKey)
+      provider match {
+        case Some(c) => spark.conf.set(ProviderKey, c)
+        case None => spark.conf.unset(ProviderKey)
+      }
+      try {
+        val input = MemoryStream[(Long, Timestamp, Option[Double])]
+        val name = s"golden_sessions_${provider.isDefined}"
+        val q = Sessionize.sessions(
+            input.toDF().toDF("user_id", "ts", "value")
+              .withWatermark("ts", "1 minute"),
+            col("user_id"), col("ts"), col("value"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          // whole feed in one micro-batch: the watermark only advances
+          // AFTER a batch, so arrival order cannot drop late rows; the
+          // sentinel then pushes the watermark past every session
+          input.addData(feed: _*)
+          q.processAllAvailable()
+          input.addData((-999L, horizon, Some(0.0)))
+          q.processAllAvailable()
+        } finally q.stop()
+        val got = spark.table(name).filter(col("key") =!= -999L)
+          .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+            r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Double])))
+          .toSet
+        assert(got === expected,
+          s"provider=$provider: closed streaming sessions diverge from batch " +
+            s"(missing: ${(expected -- got).take(3)}, extra: ${(got -- expected).take(3)})")
+      } finally old match {
+        case Some(v) => spark.conf.set(ProviderKey, v)
+        case None => spark.conf.unset(ProviderKey)
+      }
+    }
+  }
+
   test("topKPerKey keeps exactly k rows per key with deterministic ties") {
     val df = (1 to 10).map(i => (i % 2, i.toLong, (i % 3).toDouble))
       .toDF("grp", "id", "v")
