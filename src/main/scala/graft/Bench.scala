@@ -63,7 +63,27 @@ object Bench {
     val errs = results.collect { case (k, Left(m)) => s"${jstr(k)}:${jstr(m)}" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, Right(v)) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":${results.count(_._2.isLeft)},"sf":"$sfDir"}""")
+
+    // contention self-adjudication (three rounds, two contested bench
+    // files): re-run the 3 slowest queries and report the relative drift
+    // — a quiet box re-times within noise (|delta| ~< 0.2), a loaded box
+    // shows up as a large positive/negative swing — plus the 1-minute
+    // system load average around the run
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val slowest = results.collect { case (k, Right(v)) => k -> v }
+      .sortBy(-_._2).take(3)
+    val rerun = slowest.map { case (name, _) =>
+      val t0 = System.nanoTime()
+      try { SparkEntry.queries(name)(spark, sfDir).count() } catch { case _: Throwable => }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val firstSum = slowest.map(_._2).sum
+    val rerunDelta =
+      if (firstSum > 0) (rerun.sum - firstSum) / firstSum else 0.0
+    val rerunNames = slowest.map(s => jstr(s._1)).mkString("[", ",", "]")
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":${results.count(_._2.isLeft)},"loadavg":$loadAvg,"rerun_delta":$rerunDelta,"rerun_queries":$rerunNames,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
