@@ -113,8 +113,7 @@ object SparkEntry {
         Seq("trip_id"))
     TripStore.finalState(
       TripStore.rawItems(starts.unionByName(ends), sAttrs, eAttrs)
-        .unionByName(TripStore.completedItems(completed, sAttrs, eAttrs))
-        .unionByName(TripStore.processedRawItems(completed, sAttrs, eAttrs)))
+        .unionByName(TripStore.matcherItems(completed, sAttrs, eAttrs)))
   }
 
   // ---- dedup / similarity corpora (deterministically injected dups; the

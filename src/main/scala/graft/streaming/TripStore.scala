@@ -74,50 +74,48 @@ object TripStore {
         lit(null).cast("string").as("processed_at") +:
         (startAttrs ++ endAttrs).map(col): _*)
 
-  /** One COMPLETED item per match: SK = COMPLETED#{dropoff_datetime}
-    * (lambda2.py:79-87), status `completed`, carrying the merged
-    * start+end attrs.
+  /** The matcher's three puts per match, in ONE pass over the join
+    * output: the COMPLETED item (SK = COMPLETED#{dropoff_datetime},
+    * lambda2.py:79-87) and the two `processed_by_matcher` re-puts of the
+    * matched RAW items (lambda2.py:249-251 — the matcher holds every
+    * attr of both events, so each re-put reconstructs the RAW item
+    * exactly as ingest wrote it, sparse attrs preserved, with only
+    * status/processed_at advanced: the put-overwrite equivalent of the
+    * reference's SET UpdateExpression).
+    *
+    * Emitted via explode of a 3-struct array rather than a union of
+    * three projections — a union would re-evaluate the matcher subtree
+    * once per family, and in streaming would instantiate the
+    * stream-stream JOIN STATE three times.
     */
-  def completedItems(completed: DataFrame, startAttrs: Seq[String] = StartAttrs,
-      endAttrs: Seq[String] = EndAttrs): DataFrame =
-    completed.select(
-      col("trip_id") +:
-        concat_ws("#", lit("COMPLETED"), col("dropoff_datetime")).as("sk") +:
-        lit("completed_trip").as("data_type") +:
-        lit("completed").as("status") +:
-        lit(1L).as("status_rank") +:
-        lit(null).cast("string").as("processed_at") +:
-        (startAttrs ++ endAttrs).map(col): _*)
-
-  /** The matcher's status updates (lambda2.py:249-251): for each match,
-    * re-put BOTH matched RAW items with status `processed_by_matcher`.
-    * The matcher holds every attr of both events, so the re-put
-    * reconstructs each RAW item exactly as ingest wrote it (sparse
-    * attrs preserved) with only status/processed_at advanced — the
-    * put-overwrite equivalent of the reference's SET UpdateExpression.
-    */
-  def processedRawItems(completed: DataFrame,
+  def matcherItems(completed: DataFrame,
       startAttrs: Seq[String] = StartAttrs,
       endAttrs: Seq[String] = EndAttrs): DataFrame = {
     def nulled(names: Seq[String]) =
       names.map(a => lit(null).cast(completed.schema(a).dataType).as(a))
-    val startSide = completed.select(
-      col("trip_id") +:
-        concat_ws("#", lit("RAW"), lit("trip_start"), col("pickup_datetime")).as("sk") +:
-        lit("trip_start").as("data_type") +:
-        lit("processed_by_matcher").as("status") +:
-        lit(1L).as("status_rank") +:
-        col("dropoff_datetime").cast("string").as("processed_at") +:
-        (startAttrs.map(col) ++ nulled(endAttrs)): _*)
-    val endSide = completed.select(
-      col("trip_id") +:
-        concat_ws("#", lit("RAW"), lit("trip_end"), col("dropoff_datetime")).as("sk") +:
-        lit("trip_end").as("data_type") +:
-        lit("processed_by_matcher").as("status") +:
-        lit(1L).as("status_rank") +:
-        col("dropoff_datetime").cast("string").as("processed_at") +:
-        (nulled(startAttrs) ++ endAttrs.map(col)): _*)
-    startSide.unionByName(endSide)
+    def item(sk: org.apache.spark.sql.Column, dataType: String, status: String,
+        processedAt: org.apache.spark.sql.Column,
+        attrs: Seq[org.apache.spark.sql.Column]) =
+      struct(col("trip_id") +: sk.as("sk") +: lit(dataType).as("data_type") +:
+        lit(status).as("status") +: lit(1L).as("status_rank") +:
+        processedAt.as("processed_at") +: attrs: _*)
+    val completedItem = item(
+      concat_ws("#", lit("COMPLETED"), col("dropoff_datetime")),
+      "completed_trip", "completed", lit(null).cast("string"),
+      (startAttrs ++ endAttrs).map(col))
+    val processedStart = item(
+      concat_ws("#", lit("RAW"), lit("trip_start"), col("pickup_datetime")),
+      "trip_start", "processed_by_matcher",
+      col("dropoff_datetime").cast("string"),
+      startAttrs.map(col) ++ nulled(endAttrs))
+    val processedEnd = item(
+      concat_ws("#", lit("RAW"), lit("trip_end"), col("dropoff_datetime")),
+      "trip_end", "processed_by_matcher",
+      col("dropoff_datetime").cast("string"),
+      nulled(startAttrs) ++ endAttrs.map(col))
+    completed
+      .select(explode(array(completedItem, processedStart, processedEnd)).as("item"))
+      .select(col("item.*"))
   }
 
   /** The LWW state an item union converges to — the batch twin of the
@@ -146,9 +144,7 @@ object TripStore {
       StreamingTripPipeline.matchTrips(
         StreamingTripPipeline.dedupedStarts(validated, cfg),
         StreamingTripPipeline.dedupedEnds(validated, cfg), cfg))
-    rawItems(validated)
-      .unionByName(completedItems(completed))
-      .unionByName(processedRawItems(completed))
+    rawItems(validated).unionByName(matcherItems(completed))
   }
 
   /** The store-writer query: call `.start()` (after setting any options)
