@@ -530,6 +530,21 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("inter"), col("size_a"),
           col("size_b"), trunc4(col("jaccard")).as("jaccard"))),
 
+    // DD7: decontamination — eval "benchmark prompts" are injected as
+    // 25-token prefixes of every 50th doc; the contamination check must
+    // flag each against its source (5-gram overlap covering >=80% of the
+    // prompt's shingles) and nothing else.
+    "decontaminate_docs" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val eval = d.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 500000L).as("doc_id"),
+          array_join(slice(split(trim(col("text")), "\\s+"), 1, 25), " ").as("text"))
+      Dedup.contaminationPairs(d, eval, n = 5, minOverlapFrac = 0.8,
+          maxDocFreq = Some(ShingleDfCap))
+        .select(col("train_id"), col("eval_id"), col("overlap"),
+          col("eval_size"), trunc4(col("overlap_frac")).as("overlap_frac"))
+    }),
+
     // DD2b: containment pairs — asymmetric |A∩B|/|A| catches subsumption
     // (a 15-token prefix excerpt of every 20th doc is injected; its
     // containment in the original is 1.0 while Jaccard stays low).
@@ -1195,6 +1210,33 @@ object SparkEntry {
          |FROM pairs p JOIN sizes sa ON p.id_a = sa.id
          |JOIN sizes sb ON p.id_b = sb.id
          |WHERE p.inter/(sa.sz+sb.sz-p.inter)::DOUBLE >= 0.5""".stripMargin,
+
+    "decontaminate_docs" ->
+      s"""WITH train AS (SELECT doc_id, text FROM documents),
+         |ev AS (SELECT doc_id+500000 AS doc_id,
+         |  array_to_string((string_split_regex(trim(text), '\\s+'))[1:25], ' ') AS text
+         |  FROM documents WHERE doc_id%50=0),
+         |ttok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM train),
+         |tshs AS (SELECT doc_id, list_distinct(list_transform(
+         |  range(0, greatest(len(toks)-5,0)+1),
+         |  i -> array_to_string(toks[(i+1):(i+5)], ' '))) AS shingles FROM ttok),
+         |tsh0 AS (SELECT doc_id AS id, unnest(shingles) AS shingle FROM tshs),
+         |hot AS (SELECT shingle FROM tsh0 GROUP BY shingle HAVING count(*) > $ShingleDfCap),
+         |tsh AS (SELECT id, shingle FROM tsh0
+         |  WHERE shingle NOT IN (SELECT shingle FROM hot)),
+         |etok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM ev),
+         |eshs AS (SELECT doc_id, list_distinct(list_transform(
+         |  range(0, greatest(len(toks)-5,0)+1),
+         |  i -> array_to_string(toks[(i+1):(i+5)], ' '))) AS shingles FROM etok),
+         |esh AS (SELECT doc_id AS id, unnest(shingles) AS shingle FROM eshs),
+         |esz AS (SELECT id, count(*) AS sz FROM esh GROUP BY id)
+         |SELECT t.id AS train_id, e.id AS eval_id, count(*) AS overlap,
+         |min(z.sz) AS eval_size,
+         |floor(count(*)/min(z.sz)::DOUBLE*10000)/10000 AS overlap_frac
+         |FROM tsh t JOIN esh e ON t.shingle = e.shingle
+         |JOIN esz z ON e.id = z.id
+         |GROUP BY t.id, e.id
+         |HAVING count(*)/min(z.sz)::DOUBLE >= 0.8""".stripMargin,
 
     "dedup_containment" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL

@@ -272,6 +272,36 @@ object Dedup {
       .select("id_a", "id_b", "sig_agreement")
   }
 
+  /** Training-set DECONTAMINATION: flag (train doc, eval doc) pairs
+    * whose shared distinct word n-grams cover at least `minOverlapFrac`
+    * of the eval doc's shingle set — the n-gram-collision contamination
+    * check LLM pipelines run against benchmark/eval sets before
+    * training. Returns (train_id, eval_id, overlap, eval_size,
+    * overlap_frac).
+    *
+    * Scale shape: a CROSS-CORPUS inverted-index equi-join on the
+    * shingle — identical cost structure to [[jaccardPairs]] but with the
+    * (small) eval side as one join input, so the work is
+    * |train shingles ∩ eval shingle keys|, not train². `maxDocFreq`
+    * df-caps the TRAIN side (boilerplate guard; the eval side is
+    * benchmark-sized and needs none). The fraction denominator is the
+    * eval doc's shingle count: a fully-quoted prompt scores 1.0 no
+    * matter how much other text surrounds it in the training doc.
+    */
+  def contaminationPairs(train: DataFrame, eval: DataFrame, n: Int = 5,
+      minOverlapFrac: Double = 0.8, maxDocFreq: Option[Long] = None,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tsh = shingles(train, n, idCol, textCol, maxDocFreq)
+      .select(col("id").as("train_id"), col("shingle"))
+    val esh = shingles(eval, n, idCol, textCol, None)
+      .select(col("id").as("eval_id"), col("shingle"), col("sz").as("eval_sz"))
+    tsh.join(esh, "shingle")
+      .groupBy("train_id", "eval_id")
+      .agg(count(lit(1)).as("overlap"), min(col("eval_sz")).as("eval_size"))
+      .withColumn("overlap_frac", col("overlap") / col("eval_size"))
+      .filter(col("overlap_frac") >= minOverlapFrac)
+  }
+
   /** SimHash per doc: (id, simhash) with `bits`-bit signatures over word
     * 2-shingles.
     *

@@ -194,6 +194,30 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(sub != null && sub.nonEmpty, "no reliable checkpoint data written")
   }
 
+  test("contaminationPairs flags a quoted benchmark prompt against its source only") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and keeps running far away"),
+      (2L, "completely different text about spark catalyst plans and shuffle exchanges here")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"), // prompt quoted from doc 1
+      (101L, "unrelated benchmark question with its own words entirely")
+    ).toDF("doc_id", "text")
+    val out = Dedup.contaminationPairs(train, eval, n = 5, minOverlapFrac = 0.8)
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("train_id") === 1L && r.getAs[Long]("eval_id") === 100L)
+    // the 9-token prompt has 5 distinct 5-grams, all inside doc 1
+    assert(r.getAs[Long]("overlap") === 5L && r.getAs[Long]("eval_size") === 5L)
+    assert(r.getAs[Double]("overlap_frac") === 1.0)
+    // a tighter threshold run with a partially-quoted prompt stays below it
+    val partial = Seq((102L, "the quick brown fox jumps over my own new words here today"))
+      .toDF("doc_id", "text")
+    assert(Dedup.contaminationPairs(train, partial, n = 5, minOverlapFrac = 0.8)
+      .count() === 0)
+  }
+
   test("nearDupClustersStar equals the union-find/min-label result on chains and forests") {
     // transitive chain + separate 2-component + isolated pair, with ids
     // deliberately out of order so min-propagation direction matters
