@@ -135,11 +135,17 @@ object SimilaritySearch {
     val scored = vecs.join(broadcast(cents), lit(true))
       .withColumn("csim",
         cosineFromNorms(dot(col("v"), col("cv")), col("nrm"), col("cnrm")))
-    val w = Window.partitionBy(col("id"))
-      .orderBy(col("csim").desc, col("centroid_id"))
-    scored.withColumn("crank", row_number().over(w))
-      .filter(col("crank") === 1)
-      .select(col("id"), col("v"), col("nrm"), col("centroid_id"))
+    // argmax by (csim desc, centroid_id asc) as a HASH AGGREGATE, not a
+    // row_number window: the |corpus| x |centroids| rows partial-reduce
+    // map-side to one row per id before the shuffle, where the window
+    // formulation sort-shuffled them all. The (csim, -centroid_id) key
+    // is unique per group, so max_by is deterministic and picks exactly
+    // the window's (csim desc, centroid_id) winner.
+    scored.groupBy(col("id"))
+      .agg(max_by(struct(col("v"), col("nrm"), col("centroid_id")),
+        struct(col("csim"), (-col("centroid_id")).as("nc"))).as("m"))
+      .select(col("id"), col("m.v").as("v"), col("m.nrm").as("nrm"),
+        col("m.centroid_id").as("centroid_id"))
   }
 
   /** IVF top-k: probe the `nprobe` nearest cells per query, rank only
@@ -269,10 +275,13 @@ object SimilaritySearch {
       .withColumn("l2",
         dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("cvec")) +
           dot(col("cvec"), col("cvec")))
-    val ew = Window.partitionBy(col("id"), col("s"))
-      .orderBy(col("l2"), col("code"))
-    enc0.withColumn("r", row_number().over(ew))
-      .filter(col("r") === 1)
+    // argmin by (l2 asc, code asc) as a hash aggregate (see
+    // ivfAssignmentsFromCentroids): the |corpus| x codebookSize rows
+    // partial-reduce map-side; the (l2, code) key is unique per
+    // (id, s) group, so min_by reproduces the window's winner exactly
+    enc0.groupBy(col("id"), col("s"))
+      .agg(min_by(col("code"), struct(col("l2"), col("code"))).as("code"),
+        carry.map(c => first(col(c)).as(c)): _*)
       .groupBy("id")
       .agg(transform(sort_array(collect_list(struct(col("s"), col("code")))),
         e => e.getField("code")).as("codes"),
