@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join: for every left row, attach the single right row
+  * with the greatest `rightTs <= leftTs` within the same key group —
+  * the point-in-time lookup every event pipeline eventually needs
+  * (latest price before a trade, latest purchase before a click, last
+  * config before a deploy). The reference has no such operator; this is
+  * part of the extension surface, expressed Spark-first.
+  *
+  * Formulation: NOT a range join. Both sides are tagged and unioned,
+  * then one window pass per key carries the latest right payload
+  * forward (`last(_, ignoreNulls)` over rows-unbounded-preceding) and
+  * left rows read it off. That is ONE shuffle on the key and one
+  * per-partition sort — exactly the cost of a sort-merge equi-join —
+  * with no interval explosion and no per-row subquery, and it scales
+  * with |left|+|right| regardless of how far back matches reach
+  * (a range-bucketed formulation must pick a max lookback; this one
+  * doesn't). Skewed keys spread with the usual salting once matches are
+  * tolerance-bounded; unbounded lookback is inherently per-key-serial,
+  * like the matcher's stream-stream join state.
+  *
+  * Semantics:
+  *  - left join: unmatched left rows keep null payload columns.
+  *  - inclusive: a right row AT the left timestamp matches (right sorts
+  *    before left on ties via the side tag).
+  *  - right rows must be unique per (keys, rightTs) — pre-aggregate
+  *    otherwise (window `last` has no defined order among exact ties).
+  *  - null right payload fields are safe: the carried value is the
+  *    whole-row struct, never null for a right row, so a null field
+  *    rides along instead of falling back to an older row.
+  *  - `tolerance`: optional max staleness; a match older than
+  *    `leftTs - tolerance` nulls out (row is kept — left semantics).
+  */
+object AsOfJoin {
+
+  /** @param payload right columns to attach (each emitted as
+    *                `prefix + name`); `rightTs` itself is always
+    *                attached as `prefix + rightTs`.
+    */
+  def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, payload: Seq[String],
+      prefix: String = "asof_", tolerance: Option[Column] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val pStruct = struct((rightTs +: payload).map(col): _*)
+    val r = right.select(keys.map(col) ++ Seq(
+      col(rightTs).as("_t"), lit(0).as("_side"), pStruct.as("_p")): _*)
+    val lRowType = org.apache.spark.sql.types.StructType(
+      left.schema.fields)
+    val l = left.select(keys.map(col) ++ Seq(
+      col(leftTs).as("_t"), lit(1).as("_side"),
+      lit(null).cast(r.schema("_p").dataType).as("_p"),
+      struct(leftCols.map(col): _*).as("_l")): _*)
+    val u = l.unionByName(
+      r.withColumn("_l", lit(null).cast(lRowType)), allowMissingColumns = false)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = u.withColumn("_m", last(col("_p"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+    val bounded = tolerance match {
+      case Some(tol) => carried.withColumn("_m",
+        when(col("_m")(rightTs) >= col("_t") - tol, col("_m")))
+      case None => carried
+    }
+    bounded.select(col("_l.*") +:
+      col("_m")(rightTs).as(prefix + rightTs) +:
+      payload.map(p => col("_m")(p).as(prefix + p)): _*)
+  }
+}
