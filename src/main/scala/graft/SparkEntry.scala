@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextAnalysis, TextHash}
-import graft.operators.{Dedup, KpiAggregator, RawEventStore, SequencePack, Sessionize, SimilaritySearch, TripMatcher}
+import graft.operators.{AsOfJoin, Dedup, KpiAggregator, RawEventStore, SequencePack, Sessionize, SimilaritySearch, TripMatcher}
 import graft.sources.{MediaColumns, TripSources}
 
 /** Driver contract — one named query per implemented operator of
@@ -114,6 +114,32 @@ object SparkEntry {
     TripStore.finalState(
       TripStore.rawItems(starts.unionByName(ends), sAttrs, eAttrs)
         .unionByName(TripStore.matcherItems(completed, sAttrs, eAttrs)))
+  }
+
+  /** Point-in-time lookup: every click event annotated with the latest
+    * purchase at-or-before it by the same user ([[AsOfJoin.asofBackward]]).
+    * Right side is deduped to one row per (user_id, ts) — the operator's
+    * uniqueness precondition — and null keys/timestamps are filtered on
+    * BOTH sides so the window's null-keys-group-together semantics can't
+    * diverge from the oracle's SQL-join semantics. DuckDB oracle is a
+    * native `ASOF LEFT JOIN` (backward-inclusive, same semantics).
+    */
+  private def asofClickPurchase(s: SparkSession, dir: String,
+      tolerance: Option[org.apache.spark.sql.Column]): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val left = ev.filter(col("event_type") === "click" &&
+        col("ts").isNotNull && col("user_id").isNotNull)
+      .select("event_id", "user_id", "ts", "value")
+    val rRank = Window.partitionBy(col("user_id"), col("ts"))
+      .orderBy(col("purchase_id"))
+    val right = ev.filter(col("event_type") === "purchase" &&
+        col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"),
+        col("value").as("purchase_value"))
+      .withColumn("_rn", row_number().over(rRank)).filter(col("_rn") === 1)
+      .drop("_rn")
+    AsOfJoin.asofBackward(left, right, Seq("user_id"), "ts", "ts",
+      Seq("purchase_id", "purchase_value"), tolerance = tolerance)
   }
 
   // ---- dedup / similarity corpora (deterministically injected dups; the
@@ -289,6 +315,15 @@ object SparkEntry {
     // SkewSpec proves equality with the plain join; PlanAudit proves the
     // physical join shuffles on (user_id, _salt)).
     "skewed_user_join" -> ((s, dir) => skewedUserJoin(s, dir)),
+
+    // J5: backward as-of join — unbounded lookback (union+window, one
+    // shuffle on the key; AsOfJoin.scala rationale).
+    "asof_latest_event" -> ((s, dir) => asofClickPurchase(s, dir, None)),
+
+    // J5b: the production point-in-time config — bounded staleness; a
+    // match older than 1 day nulls out but the left row is kept.
+    "asof_bounded_staleness" -> ((s, dir) =>
+      asofClickPurchase(s, dir, Some(expr("INTERVAL 1 DAY")))),
 
     // D1: first-occurrence dedup on the natural key (lambda1.py:119-150).
     "dedup_first_wins" -> ((s, dir) =>
@@ -928,6 +963,33 @@ object SparkEntry {
         |  FROM (SELECT DISTINCT user_id FROM ev) u)
         |SELECT e.event_id, e.user_id, s.segment, e.value
         |FROM ev e JOIN users s ON e.user_id = s.user_id""".stripMargin,
+
+    "asof_latest_event" ->
+      """WITH l AS (SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'click' AND ts IS NOT NULL AND user_id IS NOT NULL),
+        |r AS (SELECT user_id, ts, purchase_id, purchase_value FROM (
+        |  SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value,
+        |    row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+        |  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+        |    AND user_id IS NOT NULL) t WHERE rn = 1)
+        |SELECT l.event_id, l.user_id, l.ts, l.value,
+        |  r.ts AS asof_ts, r.purchase_id AS asof_purchase_id,
+        |  r.purchase_value AS asof_purchase_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    "asof_bounded_staleness" ->
+      """WITH l AS (SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'click' AND ts IS NOT NULL AND user_id IS NOT NULL),
+        |r AS (SELECT user_id, ts, purchase_id, purchase_value FROM (
+        |  SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value,
+        |    row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+        |  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+        |    AND user_id IS NOT NULL) t WHERE rn = 1)
+        |SELECT l.event_id, l.user_id, l.ts, l.value,
+        |  CASE WHEN r.ts >= l.ts - INTERVAL 1 DAY THEN r.ts END AS asof_ts,
+        |  CASE WHEN r.ts >= l.ts - INTERVAL 1 DAY THEN r.purchase_id END AS asof_purchase_id,
+        |  CASE WHEN r.ts >= l.ts - INTERVAL 1 DAY THEN r.purchase_value END AS asof_purchase_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
 
     "dedup_first_wins" ->
       """SELECT event_id, ts, user_id, event_type, value, props FROM (

@@ -32,6 +32,17 @@ import org.apache.spark.sql.functions._
   *  - null right payload fields are safe: the carried value is the
   *    whole-row struct, never null for a right row, so a null field
   *    rides along instead of falling back to an older row.
+  *  - null timestamps: right rows with a null `rightTs` are DROPPED
+  *    (they have no position on the time axis; under Spark's
+  *    nulls-first ascending window order they would otherwise leak
+  *    their payload into every left row before the first real right
+  *    row). Left rows with a null `leftTs` are KEPT and never match —
+  *    they sort before every non-null-ts row, so no right payload has
+  *    been carried yet. Left-join semantics either way.
+  *  - null KEYS group together (window `partitionBy` semantics, unlike
+  *    SQL equi-join where null never equals null): a null-key left row
+  *    can match a null-key right row. Pre-filter null keys on both
+  *    sides when SQL join semantics are wanted.
   *  - `tolerance`: optional max staleness; a match older than
   *    `leftTs - tolerance` nulls out (row is kept — left semantics).
   */
@@ -44,9 +55,17 @@ object AsOfJoin {
   def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, payload: Seq[String],
       prefix: String = "asof_", tolerance: Option[Column] = None): DataFrame = {
+    require(!payload.contains(rightTs),
+      s"payload must not repeat rightTs ('$rightTs'): it is always attached as ${prefix}$rightTs")
+    val outNames = (rightTs +: payload).map(prefix + _)
+    require(outNames.distinct == outNames,
+      s"prefixed payload names collide among themselves: ${outNames.mkString(", ")}")
+    val clash = outNames.toSet.intersect(left.columns.toSet)
+    require(clash.isEmpty,
+      s"prefixed output columns collide with left columns: ${clash.mkString(", ")} — pick another prefix")
     val leftCols = left.columns.toSeq
     val pStruct = struct((rightTs +: payload).map(col): _*)
-    val r = right.select(keys.map(col) ++ Seq(
+    val r = right.filter(col(rightTs).isNotNull).select(keys.map(col) ++ Seq(
       col(rightTs).as("_t"), lit(0).as("_side"), pStruct.as("_p")): _*)
     val lRowType = org.apache.spark.sql.types.StructType(
       left.schema.fields)

@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.AsOfJoin
+
+/** Edge semantics of the union+window as-of formulation (VERDICT r5
+  * item 1 / ADVICE r5): tie inclusivity, tolerance boundary, unmatched
+  * and null-timestamp rows, null payload fields riding the carried
+  * struct, and the fail-fast column-collision guards.
+  */
+class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def leftDf = Seq(
+    ("a", Some(10L), "L1"),  // exact tie with a right row
+    ("a", Some(20L), "L2"),  // between right rows → latest prior
+    ("a", Some(5L),  "L0"),  // before every right row → unmatched
+    ("b", Some(100L), "L3"), // far after its key's only right row
+    ("a", None,      "LN")   // null left ts → kept, never matches
+  ).toDF("k", "ts", "ltag")
+
+  private def rightDf = Seq(
+    ("a", Some(10L), Some("R10"), Some(1.0)),
+    ("a", Some(15L), Some("R15"), Some(2.0)),
+    ("b", Some(40L), Some("R40"), Some(3.0)),
+    // null right ts: must be dropped, not carried into early left rows
+    ("a", None,      Some("RN"),  Some(9.0))
+  ).toDF("k", "rts", "rtag", "rval")
+
+  private def matches(out: org.apache.spark.sql.DataFrame) =
+    out.select("ltag", "asof_rts", "asof_rtag")
+      .as[(String, Option[Long], Option[String])]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+
+  test("backward inclusive match; unmatched and null-ts left rows keep nulls") {
+    val out = AsOfJoin.asofBackward(leftDf, rightDf, Seq("k"), "ts", "rts",
+      Seq("rtag", "rval"))
+    assert(out.count() === 5L, "left-join semantics: every left row kept")
+    val m = matches(out)
+    assert(m("L1") === ((Some(10L), Some("R10"))), "tie at equal ts is inclusive")
+    assert(m("L2") === ((Some(15L), Some("R15"))), "latest prior, not first")
+    assert(m("L0") === ((None, None)), "null-ts right row must not leak payload")
+    assert(m("L3") === ((Some(40L), Some("R40"))))
+    assert(m("LN") === ((None, None)), "null left ts never matches")
+  }
+
+  test("tolerance boundary is inclusive; expired matches null but rows stay") {
+    import org.apache.spark.sql.functions.lit
+    // L2 at ts=20 matches R15 at 15; staleness 5 → 15 >= 20-5 keeps it
+    val kept = matches(AsOfJoin.asofBackward(leftDf, rightDf, Seq("k"),
+      "ts", "rts", Seq("rtag", "rval"), tolerance = Some(lit(5L))))
+    assert(kept("L2") === ((Some(15L), Some("R15"))), "boundary match kept (>=)")
+    // staleness 4 → 15 < 16 expires the match; row itself stays
+    val expired = AsOfJoin.asofBackward(leftDf, rightDf, Seq("k"),
+      "ts", "rts", Seq("rtag", "rval"), tolerance = Some(lit(4L)))
+    assert(expired.count() === 5L)
+    val e = matches(expired)
+    assert(e("L2") === ((None, None)), "expired match nulls out")
+    assert(e("L1") === ((Some(10L), Some("R10"))), "zero-staleness tie survives")
+  }
+
+  test("null payload field rides the struct instead of falling back") {
+    val right = Seq(
+      ("a", Some(10L), Some("R10"), Some(1.0)),
+      ("a", Some(15L), None: Option[String], Some(2.0)) // null rtag at 15
+    ).toDF("k", "rts", "rtag", "rval")
+    val m = matches(AsOfJoin.asofBackward(leftDf, right, Seq("k"),
+      "ts", "rts", Seq("rtag", "rval")))
+    // L2's match IS the ts=15 row; its null rtag must not resurrect R10's
+    assert(m("L2") === ((Some(15L), None)))
+  }
+
+  test("column-collision guards fail fast") {
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asofBackward(leftDf, rightDf, Seq("k"), "ts", "rts",
+        Seq("rts", "rval")) // payload repeats rightTs
+    }
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asofBackward(leftDf.withColumnRenamed("ltag", "asof_rtag"),
+        rightDf, Seq("k"), "ts", "rts", Seq("rtag")) // prefixed name clashes
+    }
+  }
+}
