@@ -254,6 +254,18 @@ object SparkEntry {
     }.mkString("(", " + ", ")")
   }
 
+  /** Banded LSH bucket for table `t` (SimilaritySearch.lshBandBucket):
+    * sign bits over hyperplanes [t*b, (t+1)*b) of the same fixed matrix.
+    */
+  private def bandBucketSql(v: String, t: Int, b: Int): String = {
+    val planes = SimilaritySearch.hyperplanes((t + 1) * b)
+    (0 until b).map { j =>
+      val proj = (1 to SimilaritySearch.Dim)
+        .map(i => s"$v[$i]::DOUBLE*${planes(t * b + j)(i - 1)}.0").mkString(" + ")
+      s"CASE WHEN ($proj) > 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+  }
+
   // ---- the contract -------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -639,10 +651,19 @@ object SparkEntry {
       Dedup.embeddingNearDups(embDupCorpus(s, dir), threshold = 0.9)
         .select(col("id_a"), col("id_b"), trunc4(col("cosine")).as("cosine"))),
 
-    // DD7: embedding near-dup via LSH buckets (the scale path; equi-join
-    // on sign bucket instead of the O(n^2) pair join).
+    // DD7: embedding near-dup via one 8-bit LSH table (equi-join on sign
+    // bucket instead of the O(n^2) pair join; bits pinned to the oracle).
     "dedup_embedding_lsh" -> ((s, dir) =>
-      Dedup.embeddingNearDupsLsh(embDupCorpus(s, dir), threshold = 0.9)
+      Dedup.embeddingNearDupsLsh(embDupCorpus(s, dir), threshold = 0.9,
+          bits = 8)
+        .select(col("id_a"), col("id_b"), trunc4(col("cosine")).as("cosine"))),
+
+    // DD7b: banded multi-table LSH (4 tables x 16 bits) — the 100 TB
+    // configuration: long codes keep the candidate join at n^2/16384,
+    // OR-across-tables restores the recall long codes would lose.
+    "dedup_embedding_lsh_banded" -> ((s, dir) =>
+      Dedup.embeddingNearDupsLshBanded(embDupCorpus(s, dir), threshold = 0.9,
+          tables = 4, bitsPerTable = 16)
         .select(col("id_a"), col("id_b"), trunc4(col("cosine")).as("cosine"))),
 
     // A5 (extension): HLL++ approximate distinct users per day. No
@@ -1419,6 +1440,22 @@ object SparkEntry {
          |scored AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  ${cosSql("a.embedding", "b.embedding")} AS cosine
          |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, floor(cosine*10000)/10000 AS cosine
+         |FROM scored WHERE cosine >= 0.9""".stripMargin,
+
+    "dedup_embedding_lsh_banded" ->
+      s"""WITH $embCorpusSql,
+         |e AS (SELECT vec_id, embedding,
+         |  [${(0 until 4).map(t => bandBucketSql("embedding", t, 16)).mkString(", ")}] AS tbl
+         |  FROM corpus),
+         |x AS (SELECT vec_id, t.t AS t, tbl[t.t+1] AS bucket FROM e, range(0,4) t(t)),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM x a JOIN x b ON a.t = b.t AND a.bucket = b.bucket
+         |    AND a.vec_id < b.vec_id),
+         |scored AS (SELECT id_a, id_b,
+         |  ${cosSql("ea.embedding", "eb.embedding")} AS cosine
+         |  FROM cand JOIN e ea ON cand.id_a = ea.vec_id
+         |  JOIN e eb ON cand.id_b = eb.vec_id)
          |SELECT id_a, id_b, floor(cosine*10000)/10000 AS cosine
          |FROM scored WHERE cosine >= 0.9""".stripMargin,
 

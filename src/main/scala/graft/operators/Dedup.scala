@@ -549,13 +549,17 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }
 
-  /** Embedding near-dup, LSH-bucketed — the scale path. Candidates are
-    * pairs sharing a random-hyperplane sign bucket; exact cosine +
-    * threshold then filters. The pair join is equi on the bucket id (cost
-    * sum(|bucket|^2), never n^2); high-cosine pairs land in the same
-    * bucket with probability (1 - theta/pi)^bits, = 1 for exact
-    * duplicates, so near-certain candidates survive while the join stays
-    * linear-ish. Fewer bits or multi-probe trades cost for recall.
+  /** Embedding near-dup, single-table LSH — candidates are pairs sharing
+    * one random-hyperplane sign bucket; exact cosine + threshold then
+    * filters. The pair join is equi on the bucket id, so expected cost is
+    * O(n^2 / 2^bits) — a divided quadratic, NOT linear: the 8-bit
+    * default (256 buckets) is sized for corpora around 10^4-10^5
+    * vectors, where buckets stay small and recall at the threshold
+    * boundary matters more than constant factor. At larger n either
+    * raise `bits` toward log2(n / targetBucketSize) (recall at the
+    * boundary drops as p^bits, p = 1 - theta/pi) or — the 100 TB
+    * configuration — use [[embeddingNearDupsLshBanded]], which keeps
+    * long per-table codes for cost AND multiple tables for recall.
     */
   def embeddingNearDupsLsh(embs: DataFrame, threshold: Double = 0.9,
       bits: Int = 8, idCol: String = "vec_id",
@@ -571,5 +575,49 @@ object Dedup {
         dot(col("a.v"), col("b.v")), col("a.nrm"), col("b.nrm")))
       .filter(col("cosine") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
+  }
+
+  /** Embedding near-dup, banded multi-table LSH — the 100 TB scale path.
+    * Each vector gets `tables` independent sign buckets of `bitsPerTable`
+    * hyperplanes ([[SimilaritySearch.lshBandBucket]]); a pair is a
+    * candidate if it collides in ANY table (AND-within-band /
+    * OR-across-bands, same banding as [[minHashLshPairs]]). Exact cosine
+    * then filters, so precision is unaffected — the knobs trade only
+    * candidate cost against recall: expected join cost is
+    * tables * n^2 / 2^bitsPerTable (defaults: n^2/16384, 64x below one
+    * 8-bit table) while collision probability for a pair at angle theta
+    * is 1 - (1 - p^bitsPerTable)^tables, p = 1 - theta/pi — 1.0 for
+    * exact duplicates, ~0.93 at cosine 0.99 with the defaults.
+    *
+    * Plan shape: candidate ids travel the bucket join ALONE (no
+    * vectors), are de-duplicated across tables, then two hash joins
+    * re-attach vectors+norms for the exact-cosine pass — the candidate
+    * shuffle stays bytes-narrow no matter the embedding width.
+    */
+  def embeddingNearDupsLshBanded(embs: DataFrame, threshold: Double = 0.9,
+      tables: Int = 4, bitsPerTable: Int = 16, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val dot = graft.functions.VectorFunctions.dotF _
+    val e = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("nrm"),
+      array((0 until tables).map(t =>
+        SimilaritySearch.lshBandBucket(col(vecCol), t, bitsPerTable)): _*)
+        .as("tbl"))
+      .localCheckpoint(false) // hyperplane projections compute once, not per side
+    val x = e.select(col("id"), posexplode(col("tbl")).as(Seq("t", "bucket")))
+    val pairs = x.as("a").join(x.as("b"),
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct() // a pair colliding in several tables scores once
+    pairs
+      .join(e.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")),
+        Seq("id_a"))
+      .join(e.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")),
+        Seq("id_b"))
+      .withColumn("cosine", SimilaritySearch.cosineFromNorms(
+        dot(col("va"), col("vb")), col("na"), col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
   }
 }

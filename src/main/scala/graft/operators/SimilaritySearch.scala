@@ -62,11 +62,41 @@ object SimilaritySearch {
 
   /** Sign-bucket id: bit j set iff dot(v, hyperplane_j) > 0. Uses the
     * codegen'd dot product with the plane as a float-array literal.
+    *
+    * Bucket math: `bits` hyperplanes split the corpus into at most
+    * 2^bits buckets, so a bucket-equi self/probe join costs
+    * O(n^2 / 2^bits) expected pair evaluations on uniform data — at 8
+    * bits that is n^2/256, which is NOT linear in n; it merely divides
+    * the quadratic constant. Size `bits` to the corpus: for target
+    * bucket occupancy c, bits ~ log2(n/c) (e.g. 10^9 vectors, c=64 →
+    * 24 bits). One long code then misses near-boundary pairs — recover
+    * recall with [[lshTopK]]'s multiprobe (flips one plane per probe)
+    * or the banded multi-table shape ([[lshBandBucket]]).
     */
   def lshBucket(v: Column, bits: Int): Column = {
     val planes = hyperplanes(bits)
     (0 until bits).map { j =>
       val proj = graft.functions.VectorFunctions.dotF(v, lit(planes(j).map(_.toFloat)))
+      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Table `table`'s sign bucket over hyperplanes
+    * [table*bitsPerTable, (table+1)*bitsPerTable) of the same fixed
+    * matrix — the banded multi-table LSH shape (AND within a band, OR
+    * across bands, exactly like the MinHash banding in
+    * [[graft.operators.Dedup.minHashLshPairs]]). A pair at angle theta
+    * collides in one table with p^b (p = 1 - theta/pi) and in any of T
+    * tables with 1-(1-p^b)^T: at b=16, T=4 that is 1.0 for exact
+    * duplicates, ~0.93 at cosine 0.99, while the candidate join runs at
+    * T * n^2 / 2^b expected pairs (n^2/16384 — 64x fewer than one 8-bit
+    * table). Long codes for precision, many tables for recall.
+    */
+  def lshBandBucket(v: Column, table: Int, bitsPerTable: Int): Column = {
+    val planes = hyperplanes((table + 1) * bitsPerTable)
+    (0 until bitsPerTable).map { j =>
+      val proj = graft.functions.VectorFunctions.dotF(v,
+        lit(planes(table * bitsPerTable + j).map(_.toFloat)))
       when(proj > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
   }

@@ -292,5 +292,13 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val lsh = pairs(Dedup.embeddingNearDupsLsh(dup))
     assert(lsh === brute, "identical vectors always share an LSH bucket")
     assert(brute.nonEmpty)
+
+    // banded multi-table at the long-code defaults (4x16 bits): recall
+    // parity with the exact path — exact dups collide in EVERY table, so
+    // raising bits-per-table must not cost a single pair here, while the
+    // candidate join runs at n^2/2^16 per table instead of n^2/2^8
+    val banded = pairs(Dedup.embeddingNearDupsLshBanded(dup))
+    assert(banded === brute,
+      "banded LSH must keep exact-dup recall at long code lengths")
   }
 }
