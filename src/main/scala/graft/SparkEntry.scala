@@ -124,8 +124,7 @@ object SparkEntry {
     * diverge from the oracle's SQL-join semantics. DuckDB oracle is a
     * native `ASOF LEFT JOIN` (backward-inclusive, same semantics).
     */
-  private def asofClickPurchase(s: SparkSession, dir: String,
-      tolerance: Option[org.apache.spark.sql.Column]): DataFrame = {
+  private def asofSides(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val ev = Tables.events(s, dir)
     val left = ev.filter(col("event_type") === "click" &&
         col("ts").isNotNull && col("user_id").isNotNull)
@@ -138,6 +137,12 @@ object SparkEntry {
         col("value").as("purchase_value"))
       .withColumn("_rn", row_number().over(rRank)).filter(col("_rn") === 1)
       .drop("_rn")
+    (left, right)
+  }
+
+  private def asofClickPurchase(s: SparkSession, dir: String,
+      tolerance: Option[org.apache.spark.sql.Column]): DataFrame = {
+    val (left, right) = asofSides(s, dir)
     AsOfJoin.asofBackward(left, right, Seq("user_id"), "ts", "ts",
       Seq("purchase_id", "purchase_value"), tolerance = tolerance)
   }
@@ -336,6 +341,17 @@ object SparkEntry {
     // match older than 1 day nulls out but the left row is kept.
     "asof_bounded_staleness" -> ((s, dir) =>
       asofClickPurchase(s, dir, Some(expr("INTERVAL 1 DAY")))),
+
+    // J5c: the same bounded-staleness semantics via the range-bucketed
+    // HOT-KEY formulation (probe join on (key, time-bucket) + max_by
+    // hash aggregate — no per-key-serial window). Shares J5b's oracle:
+    // two physical strategies, one answer.
+    "asof_range_bucketed" -> ((s, dir) => {
+      val (left, right) = asofSides(s, dir)
+      AsOfJoin.asofBackwardRangeBucketed(left, right, Seq("user_id"),
+        "ts", "ts", Seq("purchase_id", "purchase_value"),
+        leftId = "event_id", toleranceSec = 86400L)
+    }),
 
     // D1: first-occurrence dedup on the natural key (lambda1.py:119-150).
     "dedup_first_wins" -> ((s, dir) =>
@@ -999,6 +1015,22 @@ object SparkEntry {
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
 
     "asof_bounded_staleness" ->
+      """WITH l AS (SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'click' AND ts IS NOT NULL AND user_id IS NOT NULL),
+        |r AS (SELECT user_id, ts, purchase_id, purchase_value FROM (
+        |  SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value,
+        |    row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+        |  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+        |    AND user_id IS NOT NULL) t WHERE rn = 1)
+        |SELECT l.event_id, l.user_id, l.ts, l.value,
+        |  CASE WHEN r.ts >= l.ts - INTERVAL 1 DAY THEN r.ts END AS asof_ts,
+        |  CASE WHEN r.ts >= l.ts - INTERVAL 1 DAY THEN r.purchase_id END AS asof_purchase_id,
+        |  CASE WHEN r.ts >= l.ts - INTERVAL 1 DAY THEN r.purchase_value END AS asof_purchase_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    // Same oracle as asof_bounded_staleness on purpose: the range-bucketed
+    // formulation is a different physical strategy for identical semantics.
+    "asof_range_bucketed" ->
       """WITH l AS (SELECT event_id, user_id, ts, value FROM events
         |  WHERE event_type = 'click' AND ts IS NOT NULL AND user_id IS NOT NULL),
         |r AS (SELECT user_id, ts, purchase_id, purchase_value FROM (

@@ -89,4 +89,65 @@ object AsOfJoin {
       col("_m")(rightTs).as(prefix + rightTs) +:
       payload.map(p => col("_m")(p).as(prefix + p)): _*)
   }
+
+  /** Tolerance-bounded as-of join, range-bucketed — the HOT-KEY scale
+    * path. [[asofBackward]]'s window is one shuffle but per-key-serial:
+    * a key holding 10% of both sides becomes one straggler task. When a
+    * staleness bound exists (every production point-in-time config),
+    * time can join the partition key: any right row matching a left row
+    * at `lts` lies in `[lts - tolerance, lts]`, i.e. in the left row's
+    * tolerance-width time bucket or the one before it. So: explode each
+    * left row to its two probe buckets, equi-join right on
+    * (keys, bucket) — the hot key now spreads over its time range —
+    * filter to the exact window, reduce to the latest match per left
+    * row with a `max_by` HASH aggregate (map-side partial; no window
+    * sort), and left-join back so unmatched rows survive.
+    *
+    * Cost: three shuffles (probe join, max_by, join-back) vs the
+    * window's one — buy parallelism with shuffles only where key skew
+    * demands it; elsewhere use [[asofBackward]].
+    *
+    * Semantics: IDENTICAL to `asofBackward(..., tolerance = Some(t))`
+    * (AsOfJoinSpec asserts equality, the contract query shares the
+    * DuckDB oracle): the latest `rightTs <= leftTs` either lies within
+    * tolerance — then it is also the latest inside the window — or no
+    * right row occupies the window at all. Same null rules; additionally
+    * requires a unique left id column to survive the aggregate.
+    *
+    * @param leftId    unique-per-left-row column (join-back identity).
+    * @param tolerance max staleness in SECONDS (bucket width).
+    */
+  def asofBackwardRangeBucketed(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTs: String, rightTs: String, payload: Seq[String],
+      leftId: String, toleranceSec: Long,
+      prefix: String = "asof_"): DataFrame = {
+    require(toleranceSec > 0, s"toleranceSec must be positive: $toleranceSec")
+    require(!payload.contains(rightTs),
+      s"payload must not repeat rightTs ('$rightTs'): it is always attached as ${prefix}$rightTs")
+    val outNames = (rightTs +: payload).map(prefix + _)
+    require(outNames.distinct == outNames,
+      s"prefixed payload names collide among themselves: ${outNames.mkString(", ")}")
+    val clash = outNames.toSet.intersect(left.columns.toSet)
+    require(clash.isEmpty,
+      s"prefixed output columns collide with left columns: ${clash.mkString(", ")} — pick another prefix")
+
+    def bucketOf(ts: Column): Column =
+      floor(unix_timestamp(ts) / lit(toleranceSec)).cast("long")
+    val r = right.filter(col(rightTs).isNotNull).select(keys.map(col) ++ Seq(
+      bucketOf(col(rightTs)).as("_bkt"), col(rightTs).as("_t"),
+      struct((rightTs +: payload).map(col): _*).as("_p")): _*)
+    val probes = left.filter(col(leftTs).isNotNull)
+      .select(Seq(col(leftId).as("_lid"), col(leftTs).as("_lt"),
+        explode(array(bucketOf(col(leftTs)), bucketOf(col(leftTs)) - 1))
+          .as("_bkt")) ++ keys.map(col): _*)
+    val best = probes.join(r, keys :+ "_bkt")
+      .filter(col("_t") <= col("_lt") &&
+        col("_t") >= col("_lt") - expr(s"INTERVAL $toleranceSec SECOND"))
+      .groupBy(col("_lid"))
+      .agg(max_by(col("_p"), col("_t")).as("_m"))
+    left.join(best, col(leftId) === col("_lid"), "left")
+      .select(left.columns.map(col) ++
+        (col("_m")(rightTs).as(prefix + rightTs) +:
+          payload.map(p => col("_m")(p).as(prefix + p))): _*)
+  }
 }

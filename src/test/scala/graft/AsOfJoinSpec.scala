@@ -71,6 +71,43 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(m("L2") === ((Some(15L), None)))
   }
 
+  test("range-bucketed formulation equals the window formulation with tolerance") {
+    import org.apache.spark.sql.functions._
+    // real data: clicks <- latest purchase per user on the sf0.001 events,
+    // both physical strategies, 1-hour staleness (forces plenty of nulls,
+    // boundary hits, and cross-bucket matches)
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val left = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts", "value")
+    val right = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("pid"))
+    val win = AsOfJoin.asofBackward(left, right, Seq("user_id"), "ts", "ts",
+      Seq("pid"), tolerance = Some(expr("INTERVAL 3600 SECOND")))
+    val rng = AsOfJoin.asofBackwardRangeBucketed(left, right, Seq("user_id"),
+      "ts", "ts", Seq("pid"), leftId = "event_id", toleranceSec = 3600L)
+    assert(win.count() === rng.count())
+    assert(win.exceptAll(rng).isEmpty && rng.exceptAll(win).isEmpty,
+      "two strategies, one answer")
+    assert(win.filter(col("asof_pid").isNotNull).count() > 0,
+      "equality must be exercised by real matches")
+  }
+
+  test("range-bucketed: exact boundary is inclusive, cross-bucket match works") {
+    import org.apache.spark.sql.functions.col
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, "k", t("2024-01-01 10:00:00")),  // boundary: right at exactly -1h
+      (2L, "k", t("2024-01-01 10:30:01")),  // right now older than 1h -> null
+      (3L, "k", t("2024-01-01 09:00:30"))   // same-bucket match
+    ).toDF("id", "k", "ts")
+    val right = Seq(("k", t("2024-01-01 09:00:00"), "r1"))
+      .toDF("k", "rts", "tag")
+    val out = AsOfJoin.asofBackwardRangeBucketed(left, right, Seq("k"),
+      "ts", "rts", Seq("tag"), leftId = "id", toleranceSec = 3600L)
+      .select("id", "asof_tag").as[(Long, Option[String])].collect().toMap
+    assert(out === Map(1L -> Some("r1"), 2L -> None, 3L -> Some("r1")))
+  }
+
   test("column-collision guards fail fast") {
     intercept[IllegalArgumentException] {
       AsOfJoin.asofBackward(leftDf, rightDf, Seq("k"), "ts", "rts",
