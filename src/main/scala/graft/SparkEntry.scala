@@ -353,6 +353,27 @@ object SparkEntry {
         leftId = "event_id", toleranceSec = 86400L)
     }),
 
+    // J6: bucketed point-in-interval range join — shipments falling in
+    // any urgent order's 3-day dispatch window, NO equi key (the case
+    // Spark would otherwise plan as a nested-loop join). Positions are
+    // epoch days; bucketWidth = the window width.
+    "lineitems_in_order_window" -> ((s, dir) => {
+      val pts = Tables.lineitem(s, dir).select(col("l_orderkey"),
+        col("l_linenumber"), col("l_shipdate"),
+        datediff(col("l_shipdate"), lit("1970-01-01")).as("ship_day"))
+      val ivals = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate") >= lit("1995-01-01") &&
+          col("o_orderdate") < lit("1995-03-01"))
+        .select(col("o_orderkey"), col("o_orderdate"),
+          datediff(col("o_orderdate"), lit("1970-01-01")).as("window_start"),
+          (datediff(col("o_orderdate"), lit("1970-01-01")) + 2).as("window_end"))
+      graft.operators.RangeJoin.pointInInterval(pts, ivals,
+          "ship_day", "window_start", "window_end", bucketWidth = 3L)
+        .select("o_orderkey", "o_orderdate", "l_orderkey", "l_linenumber",
+          "l_shipdate")
+    }),
+
     // D1: first-occurrence dedup on the natural key (lambda1.py:119-150).
     "dedup_first_wins" -> ((s, dir) =>
       RawEventStore.dedupFirstWins(Tables.events(s, dir),
@@ -1043,6 +1064,16 @@ object SparkEntry {
         |  CASE WHEN r.ts >= l.ts - INTERVAL 1 DAY THEN r.purchase_id END AS asof_purchase_id,
         |  CASE WHEN r.ts >= l.ts - INTERVAL 1 DAY THEN r.purchase_value END AS asof_purchase_value
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    "lineitems_in_order_window" ->
+      """SELECT o.o_orderkey, o.o_orderdate, l.l_orderkey, l.l_linenumber,
+        |  l.l_shipdate
+        |FROM orders o JOIN lineitem l
+        |  ON l.l_shipdate >= o.o_orderdate
+        |  AND l.l_shipdate <= o.o_orderdate + INTERVAL 2 DAY
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |  AND o.o_orderdate >= DATE '1995-01-01'
+        |  AND o.o_orderdate < DATE '1995-03-01'""".stripMargin,
 
     "dedup_first_wins" ->
       """SELECT event_id, ts, user_id, event_type, value, props FROM (

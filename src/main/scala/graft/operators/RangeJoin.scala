@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval range join, bucketed — `p BETWEEN start AND end`
+  * (inclusive both ends) with or without additional equi keys. The
+  * reference has no range operator (SURVEY §2.4); this is extension
+  * surface, sibling of [[AsOfJoin]].
+  *
+  * Why not write the predicate directly: without an equi key Spark can
+  * only plan an inequality join as BroadcastNestedLoop — O(|points| *
+  * |intervals|) comparisons and a broadcast-sized build side, neither of
+  * which survives two large inputs. Bucketing turns it into an
+  * EQUI-join: chop the number line into width-`bucketWidth` buckets;
+  * an interval overlaps `(end-start)/W + 1` consecutive buckets and a
+  * point lives in exactly one, so emitting one interval copy per
+  * covered bucket and hash-joining on (keys..., bucket) finds every
+  * containing pair; the exact BETWEEN filter then drops same-bucket
+  * near-misses. Expected cost: |points| + |intervals| * (avgWidth/W + 1)
+  * join rows, shuffled hash/SMJ — both sides arbitrarily large.
+  *
+  * Sizing `bucketWidth`: close to the TYPICAL interval width. Too small
+  * → interval replication (width/W copies each); too large → bucket
+  * fan-in (many non-matching points share a bucket with each interval
+  * and die in the filter). Skewed widths: split the long tail into its
+  * own join at a coarser W and union — widths, unlike keys, are known
+  * before the shuffle, so skew is handled by inspection, not sampling.
+  *
+  * Semantics: inner join; NULL positions/bounds and empty intervals
+  * (start > end) produce no rows, matching SQL BETWEEN. Positions are
+  * NUMERIC (cast timestamps/dates to epoch seconds/days first — keeps
+  * the operator agnostic to time semantics and engine-portable).
+  */
+object RangeJoin {
+
+  /** @param pointPos    numeric position column in `points`.
+    * @param start, end  numeric bound columns in `intervals`, inclusive.
+    * @param bucketWidth bucket size in position units, > 0.
+    * @param keys        extra equi-key columns present on BOTH sides.
+    */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+      pointPos: String, start: String, end: String, bucketWidth: Long,
+      keys: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val clash = points.columns.toSet.intersect(intervals.columns.toSet) -- keys
+    require(clash.isEmpty,
+      s"non-key columns exist on both sides: ${clash.mkString(", ")} — rename before joining")
+
+    def bucketOf(c: Column): Column = floor(c / lit(bucketWidth)).cast("long")
+    val pts = points.filter(col(pointPos).isNotNull)
+      .withColumn("_bkt", bucketOf(col(pointPos)))
+    val ivals = intervals
+      .filter(col(start).isNotNull && col(end).isNotNull &&
+        col(start) <= col(end))
+      .withColumn("_bkt",
+        explode(sequence(bucketOf(col(start)), bucketOf(col(end)))))
+    pts.join(ivals, keys :+ "_bkt")
+      .filter(col(pointPos) >= col(start) && col(pointPos) <= col(end))
+      .drop("_bkt")
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.RangeJoin
+
+/** Bucketed point-in-interval join: equality with the naive inequality
+  * join, multi-bucket interval spans, inclusive bounds, null/empty
+  * interval semantics, keyed scoping, and the collision guard.
+  */
+class RangeJoinSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def pts = Seq(
+    (1L, 5L), (2L, 10L), (3L, 17L), (4L, 29L), (5L, 100L), (6L, 31L)
+  ).toDF("pid", "pos")
+
+  private def ivals = Seq(
+    (10L, 5L, 10L),    // [5,10]   inclusive both ends, same bucket pair
+    (11L, 9L, 30L),    // [9,30]   spans 4 buckets at width 8
+    (12L, 40L, 35L),   // empty (start > end) -> no rows
+    (13L, 98L, 120L)   // catches the far point
+  ).toDF("iid", "s", "e")
+
+  test("matches the naive inequality join exactly (several widths)") {
+    val naive = pts.join(ivals,
+        col("pos") >= col("s") && col("pos") <= col("e"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    for (w <- Seq(1L, 3L, 8L, 64L)) {
+      val bucketed = RangeJoin.pointInInterval(pts, ivals, "pos", "s", "e",
+        bucketWidth = w).select("pid", "iid").as[(Long, Long)].collect().toSet
+      assert(bucketed === naive, s"bucketWidth=$w must not change the answer")
+    }
+    // sanity on the fixture: inclusive ends (5 and 10 both hit [5,10]),
+    // the multi-bucket interval catches 10,17,29, the empty one nothing
+    assert(naive === Set((1L, 10L), (2L, 10L), (2L, 11L), (3L, 11L),
+      (4L, 11L), (5L, 13L)))
+  }
+
+  test("null positions and null/empty intervals produce no rows") {
+    val p = Seq((Some(1L), Some(5L)), (Some(2L), None))
+      .toDF("pid", "pos")
+    val i = Seq((Some(10L), Some(1L), Some(9L)), (Some(11L), None, Some(9L)),
+      (Some(12L), Some(1L), None)).toDF("iid", "s", "e")
+    val out = RangeJoin.pointInInterval(p, i, "pos", "s", "e", bucketWidth = 4)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 10L)))
+  }
+
+  test("keys scope the match") {
+    val p = Seq(("a", 1L, 5L), ("b", 2L, 5L)).toDF("k", "pid", "pos")
+    val i = Seq(("a", 10L, 0L, 9L)).toDF("k", "iid", "s", "e")
+    val out = RangeJoin.pointInInterval(p, i, "pos", "s", "e",
+        bucketWidth = 4, keys = Seq("k"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 10L)), "same range, wrong key must not match")
+  }
+
+  test("non-key column collision fails fast") {
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(pts.withColumnRenamed("pid", "iid"), ivals,
+        "pos", "s", "e", bucketWidth = 4)
+    }
+  }
+}
