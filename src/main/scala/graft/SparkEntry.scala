@@ -342,6 +342,14 @@ object SparkEntry {
     "asof_bounded_staleness" -> ((s, dir) =>
       asofClickPurchase(s, dir, Some(expr("INTERVAL 1 DAY")))),
 
+    // J5d: forward as-of — the NEXT purchase at-or-after each click
+    // (first fill after the order, mirror of J5).
+    "asof_next_event" -> ((s, dir) => {
+      val (left, right) = asofSides(s, dir)
+      AsOfJoin.asofForward(left, right, Seq("user_id"), "ts", "ts",
+        Seq("purchase_id", "purchase_value"))
+    }),
+
     // J5c: the same bounded-staleness semantics via the range-bucketed
     // HOT-KEY formulation (probe join on (key, time-bucket) + max_by
     // hash aggregate — no per-key-serial window). Shares J5b's oracle:
@@ -1048,6 +1056,19 @@ object SparkEntry {
         |  CASE WHEN r.ts >= l.ts - INTERVAL 1 DAY THEN r.purchase_id END AS asof_purchase_id,
         |  CASE WHEN r.ts >= l.ts - INTERVAL 1 DAY THEN r.purchase_value END AS asof_purchase_value
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    "asof_next_event" ->
+      """WITH l AS (SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'click' AND ts IS NOT NULL AND user_id IS NOT NULL),
+        |r AS (SELECT user_id, ts, purchase_id, purchase_value FROM (
+        |  SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value,
+        |    row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+        |  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+        |    AND user_id IS NOT NULL) t WHERE rn = 1)
+        |SELECT l.event_id, l.user_id, l.ts, l.value,
+        |  r.ts AS asof_ts, r.purchase_id AS asof_purchase_id,
+        |  r.purchase_value AS asof_purchase_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts""".stripMargin,
 
     // Same oracle as asof_bounded_staleness on purpose: the range-bucketed
     // formulation is a different physical strategy for identical semantics.

@@ -48,13 +48,8 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  /** @param payload right columns to attach (each emitted as
-    *                `prefix + name`); `rightTs` itself is always
-    *                attached as `prefix + rightTs`.
-    */
-  def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
-      leftTs: String, rightTs: String, payload: Seq[String],
-      prefix: String = "asof_", tolerance: Option[Column] = None): DataFrame = {
+  private def checkNames(left: DataFrame, rightTs: String,
+      payload: Seq[String], prefix: String): Unit = {
     require(!payload.contains(rightTs),
       s"payload must not repeat rightTs ('$rightTs'): it is always attached as ${prefix}$rightTs")
     val outNames = (rightTs +: payload).map(prefix + _)
@@ -63,6 +58,16 @@ object AsOfJoin {
     val clash = outNames.toSet.intersect(left.columns.toSet)
     require(clash.isEmpty,
       s"prefixed output columns collide with left columns: ${clash.mkString(", ")} — pick another prefix")
+  }
+
+  /** @param payload right columns to attach (each emitted as
+    *                `prefix + name`); `rightTs` itself is always
+    *                attached as `prefix + rightTs`.
+    */
+  def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, payload: Seq[String],
+      prefix: String = "asof_", tolerance: Option[Column] = None): DataFrame = {
+    checkNames(left, rightTs, payload, prefix)
     val leftCols = left.columns.toSeq
     val pStruct = struct((rightTs +: payload).map(col): _*)
     val r = right.filter(col(rightTs).isNotNull).select(keys.map(col) ++ Seq(
@@ -83,6 +88,52 @@ object AsOfJoin {
     val bounded = tolerance match {
       case Some(tol) => carried.withColumn("_m",
         when(col("_m")(rightTs) >= col("_t") - tol, col("_m")))
+      case None => carried
+    }
+    bounded.select(col("_l.*") +:
+      col("_m")(rightTs).as(prefix + rightTs) +:
+      payload.map(p => col("_m")(p).as(prefix + p)): _*)
+  }
+
+  /** Forward as-of: for every left row, the single right row with the
+    * SMALLEST `rightTs >= leftTs` in the key group (next event after,
+    * first fill after the order). Mirror image of [[asofBackward]] —
+    * same union+window shape and cost, with the window looking forward
+    * (`first(_, ignoreNulls)` over current-to-unbounded-following),
+    * right rows sorting AFTER left on ties (so an exact-tie right row
+    * is still inclusive), and timestamps ordered nulls-LAST so null-ts
+    * left rows keep the "never match" rule from the other direction.
+    * `tolerance` bounds how far AHEAD the match may be
+    * (`rightTs <= leftTs + tolerance`, inclusive). All other null/
+    * uniqueness rules as in [[asofBackward]].
+    */
+  def asofForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, payload: Seq[String],
+      prefix: String = "asof_", tolerance: Option[Column] = None): DataFrame = {
+    checkNames(left, rightTs, payload, prefix)
+    val leftCols = left.columns.toSeq
+    val pStruct = struct((rightTs +: payload).map(col): _*)
+    val r = right.filter(col(rightTs).isNotNull).select(keys.map(col) ++ Seq(
+      col(rightTs).as("_t"), lit(1).as("_side"), pStruct.as("_p")): _*)
+    val lRowType = org.apache.spark.sql.types.StructType(left.schema.fields)
+    val l = left.select(keys.map(col) ++ Seq(
+      col(leftTs).as("_t"), lit(0).as("_side"),
+      lit(null).cast(r.schema("_p").dataType).as("_p"),
+      struct(leftCols.map(col): _*).as("_l")): _*)
+    val u = l.unionByName(
+      r.withColumn("_l", lit(null).cast(lRowType)), allowMissingColumns = false)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t").asc_nulls_last, col("_side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = u.withColumn("_m", first(col("_p"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 0)
+      // nulls-last puts null-ts left rows after every right row, so their
+      // forward window is empty already; the guard makes the "null leftTs
+      // never matches" rule explicit rather than an ordering consequence
+      .withColumn("_m", when(col("_t").isNotNull, col("_m")))
+    val bounded = tolerance match {
+      case Some(tol) => carried.withColumn("_m",
+        when(col("_m")(rightTs) <= col("_t") + tol, col("_m")))
       case None => carried
     }
     bounded.select(col("_l.*") +:

@@ -71,6 +71,30 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(m("L2") === ((Some(15L), None)))
   }
 
+  test("forward direction: earliest at-or-after, ties inclusive, nulls never match") {
+    val out = AsOfJoin.asofForward(leftDf, rightDf, Seq("k"), "ts", "rts",
+      Seq("rtag", "rval"))
+    assert(out.count() === 5L)
+    val m = matches(out)
+    assert(m("L0") === ((Some(10L), Some("R10"))), "earliest following, not any")
+    assert(m("L1") === ((Some(10L), Some("R10"))), "tie at equal ts is inclusive")
+    assert(m("L2") === ((None, None)), "nothing after ts=20 for key a")
+    assert(m("L3") === ((None, None)), "key b's only right row is in the past")
+    assert(m("LN") === ((None, None)), "null left ts never matches")
+  }
+
+  test("forward tolerance bounds how far ahead the match may be") {
+    import org.apache.spark.sql.functions.lit
+    // L0 at ts=5 -> R10 at 10; tolerance 5 keeps it (inclusive), 4 expires
+    val kept = matches(AsOfJoin.asofForward(leftDf, rightDf, Seq("k"),
+      "ts", "rts", Seq("rtag", "rval"), tolerance = Some(lit(5L))))
+    assert(kept("L0") === ((Some(10L), Some("R10"))))
+    val expired = matches(AsOfJoin.asofForward(leftDf, rightDf, Seq("k"),
+      "ts", "rts", Seq("rtag", "rval"), tolerance = Some(lit(4L))))
+    assert(expired("L0") === ((None, None)))
+    assert(expired("L1") === ((Some(10L), Some("R10"))), "zero-distance tie survives")
+  }
+
   test("range-bucketed formulation equals the window formulation with tolerance") {
     import org.apache.spark.sql.functions._
     // real data: clicks <- latest purchase per user on the sf0.001 events,
