@@ -361,6 +361,15 @@ object SparkEntry {
         leftId = "event_id", toleranceSec = 86400L)
     }),
 
+    // T1: SCD2 history — purchase change stream -> validity intervals
+    // per user (Temporal.scd2; is_current marks the open interval).
+    "scd2_purchase_history" -> ((s, dir) => {
+      val (_, right) = asofSides(s, dir)
+      graft.operators.Temporal.scd2(right, Seq("user_id"), "ts")
+        .select("user_id", "purchase_id", "purchase_value",
+          "valid_from", "valid_to", "is_current")
+    }),
+
     // J6: bucketed point-in-interval range join — shipments falling in
     // any urgent order's 3-day dispatch window, NO equi key (the case
     // Spark would otherwise plan as a nested-loop join). Positions are
@@ -1085,6 +1094,17 @@ object SparkEntry {
         |  CASE WHEN r.ts >= l.ts - INTERVAL 1 DAY THEN r.purchase_id END AS asof_purchase_id,
         |  CASE WHEN r.ts >= l.ts - INTERVAL 1 DAY THEN r.purchase_value END AS asof_purchase_value
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    "scd2_purchase_history" ->
+      """WITH r AS (SELECT user_id, ts, purchase_id, purchase_value FROM (
+        |  SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value,
+        |    row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+        |  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+        |    AND user_id IS NOT NULL) t WHERE rn = 1)
+        |SELECT user_id, purchase_id, purchase_value, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current
+        |FROM r""".stripMargin,
 
     "lineitems_in_order_window" ->
       """SELECT o.o_orderkey, o.o_orderdate, l.l_orderkey, l.l_linenumber,
