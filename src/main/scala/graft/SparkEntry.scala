@@ -391,6 +391,29 @@ object SparkEntry {
           "l_shipdate")
     }),
 
+    // J7: interval-overlap join — each shipment's 1-day delivery window
+    // against urgent orders' 3-day dispatch windows, keyless
+    // (RangeJoin.intervalOverlap; first-shared-bucket emission, no
+    // distinct).
+    "delivery_overlap_windows" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"),
+        col("l_linenumber"), col("l_shipdate"),
+        datediff(col("l_shipdate"), lit("1970-01-01")).as("ship_start"),
+        (datediff(col("l_shipdate"), lit("1970-01-01")) + 1).as("ship_end"))
+      val ivals = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate") >= lit("1995-01-01") &&
+          col("o_orderdate") < lit("1995-03-01"))
+        .select(col("o_orderkey"), col("o_orderdate"),
+          datediff(col("o_orderdate"), lit("1970-01-01")).as("window_start"),
+          (datediff(col("o_orderdate"), lit("1970-01-01")) + 2).as("window_end"))
+      graft.operators.RangeJoin.intervalOverlap(li, ivals,
+          "ship_start", "ship_end", "window_start", "window_end",
+          bucketWidth = 3L)
+        .select("o_orderkey", "o_orderdate", "l_orderkey", "l_linenumber",
+          "l_shipdate")
+    }),
+
     // D1: first-occurrence dedup on the natural key (lambda1.py:119-150).
     "dedup_first_wins" -> ((s, dir) =>
       RawEventStore.dedupFirstWins(Tables.events(s, dir),
@@ -1112,6 +1135,16 @@ object SparkEntry {
         |FROM orders o JOIN lineitem l
         |  ON l.l_shipdate >= o.o_orderdate
         |  AND l.l_shipdate <= o.o_orderdate + INTERVAL 2 DAY
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |  AND o.o_orderdate >= DATE '1995-01-01'
+        |  AND o.o_orderdate < DATE '1995-03-01'""".stripMargin,
+
+    "delivery_overlap_windows" ->
+      """SELECT o.o_orderkey, o.o_orderdate, l.l_orderkey, l.l_linenumber,
+        |  l.l_shipdate
+        |FROM orders o JOIN lineitem l
+        |  ON l.l_shipdate <= o.o_orderdate + INTERVAL 2 DAY
+        |  AND o.o_orderdate <= l.l_shipdate + INTERVAL 1 DAY
         |WHERE o.o_orderpriority = '1-URGENT'
         |  AND o.o_orderdate >= DATE '1995-01-01'
         |  AND o.o_orderdate < DATE '1995-03-01'""".stripMargin,

@@ -59,4 +59,34 @@ object RangeJoin {
       .filter(col(pointPos) >= col(start) && col(pointPos) <= col(end))
       .drop("_bkt")
   }
+
+  /** Interval-overlap join: pairs whose CLOSED intervals intersect
+    * (`lStart <= rEnd AND rStart <= lEnd`), bucketed the same way. Both
+    * sides explode to their covered buckets; overlapping intervals share
+    * every bucket in `[max(startBuckets), min(endBuckets)]`, so to emit
+    * each pair EXACTLY once (multiset-safe — no distinct, duplicate
+    * input rows survive) the join keeps only the FIRST shared bucket:
+    * `_bkt = max(bucket(lStart), bucket(rStart))`. Cost:
+    * sum of (width/W + 1) copies per row — same sizing rule as
+    * [[pointInInterval]], with W near the typical width of the WIDER
+    * side.
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      bucketWidth: Long, keys: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val clash = left.columns.toSet.intersect(right.columns.toSet) -- keys
+    require(clash.isEmpty,
+      s"non-key columns exist on both sides: ${clash.mkString(", ")} — rename before joining")
+
+    def bucketOf(c: Column): Column = floor(c / lit(bucketWidth)).cast("long")
+    def exploded(df: DataFrame, s: String, e: String): DataFrame = df
+      .filter(col(s).isNotNull && col(e).isNotNull && col(s) <= col(e))
+      .withColumn("_bkt", explode(sequence(bucketOf(col(s)), bucketOf(col(e)))))
+    exploded(left, lStart, lEnd)
+      .join(exploded(right, rStart, rEnd), keys :+ "_bkt")
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+        col("_bkt") === greatest(bucketOf(col(lStart)), bucketOf(col(rStart))))
+      .drop("_bkt")
+  }
 }

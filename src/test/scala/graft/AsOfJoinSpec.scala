@@ -132,6 +132,48 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(out === Map(1L -> Some("r1"), 2L -> None, 3L -> Some("r1")))
   }
 
+  test("randomized: both directions equal a pure-Scala oracle") {
+    // 400 probes x 6 keys x 250 unique (key, ts) right rows, seeded —
+    // the oracle is computed in plain Scala, independent of any Spark
+    // formulation (window, join, or aggregate)
+    val rnd = new scala.util.Random(7)
+    val leftRows = (1 to 400).map(i =>
+      (i.toLong, rnd.nextInt(6).toString, rnd.nextInt(500).toLong))
+    val rightRows = rnd.shuffle(
+        (0 until 6).flatMap(k => (0 until 500 by 3).map(t => (k.toString, t.toLong))))
+      .take(250).zipWithIndex.map { case ((k, t), i) => (k, t, s"p$i") }
+    val byKey = rightRows.groupBy(_._1)
+
+    val left = leftRows.toDF("id", "k", "ts")
+    val right = rightRows.toDF("k", "rts", "tag")
+
+    val back = AsOfJoin.asofBackward(left, right, Seq("k"), "ts", "rts",
+        Seq("tag"))
+      .select("id", "asof_rts", "asof_tag")
+      .as[(Long, Option[Long], Option[String])].collect()
+    assert(back.length === 400)
+    back.foreach { case (id, rts, tag) =>
+      val (_, k, ts) = leftRows(id.toInt - 1)
+      val expect = byKey.getOrElse(k, Nil).filter(_._2 <= ts)
+        .sortBy(_._2).lastOption
+      assert(rts === expect.map(_._2) && tag === expect.map(_._3),
+        s"backward mismatch at id=$id k=$k ts=$ts")
+    }
+
+    val fwd = AsOfJoin.asofForward(left, right, Seq("k"), "ts", "rts",
+        Seq("tag"))
+      .select("id", "asof_rts", "asof_tag")
+      .as[(Long, Option[Long], Option[String])].collect()
+    assert(fwd.length === 400)
+    fwd.foreach { case (id, rts, tag) =>
+      val (_, k, ts) = leftRows(id.toInt - 1)
+      val expect = byKey.getOrElse(k, Nil).filter(_._2 >= ts)
+        .sortBy(_._2).headOption
+      assert(rts === expect.map(_._2) && tag === expect.map(_._3),
+        s"forward mismatch at id=$id k=$k ts=$ts")
+    }
+  }
+
   test("column-collision guards fail fast") {
     intercept[IllegalArgumentException] {
       AsOfJoin.asofBackward(leftDf, rightDf, Seq("k"), "ts", "rts",

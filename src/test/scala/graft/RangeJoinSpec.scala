@@ -57,6 +57,26 @@ class RangeJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(out === Set((1L, 10L)), "same range, wrong key must not match")
   }
 
+  test("intervalOverlap matches the naive join exactly, multiset-safe") {
+    val l = Seq((1L, 0L, 10L), (2L, 12L, 20L), (3L, 5L, 50L),
+      (3L, 5L, 50L) /* duplicate row must appear twice in output */)
+      .toDF("lid", "ls", "le")
+    val r = Seq((10L, 10L, 11L), (11L, 21L, 30L), (12L, 60L, 70L),
+      (13L, 49L, 49L)).toDF("rid", "rs", "re")
+    val naive = l.join(r, col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("lid", "rid").as[(Long, Long)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(naive((3L, 13L)) === 2, "fixture: the duplicate left row double-counts")
+    assert(naive.contains((1L, 10L)), "fixture: touching endpoints (10,10) overlap")
+    for (w <- Seq(1L, 4L, 16L, 128L)) {
+      val bucketed = RangeJoin.intervalOverlap(l, r, "ls", "le", "rs", "re",
+          bucketWidth = w).select("lid", "rid").as[(Long, Long)].collect()
+        .groupBy(identity).view.mapValues(_.length).toMap
+      assert(bucketed === naive,
+        s"bucketWidth=$w must reproduce the naive multiset")
+    }
+  }
+
   test("non-key column collision fails fast") {
     intercept[IllegalArgumentException] {
       RangeJoin.pointInInterval(pts.withColumnRenamed("pid", "iid"), ivals,
