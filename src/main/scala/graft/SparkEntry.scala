@@ -550,6 +550,15 @@ object SparkEntry {
         .select(explode(split(trim(col("text")), "\\s+")).as("word"))
         .groupBy("word").agg(count(lit(1)).as("n"))),
 
+    // TX: BM25 relevance of every document against a fixed query-term
+    // set (Relevance.bm25 — inverted-index tf/df hash aggregates, no
+    // pairwise work; the curation-by-relevance primitive).
+    "doc_bm25_relevance" -> ((s, dir) =>
+      graft.operators.Relevance.bm25(Tables.documents(s, dir),
+          Seq("spark", "stream", "query", "window"))
+        .select(col("doc_id"), trunc4(col("score")).as("score"),
+          col("matched_terms"))),
+
     // T12: Gopher-style repetition signals — dup-token and top-bigram
     // fractions, the quality complement to dedup (template/generated
     // text repeats itself long before it duplicates documents).
@@ -1277,6 +1286,29 @@ object SparkEntry {
       """SELECT word, count(*) AS n FROM (
         |SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
         |FROM documents) t GROUP BY word""".stripMargin,
+
+    // Constants mirror Relevance.bm25 exactly (k1=1.2, b=0.75, ln idf
+    // with the +1 floor); every intermediate (tf/df/dl sums) is
+    // integer-valued, so only the final <=4-addend sum needs the 1e-4
+    // truncation.
+    "doc_bm25_relevance" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |dl AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM d),
+        |stats AS (SELECT count(*)::DOUBLE AS n_docs, sum(dl) AS sum_dl FROM dl),
+        |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM (
+        |    SELECT doc_id, unnest(toks) AS term FROM d) u
+        |  WHERE term IN ('spark','stream','query','window')
+        |  GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        |c AS (SELECT tf.doc_id,
+        |    ln((s.n_docs - df.df + 0.5)/(df.df + 0.5) + 1.0) *
+        |    (tf.tf * (1.2 + 1.0)) /
+        |    (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (s.sum_dl / s.n_docs))) AS contrib
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s)
+        |SELECT doc_id, floor(sum(contrib)*10000)/10000 AS score,
+        |  count(*)::BIGINT AS matched_terms
+        |FROM c GROUP BY doc_id""".stripMargin,
 
     // DuckDB regexp_replace needs the 'g' flag to match Spark's
     // replace-all semantics.

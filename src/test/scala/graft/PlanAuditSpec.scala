@@ -20,7 +20,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     "ann_ivf_topk",           // corpus x centroids assignment (broadcast)
     "ann_ivfpq_topk",         // same constant-size centroid broadcast; scoring itself is equi
     "ann_pq_topk",            // |q| x corpus CODE scoring (8 adds/pair by design)
-    "report_metadata"         // 1-row x 1-row metadata crossJoin
+    "report_metadata",        // 1-row x 1-row metadata crossJoin
+    "doc_bm25_relevance"      // 1-row corpus-stats (N, avgdl) broadcast crossJoin
   )
 
   test("no unintentional cartesian/nested-loop joins across the contract") {
