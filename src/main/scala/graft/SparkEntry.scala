@@ -792,6 +792,15 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"), trunc4(col("cosine")).as("cosine"))),
 
+    // SS2c: banded multi-table LSH top-k (4x16 bits; ids-only candidate
+    // shuffle, exact-cosine rank after join-back) — the retrieval twin
+    // of dedup_embedding_lsh_banded.
+    "ann_lsh_banded_topk" -> ((s, dir) =>
+      SimilaritySearch.lshBandedTopK(Tables.embeddings(s, dir),
+          annQueries(s, dir), k = 10, tables = 4, bitsPerTable = 16)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"), trunc4(col("cosine")).as("cosine"))),
+
     // SS1b: brute-force top-10 via the typed TopKAggregator instead of a
     // window — partial aggregation caps every partial buffer at k, so
     // the shuffle carries <= k rows per (query, partition). Must equal
@@ -1663,6 +1672,24 @@ object SparkEntry {
          |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
          |  ${cosSql("q.qv", "c.embedding")} AS cosine
          |  FROM bkt c JOIN q ON c.bucket = q.bucket WHERE c.vec_id <> q.query_id),
+         |ranked AS (SELECT query_id, neighbor_id, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank,
+         |  cosine FROM scored)
+         |SELECT query_id, neighbor_id, rank,
+         |floor(cosine*10000)/10000 AS cosine FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "ann_lsh_banded_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |  [${(0 until 4).map(t => bandBucketSql("embedding", t, 16)).mkString(", ")}] AS tbl
+         |  FROM embeddings),
+         |x AS (SELECT vec_id, t.t AS t, tbl[t.t+1] AS bucket FROM e, range(0,4) t(t)),
+         |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM x c JOIN x q ON c.t = q.t AND c.bucket = q.bucket
+         |  WHERE q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),
+         |scored AS (SELECT cand.query_id, cand.neighbor_id,
+         |  ${cosSql("eq.embedding", "ec.embedding")} AS cosine
+         |  FROM cand JOIN e ec ON cand.neighbor_id = ec.vec_id
+         |  JOIN e eq ON cand.query_id = eq.vec_id),
          |ranked AS (SELECT query_id, neighbor_id, row_number() OVER (
          |  PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank,
          |  cosine FROM scored)

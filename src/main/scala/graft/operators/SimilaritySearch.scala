@@ -425,4 +425,39 @@ object SimilaritySearch {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("id").as("neighbor_id"), col("rank"), col("cosine"))
   }
+
+  /** Banded multi-table LSH top-k — [[lshTopK]]'s recall mechanism at
+    * long code lengths (see [[lshBandBucket]] for the collision math and
+    * [[graft.operators.Dedup.embeddingNearDupsLshBanded]] for the same
+    * shape on the dedup side): a candidate is any corpus vector sharing
+    * ANY of the `tables` band buckets with the query. Candidate
+    * (query, id) pairs travel ids-only, deduplicate across tables, then
+    * join back for exact-cosine ranking — the shuffle never carries
+    * vectors. High-precision/low-fanout retrieval: with long codes only
+    * near-duplicates collide, so candidate lists are short and exact.
+    */
+  def lshBandedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      tables: Int = 4, bitsPerTable: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dot = graft.functions.VectorFunctions.dotF _
+    def sides(df: DataFrame, id: String) = df.select(col(idCol).as(id),
+      posexplode(array((0 until tables).map(t =>
+        lshBandBucket(col(vecCol), t, bitsPerTable)): _*)).as(Seq("t", "bucket")))
+    val cand = sides(corpus, "id")
+      .join(broadcast(sides(queries, "query_id")), Seq("t", "bucket"))
+      .filter(col("id") =!= col("query_id"))
+      .select("query_id", "id").distinct() // a pair may collide in several tables
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("nrm"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("qnrm"))
+    val scored = cand.join(c, Seq("id")).join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine",
+        cosineFromNorms(dot(col("qv"), col("v")), col("qnrm"), col("nrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"), col("cosine"))
+  }
 }

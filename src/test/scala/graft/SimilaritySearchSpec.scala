@@ -43,6 +43,26 @@ class SimilaritySearchSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("lshBandedTopK: exact duplicates always surface at rank 1") {
+    // inject an identical copy of each query vector under a new id: it
+    // collides in EVERY band table, so banded retrieval must return it
+    // first with cosine ~ 1 (the high-precision near-dup retrieval claim)
+    val corpus = Tables.embeddings(spark, sf)
+    val queries = corpus.filter(col("vec_id") % 50 === 0)
+    val withDups = corpus.select("vec_id", "embedding").unionByName(
+      queries.select((col("vec_id") + 500000L).as("vec_id"), col("embedding")))
+    val top = SimilaritySearch.lshBandedTopK(withDups, queries, k = 3)
+      .filter(col("rank") === 1)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    val nQueries = queries.count()
+    assert(top.length === nQueries)
+    top.foreach { case (q, n, c) =>
+      assert(n === q + 500000L, s"rank-1 for $q must be its injected dup")
+      assert(math.abs(c - 1.0) < 1e-9)
+    }
+  }
+
   test("ivfTopK: results are a subset of brute-force with correct per-query ranking") {
     val corpus = Tables.embeddings(spark, sf)
     val queries = corpus.filter(col("vec_id") % 50 === 0)
