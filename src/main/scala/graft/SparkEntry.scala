@@ -550,6 +550,21 @@ object SparkEntry {
         .select(explode(split(trim(col("text")), "\\s+")).as("word"))
         .groupBy("word").agg(count(lit(1)).as("n"))),
 
+    // TC: sliding-window chunking (64-token windows, stride 48) — the
+    // embedding-prep twin of pack_documents (TextChunk.slidingChunks).
+    "doc_chunks_sliding" -> ((s, dir) =>
+      graft.operators.TextChunk.slidingChunks(Tables.documents(s, dir),
+        chunkTokens = 64, stride = 48)),
+
+    // TSPLIT: deterministic train/val/test corpus split (80/10/10) on
+    // the cross-engine content hash — reproducible, no rand().
+    "corpus_split" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("bucket", TextHash.hash60(col("text")) % 100)
+        .withColumn("split", when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val").otherwise("test"))
+        .select("doc_id", "split", "bucket")),
+
     // TX: BM25 relevance of every document against a fixed query-term
     // set (Relevance.bm25 — inverted-index tf/df hash aggregates, no
     // pairwise work; the curation-by-relevance primitive).
@@ -1295,6 +1310,23 @@ object SparkEntry {
       """SELECT word, count(*) AS n FROM (
         |SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
         |FROM documents) t GROUP BY word""".stripMargin,
+
+    "doc_chunks_sliding" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |s AS (SELECT doc_id, toks, len(toks) AS len,
+        |  unnest(range(0, greatest(len(toks)-1, 0)+1, 48)) AS start FROM d)
+        |SELECT doc_id, (start // 48)::BIGINT AS chunk_idx,
+        |  array_to_string(toks[start+1 : start+64], ' ') AS chunk_text,
+        |  len(toks[start+1 : start+64])::BIGINT AS n_tokens
+        |FROM s WHERE start = 0 OR start - 48 + 64 < len""".stripMargin,
+
+    "corpus_split" ->
+      s"""SELECT doc_id,
+         |CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+         |ELSE 'test' END AS split, bucket
+         |FROM (SELECT doc_id, ${hash60Sql("text")} % 100 AS bucket
+         |FROM documents) t""".stripMargin,
 
     // Constants mirror Relevance.bm25 exactly (k1=1.2, b=0.75, ln idf
     // with the +1 floor); every intermediate (tf/df/dl sums) is
