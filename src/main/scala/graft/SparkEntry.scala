@@ -550,6 +550,31 @@ object SparkEntry {
         .select(explode(split(trim(col("text")), "\\s+")).as("word"))
         .groupBy("word").agg(count(lit(1)).as("n"))),
 
+    // MW: trailing 7-day moving aggregate of daily event counts,
+    // expressed as a bucketed range join (each anchor day's frame is a
+    // [day-6, day] interval; RangeJoin.pointInInterval) + hash
+    // aggregate — NOT a partitionless window, so the same formulation
+    // still scales when the frame axis is minutes over years. All
+    // integer arithmetic; the average divides two exact longs.
+    "kpi_moving_avg_7d" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val pts = daily.select(
+        datediff(col("day"), lit("1970-01-01")).as("pos"), col("n"))
+      val anchors = daily.select(col("day").as("anchor_day"),
+        (datediff(col("day"), lit("1970-01-01")) - 6).as("ws"),
+        datediff(col("day"), lit("1970-01-01")).as("we"))
+      graft.operators.RangeJoin.pointInInterval(pts, anchors,
+          "pos", "ws", "we", bucketWidth = 7L)
+        .groupBy(col("anchor_day").as("day"))
+        .agg(sum(col("n")).as("sum_7d"),
+          count(lit(1)).as("days_in_frame"))
+        .select(col("day"), col("sum_7d"), col("days_in_frame"),
+          (col("sum_7d").cast("double") / col("days_in_frame").cast("double"))
+            .as("avg_7d"))
+    }),
+
     // TC: sliding-window chunking (64-token windows, stride 48) — the
     // embedding-prep twin of pack_documents (TextChunk.slidingChunks).
     "doc_chunks_sliding" -> ((s, dir) =>
@@ -1310,6 +1335,15 @@ object SparkEntry {
       """SELECT word, count(*) AS n FROM (
         |SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
         |FROM documents) t GROUP BY word""".stripMargin,
+
+    "kpi_moving_avg_7d" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY CAST(ts AS DATE))
+        |SELECT a.day, sum(p.n)::BIGINT AS sum_7d,
+        |  count(*)::BIGINT AS days_in_frame,
+        |  sum(p.n)::DOUBLE / count(*)::DOUBLE AS avg_7d
+        |FROM daily a JOIN daily p ON p.day >= a.day - 6 AND p.day <= a.day
+        |GROUP BY a.day""".stripMargin,
 
     "doc_chunks_sliding" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
