@@ -77,6 +77,30 @@ class RangeJoinSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("randomized: both shapes equal the naive joins on 300x200 random data") {
+    val rnd = new scala.util.Random(11)
+    val p = (1 to 300).map(i => (i.toLong, rnd.nextInt(1000).toLong))
+      .toDF("pid", "pos")
+    val iv = (1 to 200).map { i =>
+      val s = rnd.nextInt(1000).toLong
+      (i.toLong + 1000L, s, s + rnd.nextInt(40).toLong)
+    }.toDF("iid", "s", "e")
+    val naivePt = p.join(iv, col("pos") >= col("s") && col("pos") <= col("e"))
+      .select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq
+    val bucketedPt = RangeJoin.pointInInterval(p, iv, "pos", "s", "e",
+        bucketWidth = 32).select("pid", "iid")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(bucketedPt === naivePt)
+
+    val l2 = iv.select(col("iid").as("lid"), col("s").as("ls"), col("e").as("le"))
+    val naiveOv = l2.join(iv, col("ls") <= col("e") && col("s") <= col("le"))
+      .select("lid", "iid").as[(Long, Long)].collect().sorted.toSeq
+    val bucketedOv = RangeJoin.intervalOverlap(l2, iv, "ls", "le", "s", "e",
+        bucketWidth = 32).select("lid", "iid")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(bucketedOv === naiveOv)
+  }
+
   test("non-key column collision fails fast") {
     intercept[IllegalArgumentException] {
       RangeJoin.pointInInterval(pts.withColumnRenamed("pid", "iid"), ivals,

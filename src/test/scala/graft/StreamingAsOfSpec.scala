@@ -115,6 +115,26 @@ class StreamingAsOfSpec extends AnyFunSuite with SparkTestBase {
       "exactly one match per event; history from before the restart serves the late event")
   }
 
+  test("same results under the RocksDB state store provider") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = run(Seq(
+        Seq(dim("k", "2024-01-01 10:00:00", "v1"),
+          dim("k", "2024-01-01 12:00:00", "v2")),
+        Seq(ev("k", "2024-01-01 11:00:00"),
+          ev("k", "2024-01-01 12:30:00"))))
+      assert(out === Set(
+        ("2024-01-01 11:00:00.0", Some("2024-01-01 10:00:00.0"), Some("v1")),
+        ("2024-01-01 12:30:00.0", Some("2024-01-01 12:00:00.0"), Some("v2"))))
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("keys are independent") {
     val out = run(Seq(Seq(
       dim("a", "2024-01-01 10:00:00", "va"),

@@ -24,6 +24,27 @@ class TextChunkSpec extends AnyFunSuite with SparkTestBase {
     assert((c0 ++ c1).toSet === (1 to 100).map(i => s"w$i").toSet)
   }
 
+  test("randomized lengths: full coverage, bounded sizes, contiguous indices") {
+    val rnd = new scala.util.Random(13)
+    val docs = (1 to 60).map(i =>
+      (i.toLong, (1 to (1 + rnd.nextInt(300))).map(t => s"t$t").mkString(" ")))
+      .toDF("doc_id", "text")
+    val lens = docs.as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ").length }.toMap
+    val chunks = TextChunk.slidingChunks(docs, chunkTokens = 32, stride = 24)
+      .as[(Long, Long, String, Long)].collect().groupBy(_._1)
+    lens.foreach { case (id, len) =>
+      val cs = chunks(id).sortBy(_._2)
+      assert(cs.map(_._2).toSeq === cs.indices.map(_.toLong).toSeq,
+        "contiguous chunk_idx from 0")
+      assert(cs.forall(_._4 <= 32L), "no chunk exceeds chunkTokens")
+      assert(cs.dropRight(1).forall(_._4 === 32L), "only the last may be short")
+      // the last chunk reaches the end; union of tokens covers the doc
+      val covered = cs.flatMap(_._3.split(" ")).toSet
+      assert(covered.size === len, s"doc $id: covered ${covered.size} of $len")
+    }
+  }
+
   test("short document yields exactly one short chunk") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     val out = TextChunk.slidingChunks(docs, chunkTokens = 64, stride = 48)
