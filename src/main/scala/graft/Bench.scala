@@ -104,7 +104,23 @@ object Bench {
         spark.table("bench_completed").count()
       } finally q.stop()
       val secs = (System.nanoTime() - t0) / 1e9
-      s"""{"events":${feed.length},"completed_rows":$completedRows,"elapsed_sec":$secs,"events_per_sec":${feed.length / secs}}"""
+      // steady-state variant: same feed in 1000-event micro-batches, so
+      // dedup/join state carries ACROSS batches (per-batch planning +
+      // state-store commit overhead included — the production cadence)
+      val input2 = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[String]
+      val q2 = graft.streaming.StreamingTripPipeline.pipeline(input2.toDF())
+        .writeStream.format("memory").queryName("bench_completed_batched")
+        .outputMode("append").start()
+      val t1 = System.nanoTime()
+      val batchedRows = try {
+        feed.grouped(1000).foreach { b =>
+          input2.addData(b.toSeq); q2.processAllAvailable()
+        }
+        spark.table("bench_completed_batched").count()
+      } finally q2.stop()
+      val secs2 = (System.nanoTime() - t1) / 1e9
+      s"""{"events":${feed.length},"completed_rows":$completedRows,"elapsed_sec":$secs,"events_per_sec":${feed.length / secs},"batched_completed_rows":$batchedRows,"batched_elapsed_sec":$secs2,"batched_events_per_sec":${feed.length / secs2}}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] streaming replay FAILED — ${e.getMessage}")
       s"""{"events":-1,"error":${jstr(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}}"""
