@@ -29,6 +29,10 @@ object Temporal {
     *    cardinality, not history depth, should carry the scale.
     */
   def scd2(changes: DataFrame, keys: Seq[String], ts: String): DataFrame = {
+    val reserved = Seq("valid_from", "valid_to", "is_current")
+    val clash = reserved.filter(changes.columns.contains)
+    require(clash.isEmpty,
+      s"input already has output columns: ${clash.mkString(", ")} — rename before scd2")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(ts))
     changes.filter(col(ts).isNotNull)
       .withColumn("valid_from", col(ts))

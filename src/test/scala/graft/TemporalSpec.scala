@@ -34,6 +34,12 @@ class TemporalSpec extends AnyFunSuite with SparkTestBase {
       "one open current interval per key")
   }
 
+  test("reserved output columns on the input fail fast") {
+    intercept[IllegalArgumentException] {
+      Temporal.scd2(changes.withColumnRenamed("v", "valid_to"), Seq("k"), "ts")
+    }
+  }
+
   test("snapshot at an instant equals the as-of join on the raw changes") {
     val at = 22L
     val snap = Temporal.asOfSnapshot(
