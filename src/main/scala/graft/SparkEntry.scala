@@ -942,6 +942,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("total_chars"))),
 
+    // A7b: ROLLUP — the hierarchy-prefix subset of CUBE (type, then
+    // type+day, then grand total).
+    "daily_counts_rollup" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .rollup(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))),
+
+    // A9: binned value histogram per event type — data-profiling shape;
+    // floor(value/width) is the same IEEE op in both engines.
+    "value_histogram" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("value").isNotNull && !isnan(col("value")))
+        .groupBy(col("event_type"), floor(col("value") / 10).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"), min(col("value")).as("bin_min"),
+          max(col("value")).as("bin_max"))),
+
     // A8: pivot — daily event counts by type (explicit value list keeps
     // output columns deterministic).
     "daily_counts_pivot" -> ((s, dir) =>
@@ -1881,6 +1897,16 @@ object SparkEntry {
       """SELECT lang, source, count(*) AS n_docs,
         |CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY CUBE (lang, source)""".stripMargin,
+
+    "daily_counts_rollup" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |FROM events GROUP BY ROLLUP (event_type, CAST(ts AS DATE))""".stripMargin,
+
+    "value_histogram" ->
+      """SELECT event_type, CAST(floor(value / 10) AS BIGINT) AS bin,
+        |count(*) AS n, min(value) AS bin_min, max(value) AS bin_max
+        |FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        |GROUP BY event_type, CAST(floor(value / 10) AS BIGINT)""".stripMargin,
 
     // Spark's pivot count yields NULL for absent cells; count(*) FILTER
     // yields 0 — coalesce is not needed here because every (day, type)
