@@ -784,6 +784,17 @@ object SparkEntry {
           bits = 8)
         .select(col("id_a"), col("id_b"), trunc4(col("cosine")).as("cosine"))),
 
+    // DD6c: end-to-end embedding near-dup CLUSTERS — banded-LSH
+    // candidate pairs fed to the connected-components fixpoint; the
+    // embedding twin of dedup_clusters (every vector in a dup group maps
+    // to the group's min id).
+    "dedup_embedding_clusters" -> ((s, dir) =>
+      Dedup.nearDupClusters(
+        Dedup.embeddingNearDupsLshBanded(embDupCorpus(s, dir),
+            threshold = 0.9, tables = 4, bitsPerTable = 16)
+          .select("id_a", "id_b"))
+        .select(col("id").as("vec_id"), col("cluster_id"))),
+
     // DD7b: banded multi-table LSH (4 tables x 16 bits) — the 100 TB
     // configuration: long codes keep the candidate join at n^2/16384,
     // OR-across-tables restores the recall long codes would lose.
@@ -1702,6 +1713,27 @@ object SparkEntry {
          |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
          |SELECT id_a, id_b, floor(cosine*10000)/10000 AS cosine
          |FROM scored WHERE cosine >= 0.9""".stripMargin,
+
+    "dedup_embedding_clusters" ->
+      s"""WITH RECURSIVE $embCorpusSql,
+         |e0 AS (SELECT vec_id, embedding,
+         |  [${(0 until 4).map(t => bandBucketSql("embedding", t, 16)).mkString(", ")}] AS tbl
+         |  FROM corpus),
+         |x AS (SELECT vec_id, t.t AS t, tbl[t.t+1] AS bucket FROM e0, range(0,4) t(t)),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM x a JOIN x b ON a.t = b.t AND a.bucket = b.bucket
+         |    AND a.vec_id < b.vec_id),
+         |jp AS (SELECT id_a, id_b
+         |  FROM cand JOIN e0 ea ON cand.id_a = ea.vec_id
+         |  JOIN e0 eb ON cand.id_b = eb.vec_id
+         |  WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.9),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM jp
+         |  UNION ALL SELECT id_b, id_a FROM jp),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
+         |SELECT id AS vec_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
 
     "dedup_embedding_lsh_banded" ->
       s"""WITH $embCorpusSql,
