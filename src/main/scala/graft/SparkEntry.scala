@@ -581,6 +581,29 @@ object SparkEntry {
       graft.operators.TextChunk.slidingChunks(Tables.documents(s, dir),
         chunkTokens = 64, stride = 48)),
 
+    // TDIFF: snapshot reconciliation — added/removed/changed rows
+    // between a corpus and a deterministically perturbed successor
+    // (drop every 17th, edit every 13th, add copies of every 19th under
+    // new ids). One full-outer hash join on the key; the incremental-
+    // ingest diff every recurring pipeline run needs.
+    "corpus_diff" -> ((s, dir) => {
+      val a = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val b = a.filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" changed")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(a.filter(col("doc_id") % 19 === 0)
+          .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
+      a.select(col("doc_id"), col("text").as("text_a"))
+        .join(b.select(col("doc_id"), col("text").as("text_b")),
+          Seq("doc_id"), "full_outer")
+        .withColumn("status", when(col("text_a").isNull, "added")
+          .when(col("text_b").isNull, "removed")
+          .when(col("text_a") =!= col("text_b"), "changed"))
+        .filter(col("status").isNotNull)
+        .select("doc_id", "status")
+    }),
+
     // TSPLIT: deterministic train/val/test corpus split (80/10/10) on
     // the cross-engine content hash — reproducible, no rand().
     "corpus_split" -> ((s, dir) =>
@@ -1381,6 +1404,22 @@ object SparkEntry {
         |  array_to_string(toks[start+1 : start+64], ' ') AS chunk_text,
         |  len(toks[start+1 : start+64])::BIGINT AS n_tokens
         |FROM s WHERE start = 0 OR start - 48 + 64 < len""".stripMargin,
+
+    "corpus_diff" ->
+      """WITH a AS (SELECT doc_id, text FROM documents),
+        |b AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 13 = 0 THEN text || ' changed' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 19 = 0)
+        |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |  CASE WHEN a.doc_id IS NULL THEN 'added'
+        |       WHEN b.doc_id IS NULL THEN 'removed'
+        |       WHEN a.text <> b.text THEN 'changed' END AS status
+        |FROM a FULL JOIN b ON a.doc_id = b.doc_id
+        |WHERE (CASE WHEN a.doc_id IS NULL THEN 'added'
+        |       WHEN b.doc_id IS NULL THEN 'removed'
+        |       WHEN a.text <> b.text THEN 'changed' END) IS NOT NULL""".stripMargin,
 
     "corpus_split" ->
       s"""SELECT doc_id,
