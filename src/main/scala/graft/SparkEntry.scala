@@ -767,6 +767,18 @@ object SparkEntry {
           .select("id_a", "id_b"))
         .select(col("id").as("doc_id"), col("cluster_id"))),
 
+    // DD3b: the consumable dedup output — the corpus with every
+    // non-representative cluster member dropped (Dedup.dropNearDups
+    // anti-join over the CC labels; what a curation pipeline ships).
+    "dedup_corpus_kept" -> ((s, dir) => {
+      val corpus = docNearDupCorpus(s, dir)
+      val clusters = Dedup.nearDupClusters(
+        Dedup.jaccardPairs(corpus, n = 3, threshold = 0.5,
+            maxDocFreq = Some(ShingleDfCap))
+          .select("id_a", "id_b"))
+      Dedup.dropNearDups(corpus, clusters).select("doc_id")
+    }),
+
     // DD2d: winnow-fingerprint near-dup pairs — docs sharing >= 5 local
     // winnowing fingerprints (native codegen'd expression, no shingle
     // explode). Catches copied PASSAGES that whole-doc Jaccard dilutes.
@@ -1667,6 +1679,27 @@ object SparkEntry {
          |  UNION
          |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
          |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+
+    "dedup_corpus_kept" ->
+      s"""WITH RECURSIVE $corpusNearSql,
+         |${shingleSql(3)},
+         |${cappedShSql(ShingleDfCap)},
+         |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+         |prs AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+         |  GROUP BY 1, 2),
+         |jp AS (SELECT p.id_a, p.id_b FROM prs p
+         |  JOIN sizes sa ON p.id_a = sa.id JOIN sizes sb ON p.id_b = sb.id
+         |  WHERE p.inter/(sa.sz+sb.sz-p.inter)::DOUBLE >= 0.5),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM jp
+         |  UNION ALL SELECT id_b, id_a FROM jp),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+         |clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+         |SELECT doc_id FROM corpus
+         |WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster_id)""".stripMargin,
 
     "dedup_winnow_pairs" ->
       s"""WITH $corpusNearSql,

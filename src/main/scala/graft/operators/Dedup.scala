@@ -381,6 +381,21 @@ object Dedup {
     * `sparkContext.setCheckpointDir` to make the per-round
     * materialization fault-tolerant (see [[iterCheckpoint]]).
     */
+  /** The consumable end of the dedup pipeline: drop every document that
+    * belongs to a near-dup cluster but is not its representative (the
+    * min-id member, matching [[nearDupClusters]]' labeling). One
+    * broadcast-able anti-join: the non-representative id list is
+    * |dup members| rows — tiny relative to the corpus even at 100 TB
+    * (dup rates are percents, and ids travel without payloads).
+    * Documents in no cluster are untouched.
+    */
+  def dropNearDups(docs: DataFrame, clusters: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    docs.join(
+      clusters.filter(col("id") =!= col("cluster_id"))
+        .select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
+
   def nearDupClusters(pairs: DataFrame,
       driverMaxEdges: Long = 1000000L): DataFrame = {
     // materialize the edge list ONCE: it is tiny (the near-dup pair list)

@@ -281,6 +281,22 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       "materialization must stay lazy (no job at plan construction)")
   }
 
+  test("dropNearDups keeps one representative per cluster and no surviving pair") {
+    val textDup = base.unionByName(
+      Seq((6L, "the quick brown fox jumps over the lazy dog near the river bank"))
+        .toDF("doc_id", "text"))
+    val clusters = Dedup.nearDupClusters(
+      Dedup.jaccardPairs(textDup, n = 3, threshold = 0.5).select("id_a", "id_b"))
+    val kept = Dedup.dropNearDups(textDup, clusters)
+    assert(Dedup.jaccardPairs(kept, n = 3, threshold = 0.5).count() === 0L,
+      "no pair at-or-above the clustering threshold may survive the drop")
+    val keptIds = kept.select("doc_id").as[Long].collect().toSet
+    assert(keptIds.contains(1L) && !keptIds.contains(4L) && !keptIds.contains(6L),
+      "the 1/4/6 exact-dup group keeps only its min id")
+    assert(keptIds.contains(3L) && keptIds.contains(5L),
+      "docs in no cluster are untouched")
+  }
+
   test("embeddingNearDupsLsh finds every exact-dup pair brute force finds") {
     val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val dup = embs.select("vec_id", "embedding").unionByName(
