@@ -15,6 +15,12 @@ object Bench {
     case c => c.toString
   } + "\""
 
+  /** Scala prints Double.Infinity/NaN as `Infinity`/`NaN` — invalid JSON
+    * that would corrupt the one-line bench contract. -1 = "not measured".
+    */
+  private def jnum(d: Double): String =
+    if (d.isNaN || d.isInfinite) "-1" else d.toString
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -106,21 +112,34 @@ object Bench {
       val secs = (System.nanoTime() - t0) / 1e9
       // steady-state variant: same feed in 1000-event micro-batches, so
       // dedup/join state carries ACROSS batches (per-batch planning +
-      // state-store commit overhead included — the production cadence)
-      val input2 = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[String]
-      val q2 = graft.streaming.StreamingTripPipeline.pipeline(input2.toDF())
-        .writeStream.format("memory").queryName("bench_completed_batched")
-        .outputMode("append").start()
-      val t1 = System.nanoTime()
-      val batchedRows = try {
-        feed.grouped(1000).foreach { b =>
-          input2.addData(b.toSeq); q2.processAllAvailable()
-        }
-        spark.table("bench_completed_batched").count()
-      } finally q2.stop()
-      val secs2 = (System.nanoTime() - t1) / 1e9
-      s"""{"events":${feed.length},"completed_rows":$completedRows,"elapsed_sec":$secs,"events_per_sec":${feed.length / secs},"batched_completed_rows":$batchedRows,"batched_elapsed_sec":$secs2,"batched_events_per_sec":${feed.length / secs2}}"""
+      // state-store commit overhead included — the production cadence).
+      // Measured at two shuffle-partition settings: the session default
+      // (= cores; r6 showed 32 one-time state-store commits dominating
+      // 1000-row batches at 136 ev/s) and a batch-volume-sized 4 — the
+      // operational lesson is that micro-batch cadence wants partitions
+      // sized to batch VOLUME, not cores (SURVEY par.9).
+      def batchedReplay(tag: String, partitions: Int): (Long, Double) = {
+        val saved = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+        try {
+          val in = org.apache.spark.sql.execution.streaming.runtime
+            .MemoryStream[String]
+          val q2 = graft.streaming.StreamingTripPipeline.pipeline(in.toDF())
+            .writeStream.format("memory").queryName(s"bench_completed_$tag")
+            .outputMode("append").start()
+          val t1 = System.nanoTime()
+          val rows = try {
+            feed.grouped(1000).foreach { b =>
+              in.addData(b.toSeq); q2.processAllAvailable()
+            }
+            spark.table(s"bench_completed_$tag").count()
+          } finally q2.stop()
+          (rows, (System.nanoTime() - t1) / 1e9)
+        } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+      }
+      val (batchedRows, secs2) = batchedReplay("batched", cpus.toInt)
+      val (tunedRows, secs3) = batchedReplay("tuned", 4)
+      s"""{"events":${feed.length},"completed_rows":$completedRows,"elapsed_sec":${jnum(secs)},"events_per_sec":${jnum(feed.length / secs)},"batched_completed_rows":$batchedRows,"batched_elapsed_sec":${jnum(secs2)},"batched_events_per_sec":${jnum(feed.length / secs2)},"batched_tuned_partitions":4,"batched_tuned_completed_rows":$tunedRows,"batched_tuned_elapsed_sec":${jnum(secs3)},"batched_tuned_events_per_sec":${jnum(feed.length / secs3)}}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] streaming replay FAILED — ${e.getMessage}")
       s"""{"events":-1,"error":${jstr(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}}"""

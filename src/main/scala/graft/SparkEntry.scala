@@ -414,6 +414,30 @@ object SparkEntry {
           "l_shipdate")
     }),
 
+    // J6b: WIDTH-SKEW tiered range join — urgent orders get a 3-day
+    // dispatch window, everything else 31 days (a 10x width tail, the
+    // heavy-tailed shape pointInIntervalTiered exists for: the narrow
+    // tier buckets at 3 days, the tail at 31, and the disjoint union
+    // keeps exactly-once). Aggregated to per-order ship counts so the
+    // result stays order-sized at any SF.
+    "lineitems_in_window_tiered" -> ((s, dir) => {
+      val pts = Tables.lineitem(s, dir).select(col("l_orderkey"),
+        datediff(col("l_shipdate"), lit("1970-01-01")).as("ship_day"))
+      val ivals = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1995-01-01") &&
+          col("o_orderdate") < lit("1995-01-11"))
+        .select(col("o_orderkey").as("w_orderkey"),
+          datediff(col("o_orderdate"), lit("1970-01-01")).as("window_start"),
+          (datediff(col("o_orderdate"), lit("1970-01-01")) +
+            when(col("o_orderpriority") === "1-URGENT", 2).otherwise(30))
+            .as("window_end"))
+      graft.operators.RangeJoin.pointInIntervalTiered(pts, ivals,
+          "ship_day", "window_start", "window_end",
+          bucketWidth = 3L, tailWidth = 10L, tailBucketWidth = 31L)
+        .groupBy(col("w_orderkey").as("o_orderkey"))
+        .agg(count(lit(1)).as("n_ships"))
+    }),
+
     // D1: first-occurrence dedup on the natural key (lambda1.py:119-150).
     "dedup_first_wins" -> ((s, dir) =>
       RawEventStore.dedupFirstWins(Tables.events(s, dir),
@@ -594,11 +618,15 @@ object SparkEntry {
             .otherwise(col("text")).as("text"))
         .unionByName(a.filter(col("doc_id") % 19 === 0)
           .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
-      a.select(col("doc_id"), col("text").as("text_a"))
-        .join(b.select(col("doc_id"), col("text").as("text_b")),
+      // Presence flags, NOT text nullity: a null text on a row present on
+      // both sides must not be misread as "added"/"removed" (matches the
+      // oracle's id-nullity test; `=!=` on a null text is null -> filtered,
+      // same as SQL `<>`).
+      a.select(col("doc_id"), col("text").as("text_a"), lit(true).as("in_a"))
+        .join(b.select(col("doc_id"), col("text").as("text_b"), lit(true).as("in_b")),
           Seq("doc_id"), "full_outer")
-        .withColumn("status", when(col("text_a").isNull, "added")
-          .when(col("text_b").isNull, "removed")
+        .withColumn("status", when(col("in_a").isNull, "added")
+          .when(col("in_b").isNull, "removed")
           .when(col("text_a") =!= col("text_b"), "changed"))
         .filter(col("status").isNotNull)
         .select("doc_id", "status")
@@ -880,9 +908,13 @@ object SparkEntry {
 
     // SS2c: banded multi-table LSH top-k (4x16 bits; ids-only candidate
     // shuffle, exact-cosine rank after join-back) — the retrieval twin
-    // of dedup_embedding_lsh_banded.
+    // of dedup_embedding_lsh_banded. Runs against the injected-dup corpus:
+    // every query (vec_id % 50 == 0, hence % 25 == 0) has an identical
+    // copy at +100000, so each query collides in all 4 band tables and the
+    // contract row exercises real candidates (r6 ran the plain table and
+    // got a vacuous 0-rows-vs-0-rows green).
     "ann_lsh_banded_topk" -> ((s, dir) =>
-      SimilaritySearch.lshBandedTopK(Tables.embeddings(s, dir),
+      SimilaritySearch.lshBandedTopK(embDupCorpus(s, dir),
           annQueries(s, dir), k = 10, tables = 4, bitsPerTable = 16)
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"), trunc4(col("cosine")).as("cosine"))),
@@ -1268,6 +1300,17 @@ object SparkEntry {
         |WHERE o.o_orderpriority = '1-URGENT'
         |  AND o.o_orderdate >= DATE '1995-01-01'
         |  AND o.o_orderdate < DATE '1995-03-01'""".stripMargin,
+
+    "lineitems_in_window_tiered" ->
+      """SELECT o.o_orderkey, count(*) AS n_ships
+        |FROM orders o JOIN lineitem l
+        |  ON l.l_shipdate >= o.o_orderdate
+        |  AND l.l_shipdate <= o.o_orderdate +
+        |    (CASE WHEN o.o_orderpriority = '1-URGENT' THEN 2 ELSE 30 END)
+        |    * INTERVAL 1 DAY
+        |WHERE o.o_orderdate >= DATE '1995-01-01'
+        |  AND o.o_orderdate < DATE '1995-01-11'
+        |GROUP BY 1""".stripMargin,
 
     "dedup_first_wins" ->
       """SELECT event_id, ts, user_id, event_type, value, props FROM (
@@ -1865,13 +1908,15 @@ object SparkEntry {
          |floor(cosine*10000)/10000 AS cosine FROM ranked WHERE rank <= 10""".stripMargin,
 
     "ann_lsh_banded_topk" ->
-      s"""WITH e AS (SELECT vec_id, embedding,
+      s"""WITH $embCorpusSql,
+         |e AS (SELECT vec_id, embedding,
          |  [${(0 until 4).map(t => bandBucketSql("embedding", t, 16)).mkString(", ")}] AS tbl
-         |  FROM embeddings),
+         |  FROM corpus),
          |x AS (SELECT vec_id, t.t AS t, tbl[t.t+1] AS bucket FROM e, range(0,4) t(t)),
          |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
          |  FROM x c JOIN x q ON c.t = q.t AND c.bucket = q.bucket
-         |  WHERE q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),
+         |  WHERE q.vec_id % 50 = 0 AND q.vec_id < 100000
+         |    AND c.vec_id <> q.vec_id),
          |scored AS (SELECT cand.query_id, cand.neighbor_id,
          |  ${cosSql("eq.embedding", "ec.embedding")} AS cosine
          |  FROM cand JOIN e ec ON cand.neighbor_id = ec.vec_id

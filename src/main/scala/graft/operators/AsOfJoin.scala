@@ -158,12 +158,18 @@ object AsOfJoin {
     * window's one — buy parallelism with shuffles only where key skew
     * demands it; elsewhere use [[asofBackward]].
     *
-    * Semantics: IDENTICAL to `asofBackward(..., tolerance = Some(t))`
-    * (AsOfJoinSpec asserts equality, the contract query shares the
-    * DuckDB oracle): the latest `rightTs <= leftTs` either lies within
-    * tolerance — then it is also the latest inside the window — or no
-    * right row occupies the window at all. Same null rules; additionally
-    * requires a unique left id column to survive the aggregate.
+    * Semantics: identical to `asofBackward(..., tolerance = Some(t))`
+    * for NON-NULL keys (AsOfJoinSpec asserts equality, the contract
+    * query shares the DuckDB oracle): the latest `rightTs <= leftTs`
+    * either lies within tolerance — then it is also the latest inside
+    * the window — or no right row occupies the window at all. Null
+    * timestamps follow the same never-match rule. **Null KEYS diverge**:
+    * the window form's `partitionBy` groups null keys together (null-key
+    * left rows can match null-key right rows), while this form's
+    * equi-join never matches a null key (null-key left rows come out
+    * unmatched) — SQL join semantics. Pre-filter or coalesce null keys
+    * if you need the window behavior. Additionally requires a unique
+    * left id column to survive the aggregate.
     *
     * @param leftId    unique-per-left-row column (join-back identity).
     * @param tolerance max staleness in SECONDS (bucket width).
@@ -173,14 +179,7 @@ object AsOfJoin {
       leftId: String, toleranceSec: Long,
       prefix: String = "asof_"): DataFrame = {
     require(toleranceSec > 0, s"toleranceSec must be positive: $toleranceSec")
-    require(!payload.contains(rightTs),
-      s"payload must not repeat rightTs ('$rightTs'): it is always attached as ${prefix}$rightTs")
-    val outNames = (rightTs +: payload).map(prefix + _)
-    require(outNames.distinct == outNames,
-      s"prefixed payload names collide among themselves: ${outNames.mkString(", ")}")
-    val clash = outNames.toSet.intersect(left.columns.toSet)
-    require(clash.isEmpty,
-      s"prefixed output columns collide with left columns: ${clash.mkString(", ")} — pick another prefix")
+    checkNames(left, rightTs, payload, prefix)
 
     def bucketOf(ts: Column): Column =
       floor(unix_timestamp(ts) / lit(toleranceSec)).cast("long")

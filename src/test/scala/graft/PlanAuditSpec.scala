@@ -97,12 +97,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       s"join keys must include the salt, got: $keysLine")
   }
 
-  test("every query result is non-empty at sf0.001 (driver smoke analogue)") {
-    val sf = "/root/testdata/sf0.001"
+  test("every query result is non-empty at sf0.01 (the driver's oracle SF)") {
+    // Must run at the SAME scale factor the driver's DuckDB comparison
+    // uses: r6's ann_lsh_banded_topk was non-empty at sf0.001 (a lucky
+    // embedding draw collided) yet 0-rows-vs-0-rows at the driver's
+    // sf0.01 — a vacuous green this gate at the wrong SF couldn't catch.
+    val sf = "/root/testdata/sf0.01"
     val empty = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (fn(spark, sf).limit(1).count() == 0) Some(name) else None
     }
-    assert(empty.isEmpty, s"empty results at sf0.001: ${empty.mkString(", ")}")
+    assert(empty.isEmpty, s"empty results at sf0.01: ${empty.mkString(", ")}")
   }
 
   test("oracleSql keys are a subset of queries and name every column consistently") {

@@ -107,4 +107,70 @@ class RangeJoinSpec extends AnyFunSuite with SparkTestBase {
         "pos", "s", "e", bucketWidth = 4)
     }
   }
+
+  test("tiered point join equals naive on a heavy-tailed width distribution") {
+    // 195 minute-scale intervals + 5 "year-long" outliers (width ~100k):
+    // the width-skew shape the tiers exist for. Duplicate tail row keeps
+    // the multiset claim honest; a null-bound and an empty interval keep
+    // the no-rows rule covered across the tier filters.
+    val rnd = new scala.util.Random(23)
+    val p = (1 to 400).map(i => (i.toLong, rnd.nextInt(200000).toLong))
+      .toDF("pid", "pos")
+    val narrow = (1 to 195).map { i =>
+      val s = rnd.nextInt(200000).toLong
+      (i.toLong, s, s + rnd.nextInt(30).toLong)
+    }
+    val tail = (196 to 200).map { i =>
+      val s = rnd.nextInt(50000).toLong
+      (i.toLong, s, s + 100000L + rnd.nextInt(30000).toLong)
+    }
+    val iv = (narrow ++ tail ++ Seq(tail.head) /* duplicate tail row */)
+      .toDF("iid", "s", "e")
+      .unionByName(Seq((900L, Option.empty[Long], Some(5L)),
+        (901L, Some(50L), Some(10L))).toDF("iid", "s", "e"))
+    val naive = p.join(iv, col("pos") >= col("s") && col("pos") <= col("e"))
+      .select("pid", "iid").as[(Long, Long)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(naive.exists { case ((_, iid), n) => iid === tail.head._1 && n === 2 },
+      "fixture: the duplicated tail interval double-counts")
+    val tiered = RangeJoin.pointInIntervalTiered(p, iv, "pos", "s", "e",
+        bucketWidth = 16, tailWidth = 1000, tailBucketWidth = 65536)
+      .select("pid", "iid").as[(Long, Long)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(tiered === naive)
+  }
+
+  test("tiered overlap equals naive on heavy-tailed widths, multiset-safe") {
+    val rnd = new scala.util.Random(29)
+    def mk(n: Int, idBase: Long) = (1 to n).map { i =>
+      val s = rnd.nextInt(100000).toLong
+      val wide = i % 25 == 0 // 4% year-long tail
+      (idBase + i, s, s + (if (wide) 80000L + rnd.nextInt(20000)
+                           else rnd.nextInt(40).toLong))
+    }
+    val lRows = mk(120, 0L)
+    val l = (lRows ++ Seq(lRows.head) /* duplicate row: multiset check */)
+      .toDF("lid", "ls", "le")
+    val r = mk(100, 1000L).toDF("rid", "rs", "re")
+    val naive = l.join(r, col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("lid", "rid").as[(Long, Long)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val tiered = RangeJoin.intervalOverlapTiered(l, r, "ls", "le", "rs", "re",
+        bucketWidth = 16, tailWidth = 1000, tailBucketWidth = 32768)
+      .select("lid", "rid").as[(Long, Long)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(tiered === naive)
+  }
+
+  test("tiered guards: tailBucketWidth must be coarser; tailWidth positive") {
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInIntervalTiered(pts, ivals, "pos", "s", "e",
+        bucketWidth = 8, tailWidth = 100, tailBucketWidth = 8)
+    }
+    intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlapTiered(pts.toDF("lid", "ls").withColumn("le", col("ls")),
+        ivals, "ls", "le", "s", "e",
+        bucketWidth = 8, tailWidth = 0, tailBucketWidth = 64)
+    }
+  }
 }
