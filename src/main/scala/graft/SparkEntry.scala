@@ -825,6 +825,21 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"),
           trunc4(col("sig_agreement")).as("sig_agreement"))),
 
+    // DD3b: INCREMENTAL ingest dedup — the added-set of the corpus-diff
+    // fixture (copies of every 19th doc under +200000 ids) mined against
+    // the existing corpus via cross-corpus banded MinHash LSH
+    // (IncrementalDedup.incrementalLshPairs): only pairs involving the
+    // new batch, computed without re-pairing the corpus against itself.
+    "dedup_incremental_pairs" -> ((s, dir) => {
+      val a = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val added = a.filter(col("doc_id") % 19 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+      graft.operators.IncrementalDedup.incrementalLshPairs(
+          Dedup.minHashSignatures(added), Dedup.minHashSignatures(a))
+        .select(col("id_a"), col("id_b"),
+          trunc4(col("sig_agreement")).as("sig_agreement"))
+    }),
+
     // DD4: per-doc 16-bit SimHash signatures.
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simHashes(docNearDupCorpus(s, dir))
@@ -1799,6 +1814,29 @@ object SparkEntry {
          |  FROM cand c JOIN sig sa ON c.id_a = sa.id JOIN sig sb ON c.id_b = sb.id)
          |SELECT id_a, id_b, floor(a*10000)/10000 AS sig_agreement
          |FROM agr WHERE a >= 0.5""".stripMargin,
+
+    // Same signature/band pipeline as dedup_minhash_lsh over
+    // corpus ∪ added-set; batch ids are all +200000 > every corpus id,
+    // so "pair involves the batch" is exactly id_b >= 200000 under the
+    // id_a < id_b orientation.
+    "dedup_incremental_pairs" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL
+         |  SELECT doc_id+200000 AS doc_id, text FROM documents WHERE doc_id%19=0),
+         |${shingleSql(3)},
+         |hss AS (SELECT doc_id, list_transform(shingles,
+         |  s -> ${hash60Sql("s")}) AS hs FROM shs),
+         |sig AS (SELECT doc_id AS id, $minhashSigSql AS sig FROM hss),
+         |banded AS (SELECT id, sig, t.b AS band,
+         |  array_to_string(sig[(t.b*4+1):(t.b*4+4)], ':') AS key
+         |  FROM sig, range(0,4) t(b)),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM banded a
+         |  JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+         |agr AS (SELECT c.id_a, c.id_b,
+         |  list_sum(list_transform(range(1,17),
+         |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))/16.0 AS a
+         |  FROM cand c JOIN sig sa ON c.id_a = sa.id JOIN sig sb ON c.id_b = sb.id)
+         |SELECT id_a, id_b, floor(a*10000)/10000 AS sig_agreement
+         |FROM agr WHERE a >= 0.5 AND id_b >= 200000""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH $corpusNearSql,

@@ -247,15 +247,10 @@ object Dedup {
   def minHashLshPairs(docs: DataFrame, n: Int = 3, numHashes: Int = 16,
       bands: Int = 4, minAgreement: Double = 0.5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val rows = numHashes / bands
-    val sigs = minHashSignatures(docs, n, numHashes, idCol, textCol)
     // lazy-materialized: both self-join sides scan the banded rows
     // instead of re-running the whole signature pipeline
-    val banded = sigs.select(col("id"), col("sig"),
-      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        struct(b.as("band"),
-          concat_ws(":", slice(col("sig"), b * rows + 1, lit(rows))).as("key")))).as("bk"))
-      .select(col("id"), col("sig"), col("bk.band"), col("bk.key"))
+    val banded = bandedSignatures(
+        minHashSignatures(docs, n, numHashes, idCol, textCol), numHashes, bands)
       .transform(sharedRelation)
     val cand = banded.as("a")
       .join(banded.as("b"),
@@ -264,13 +259,31 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .distinct()
-    cand.withColumn("sig_agreement",
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1).otherwise(0)), lit(0),
-          (acc, v) => acc + v) / lit(numHashes.toDouble))
+    cand.withColumn("sig_agreement", sigAgreement(col("sig_a"), col("sig_b"), numHashes))
       .filter(col("sig_agreement") >= minAgreement)
       .select("id_a", "id_b", "sig_agreement")
   }
+
+  /** Band a (id, sig) relation into (id, sig, band, key) rows — the LSH
+    * bucket relation [[minHashLshPairs]] self-joins and
+    * [[IncrementalDedup]] cross-joins against the persisted corpus side.
+    */
+  private[graft] def bandedSignatures(sigs: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    sigs.select(col("id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.as("band"),
+          concat_ws(":", slice(col("sig"), b * rows + 1, lit(rows))).as("key")))).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band"), col("bk.key"))
+  }
+
+  /** Fraction of agreeing signature positions — the LSH candidate score. */
+  private[graft] def sigAgreement(sigA: Column, sigB: Column,
+      numHashes: Int): Column =
+    aggregate(zip_with(sigA, sigB,
+      (x, y) => when(x === y, 1).otherwise(0)), lit(0),
+      (acc, v) => acc + v) / lit(numHashes.toDouble)
 
   /** Training-set DECONTAMINATION: flag (train doc, eval doc) pairs
     * whose shared distinct word n-grams cover at least `minOverlapFrac`
@@ -357,7 +370,7 @@ object Dedup {
     * `localCheckpoint()` otherwise (single-node/test: no dir needed, but
     * a lost executor would force recompute-from-nothing).
     */
-  private def iterCheckpoint(df: DataFrame): DataFrame =
+  private[graft] def iterCheckpoint(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint()
 

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental corpus dedup — the production INGESTION shape: each new
+  * batch of documents is deduped against the ALREADY-INGESTED corpus
+  * without recomputing anything over the corpus itself. The reference
+  * pipeline has no dedup beyond an in-batch dict (scripts/
+  * lambda1.py:119-150); this is the extension surface a continuously-fed
+  * 100 TB pretraining corpus needs — a full-corpus
+  * [[Dedup.minHashLshPairs]] rerun per arriving batch would be
+  * O(corpus) work for an O(batch)-sized question.
+  *
+  * Mechanics: MinHash signatures are computed ONCE per document — on the
+  * batch that first ingests it — and persisted in a [[KeyedUpsertSink]]
+  * bucketed store keyed by doc id (re-delivered batches overwrite
+  * idempotently; per-upsert cost is O(touched buckets)). A new batch
+  * computes only its own |batch| signatures, LSH-bands them, and
+  * equi-joins against the banded corpus signatures — the same
+  * AND-within-band / OR-across-bands candidate generation as
+  * [[Dedup.minHashLshPairs]], but cross-corpus like
+  * [[Dedup.contaminationPairs]], so the join cost is
+  * |batch bands ∩ corpus band keys|, never corpus².
+  *
+  * Exactness: a signature depends only on its own document's text, so
+  * batch-computed signatures equal full-rerun signatures, and
+  *   pairs(corpus ∪ batch) = pairs(corpus) ∪ incremental(batch, corpus)
+  * EXACTLY (per-id-pair, including scores) whenever batch and corpus ids
+  * are disjoint — IncrementalDedupSpec asserts the equality. Disjointness
+  * is the caller's contract; compose with the added-set of a corpus diff
+  * (SparkEntry `corpus_diff`) to get it for free on re-ingests.
+  */
+object IncrementalDedup {
+
+  /** Candidate near-dup pairs INVOLVING the new batch: batch×corpus plus
+    * batch-internal pairs, scored by signature agreement like
+    * [[Dedup.minHashLshPairs]]. Inputs are (id, sig) signature relations
+    * (from [[Dedup.minHashSignatures]] / [[readSignatures]]); ids must
+    * be disjoint across the two. Pairs are oriented id_a < id_b, so the
+    * union with the corpus's own historical pair list reproduces the
+    * full-corpus rerun row-for-row.
+    *
+    * Plan shape: candidate ids travel the band joins with their (small)
+    * signatures attached for the batch-internal self-join, while the
+    * batch×corpus join carries ids only and re-attaches signatures with
+    * two hash joins — at 100 TB the corpus side of the band join is the
+    * big relation, and keeping it id+band+key-narrow is what keeps the
+    * shuffle bytes proportional to row count, not signature width.
+    */
+  def incrementalLshPairs(batchSigs: DataFrame, corpusSigs: DataFrame,
+      numHashes: Int = 16, bands: Int = 4,
+      minAgreement: Double = 0.5): DataFrame = {
+    val bb = Dedup.bandedSignatures(batchSigs, numHashes, bands)
+      .transform(Dedup.sharedRelation) // self-join sides + cross join scan it
+    val bc = Dedup.bandedSignatures(corpusSigs, numHashes, bands)
+      .select(col("id"), col("band"), col("key")) // ids only: bytes-narrow
+    val within = bb.as("a")
+      .join(bb.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val cross = bb.select(col("id").as("_bid"), col("band"), col("key"))
+      .join(bc.withColumnRenamed("id", "_cid"), Seq("band", "key"))
+      .select(least(col("_bid"), col("_cid")).as("id_a"),
+        greatest(col("_bid"), col("_cid")).as("id_b"))
+    val cand = within.unionByName(cross).distinct()
+    val all = batchSigs.unionByName(corpusSigs)
+    cand
+      .join(all.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(all.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .withColumn("sig_agreement",
+        Dedup.sigAgreement(col("sig_a"), col("sig_b"), numHashes))
+      .filter(col("sig_agreement") >= minAgreement)
+      .select("id_a", "id_b", "sig_agreement")
+  }
+
+  /** Persist a batch's (id, sig) signatures into the bucketed keyed
+    * store at `storeDir` (LWW by `batch_id`; re-delivery idempotent).
+    */
+  def upsertSignatures(sigs: DataFrame, storeDir: String, batchId: Long,
+      numBuckets: Int = KeyedUpsertSink.DefaultNumBuckets): Unit =
+    KeyedUpsertSink.upsertBatch(
+      sigs.select(col("id"), col("sig"), lit(batchId).as("batch_id")),
+      storeDir, Seq("id"), "batch_id", batchId, numBuckets = numBuckets)
+
+  /** The persisted corpus signature relation (id, sig), or None before
+    * the first ingest.
+    */
+  def readSignatures(spark: SparkSession, storeDir: String): Option[DataFrame] =
+    KeyedUpsertSink.readStore(spark, storeDir).map(_.select("id", "sig"))
+
+  /** End-to-end ingest step: signature the batch, mine its near-dup
+    * pairs against the persisted corpus (plus batch-internal pairs),
+    * then fold the batch's signatures into the store. Returns the pair
+    * list MATERIALIZED (reliable checkpoint when a checkpoint dir is
+    * set, local otherwise) — the result must not lazily read store
+    * generations that a later ingest may prune past the sink's
+    * one-generation grace window.
+    */
+  def ingestBatch(batch: DataFrame, storeDir: String, batchId: Long,
+      n: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      minAgreement: Double = 0.5, idCol: String = "doc_id",
+      textCol: String = "text",
+      numBuckets: Int = KeyedUpsertSink.DefaultNumBuckets): DataFrame = {
+    val sigs = Dedup.sharedRelation(
+      Dedup.minHashSignatures(batch, n, numHashes, idCol, textCol))
+    val pairs = readSignatures(batch.sparkSession, storeDir) match {
+      case Some(corpusSigs) =>
+        incrementalLshPairs(sigs, corpusSigs, numHashes, bands, minAgreement)
+      case None => // first batch: corpus is empty, only internal pairs
+        incrementalLshPairs(sigs,
+          sigs.filter(lit(false)), numHashes, bands, minAgreement)
+    }
+    val out = Dedup.iterCheckpoint(pairs)
+    upsertSignatures(sigs, storeDir, batchId, numBuckets)
+    out
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, IncrementalDedup}
+
+/** Incremental corpus dedup: the batch-vs-corpus pair miner must equal a
+  * full-corpus rerun exactly, and the persisted signature store must make
+  * multi-batch ingestion equal one-shot ingestion.
+  */
+class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  // corpus: distinct docs; batch: an exact dup of 1, a near dup of 2, a
+  // fresh doc, and an internal dup pair (103, 104)
+  private def corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "pack my box with five dozen liquor jugs before the night train leaves"),
+    (3L, "completely different words appear here without any overlap at all")
+  ).toDF("doc_id", "text")
+
+  private def batch = Seq(
+    (101L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (102L, "pack my box with five dozen liquor jugs before the night train arrives"),
+    (103L, "numbers and symbols one two three four five six seven eight nine"),
+    (104L, "numbers and symbols one two three four five six seven eight nine")
+  ).toDF("doc_id", "text")
+
+  private def pairSet(df: DataFrame): Set[(Long, Long, Double)] =
+    df.select("id_a", "id_b", "sig_agreement")
+      .as[(Long, Long, Double)].collect().toSet
+
+  test("incremental pairs + corpus self-pairs == full-corpus rerun, exactly") {
+    val full = pairSet(Dedup.minHashLshPairs(corpus.unionByName(batch)))
+    val corpusSelf = pairSet(Dedup.minHashLshPairs(corpus))
+    val incr = pairSet(IncrementalDedup.incrementalLshPairs(
+      Dedup.minHashSignatures(batch), Dedup.minHashSignatures(corpus)))
+    assert(corpusSelf.union(incr) === full,
+      s"incremental decomposition must reproduce the rerun;\n" +
+        s"missing=${full.diff(corpusSelf.union(incr))}\n" +
+        s"extra=${corpusSelf.union(incr).diff(full)}")
+    // and the two legs are disjoint: corpus-internal pairs never reappear
+    assert(corpusSelf.intersect(incr).isEmpty)
+    // fixture sanity: the exact dup, the internal batch dup, and the near
+    // dup all surface
+    val ids = incr.map(p => (p._1, p._2))
+    assert(ids.contains((1L, 101L)), "exact cross dup must be found")
+    assert(ids.contains((103L, 104L)), "batch-internal dup must be found")
+  }
+
+  test("multi-batch ingestion through the signature store == one-shot rerun") {
+    val dir = java.nio.file.Files.createTempDirectory("sigstore").toString
+    val b1 = IncrementalDedup.ingestBatch(corpus, dir, batchId = 0L)
+    val b2 = IncrementalDedup.ingestBatch(batch, dir, batchId = 1L)
+    val all = pairSet(b1).union(pairSet(b2))
+    val full = pairSet(Dedup.minHashLshPairs(corpus.unionByName(batch)))
+    assert(all === full,
+      s"missing=${full.diff(all)} extra=${all.diff(full)}")
+  }
+
+  test("ingest survives store pruning: pairs are materialized before upsert") {
+    val dir = java.nio.file.Files.createTempDirectory("sigstore2").toString
+    IncrementalDedup.ingestBatch(corpus, dir, batchId = 0L)
+    val pairs = IncrementalDedup.ingestBatch(batch, dir, batchId = 1L)
+    // two more ingests of fresh docs — prunes past the one-generation
+    // grace window of every generation batch 1 read from
+    IncrementalDedup.ingestBatch(
+      Seq((201L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+        .toDF("doc_id", "text"), dir, batchId = 2L)
+    IncrementalDedup.ingestBatch(
+      Seq((202L, "lambda mu nu xi omicron pi rho sigma tau upsilon"))
+        .toDF("doc_id", "text"), dir, batchId = 3L)
+    assert(pairSet(pairs).map(p => (p._1, p._2)).contains((1L, 101L)),
+      "earlier batch's result frame must stay readable after later ingests")
+  }
+
+  test("re-delivered ingest batch is idempotent in the store") {
+    val dir = java.nio.file.Files.createTempDirectory("sigstore3").toString
+    IncrementalDedup.ingestBatch(corpus, dir, batchId = 0L)
+    IncrementalDedup.ingestBatch(batch, dir, batchId = 1L)
+    IncrementalDedup.ingestBatch(batch, dir, batchId = 1L) // re-delivery
+    val stored = IncrementalDedup.readSignatures(spark, dir).get
+    assert(stored.count() === 7, "re-delivery must not duplicate signatures")
+    assert(stored.select("id").as[Long].collect().toSet ===
+      Set(1L, 2L, 3L, 101L, 102L, 103L, 104L))
+  }
+}

@@ -181,6 +181,40 @@ class SinkSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("S4 long-lived store: storage stays bounded over many batches (generation GC)") {
+    // 20 consecutive upserts all hammering the same few keys — the
+    // linear-leak shape if superseded generations were never pruned.
+    // Bound: each bucket keeps at most its current copy + the
+    // one-generation grace copy, and empty generation dirs are removed,
+    // so total bucket-dir copies <= 2 * numBuckets and live generation
+    // dirs <= numBuckets + 1 regardless of batch count.
+    val dir = tmp() + "/longlived"
+    val keys = Seq("trip_id", "sk")
+    val n = 4
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    for (b <- 0 until 20) {
+      val batch = (0 until 8).map(i =>
+        (s"t$i", s"RAW#e$i", f"2024-05-25 10:$b%02d:$i%02d", b * 100.0 + i))
+        .toDF("trip_id", "sk", "ts", "value")
+      KeyedUpsertSink.upsertBatch(batch, dir, keys, "ts", batchId = b.toLong,
+        numBuckets = n)
+    }
+    val genDirs = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-"))
+    val bucketCopies = genDirs.flatMap(g => fs.listStatus(g.getPath)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket=")))
+    assert(bucketCopies.length <= 2 * n,
+      s"bucket-dir copies must stay bounded (<= ${2 * n}), found ${bucketCopies.length}")
+    assert(genDirs.length <= n + 1,
+      s"generation dirs must stay bounded (<= ${n + 1}), found ${genDirs.length}")
+    // and the content is the last batch's, intact
+    val stored = KeyedUpsertSink.readStore(spark, dir).get
+    assert(stored.count() === 8)
+    assert(stored.agg(min(col("value"))).as[Double].head() >= 1900.0,
+      "store must hold the final batch's values")
+  }
+
   test("S4 keyed upsert drives a streaming foreachBatch store") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[String]
