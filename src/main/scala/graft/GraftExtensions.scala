@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DotProductFloat, MinGramHash, TextStats, WinnowFingerprints}
+import graft.functions.{DotProductFloat, ImageDims, MinGramHash, TextStats, WinnowFingerprints}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions, so `spark.sql("SELECT
@@ -65,6 +65,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1,
           s"text_stats expects 1 argument, got ${children.length}")
         TextStats(children.head)
+      }))
+
+    // image_dims(payload) — struct(format, width, height) parsed from
+    // PNG/JPEG/GIF container headers in the binary column
+    ext.injectFunction((
+      new FunctionIdentifier("image_dims"),
+      new ExpressionInfo(classOf[ImageDims].getName, "image_dims"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"image_dims expects 1 argument, got ${children.length}")
+        ImageDims(children.head)
       }))
   }
 }

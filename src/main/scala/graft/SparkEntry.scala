@@ -1122,6 +1122,37 @@ object SparkEntry {
         .select(col("doc_id"), col("media_type"),
           col("frame_idx").cast("long").as("frame_idx"), col("frame_md5"))),
 
+    // M3: REAL container-header decode — payloads carry genuine
+    // PNG/JPEG/GIF headers (built relationally: big-endian dims via
+    // lpad(hex)+unhex, little-endian for GIF) and functions.ImageDims
+    // parses format/width/height back out of the BYTES. The oracle pins
+    // the expected dims from the construction formulas, so a parser that
+    // misreads endianness, offsets, or marker walking hash-mismatches.
+    "media_image_dims" -> ((s, dir) => {
+      val w = (col("doc_id") % 37 + 100).cast("int")
+      val wGif = (col("doc_id") % 37 + 400).cast("int") // forces a high LE byte
+      val h = (col("doc_id") % 23 + 50).cast("int")
+      def beHex(c: org.apache.spark.sql.Column, bytes: Int) =
+        lpad(hex(c.cast("long")), bytes * 2, "0")
+      def leHex16(c: org.apache.spark.sql.Column) = concat(
+        lpad(hex(pmod(c, lit(256)).cast("long")), 2, "0"),
+        lpad(hex(shiftright(c, 8).cast("long")), 2, "0"))
+      val payload = unhex(
+        when(col("doc_id") % 3 === 0, concat(
+          lit("89504E470D0A1A0A0000000D49484452"),
+          beHex(w, 4), beHex(h, 4), lit("0806000000")))
+        .when(col("doc_id") % 3 === 1, concat(
+          lit("FFD8FFE00004ABCDFFC0001108"),
+          beHex(h, 2), beHex(w, 2), lit("03012200021101031101FFD9")))
+        .otherwise(concat(
+          lit("474946383961"), leHex16(wGif), leHex16(h), lit("F7005B"))))
+      MediaColumns.withImageDims(
+          Tables.documents(s, dir).select(col("doc_id"),
+            lit("image").as("media_type"), payload.as("payload")))
+        .select(col("doc_id"), col("img_format"), col("img_width"),
+          col("img_height"))
+    }),
+
     // O3: multi-key sort (notebook cell 13). Sort itself is not hashable
     // output — the oracle compares the sorted-stable row set.
     "multi_key_sort" -> ((s, dir) =>
@@ -2211,6 +2242,18 @@ object SparkEntry {
         |md5(substring(payload, (j*64+1)::INT, 16)) AS frame_md5
         |FROM m, range(0,4) t(j)
         |WHERE length(substring(payload, (j*64+1)::INT, 16)) > 0""".stripMargin,
+
+    // The oracle states the EXPECTED dims from the construction formulas
+    // (independent of the byte path); Spark must parse them back out of
+    // real container headers to match.
+    "media_image_dims" ->
+      """SELECT doc_id,
+        |CASE (doc_id % 3) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |  ELSE 'gif' END AS img_format,
+        |(CASE WHEN doc_id % 3 = 2 THEN doc_id % 37 + 400
+        |  ELSE doc_id % 37 + 100 END)::INT AS img_width,
+        |(doc_id % 23 + 50)::INT AS img_height
+        |FROM documents""".stripMargin,
 
     "multi_key_sort" ->
       """SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice

@@ -28,10 +28,14 @@ final case class MediaFeatures(
   * The Spark-side mechanics here are real and tested — schema, typed
   * Encoders, `mapPartitions` batch shape (the Scala analogue of
   * `mapInPandas`: one iterator per partition, amortized per-batch setup,
-  * no per-row driver involvement, no shuffle). The codec itself is a
-  * STUB: this container has no image/audio libraries, so
-  * [[decodeFeatures]] computes deterministic byte statistics where a real
-  * deployment would call the decoder — swap [[stubDecode]] only.
+  * no per-row driver involvement, no shuffle). Container-header decode
+  * is REAL since r7: [[withImageDims]] parses PNG/JPEG/GIF headers from
+  * the binary column via the codegen'd
+  * [[graft.functions.ImageDims]] expression — no codec library needed
+  * for dimensions/format. Only pixel/sample decode remains a seam:
+  * this container has no image/audio libraries, so [[decodeFeatures]]
+  * computes deterministic byte statistics where a real deployment would
+  * call the codec — swap [[stubDecode]] only.
   *
   * Scale notes: payloads stay columnar parquet binary; feature extraction
   * is a map-only stage that parallelizes per partition; partition sizing
@@ -98,6 +102,21 @@ object MediaColumns {
       .withColumn("frame_md5", md5(col("col")))
       .filter(octet_length(col("col")) > 0)
       .select("doc_id", "media_type", "frame_idx", "frame_md5")
+
+  /** Decoded container dimensions from the binary payload — REAL
+    * PNG/JPEG/GIF header parsing ([[graft.functions.ImageDims]], one
+    * codegen'd call per row), not a stub; non-image payloads yield null
+    * format/width/height and survive (garbage tolerance is part of the
+    * contract at 100 TB).
+    */
+  def withImageDims(media: DataFrame): DataFrame =
+    media
+      .withColumn("_dims",
+        graft.functions.ImageDimsFunctions.imageDims(col("payload")))
+      .withColumn("img_format", col("_dims.format"))
+      .withColumn("img_width", col("_dims.width"))
+      .withColumn("img_height", col("_dims.height"))
+      .drop("_dims")
 
   /** Typed seam for the decode path. */
   def asMediaRecords(media: DataFrame): Dataset[MediaRecord] = {

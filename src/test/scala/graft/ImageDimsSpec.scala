@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.ImageDimsFunctions.imageDims
+import graft.sources.MediaColumns
+
+/** Real container-header decode: byte fixtures written to the published
+  * PNG/JPEG/GIF layouts (including a genuine, renderable 1x1 PNG), edge
+  * cases (fill bytes, progressive SOF2, marker walking over APP
+  * segments), and garbage tolerance.
+  */
+class ImageDimsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def hx(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").grouped(2)
+      .map(Integer.parseInt(_, 16).toByte).toArray
+
+  // A complete, genuine 1x1 transparent PNG (the classic spacer pixel:
+  // signature, IHDR, IDAT with a real zlib stream, IEND — decodable by
+  // any PNG library).
+  private val png1x1 = hx(
+    "89504E470D0A1A0A0000000D4948445200000001000000010806000000 1F15C4 89" +
+      "0000000A 49444154 789C63000100000500010D0A2DB4" +
+      "0000000049454E44AE426082")
+
+  private def dims(p: Array[Byte]): (String, Integer, Integer) = {
+    val r = Seq(Tuple1(p)).toDF("payload")
+      .select(imageDims(col("payload")).as("d"))
+      .select("d.format", "d.width", "d.height").collect().head
+    (r.getAs[String]("format"),
+      if (r.isNullAt(1)) null else Int.box(r.getInt(1)),
+      if (r.isNullAt(2)) null else Int.box(r.getInt(2)))
+  }
+
+  test("PNG: genuine 1x1 file and a larger IHDR decode to exact dims") {
+    assert(dims(png1x1) === (("png", 1, 1)))
+    // 640x480: width/height big-endian in IHDR
+    val png = hx("89504E470D0A1A0A0000000D49484452" +
+      "00000280 000001E0 0806000000")
+    assert(dims(png) === (("png", 640, 480)))
+  }
+
+  test("JPEG: baseline SOF0 after APP0, progressive SOF2, fill bytes, RST") {
+    // SOI, APP0 (JFIF, len 16), SOF0 len 11: precision 8, height 2, width 3
+    val baseline = hx("FFD8 FFE0 0010 4A46494600010100000100010000" +
+      "FFC0 000B 08 0002 0003 01012200 FFD9")
+    assert(dims(baseline) === (("jpeg", 3, 2)))
+    // progressive: SOF2 straight after SOI, height 5, width 7
+    val progressive = hx("FFD8 FFC2 0011 08 0005 0007 03012200021101031101 FFD9")
+    assert(dims(progressive) === (("jpeg", 7, 5)))
+    // legal fill bytes before the marker byte
+    val filled = hx("FFD8 FFFF FF C0 0011 08 0005 0007 03012200021101031101")
+    assert(dims(filled) === (("jpeg", 7, 5)))
+    // standalone TEM marker (no length) then SOF
+    val withTem = hx("FFD8 FF01 FFC0 000B 08 0100 0200 010122000000")
+    assert(dims(withTem) === (("jpeg", 512, 256)))
+    // DHT (C4) must NOT be mistaken for a SOF: its payload here encodes
+    // bytes that would read as dims if C4 were treated as a frame
+    val dht = hx("FFD8 FFC4 000B 08 0009 0009 01012200 FFC0 000B 08 0004 0006 01012200")
+    assert(dims(dht) === (("jpeg", 6, 4)))
+  }
+
+  test("GIF: 87a and 89a little-endian logical screen dims") {
+    assert(dims(hx("474946383961 0A00 0500 F700 5B")) === (("gif", 10, 5)))
+    // 300 = 0x012C little-endian: 2C 01
+    assert(dims(hx("474946383761 2C01 9001 00")) === (("gif", 300, 400)))
+  }
+
+  test("garbage tolerance: truncated, corrupt, text, empty all yield nulls") {
+    val junk: Seq[Array[Byte]] = Seq(
+      Array.empty[Byte],
+      "just some text bytes".getBytes("UTF-8"),
+      hx("89504E470D0A1A0A00000009"), // PNG sig but truncated before IHDR
+      hx("FFD8"), // bare SOI
+      hx("FFD8 FFE0 0010 4A46"), // APP0 length runs past the payload
+      hx("FFD8 FFD9"), // EOI before any SOF
+      hx("FFD8 00 C0"), // lost sync (no FF)
+      hx("474946383561 0A00 0500") // GIF85a is not a version
+    )
+    junk.foreach { p =>
+      assert(dims(p) === ((null, null, null)), s"payload ${p.length} bytes")
+    }
+  }
+
+  test("withImageDims attaches real dims over the media corpus frame") {
+    val media = Seq(
+      (1L, "image", png1x1),
+      (2L, "image", "not an image".getBytes("UTF-8"))
+    ).toDF("doc_id", "media_type", "payload")
+    val out = MediaColumns.withImageDims(media)
+      .select("doc_id", "img_format", "img_width", "img_height")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("img_format") === "png")
+    assert(out(1L).getAs[Int]("img_width") === 1)
+    assert(out(2L).isNullAt(1) && out(2L).isNullAt(2) && out(2L).isNullAt(3))
+  }
+
+  test("image_dims parses payloads built with relational byte construction") {
+    // the contract-query construction path: big-endian hex via
+    // lpad(hex(n)) + unhex — the parser must read back exactly
+    val df = spark.range(1, 50).toDF("doc_id")
+      .withColumn("w", (col("doc_id") % 37 + 100).cast("int"))
+      .withColumn("h", (col("doc_id") % 23 + 50).cast("int"))
+      .withColumn("payload", unhex(concat(
+        lit("89504E470D0A1A0A0000000D49484452"),
+        lpad(hex(col("w").cast("long")), 8, "0"),
+        lpad(hex(col("h").cast("long")), 8, "0"),
+        lit("0806000000"))))
+      .select(col("doc_id"), col("w"), col("h"),
+        imageDims(col("payload")).as("d"))
+    assert(df.filter(col("d.format") =!= "png" ||
+      col("d.width") =!= col("w") || col("d.height") =!= col("h")).count() === 0)
+  }
+}
