@@ -840,6 +840,27 @@ object SparkEntry {
           trunc4(col("sig_agreement")).as("sig_agreement"))
     }),
 
+    // DD3c: the CONSUMABLE end of incremental ingestion — which batch
+    // docs survive? Batch = exact copies of every 19th doc (+200000:
+    // should all be dropped against the corpus) ∪ uppercased copies of
+    // every 31st (+300000: different shingles, genuinely new content —
+    // kept). incremental pairs -> connected components -> dropNearDups
+    // keeps exactly the batch docs that aren't non-representative
+    // members of a dup cluster.
+    "dedup_incremental_kept" -> ((s, dir) => {
+      val a = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val added = a.filter(col("doc_id") % 19 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+        .unionByName(a.filter(col("doc_id") % 31 === 0)
+          .select((col("doc_id") + 300000L).as("doc_id"),
+            upper(col("text")).as("text")))
+      val pairs = graft.operators.IncrementalDedup.incrementalLshPairs(
+          Dedup.minHashSignatures(added), Dedup.minHashSignatures(a))
+        .select("id_a", "id_b")
+      Dedup.dropNearDups(added, Dedup.nearDupClusters(pairs))
+        .select("doc_id")
+    }),
+
     // DD4: per-doc 16-bit SimHash signatures.
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simHashes(docNearDupCorpus(s, dir))
@@ -1868,6 +1889,39 @@ object SparkEntry {
          |  FROM cand c JOIN sig sa ON c.id_a = sa.id JOIN sig sb ON c.id_b = sb.id)
          |SELECT id_a, id_b, floor(a*10000)/10000 AS sig_agreement
          |FROM agr WHERE a >= 0.5 AND id_b >= 200000""".stripMargin,
+
+    // Incremental pairs -> recursive-CTE connected components -> kept =
+    // batch ids that are not non-representative cluster members (the
+    // dropNearDups rule). Batch construction mirrors the Spark side.
+    "dedup_incremental_kept" ->
+      s"""WITH RECURSIVE corpus AS (SELECT doc_id, text FROM documents UNION ALL
+         |  SELECT doc_id+200000 AS doc_id, text FROM documents WHERE doc_id%19=0
+         |  UNION ALL
+         |  SELECT doc_id+300000 AS doc_id, upper(text) AS text
+         |  FROM documents WHERE doc_id%31=0),
+         |${shingleSql(3)},
+         |hss AS (SELECT doc_id, list_transform(shingles,
+         |  s -> ${hash60Sql("s")}) AS hs FROM shs),
+         |sig AS (SELECT doc_id AS id, $minhashSigSql AS sig FROM hss),
+         |banded AS (SELECT id, sig, t.b AS band,
+         |  array_to_string(sig[(t.b*4+1):(t.b*4+4)], ':') AS key
+         |  FROM sig, range(0,4) t(b)),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM banded a
+         |  JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+         |jp AS (SELECT c.id_a, c.id_b FROM cand c
+         |  JOIN sig sa ON c.id_a = sa.id JOIN sig sb ON c.id_b = sb.id
+         |  WHERE list_sum(list_transform(range(1,17),
+         |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))/16.0 >= 0.5
+         |    AND c.id_b >= 200000),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM jp
+         |  UNION ALL SELECT id_b, id_a FROM jp),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+         |labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+         |SELECT doc_id FROM corpus WHERE doc_id >= 200000
+         |  AND doc_id NOT IN (SELECT id FROM labels WHERE id <> cluster_id)""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH $corpusNearSql,

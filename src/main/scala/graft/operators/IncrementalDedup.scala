@@ -36,17 +36,25 @@ object IncrementalDedup {
   /** Candidate near-dup pairs INVOLVING the new batch: batch×corpus plus
     * batch-internal pairs, scored by signature agreement like
     * [[Dedup.minHashLshPairs]]. Inputs are (id, sig) signature relations
-    * (from [[Dedup.minHashSignatures]] / [[readSignatures]]); ids must
-    * be disjoint across the two. Pairs are oriented id_a < id_b, so the
-    * union with the corpus's own historical pair list reproduces the
-    * full-corpus rerun row-for-row.
+    * (from [[Dedup.minHashSignatures]] / [[readSignatures]]). Pairs are
+    * oriented id_a < id_b, so with DISJOINT id sets (the new-docs-only
+    * ingest contract) the union with the corpus's own historical pair
+    * list reproduces the full-corpus rerun row-for-row.
+    *
+    * Overlapping ids are tolerated, not punished — the AT-LEAST-ONCE
+    * delivery case, where a re-run batch's signatures already landed in
+    * the store: self-pairs are excluded and the batch side's signature
+    * wins the scoring join (same LWW rule as the store), so re-delivering
+    * a batch yields the identical pair list instead of self-matches and
+    * duplicates.
     *
     * Plan shape: candidate ids travel the band joins with their (small)
     * signatures attached for the batch-internal self-join, while the
     * batch×corpus join carries ids only and re-attaches signatures with
     * two hash joins — at 100 TB the corpus side of the band join is the
     * big relation, and keeping it id+band+key-narrow is what keeps the
-    * shuffle bytes proportional to row count, not signature width.
+    * shuffle bytes proportional to row count, not signature width. The
+    * LWW dedup of the scoring relation broadcasts only the batch's ids.
     */
   def incrementalLshPairs(batchSigs: DataFrame, corpusSigs: DataFrame,
       numHashes: Int = 16, bands: Int = 4,
@@ -62,10 +70,13 @@ object IncrementalDedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     val cross = bb.select(col("id").as("_bid"), col("band"), col("key"))
       .join(bc.withColumnRenamed("id", "_cid"), Seq("band", "key"))
+      .filter(col("_bid") =!= col("_cid")) // re-delivered doc is not its own dup
       .select(least(col("_bid"), col("_cid")).as("id_a"),
         greatest(col("_bid"), col("_cid")).as("id_b"))
     val cand = within.unionByName(cross).distinct()
-    val all = batchSigs.unionByName(corpusSigs)
+    // batch sig wins where both sides know an id (matches the store's LWW)
+    val all = batchSigs.unionByName(
+      corpusSigs.join(broadcast(batchSigs.select("id")), Seq("id"), "left_anti"))
     cand
       .join(all.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(all.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
@@ -116,4 +127,30 @@ object IncrementalDedup {
     upsertSignatures(sigs, storeDir, batchId, numBuckets)
     out
   }
+
+  /** foreachBatch adapter — continuous ingestion dedup as a streaming
+    * sink: `docsStream.writeStream.foreachBatch(
+    * IncrementalDedup.ingester(storeDir, pairsDir))`. Each micro-batch
+    * is mined against the signature store via [[ingestBatch]] and its
+    * pair list lands in `pairsDir/batch=<id>` (partition-discovered as a
+    * `batch` column on read). Structured Streaming re-runs a failed
+    * micro-batch under the SAME id; the per-batch Overwrite plus
+    * [[incrementalLshPairs]]' re-delivery tolerance (self-pairs
+    * excluded, batch sig wins) makes the landed pair list exactly-once
+    * on top of at-least-once delivery — the same contract as
+    * [[KeyedUpsertSink.upserter]].
+    */
+  def ingester(storeDir: String, pairsDir: String, n: Int = 3,
+      numHashes: Int = 16, bands: Int = 4, minAgreement: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text",
+      numBuckets: Int = KeyedUpsertSink.DefaultNumBuckets): (DataFrame, Long) => Unit =
+    (batch, id) =>
+      ingestBatch(batch, storeDir, id, n, numHashes, bands, minAgreement,
+          idCol, textCol, numBuckets)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$pairsDir/batch=$id")
+
+  /** All pairs mined so far by [[ingester]], with their `batch` column. */
+  def minedPairs(spark: SparkSession, pairsDir: String): DataFrame =
+    spark.read.parquet(pairsDir)
 }

@@ -208,6 +208,65 @@ object KeyedUpsertSink {
       }
   }
 
+  /** Full compaction: rewrite every live bucket into ONE fresh
+    * generation and drop everything else. Steady-state GC is already
+    * per-upsert (the one-generation grace window bounds each bucket at
+    * two copies); compaction is the periodic defrag a long-lived store
+    * wants on top — it collapses the many small per-batch generation
+    * dirs into one sequentially-laid-out generation (small-file
+    * mitigation) and reclaims every grace-window copy at once.
+    *
+    * Crash-safe the same way upserts are: the new generation is fully
+    * written before the single atomic pointer rename, so a crash at any
+    * point leaves either the old pointer (old files intact — the new dir
+    * is garbage the next compact overwrites) or the new pointer (fully
+    * written files). A reader that resolved the pointer JUST before
+    * compaction keeps its one-generation grace window: superseded files
+    * are pruned only on the NEXT write, exactly as with upserts.
+    * No-op on an empty store.
+    *
+    * `keys` must be the same key columns every upsert used — the bucket
+    * assignment is recomputed with the shared [[bucketExpr]], so rows
+    * land back in their original buckets and the layout matches what an
+    * upsert would have written.
+    */
+  def compact(spark: SparkSession, storeDir: String, keys: Seq[String]): Unit = {
+    val state = readState(spark, storeDir) match {
+      case None => return
+      case Some(st) if st.gens.isEmpty => return
+      case Some(st) => st
+    }
+    val fs = fileSystem(spark, storeDir)
+    val cur = readStore(spark, storeDir).get
+    // distinct from every live generation name (same rule as upserts:
+    // never Overwrite a directory the merge might lazily read)
+    var gen = "gen-compact"
+    while (state.gens.values.exists(_ == gen)) gen += "c"
+    cur.withColumn("bucket", bucketExpr(keys, state.numBuckets))
+      .repartition(state.numBuckets, col("bucket"))
+      .sortWithinPartitions(col("bucket") +: keys.map(col): _*)
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      .parquet(new Path(storeDir, gen).toString)
+    val newGens = state.gens.keys.map(_ -> gen).toMap
+    val body = (s"buckets=${state.numBuckets}" +:
+      newGens.toSeq.sortBy(_._1).map { case (b, g) => s"$b=$g" })
+      .mkString("\n")
+    val tmp = new Path(storeDir, s"$Pointer.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      tmp.toUri, spark.sessionState.newHadoopConf())
+    fc.rename(fc.makeQualified(tmp), fc.makeQualified(new Path(storeDir, Pointer)),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // grace window: keep the generations the JUST-replaced pointer named
+    // (one more write will reclaim them); everything older goes now
+    val live: Set[String] = state.gens.values.toSet + gen
+    fs.listStatus(new Path(storeDir))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-"))
+      .filterNot(s => live(s.getPath.getName))
+      .foreach(s => fs.delete(s.getPath, true))
+  }
+
   /** foreachBatch adapter: `writeStream.foreachBatch(
     * KeyedUpsertSink.upserter(dir, Seq("trip_id","sk"), "ts"))`.
     * Structured Streaming re-runs a failed micro-batch with the SAME

@@ -76,14 +76,44 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
       "earlier batch's result frame must stay readable after later ingests")
   }
 
-  test("re-delivered ingest batch is idempotent in the store") {
+  test("re-delivered ingest batch is idempotent in store AND pair list") {
     val dir = java.nio.file.Files.createTempDirectory("sigstore3").toString
     IncrementalDedup.ingestBatch(corpus, dir, batchId = 0L)
-    IncrementalDedup.ingestBatch(batch, dir, batchId = 1L)
-    IncrementalDedup.ingestBatch(batch, dir, batchId = 1L) // re-delivery
+    val first = pairSet(IncrementalDedup.ingestBatch(batch, dir, batchId = 1L))
+    // re-delivery AFTER the upsert landed: the store already holds the
+    // batch's own signatures — self-pairs must not appear and the pair
+    // list must reproduce exactly
+    val second = pairSet(IncrementalDedup.ingestBatch(batch, dir, batchId = 1L))
+    assert(second === first,
+      s"re-delivered pairs differ; missing=${first.diff(second)} extra=${second.diff(first)}")
+    assert(second.forall(p => p._1 != p._2), "no self-pairs on re-delivery")
     val stored = IncrementalDedup.readSignatures(spark, dir).get
     assert(stored.count() === 7, "re-delivery must not duplicate signatures")
     assert(stored.select("id").as[Long].collect().toSet ===
       Set(1L, 2L, 3L, 101L, 102L, 103L, 104L))
+  }
+
+  test("streaming ingester: per-batch mined pairs == one-shot rerun") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("sigstream").toString
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch(IncrementalDedup.ingester(s"$root/store", s"$root/pairs"))
+      .start()
+    try {
+      input.addData(corpus.as[(Long, String)].collect().toSeq)
+      q.processAllAvailable()
+      input.addData(batch.as[(Long, String)].collect().toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val mined = IncrementalDedup.minedPairs(spark, s"$root/pairs")
+    assert(mined.columns.contains("batch"), "partition column discovered")
+    assert(pairSet(mined.drop("batch")) ===
+      pairSet(Dedup.minHashLshPairs(corpus.unionByName(batch))))
+    // the store holds every streamed doc's signature exactly once
+    assert(IncrementalDedup.readSignatures(spark, s"$root/store").get.count() === 7)
   }
 }

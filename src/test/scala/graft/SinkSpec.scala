@@ -215,6 +215,51 @@ class SinkSpec extends AnyFunSuite with SparkTestBase {
       "store must hold the final batch's values")
   }
 
+  test("S4 compact: one live generation, content identical, pre-compact reader survives") {
+    val dir = tmp() + "/compacted"
+    val keys = Seq("trip_id", "sk")
+    val n = 4
+    for (b <- 0 until 6) {
+      val batch = (0 until 12).map(i =>
+        (s"t${(b * 5 + i) % 20}", s"RAW#e$i", f"2024-05-25 10:$b%02d:$i%02d", b * 100.0 + i))
+        .toDF("trip_id", "sk", "ts", "value")
+      KeyedUpsertSink.upsertBatch(batch, dir, keys, "ts", batchId = b.toLong,
+        numBuckets = n)
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def rows() = KeyedUpsertSink.readStore(spark, dir).get
+      .select("trip_id", "sk", "ts", "value")
+      .as[(String, String, String, Double)].collect().sorted.toSeq
+    val before = rows()
+    val preCompactReader = KeyedUpsertSink.readStore(spark, dir).get // lazy
+
+    KeyedUpsertSink.compact(spark, dir, keys)
+
+    val st = KeyedUpsertSink.readState(spark, dir).get
+    assert(st.gens.values.toSet === Set("gen-compact"),
+      "every bucket pointer must name the compacted generation")
+    assert(rows() === before, "compaction must not change content")
+    assert(preCompactReader.count() === before.size,
+      "a reader resolved before compact keeps its grace window")
+
+    // the next upsert reclaims every pre-compact generation entirely
+    val extra = Seq(("t0", "RAW#e0", "2024-05-25 23:00:00", 9999.0))
+      .toDF("trip_id", "sk", "ts", "value")
+    KeyedUpsertSink.upsertBatch(extra, dir, keys, "ts", batchId = 99L, numBuckets = n)
+    val remaining = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-"))
+      .map(_.getPath.getName).toSet
+    assert(remaining.subsetOf(Set("gen-compact", "gen-99")),
+      s"pre-compact generations must be reclaimed, found $remaining")
+    assert(rows().size === before.size)
+
+    // compacting again picks a fresh name and stays identical
+    KeyedUpsertSink.compact(spark, dir, keys)
+    assert(KeyedUpsertSink.readState(spark, dir).get.gens.values.toSet.size === 1)
+    assert(rows().map(r => (r._1, r._2)).toSet === before.map(r => (r._1, r._2)).toSet)
+  }
+
   test("S4 keyed upsert drives a streaming foreachBatch store") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[String]
