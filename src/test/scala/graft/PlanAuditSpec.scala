@@ -69,6 +69,50 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       s"no non-empty PushedFilters in the scans of: ${offenders.mkString(", ")}")
   }
 
+  test("tiered range join plans as equi-joins + union, never a nested loop") {
+    val plan = SparkEntry.queries("lineitems_in_window_tiered")(
+        spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"tiered range join must stay equi-bucketed:\n${plan.take(2000)}")
+    assert(plan.contains("Union"), "the two width tiers must union")
+    // both tiers join on the synthetic bucket key
+    assert("_bkt".r.findAllIn(plan).length >= 2,
+      "both tier joins must key on the time bucket")
+  }
+
+  test("image_dims runs inside WholeStageCodegen (no interpreted fallback)") {
+    // the decode expression generates a single static call via
+    // defineCodeGen; if it ever falls out of codegen the whole media
+    // scan pays interpreted-projection overhead per row
+    val df = SparkEntry.queries("media_image_dims")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    // the `*(n)` prefix marks operators fused into a WholeStageCodegen
+    // stage; the projection evaluating image_dims must carry it
+    val decodeLine = plan.linesIterator
+      .find(_.contains("image_dims")).getOrElse("")
+    assert(decodeLine.trim.matches("""^(\+- )?\*\(\d+\) .*"""),
+      s"the image_dims projection is outside codegen: $decodeLine")
+  }
+
+  test("incremental dedup's corpus band relation shuffles ids only, no vectors/sigs") {
+    // the 100 TB property: the big (corpus) side of the band join must
+    // not carry signature arrays through the exchange — candidate ids
+    // travel alone and signatures re-attach in the scoring joins
+    val sf = "/root/testdata/sf0.001"
+    val plan = SparkEntry.queries("dedup_incremental_pairs")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    // the candidate-dedup aggregate groups on BARE ids and outputs
+    // nothing else (a sig/vector column here would ride the widest
+    // shuffle of the operator)
+    val candAgg = """Aggregate \[id_a#\d+L?, id_b#\d+L?\], \[id_a#\d+L?, id_b#\d+L?\]""".r
+    assert(candAgg.findFirstIn(plan).isDefined,
+      s"candidate distinct must carry only (id_a, id_b):\n${plan.take(3000)}")
+  }
+
   test("revenue_by_nation broadcasts its dimension joins") {
     // nation and region are O(10^2) rows at any SF — shuffling the fact
     // table against them would be the classic 100 TB join mistake; the
