@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DotProductFloat, ImageDims, MinGramHash, TextStats, WinnowFingerprints}
+import graft.functions.{DotProductFloat, ImageDims, MinGramHash, TextStats, WavMeta, WinnowFingerprints}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions, so `spark.sql("SELECT
@@ -76,6 +76,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1,
           s"image_dims expects 1 argument, got ${children.length}")
         ImageDims(children.head)
+      }))
+
+    // wav_meta(payload) — struct(audio_format, channels, sample_rate,
+    // bits_per_sample) parsed from RIFF/WAVE headers
+    ext.injectFunction((
+      new FunctionIdentifier("wav_meta"),
+      new ExpressionInfo(classOf[WavMeta].getName, "wav_meta"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"wav_meta expects 1 argument, got ${children.length}")
+        WavMeta(children.head)
       }))
   }
 }

@@ -361,6 +361,15 @@ object SparkEntry {
         leftId = "event_id", toleranceSec = 86400L)
     }),
 
+    // J5e: forward mirror of J5c — next purchase WITHIN 1 day via the
+    // range-bucketed hot-key strategy (probe join + min_by hash agg).
+    "asof_next_bucketed" -> ((s, dir) => {
+      val (left, right) = asofSides(s, dir)
+      AsOfJoin.asofForwardRangeBucketed(left, right, Seq("user_id"),
+        "ts", "ts", Seq("purchase_id", "purchase_value"),
+        leftId = "event_id", toleranceSec = 86400L)
+    }),
+
     // T1: SCD2 history — purchase change stream -> validity intervals
     // per user (Temporal.scd2; is_current marks the open interval).
     "scd2_purchase_history" -> ((s, dir) => {
@@ -1174,6 +1183,34 @@ object SparkEntry {
           col("img_height"))
     }),
 
+    // M4: the audio twin of M3 — payloads carry genuine RIFF/WAVE
+    // headers (with a LIST chunk in front so the chunk WALK is
+    // exercised, not just a fixed-offset read); functions.WavMeta
+    // parses format/channels/rate/bits back out of the bytes.
+    "media_wav_meta" -> ((s, dir) => {
+      val ch = (col("doc_id") % 2 + 1).cast("int")
+      val rate = ((col("doc_id") % 5 + 1) * 8000).cast("int")
+      val bits = ((col("doc_id") % 3 + 1) * 8).cast("int")
+      def le16(c: org.apache.spark.sql.Column) = concat(
+        lpad(hex(pmod(c, lit(256)).cast("long")), 2, "0"),
+        lpad(hex(pmod(shiftright(c, 8), lit(256)).cast("long")), 2, "0"))
+      def le32(c: org.apache.spark.sql.Column) =
+        concat(le16(c), le16(shiftright(c, 16)))
+      val payload = unhex(concat(
+        lit("524946463000000057415645"), // RIFF <size> WAVE
+        // LIST chunk, odd size 5 + pad byte, then fmt (PCM = 0100 LE)
+        lit("4C49535405000000494E464F4100"),
+        lit("666D742010000000" + "0100"), le16(ch), le32(rate),
+        lit("00000000" + "0000"), le16(bits)))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.ImageDimsFunctions.wavMeta(payload).as("m"))
+        .select(col("doc_id"), col("m.audio_format").as("audio_format"),
+          col("m.channels").as("channels"),
+          col("m.sample_rate").as("sample_rate"),
+          col("m.bits_per_sample").as("bits_per_sample"))
+    }),
+
     // O3: multi-key sort (notebook cell 13). Sort itself is not hashable
     // output — the oracle compares the sorted-stable row set.
     "multi_key_sort" -> ((s, dir) =>
@@ -1336,6 +1373,22 @@ object SparkEntry {
         |  CASE WHEN r.ts >= l.ts - INTERVAL 1 DAY THEN r.purchase_id END AS asof_purchase_id,
         |  CASE WHEN r.ts >= l.ts - INTERVAL 1 DAY THEN r.purchase_value END AS asof_purchase_value
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    // Forward + 1-day bound: DuckDB native ASOF with l.ts <= r.ts, match
+    // nulled past the tolerance (the bucketed strategy's oracle).
+    "asof_next_bucketed" ->
+      """WITH l AS (SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'click' AND ts IS NOT NULL AND user_id IS NOT NULL),
+        |r AS (SELECT user_id, ts, purchase_id, purchase_value FROM (
+        |  SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value,
+        |    row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+        |  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+        |    AND user_id IS NOT NULL) t WHERE rn = 1)
+        |SELECT l.event_id, l.user_id, l.ts, l.value,
+        |  CASE WHEN r.ts <= l.ts + INTERVAL 1 DAY THEN r.ts END AS asof_ts,
+        |  CASE WHEN r.ts <= l.ts + INTERVAL 1 DAY THEN r.purchase_id END AS asof_purchase_id,
+        |  CASE WHEN r.ts <= l.ts + INTERVAL 1 DAY THEN r.purchase_value END AS asof_purchase_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts""".stripMargin,
 
     "scd2_purchase_history" ->
       """WITH r AS (SELECT user_id, ts, purchase_id, purchase_value FROM (
@@ -2307,6 +2360,15 @@ object SparkEntry {
         |(CASE WHEN doc_id % 3 = 2 THEN doc_id % 37 + 400
         |  ELSE doc_id % 37 + 100 END)::INT AS img_width,
         |(doc_id % 23 + 50)::INT AS img_height
+        |FROM documents""".stripMargin,
+
+    // Expected audio metadata from the construction formulas; Spark must
+    // walk the RIFF chunks (past the LIST chunk and its pad byte) to match.
+    "media_wav_meta" ->
+      """SELECT doc_id, 1::INT AS audio_format,
+        |(doc_id % 2 + 1)::INT AS channels,
+        |((doc_id % 5 + 1) * 8000)::INT AS sample_rate,
+        |((doc_id % 3 + 1) * 8)::INT AS bits_per_sample
         |FROM documents""".stripMargin,
 
     "multi_key_sort" ->

@@ -128,7 +128,75 @@ case class ImageDims(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** WAV (RIFF) header decode — the audio twin of [[ImageDimsKernel]]:
+  * `RIFF <size u32 LE> WAVE`, then chunks of `<id 4> <size u32 LE>
+  * <data>`; the `fmt ` chunk carries audio_format(u16 LE),
+  * channels(u16 LE), sample_rate(u32 LE), byte_rate(u32 LE),
+  * block_align(u16 LE), bits_per_sample(u16 LE). The chunk WALK matters:
+  * real files put LIST/INFO chunks before `fmt `. Garbage → null
+  * struct, same tolerance contract as the image parser.
+  */
+object WavMetaKernel {
+
+  val Schema: StructType = StructType(Seq(
+    StructField("audio_format", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("bits_per_sample", IntegerType, nullable = true)))
+
+  private def le16(p: Array[Byte], i: Int): Int =
+    (p(i) & 0xFF) | ((p(i + 1) & 0xFF) << 8)
+  private def le32(p: Array[Byte], i: Int): Int =
+    (p(i) & 0xFF) | ((p(i + 1) & 0xFF) << 8) |
+      ((p(i + 2) & 0xFF) << 16) | ((p(i + 3) & 0xFF) << 24)
+  private def tag(p: Array[Byte], i: Int, s: String): Boolean =
+    p(i) == s.charAt(0).toByte && p(i + 1) == s.charAt(1).toByte &&
+      p(i + 2) == s.charAt(2).toByte && p(i + 3) == s.charAt(3).toByte
+
+  def compute(p: Array[Byte]): InternalRow = {
+    val nulls = new GenericInternalRow(Array[Any](null, null, null, null))
+    if (p.length < 12 || !tag(p, 0, "RIFF") || !tag(p, 8, "WAVE")) return nulls
+    var i = 12
+    while (i + 8 <= p.length) {
+      val size = le32(p, i + 4)
+      if (size < 0) return nulls
+      if (tag(p, i, "fmt ")) {
+        if (size < 16 || i + 8 + 16 > p.length) return nulls
+        return new GenericInternalRow(Array[Any](
+          le16(p, i + 8), le16(p, i + 10), le32(p, i + 12), le16(p, i + 22)))
+      }
+      i += 8 + size + (size & 1) // chunks are word-aligned (pad byte)
+    }
+    nulls
+  }
+}
+
+/** struct(audio_format, channels, sample_rate, bits_per_sample) from a
+  * binary WAV payload — one codegen'd call per row into
+  * [[WavMetaKernel.compute]]; all-null struct for non-WAV bytes.
+  */
+case class WavMeta(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a binary argument, got ${t.sql}")
+  }
+  override def dataType: DataType = WavMetaKernel.Schema
+  override def prettyName: String = "wav_meta"
+
+  override def nullSafeEval(p: Any): Any =
+    WavMetaKernel.compute(p.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WavMetaKernel.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object ImageDimsFunctions {
   def imageDims(payload: Column): Column =
     Bridge.column(ImageDims(Bridge.expression(payload)))
+  def wavMeta(payload: Column): Column =
+    Bridge.column(WavMeta(Bridge.expression(payload)))
 }

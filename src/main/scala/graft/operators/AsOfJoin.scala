@@ -200,4 +200,42 @@ object AsOfJoin {
         (col("_m")(rightTs).as(prefix + rightTs) +:
           payload.map(p => col("_m")(p).as(prefix + p))): _*)
   }
+
+  /** Forward mirror of [[asofBackwardRangeBucketed]] — the hot-key scale
+    * path for "next event at-or-after, within `toleranceSec`": a match
+    * for a left row at `lts` lies in `[lts, lts + tolerance]`, i.e. in
+    * the row's time bucket or the NEXT one, so left rows explode to
+    * those two probe buckets, right joins equi on (keys, bucket), the
+    * exact window filters, and a `min_by` hash aggregate keeps the
+    * EARLIEST match per left row. Same three-shuffle cost, same
+    * semantics caveats as the backward form (equal to
+    * `asofForward(..., tolerance)` for non-null keys — AsOfJoinSpec
+    * asserts it; null keys never equi-join; unique `leftId` required).
+    */
+  def asofForwardRangeBucketed(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTs: String, rightTs: String, payload: Seq[String],
+      leftId: String, toleranceSec: Long,
+      prefix: String = "asof_"): DataFrame = {
+    require(toleranceSec > 0, s"toleranceSec must be positive: $toleranceSec")
+    checkNames(left, rightTs, payload, prefix)
+
+    def bucketOf(ts: Column): Column =
+      floor(unix_timestamp(ts) / lit(toleranceSec)).cast("long")
+    val r = right.filter(col(rightTs).isNotNull).select(keys.map(col) ++ Seq(
+      bucketOf(col(rightTs)).as("_bkt"), col(rightTs).as("_t"),
+      struct((rightTs +: payload).map(col): _*).as("_p")): _*)
+    val probes = left.filter(col(leftTs).isNotNull)
+      .select(Seq(col(leftId).as("_lid"), col(leftTs).as("_lt"),
+        explode(array(bucketOf(col(leftTs)), bucketOf(col(leftTs)) + 1))
+          .as("_bkt")) ++ keys.map(col): _*)
+    val best = probes.join(r, keys :+ "_bkt")
+      .filter(col("_t") >= col("_lt") &&
+        col("_t") <= col("_lt") + expr(s"INTERVAL $toleranceSec SECOND"))
+      .groupBy(col("_lid"))
+      .agg(min_by(col("_p"), col("_t")).as("_m"))
+    left.join(best, col(leftId) === col("_lid"), "left")
+      .select(left.columns.map(col) ++
+        (col("_m")(rightTs).as(prefix + rightTs) +:
+          payload.map(p => col("_m")(p).as(prefix + p))): _*)
+  }
 }

@@ -116,6 +116,43 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
       "equality must be exercised by real matches")
   }
 
+  test("forward range-bucketed equals the forward window formulation") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val left = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts", "value")
+    val right = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("pid"))
+    val win = AsOfJoin.asofForward(left, right, Seq("user_id"), "ts", "ts",
+      Seq("pid"), tolerance = Some(expr("INTERVAL 3600 SECOND")))
+    val rng = AsOfJoin.asofForwardRangeBucketed(left, right, Seq("user_id"),
+      "ts", "ts", Seq("pid"), leftId = "event_id", toleranceSec = 3600L)
+    assert(win.count() === rng.count())
+    assert(win.exceptAll(rng).isEmpty && rng.exceptAll(win).isEmpty,
+      "two strategies, one answer (forward)")
+    assert(win.filter(col("asof_pid").isNotNull).count() > 0,
+      "equality must be exercised by real matches")
+  }
+
+  test("forward range-bucketed: inclusive ends, cross-bucket, earliest wins") {
+    import org.apache.spark.sql.functions.col
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, "k", t("2024-01-01 08:00:00")),  // boundary: right at exactly +1h
+      (2L, "k", t("2024-01-01 07:59:59")),  // right now beyond 1h -> null
+      (3L, "k", t("2024-01-01 09:00:00")),  // zero-distance tie matches
+      (4L, "k", t("2024-01-01 08:30:30"))   // cross-bucket match
+    ).toDF("id", "k", "ts")
+    val right = Seq(("k", t("2024-01-01 09:00:00"), "r1"),
+      ("k", t("2024-01-01 09:20:00"), "r2")) // r1 must win as the earliest
+      .toDF("k", "rts", "tag")
+    val out = AsOfJoin.asofForwardRangeBucketed(left, right, Seq("k"),
+      "ts", "rts", Seq("tag"), leftId = "id", toleranceSec = 3600L)
+      .select("id", "asof_tag").as[(Long, Option[String])].collect().toMap
+    assert(out === Map(1L -> Some("r1"), 2L -> None, 3L -> Some("r1"),
+      4L -> Some("r1")))
+  }
+
   test("range-bucketed: exact boundary is inclusive, cross-bucket match works") {
     import org.apache.spark.sql.functions.col
     def t(s: String) = java.sql.Timestamp.valueOf(s)

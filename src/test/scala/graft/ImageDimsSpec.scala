@@ -98,6 +98,35 @@ class ImageDimsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(2L).isNullAt(1) && out(2L).isNullAt(2) && out(2L).isNullAt(3))
   }
 
+  test("wav_meta: canonical 44-byte header, chunk walk over LIST, garbage") {
+    import graft.functions.ImageDimsFunctions.wavMeta
+    def wav(p: Array[Byte]): (Integer, Integer, Integer, Integer) = {
+      val r = Seq(Tuple1(p)).toDF("payload")
+        .select(wavMeta(col("payload")).as("m"))
+        .select("m.audio_format", "m.channels", "m.sample_rate",
+          "m.bits_per_sample").collect().head
+      def g(i: Int): Integer = if (r.isNullAt(i)) null else Int.box(r.getInt(i))
+      (g(0), g(1), g(2), g(3))
+    }
+    // the canonical PCM header: mono, 8000 Hz (0x1F40), 8-bit
+    val canonical = hx("52494646 24000000 57415645 666D7420 10000000" +
+      "0100 0100 401F0000 401F0000 0100 0800 64617461 00000000")
+    assert(wav(canonical) === ((1, 1, 8000, 8)))
+    // LIST chunk (odd size 5 -> word-aligned pad byte) BEFORE fmt:
+    // the walk must skip it, not misread its data as fmt fields
+    val listFirst = hx("52494646 30000000 57415645" +
+      "4C495354 05000000 494E464F 41 00" + // 'LIST' size 5 'INFO' 'A' + pad
+      "666D7420 10000000 0100 0200 80BB0000 00000000 0000 1000")
+    assert(wav(listFirst) === ((1, 2, 48000, 16)))
+    // garbage: not RIFF, RIFF-but-not-WAVE, truncated fmt, no fmt chunk
+    assert(wav("plain text".getBytes("UTF-8")) === ((null, null, null, null)))
+    assert(wav(hx("52494646 24000000 41564920")) === ((null, null, null, null)))
+    assert(wav(hx("52494646 24000000 57415645 666D7420 10000000 0100 0100"))
+      === ((null, null, null, null)))
+    assert(wav(hx("52494646 24000000 57415645 64617461 04000000 AABBCCDD"))
+      === ((null, null, null, null)))
+  }
+
   test("image_dims parses payloads built with relational byte construction") {
     // the contract-query construction path: big-endian hex via
     // lpad(hex(n)) + unhex — the parser must read back exactly

@@ -93,6 +93,38 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
       Set(1L, 2L, 3L, 101L, 102L, 103L, 104L))
   }
 
+  test("randomized: decomposition equality holds on random corpus/batch splits") {
+    // 80 docs over a 14-word vocabulary (plenty of natural near-dups and
+    // band collisions), 3 random splits — pairs(corpus ∪ batch) must
+    // equal pairs(corpus) ∪ incremental(batch, corpus) on every split,
+    // scores included
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi")
+    val base = (1 to 50).map(i => (i.toLong,
+      Seq.fill(8 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    // 30 near-copies (one appended token) guarantee real dup structure
+    val copies = (1 to 30).map { i =>
+      val (srcId, text) = base(rnd.nextInt(base.size))
+      (srcId + 1000L * i, s"$text ${vocab(rnd.nextInt(vocab.size))}")
+    }
+    val docs = base ++ copies
+    val full = pairSet(Dedup.minHashLshPairs(docs.toDF("doc_id", "text")))
+    assert(full.nonEmpty, "fixture must produce near-dup pairs")
+    for (trial <- 0 until 3) {
+      val mask = docs.map(_ => rnd.nextBoolean())
+      val (c, b) = (docs.zip(mask).collect { case (d, true) => d },
+        docs.zip(mask).collect { case (d, false) => d })
+      val self = pairSet(Dedup.minHashLshPairs(c.toDF("doc_id", "text")))
+      val incr = pairSet(IncrementalDedup.incrementalLshPairs(
+        Dedup.minHashSignatures(b.toDF("doc_id", "text")),
+        Dedup.minHashSignatures(c.toDF("doc_id", "text"))))
+      assert(self.union(incr) === full,
+        s"trial $trial: missing=${full.diff(self.union(incr))} " +
+          s"extra=${self.union(incr).diff(full)}")
+    }
+  }
+
   test("streaming ingester: per-batch mined pairs == one-shot rerun") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx = spark.sqlContext
