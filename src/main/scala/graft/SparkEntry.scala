@@ -778,6 +778,35 @@ object SparkEntry {
           col("eval_size"), trunc4(col("overlap_frac")).as("overlap_frac"))
     }),
 
+    // DD7b: the CONSUMABLE end of decontamination (the dropNearDups of
+    // this chain): the training corpus with every flagged doc removed —
+    // one distinct + one anti-join on top of the pair miner.
+    "decontaminated_corpus" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val eval = d.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 500000L).as("doc_id"),
+          array_join(slice(split(trim(col("text")), "\\s+"), 1, 25), " ").as("text"))
+      val flagged = Dedup.contaminationPairs(d, eval, n = 5,
+          minOverlapFrac = 0.8, maxDocFreq = Some(ShingleDfCap))
+        .select(col("train_id").as("doc_id")).distinct()
+      d.join(flagged, Seq("doc_id"), "left_anti").select("doc_id")
+    }),
+
+    // T7b: QUALITY-WEIGHTED deterministic sampling — longer docs keep a
+    // higher rate (5/20/40% by token-count tier), selection by content
+    // hash (no rand(): reproducible across runs, engines, and cluster
+    // sizes — the resampling step of a curation pipeline).
+    "doc_sample_weighted" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("ws_tokens",
+          when(length(trim(col("text"))) === 0, 0)
+            .otherwise(size(split(trim(col("text")), "\\s+"))).cast("long"))
+        .withColumn("rate", when(col("ws_tokens") < 50, 5L)
+          .when(col("ws_tokens") < 100, 20L).otherwise(40L))
+        .withColumn("bucket", TextHash.hash60(col("text")) % 100)
+        .filter(col("bucket") < col("rate"))
+        .select("doc_id", "ws_tokens", "rate", "bucket")),
+
     // DD2b: containment pairs — asymmetric |A∩B|/|A| catches subsumption
     // (a 15-token prefix excerpt of every 20th doc is injected; its
     // containment in the original is 1.0 while Jaccard stays low).
@@ -1805,6 +1834,45 @@ object SparkEntry {
          |JOIN esz z ON e.id = z.id
          |GROUP BY t.id, e.id
          |HAVING count(*)/min(z.sz)::DOUBLE >= 0.8""".stripMargin,
+
+    "decontaminated_corpus" ->
+      s"""WITH train AS (SELECT doc_id, text FROM documents),
+         |ev AS (SELECT doc_id+500000 AS doc_id,
+         |  array_to_string((string_split_regex(trim(text), '\\s+'))[1:25], ' ') AS text
+         |  FROM documents WHERE doc_id%50=0),
+         |ttok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM train),
+         |tshs AS (SELECT doc_id, list_distinct(list_transform(
+         |  range(0, greatest(len(toks)-5,0)+1),
+         |  i -> array_to_string(toks[(i+1):(i+5)], ' '))) AS shingles FROM ttok),
+         |tsh0 AS (SELECT doc_id AS id, unnest(shingles) AS shingle FROM tshs),
+         |hot AS (SELECT shingle FROM tsh0 GROUP BY shingle HAVING count(*) > $ShingleDfCap),
+         |tsh AS (SELECT id, shingle FROM tsh0
+         |  WHERE shingle NOT IN (SELECT shingle FROM hot)),
+         |etok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM ev),
+         |eshs AS (SELECT doc_id, list_distinct(list_transform(
+         |  range(0, greatest(len(toks)-5,0)+1),
+         |  i -> array_to_string(toks[(i+1):(i+5)], ' '))) AS shingles FROM etok),
+         |esh AS (SELECT doc_id AS id, unnest(shingles) AS shingle FROM eshs),
+         |esz AS (SELECT id, count(*) AS sz FROM esh GROUP BY id),
+         |flagged AS (SELECT t.id AS train_id
+         |  FROM tsh t JOIN esh e ON t.shingle = e.shingle
+         |  JOIN esz z ON e.id = z.id
+         |  GROUP BY t.id, e.id
+         |  HAVING count(*)/min(z.sz)::DOUBLE >= 0.8)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT train_id FROM flagged)""".stripMargin,
+
+    "doc_sample_weighted" ->
+      s"""WITH t AS (SELECT doc_id, text,
+         |  (CASE WHEN length(trim(text))=0 THEN 0
+         |   ELSE len(string_split_regex(trim(text), '\\s+')) END)::BIGINT AS ws_tokens
+         |  FROM documents),
+         |r AS (SELECT doc_id, ws_tokens,
+         |  (CASE WHEN ws_tokens < 50 THEN 5 WHEN ws_tokens < 100 THEN 20
+         |   ELSE 40 END)::BIGINT AS rate,
+         |  ${hash60Sql("text")} % 100 AS bucket FROM t)
+         |SELECT doc_id, ws_tokens, rate, bucket FROM r
+         |WHERE bucket < rate""".stripMargin,
 
     "dedup_containment" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL

@@ -148,4 +148,32 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
     // the store holds every streamed doc's signature exactly once
     assert(IncrementalDedup.readSignatures(spark, s"$root/store").get.count() === 7)
   }
+
+  test("streaming ingester survives a checkpointed restart without duplicates") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("sigrestart").toString
+    def start(in: MemoryStream[(Long, String)]) = in.toDF().toDF("doc_id", "text")
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch(IncrementalDedup.ingester(s"$root/store", s"$root/pairs"))
+      .start()
+    val in = MemoryStream[(Long, String)]
+    val q1 = start(in)
+    try {
+      in.addData(corpus.as[(Long, String)].collect().toSeq)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart from the checkpoint: the new query continues the batch-id
+    // sequence; already-committed batches are not re-ingested
+    in.addData(batch.as[(Long, String)].collect().toSeq)
+    val q2 = start(in)
+    try q2.processAllAvailable() finally q2.stop()
+    val mined = IncrementalDedup.minedPairs(spark, s"$root/pairs").drop("batch")
+    assert(pairSet(mined) ===
+      pairSet(Dedup.minHashLshPairs(corpus.unionByName(batch))),
+      "pairs after restart must equal the one-shot rerun")
+    assert(IncrementalDedup.readSignatures(spark, s"$root/store").get
+      .count() === 7, "no duplicate signatures after restart")
+  }
 }
