@@ -159,7 +159,9 @@ object WavMetaKernel {
     var i = 12
     while (i + 8 <= p.length) {
       val size = le32(p, i + 4)
-      if (size < 0) return nulls
+      // negative = corrupt; > payload length = corrupt AND would overflow
+      // the `i += 8 + size` advance into a negative index
+      if (size < 0 || size > p.length) return nulls
       if (tag(p, i, "fmt ")) {
         if (size < 16 || i + 8 + 16 > p.length) return nulls
         return new GenericInternalRow(Array[Any](

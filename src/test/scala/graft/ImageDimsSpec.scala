@@ -127,6 +127,32 @@ class ImageDimsSpec extends AnyFunSuite with SparkTestBase {
       === ((null, null, null, null)))
   }
 
+  test("fuzz: random and truncated-real payloads never throw, only null out") {
+    val rnd = new scala.util.Random(41)
+    import graft.functions.{ImageDimsKernel, WavMetaKernel}
+    // pure-kernel fuzz (no Spark job per case): 2000 random blobs + every
+    // prefix of the real fixtures (truncation at each byte boundary) —
+    // the decode contract is "garbage in, nulls out", never an exception
+    val fixtures = Seq(png1x1,
+      hx("FFD8FFE000104A46494600010100000100010000FFC0000B080002000301012200FFD9"),
+      hx("474946383961 0A00 0500 F7005B"),
+      hx("52494646 24000000 57415645 666D7420 10000000" +
+        "0100 0100 401F0000 401F0000 0100 0800 64617461 00000000"))
+    val cases =
+      (1 to 2000).map(_ => Array.fill(rnd.nextInt(64))(rnd.nextInt(256).toByte)) ++
+      fixtures.flatMap(f => (0 to f.length).map(f.take)) ++
+      // adversarial walks: huge segment lengths, zero lengths, FF runs,
+      // and a WAV chunk size crafted to overflow the `i += 8 + size`
+      // advance (0x7FFFFFF0) if taken at face value
+      Seq(hx("FFD8FFE0FFFF"), hx("FFD8FFC000"), hx("FFD8" + "FF" * 40),
+        hx("FFD8FFE00000FFC0000B0800020003"),
+        hx("52494646 24000000 57415645 4C495354 F0FFFF7F 00000000"))
+    cases.foreach { p =>
+      ImageDimsKernel.compute(p) // must not throw
+      WavMetaKernel.compute(p)
+    }
+  }
+
   test("image_dims parses payloads built with relational byte construction") {
     // the contract-query construction path: big-endian hex via
     // lpad(hex(n)) + unhex — the parser must read back exactly
