@@ -39,6 +39,17 @@ class ExtensionsAndBucketingSpec extends AnyFunSuite with SparkTestBase {
         "SELECT text_stats('the quick brown fox and the dog').ws_tokens AS w")
         .head().getInt(0)
       assert(ts === 7)
+      // r7 media decoders: a 2x3 PNG IHDR and a canonical WAV header
+      val dims = s.sql("SELECT image_dims(unhex(" +
+        "'89504E470D0A1A0A0000000D49484452000000020000000308060000001A')) AS d")
+        .select("d.format", "d.width", "d.height").head()
+      assert(dims.getString(0) === "png" && dims.getInt(1) === 2 &&
+        dims.getInt(2) === 3)
+      val wavHex = "52494646" + "24000000" + "57415645" + "666D7420" +
+        "10000000" + "0100" + "0100" + "401F0000" + "401F0000" + "0100" + "0800"
+      val wm = s.sql(s"SELECT wav_meta(unhex('$wavHex')) AS m")
+        .select("m.sample_rate", "m.channels").head()
+      assert(wm.getInt(0) === 8000 && wm.getInt(1) === 1)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
