@@ -1181,6 +1181,19 @@ object SparkEntry {
         .select(col("doc_id"), col("media_type"),
           col("frame_idx").cast("long").as("frame_idx"), col("frame_md5"))),
 
+    // M5: resize plumbing — byte-stride downsample of the payload
+    // (every 4th byte; the pixel math is the codec seam, the schema /
+    // size-accounting / relational shape is the real pipeline stage).
+    // Output md5s the strided payload so rows stay narrow at any SF.
+    "media_resize_stride" -> ((s, dir) =>
+      MediaColumns.resizeStride(
+          MediaColumns.mediaFromDocuments(Tables.documents(s, dir))
+            .withColumn("payload_s", decode(col("payload"), "UTF-8")),
+          factor = 4, payloadCol = "payload_s")
+        .select(col("doc_id"), col("media_type"),
+          md5(col("resized")).as("resized_md5"), col("resized_bytes"),
+          col("stride"))),
+
     // M3: REAL container-header decode — payloads carry genuine
     // PNG/JPEG/GIF headers (built relationally: big-endian dims via
     // lpad(hex)+unhex, little-endian for GIF) and functions.ImageDims
@@ -2417,6 +2430,21 @@ object SparkEntry {
         |md5(substring(payload, (j*64+1)::INT, 16)) AS frame_md5
         |FROM m, range(0,4) t(j)
         |WHERE length(substring(payload, (j*64+1)::INT, 16)) > 0""".stripMargin,
+
+    // Same ASCII text-as-payload convention as media_frames: every 4th
+    // character via a list comprehension, md5'd.
+    "media_resize_stride" ->
+      """WITH m AS (SELECT doc_id,
+        |  (['image','audio','video'])[(doc_id % 3 + 1)::INT] AS media_type,
+        |  text AS payload FROM documents),
+        |r AS (SELECT doc_id, media_type,
+        |  array_to_string(list_transform(
+        |    range(0, greatest(ceil(length(payload)/4.0)::INT - 1, 0) + 1),
+        |    i -> substring(payload, (i*4+1)::INT, 1)), '') AS resized
+        |  FROM m)
+        |SELECT doc_id, media_type, md5(resized) AS resized_md5,
+        |length(resized)::BIGINT AS resized_bytes, 4::BIGINT AS stride
+        |FROM r""".stripMargin,
 
     // The oracle states the EXPECTED dims from the construction formulas
     // (independent of the byte path); Spark must parse them back out of

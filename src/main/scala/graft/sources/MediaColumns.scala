@@ -103,6 +103,35 @@ object MediaColumns {
       .filter(octet_length(col("col")) > 0)
       .select("doc_id", "media_type", "frame_idx", "frame_md5")
 
+  /** "Resize" as byte-stride downsampling — the PLUMBING of a media
+    * resize stage with the pixel math stubbed (this container has no
+    * codecs): every `factor`-th byte of the payload is kept, the target
+    * is tagged with the stride and the resulting size, and the whole
+    * thing is relational (transform over a sequence + concat), so it
+    * runs codegen'd, shuffles nothing, and is oracle-checkable. A real
+    * deployment swaps the strided projection for a decoder+scaler in
+    * [[decodeFeatures]]'s mapPartitions seam; everything around it —
+    * schema, partition mapping, downstream size accounting — is what
+    * production uses.
+    */
+  def resizeStride(media: DataFrame, factor: Int = 4,
+      payloadCol: String = "payload"): DataFrame = {
+    require(factor > 0, s"factor must be positive: $factor")
+    // operates on a STRING payload (decode binary first; byte==char for
+    // the ASCII corpus, the same convention the frame-sampling oracle
+    // documents) — a true binary resize is pixel work and lives behind
+    // the decodeFeatures codec seam
+    val p = col(payloadCol)
+    val lastIdx = greatest(ceil(length(p) / lit(factor)).cast("int") - 1, lit(0))
+    media
+      .withColumn("resized", concat_ws("",
+        transform(sequence(lit(0), lastIdx),
+          j => p.substr(j * factor + 1, lit(1)))))
+      .withColumn("resized_bytes", octet_length(col("resized")).cast("long"))
+      .withColumn("stride", lit(factor.toLong))
+      .select("doc_id", "media_type", "resized", "resized_bytes", "stride")
+  }
+
   /** Decoded container dimensions from the binary payload — REAL
     * PNG/JPEG/GIF header parsing ([[graft.functions.ImageDims]], one
     * codegen'd call per row), not a stub; non-image payloads yield null

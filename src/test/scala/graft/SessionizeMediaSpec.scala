@@ -155,4 +155,20 @@ class SessionizeMediaSpec extends AnyFunSuite with SparkTestBase {
       .as[String].collect().toSet
     assert(md5s.size === 1)
   }
+
+  test("resizeStride keeps every k-th byte with exact size accounting") {
+    val media = Seq(
+      (1L, "image", "abcdefghij"), // stride 4 -> a,e,i
+      (2L, "image", "abcd"),       // exactly one stride -> a
+      (3L, "image", "")            // empty stays empty
+    ).toDF("doc_id", "media_type", "payload_s")
+    val out = MediaColumns.resizeStride(media, factor = 4,
+        payloadCol = "payload_s")
+      .select("doc_id", "resized", "resized_bytes", "stride")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, "aei", 3L, 4L)))
+    assert(out(2L) === ((2L, "a", 1L, 4L)))
+    assert(out(3L) === ((3L, "", 0L, 4L)))
+  }
 }
