@@ -113,6 +113,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       s"candidate distinct must carry only (id_a, id_b):\n${plan.take(3000)}")
   }
 
+  test("media decode queries are map-only: no Exchange anywhere in the plan") {
+    // decode/resize/frame stages are per-row projections over the scan;
+    // any shuffle here would mean moving raw media bytes across the
+    // cluster — the single most expensive mistake a 100 TB media
+    // pipeline can make
+    val sf = "/root/testdata/sf0.001"
+    val mediaQueries = Seq("media_metadata", "media_frames",
+      "media_image_dims", "media_wav_meta", "media_resize_stride")
+    val offenders = mediaQueries.filter { name =>
+      SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString.contains("Exchange")
+    }
+    assert(offenders.isEmpty,
+      s"media stages must not shuffle payload bytes: ${offenders.mkString(", ")}")
+  }
+
   test("revenue_by_nation broadcasts its dimension joins") {
     // nation and region are O(10^2) rows at any SF — shuffling the fact
     // table against them would be the classic 100 TB join mistake; the
