@@ -45,8 +45,12 @@ object ImageDimsKernel {
   private def le16(p: Array[Byte], i: Int): Int =
     (p(i) & 0xFF) | ((p(i + 1) & 0xFF) << 8)
 
+  // non-positive dims = corrupt header (a >2^31 PNG u32 reads negative;
+  // a zeroed field reads 0): reject rather than return garbage geometry
   private def row(fmt: String, w: Int, h: Int): InternalRow =
-    new GenericInternalRow(Array[Any](UTF8String.fromString(fmt), w, h))
+    if (w > 0 && h > 0)
+      new GenericInternalRow(Array[Any](UTF8String.fromString(fmt), w, h))
+    else null
   private def nullRow: InternalRow =
     new GenericInternalRow(Array[Any](null, null, null))
 
@@ -79,7 +83,10 @@ object ImageDimsKernel {
         val isSof = marker >= 0xC0 && marker <= 0xCF &&
           marker != 0xC4 && marker != 0xC8 && marker != 0xCC
         if (isSof) {
-          if (i + 6 >= p.length) return null
+          // a legal SOF is >= 8 bytes (len 2 + precision 1 + h 2 + w 2 +
+          // ncomponents 1); a shorter declared length means the dim
+          // fields would be read from the NEXT segment's bytes — corrupt
+          if (i + 6 >= p.length || segLen < 8) return null
           return row("jpeg", be16(p, i + 5), be16(p, i + 3))
         }
         i += segLen
@@ -159,9 +166,11 @@ object WavMetaKernel {
     var i = 12
     while (i + 8 <= p.length) {
       val size = le32(p, i + 4)
-      // negative = corrupt; > payload length = corrupt AND would overflow
-      // the `i += 8 + size` advance into a negative index
-      if (size < 0 || size > p.length) return nulls
+      // negative = corrupt; > remaining bytes = corrupt AND (for multi-GB
+      // payloads) the `i += 8 + size` advance could overflow Int into a
+      // negative index — bound against the REMAINDER, not p.length, so
+      // the advance below can never exceed p.length + 1 (pad byte)
+      if (size < 0 || size > p.length - i - 8) return nulls
       if (tag(p, i, "fmt ")) {
         if (size < 16 || i + 8 + 16 > p.length) return nulls
         return new GenericInternalRow(Array[Any](

@@ -96,6 +96,26 @@ object KeyedUpsertSink {
   private def bucketPath(storeDir: String, gen: String, bucket: Int): Path =
     new Path(storeDir, s"$gen/bucket=$bucket")
 
+  /** Atomic pointer flip, shared by [[upsertBatch]] and [[compact]]:
+    * write the full map to a temp file, then OVERWRITE-rename it onto
+    * `_CURRENT` (atomic on local and HDFS via FileContext) — a
+    * truncating fs.create would leave an EMPTY pointer if the process
+    * died between truncate and write.
+    */
+  private def writePointer(spark: SparkSession, fs: FileSystem,
+      storeDir: String, numBuckets: Int, gens: Map[Int, String]): Unit = {
+    val body = (s"buckets=$numBuckets" +:
+      gens.toSeq.sortBy(_._1).map { case (b, g) => s"$b=$g" })
+      .mkString("\n")
+    val tmp = new Path(storeDir, s"$Pointer.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      tmp.toUri, spark.sessionState.newHadoopConf())
+    fc.rename(fc.makeQualified(tmp), fc.makeQualified(new Path(storeDir, Pointer)),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
   /** The store's current content, or None before the first upsert.
     * Reads each bucket from the generation its pointer entry names; the
     * `bucket=<i>` dirs are passed as root paths, so no partition column
@@ -169,21 +189,8 @@ object KeyedUpsertSink {
       .write.mode(SaveMode.Overwrite).partitionBy("bucket")
       .parquet(new Path(storeDir, gen).toString)
 
-    // atomic pointer flip: write a temp file, then OVERWRITE-rename it
-    // onto _CURRENT (atomic on local and HDFS via FileContext) — a
-    // truncating fs.create would leave an EMPTY pointer if the process
-    // died between truncate and write
     val newGens = gens ++ touched.map(_ -> gen)
-    val body = (s"buckets=$n" +:
-      newGens.toSeq.sortBy(_._1).map { case (b, g) => s"$b=$g" })
-      .mkString("\n")
-    val tmp = new Path(storeDir, s"$Pointer.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      tmp.toUri, spark.sessionState.newHadoopConf())
-    fc.rename(fc.makeQualified(tmp), fc.makeQualified(new Path(storeDir, Pointer)),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    writePointer(spark, fs, storeDir, n, newGens)
 
     // prune with a one-generation grace window PER BUCKET: a bucket
     // subdir survives while either the new map or the just-replaced map
@@ -248,16 +255,7 @@ object KeyedUpsertSink {
       .write.mode(SaveMode.Overwrite).partitionBy("bucket")
       .parquet(new Path(storeDir, gen).toString)
     val newGens = state.gens.keys.map(_ -> gen).toMap
-    val body = (s"buckets=${state.numBuckets}" +:
-      newGens.toSeq.sortBy(_._1).map { case (b, g) => s"$b=$g" })
-      .mkString("\n")
-    val tmp = new Path(storeDir, s"$Pointer.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      tmp.toUri, spark.sessionState.newHadoopConf())
-    fc.rename(fc.makeQualified(tmp), fc.makeQualified(new Path(storeDir, Pointer)),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    writePointer(spark, fs, storeDir, state.numBuckets, newGens)
     // grace window: keep the generations the JUST-replaced pointer named
     // (one more write will reclaim them); everything older goes now
     val live: Set[String] = state.gens.values.toSet + gen

@@ -85,6 +85,31 @@ class ImageDimsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("corrupt headers with valid signatures null out, not garbage dims") {
+    import graft.functions.WavMetaKernel
+    // JPEG SOF whose declared length (5) is shorter than the dim fields:
+    // reading height/width would pull bytes from the NEXT segment
+    assert(dims(hx("FFD8 FFC0 0005 08 0002 0003 FFD9")) === ((null, null, null)))
+    // PNG IHDR with a >2^31 width (reads negative through be32) and a
+    // zero height: both non-positive -> nulls, never garbage geometry
+    assert(dims(hx("89504E470D0A1A0A0000000D49484452" +
+      "80000001 000001E0 0806000000")) === ((null, null, null)))
+    assert(dims(hx("89504E470D0A1A0A0000000D49484452" +
+      "00000280 00000000 0806000000")) === ((null, null, null)))
+    // GIF with a zero logical-screen width
+    assert(dims(hx("474946383961 0000 0500 F700 5B")) === ((null, null, null)))
+    // WAV chunk whose size exceeds the REMAINING bytes (but not the total
+    // payload length — the pre-r8 guard passed this; at multi-GB payload
+    // sizes the i += 8 + size advance would overflow Int)
+    def wavNull(p: Array[Byte]): Boolean = {
+      val r = WavMetaKernel.compute(p)
+      (0 until 4).forall(r.isNullAt)
+    }
+    assert(wavNull(hx("52494646 5C000000 57415645" +
+      "4C495354 32000000 494E464F" + "00" * 16 + // size 0x32=50 > 44 left
+      "666D7420 10000000 0100 0100 401F0000 401F0000 0100 0800")))
+  }
+
   test("withImageDims attaches real dims over the media corpus frame") {
     val media = Seq(
       (1L, "image", png1x1),
