@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextAnalysis, TextHash}
-import graft.operators.{AsOfJoin, Dedup, KpiAggregator, RawEventStore, SequencePack, Sessionize, SimilaritySearch, TripMatcher}
+import graft.operators.{AsOfJoin, Cluster, Dedup, KpiAggregator, RawEventStore, SequencePack, Sessionize, SimilaritySearch, TripMatcher}
 import graft.sources.{MediaColumns, TripSources}
 
 /** Driver contract — one named query per implemented operator of
@@ -269,6 +269,47 @@ object SparkEntry {
         .map(i => s"$v[$i]::DOUBLE*${planes(t * b + j)(i - 1)}.0").mkString(" + ")
       s"CASE WHEN ($proj) > 0 THEN ${1L << j} ELSE 0 END"
     }.mkString("(", " + ", ")")
+  }
+
+  /** Unrolled k-means CTE chain (mirrors [[Cluster.kmeansAssignments]]):
+    * quantize → long format → seeds = k smallest ids → per round an
+    * assignment CTE `b<i>` (argmin by ORDER BY dist, cluster) and, between
+    * rounds, a floor-mean centroid CTE `c<i>` with COALESCE carrying empty
+    * clusters. Every step is integer or bit-pinned IEEE arithmetic, which
+    * is what makes an ITERATIVE algorithm hash-comparable across engines.
+    * DuckDB sums BIGINT into HUGEINT — the ::BIGINT casts keep the output
+    * schema aligned with Spark's longs.
+    */
+  private def kmeansSql(k: Int, iters: Int, scale: Long): String = {
+    val sb = new StringBuilder
+    sb ++= s"""q AS (SELECT vec_id,
+       |  list_transform(embedding, x -> floor(x::DOUBLE * $scale)::BIGINT) AS qv
+       |  FROM embeddings),
+       |lng AS (SELECT vec_id, d.d AS dim, qv[d.d+1] AS v
+       |  FROM q, range(0, ${SimilaritySearch.Dim}) d(d)),
+       |seeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+       |  FROM (SELECT vec_id FROM q ORDER BY vec_id LIMIT $k)),
+       |c0 AS (SELECT s.cluster, l.dim, l.v AS val
+       |  FROM seeds s JOIN lng l ON s.vec_id = l.vec_id)""".stripMargin
+    for (i <- 1 to iters) {
+      sb ++= s""",
+         |a$i AS (SELECT l.vec_id, c.cluster,
+         |  sum((l.v - c.val)*(l.v - c.val))::BIGINT AS dist
+         |  FROM lng l JOIN c${i - 1} c ON l.dim = c.dim
+         |  GROUP BY l.vec_id, c.cluster),
+         |b$i AS (SELECT vec_id, cluster, dist FROM (SELECT vec_id, cluster, dist,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+         |  FROM a$i) WHERE rn = 1)""".stripMargin
+      if (i < iters) sb ++= s""",
+         |n$i AS (SELECT b.cluster, l.dim,
+         |  floor(sum(l.v)::DOUBLE / count(*))::BIGINT AS val
+         |  FROM b$i b JOIN lng l ON b.vec_id = l.vec_id
+         |  GROUP BY b.cluster, l.dim),
+         |c$i AS (SELECT p.cluster, p.dim, COALESCE(n.val, p.val) AS val
+         |  FROM c${i - 1} p LEFT JOIN n$i n
+         |  ON p.cluster = n.cluster AND p.dim = n.dim)""".stripMargin
+    }
+    sb.toString
   }
 
   // ---- the contract -------------------------------------------------------
@@ -1064,6 +1105,29 @@ object SparkEntry {
             greatest(col("vmax") - col("vmin"), lit(1e-12)) * 256.0), lit(255.0))
             .cast("long").as("q"))
     }),
+
+    // CL1: semantic clustering — integer-exact k-means over the
+    // embedding corpus (k=8, 3 assignment rounds). Deterministic by
+    // construction (quantized longs, lexicographic argmin, floor-mean
+    // updates), so the full iterative algorithm is oracle-checkable —
+    // not just a rows-only smoke. Assignment is a map-only codegen'd
+    // pass per round; the update shuffle is partial-agged to <= k*d rows
+    // per partition (ClusterSpec + PlanAuditSpec assert the shape).
+    "semantic_clusters" -> ((s, dir) =>
+      Cluster.kmeansAssignments(Tables.embeddings(s, dir),
+          "vec_id", "embedding", k = 8, iters = 3)
+        .select(col("id").as("vec_id"),
+          col("cluster").cast("long").as("cluster"), col("dist"))),
+
+    // CL2: cluster-balanced diverse sample — the consumable end of the
+    // clustering chain: 5 centroid-nearest vectors per cluster, a
+    // topic-balanced subset that spans the corpus's semantic spread.
+    "semantic_diverse_sample" -> ((s, dir) =>
+      Cluster.diverseSample(
+          Cluster.kmeansAssignments(Tables.embeddings(s, dir),
+            "vec_id", "embedding", k = 8, iters = 3), m = 5)
+        .select(col("cluster").cast("long").as("cluster"),
+          col("id").as("vec_id"), col("rank").cast("long").as("rank"))),
 
     // T7: reproducible stratified sampling — hash-based (not rand()), so
     // the sample is stable across runs/engines; rate by lang.
@@ -2335,6 +2399,16 @@ object SparkEntry {
         |CAST(least(floor((embedding[i::INT]::DOUBLE - vmin)
         |  / greatest(vmax - vmin, 1e-12) * 256.0), 255.0) AS BIGINT) AS q
         |FROM e, unnest(range(1, len(embedding)+1)) AS u(i)""".stripMargin,
+
+    "semantic_clusters" ->
+      s"""WITH ${kmeansSql(8, 3, Cluster.DefaultScale)}
+         |SELECT vec_id, cluster, dist FROM b3""".stripMargin,
+
+    "semantic_diverse_sample" ->
+      s"""WITH ${kmeansSql(8, 3, Cluster.DefaultScale)}
+         |SELECT cluster, vec_id, rank FROM (SELECT cluster, vec_id,
+         |  row_number() OVER (PARTITION BY cluster ORDER BY dist, vec_id) AS rank
+         |  FROM b3) WHERE rank <= 5""".stripMargin,
 
     "doc_sample_stratified" ->
       s"""SELECT doc_id, lang, bucket FROM (

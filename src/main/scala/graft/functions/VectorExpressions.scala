@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native Catalyst expression for the float-vector dot product.
   *
@@ -79,9 +79,79 @@ case class DotProductFloat(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared L2 distance between two array<long> vectors, in LONG
+  * arithmetic — the distance kernel of the integer-exact k-means
+  * ([[graft.operators.Cluster]]). Integer adds are associative, so the
+  * result is bit-identical across engines, partitionings, and fold
+  * orders — unlike any float distance. Same codegen rationale as
+  * [[DotProductFloat]]: a tight primitive loop inside WholeStageCodegen
+  * instead of an interpreted zip_with/aggregate HOF pair.
+  *
+  * Null semantics: null if either array is null; null ELEMENTS
+  * contribute 0 (the quantized corpus has none).
+  */
+case class SqDistLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sq_dist_long expects two array<bigint> args, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sq_dist_long"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        val d = x.getLong(i) - y.getLong(i)
+        s += d * d
+      }
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    long $d = $a.getLong($i) - $b.getLong($i);
+         |    $s += $d * $d;
+         |  }
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level API for the native vector expressions. */
 object VectorFunctions {
   /** Codegen'd float-array dot product in double precision. */
   def dotF(a: Column, b: Column): Column =
     Bridge.column(DotProductFloat(Bridge.expression(a), Bridge.expression(b)))
+  /** Codegen'd long-array squared L2 distance (integer-exact). */
+  def sqDistL(a: Column, b: Column): Column =
+    Bridge.column(SqDistLong(Bridge.expression(a), Bridge.expression(b)))
 }

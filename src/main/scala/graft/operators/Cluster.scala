@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Semantic clustering over an embedding column — Lloyd's k-means made
+  * DETERMINISTIC and cross-engine exact, the curation primitive the
+  * dedup/ANN family stops short of: group a corpus by meaning so a
+  * training mix can be balanced per topic (cluster-proportional
+  * sampling), inspected per cluster, or pruned cluster-by-cluster.
+  *
+  * Why an integer formulation: float k-means is not reproducible — the
+  * centroid means depend on partial-aggregation order, so two runs (or
+  * two engines) drift and the assignments diverge at cluster borders.
+  * Here every step is exact integer or bit-pinned IEEE arithmetic:
+  *
+  *  - vectors are quantized once, `floor(x * scale)` per component with
+  *    `scale` a power of two (the multiply is exact in IEEE-754, floor
+  *    is exact, so quantization is reproducible bit-for-bit);
+  *  - distances are squared-L2 in LONG arithmetic ([[graft.functions.SqDistLong]]
+  *    — integer adds are associative, so partitioning can't flip ties);
+  *  - argmin ties break to the lowest cluster id (lexicographic
+  *    struct-min == `ORDER BY dist, cluster` in any SQL engine);
+  *  - centroid updates are `floor(sum / count)` with an exact integer
+  *    `sum` — exact while `|sum| < 2^53` (at scale 1024 and unit-norm
+  *    embeddings that allows ~8e12 members per cluster);
+  *  - seeds are the `k` smallest ids (rank order), no RNG anywhere.
+  *
+  * Execution shape per iteration (the 100 TB posture):
+  *  1. ASSIGN — the k×d centroid matrix is a driver-held LITERAL
+  *     inlined into a `least()` argmin over k `(dist, cluster)` structs:
+  *     one codegen'd projection over the scan, scoring k candidates per
+  *     row with the integer distance kernel. No join, no aggregate, no
+  *     shuffle — the corpus never moves.
+  *  2. UPDATE — assigned vectors explode to (cluster, dim, component);
+  *     partial hash aggregation collapses every partition to ≤ k·d rows
+  *     BEFORE the exchange, so the update shuffle is O(partitions · k·d)
+  *     regardless of corpus size. The k·d result (a few KB) is collected
+  *     to the driver — a bounded collect, same class as the PQ codebook —
+  *     which also truncates the lineage each iteration (no exponentially
+  *     deep plans, the classic iterative-Spark failure).
+  * Empty clusters keep their previous centroid (same rule as the SQL
+  * oracle's COALESCE), so `k` never silently shrinks.
+  */
+object Cluster {
+
+  /** Power of two, so `x * scale` is exact in IEEE-754 — quantization
+    * introduces no engine-dependent rounding.
+    */
+  val DefaultScale = 1024L
+
+  /** `(id, qv)` — each vector quantized to `array<long>` by
+    * `floor(x * scale)` per component. The single definition assignment
+    * and update both read; exactness argument in the class doc.
+    */
+  def quantized(emb: DataFrame, idCol: String, vecCol: String,
+      scale: Long = DefaultScale): DataFrame =
+    emb.select(col(idCol).as("id"),
+      transform(col(vecCol),
+        x => floor(x.cast("double") * scale).cast("long")).as("qv"))
+
+  /** Final k-means assignment `(id, cluster, dist)` after `iters`
+    * assignment rounds (centroids update between rounds, not after the
+    * last). `cluster` is the seed rank (0-based over the k smallest
+    * ids); `dist` the squared-L2 distance to the assigned centroid in
+    * the quantized space.
+    */
+  def kmeansAssignments(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, scale: Long = DefaultScale): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(iters > 0, s"iters must be positive, got $iters")
+    val q = quantized(emb, idCol, vecCol, scale)
+
+    // seeds: the k smallest ids in rank order — deterministic, no RNG,
+    // and expressible as ORDER BY id LIMIT k in any oracle. Bounded
+    // collect (k rows).
+    var centroids: Seq[(Int, Array[Long])] =
+      q.orderBy(col("id")).limit(k).collect().zipWithIndex.map {
+        case (r, i) => i -> r.getSeq[Long](1).toArray
+      }.toSeq
+
+    var assigned: DataFrame = null
+    for (t <- 1 to iters) {
+      // ASSIGN: k is small by construction, so the argmin is a single
+      // map-side expression — least() over k static (dist, cluster)
+      // structs (lexicographic, so ties break to the lowest cluster id,
+      // same as ORDER BY dist, cluster). No explode, no aggregate, no
+      // shuffle: the whole assignment pass stays in one codegen'd
+      // projection over the scan.
+      assigned = q.select(col("id"),
+        least(centroids.map { case (c, v) =>
+          struct(
+            VectorFunctions.sqDistL(col("qv"), array(v.map(lit(_)): _*))
+              .as("dist"),
+            lit(c).as("cluster"))
+        }: _*).as("m"), col("qv"))
+        .select(col("id"), col("m.cluster").as("cluster"),
+          col("m.dist").as("dist"), col("qv"))
+      if (t < iters) {
+        // UPDATE: floor-mean per (cluster, dim); k*d rows total — bounded
+        // collect that also truncates the iteration's lineage
+        val upd = assigned
+          .select(col("cluster"), posexplode(col("qv")).as(Seq("dim", "v")))
+          .groupBy(col("cluster"), col("dim"))
+          .agg(floor(sum(col("v")).cast("double") / count(lit(1)))
+            .cast("long").as("val"))
+          .collect()
+        val byCluster = upd.groupBy(_.getInt(0))
+        centroids = centroids.map { case (c, prev) =>
+          byCluster.get(c) match {
+            case Some(rows) =>
+              val arr = new Array[Long](prev.length)
+              rows.foreach(r => arr(r.getInt(1)) = r.getLong(2))
+              c -> arr
+            case None => c -> prev // empty cluster keeps its centroid
+          }
+        }
+      }
+    }
+    assigned.select(col("id"), col("cluster"), col("dist"))
+  }
+
+  /** Cluster-balanced diverse subset — the consumable end of the
+    * clustering chain: the `m` vectors NEAREST their centroid from every
+    * cluster (rank by `(dist, id)`), i.e. one small, topic-balanced
+    * sample that spans the corpus's semantic spread instead of
+    * oversampling its densest region. Plans as a WindowGroupLimit (the
+    * rank-filter pattern), so only ~m rows per cluster survive the sort.
+    */
+  def diverseSample(assignments: DataFrame, m: Int): DataFrame = {
+    require(m > 0, s"m must be positive, got $m")
+    assignments.withColumn("rank", row_number().over(
+        Window.partitionBy(col("cluster")).orderBy(col("dist"), col("id"))))
+      .filter(col("rank") <= m)
+  }
+}

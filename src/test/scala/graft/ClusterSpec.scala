@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Cluster
+
+/** Integer-exact k-means: recovery of a separable clustering, bitwise
+  * equality with an independent pure-Scala reference implementation on
+  * random data (the strong oracle), determinism across runs, empty
+  * cluster handling, and the diverse-sample chain-end.
+  */
+class ClusterSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  /** Independent sequential reference: same spec (floor-quantize, seeds
+    * = k smallest ids, lexicographic argmin, floor-mean update, empty
+    * cluster keeps its centroid), written against plain collections so
+    * a shared bug with the Spark operator is implausible.
+    */
+  private def localKmeans(vecs: Seq[(Long, Array[Float])], k: Int,
+      iters: Int, scale: Long): Map[Long, (Int, Long)] = {
+    val q = vecs.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * scale).toLong)
+    }
+    var cents: Seq[(Int, Array[Long])] =
+      q.sortBy(_._1).take(k).zipWithIndex.map { case ((_, v), i) => i -> v.clone() }
+    var assign: Map[Long, (Int, Long)] = Map.empty
+    for (t <- 1 to iters) {
+      assign = q.map { case (id, v) =>
+        val best = cents.map { case (c, cv) =>
+          var s = 0L; var i = 0
+          while (i < v.length) { val d = v(i) - cv(i); s += d * d; i += 1 }
+          (s, c)
+        }.min
+        id -> (best._2, best._1)
+      }.toMap
+      if (t < iters) {
+        val byC = q.groupBy { case (id, _) => assign(id)._1 }
+        cents = cents.map { case (c, prev) =>
+          byC.get(c) match {
+            case Some(members) =>
+              c -> Array.tabulate(prev.length) { d =>
+                val sum = members.map(_._2(d)).sum
+                math.floor(sum.toDouble / members.size).toLong
+              }
+            case None => c -> prev
+          }
+        }
+      }
+    }
+    assign
+  }
+
+  private def sparkAssign(vecs: Seq[(Long, Array[Float])], k: Int,
+      iters: Int): Map[Long, (Int, Long)] =
+    Cluster.kmeansAssignments(
+        vecs.toDF("vec_id", "embedding"), "vec_id", "embedding", k, iters)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+
+  private def blobs(n: Int, dim: Int): Seq[(Long, Array[Float])] = {
+    // three well-separated centers; id % 3 picks the blob, so the three
+    // seed ids (0, 1, 2) start one per blob
+    val centers = Seq(
+      Array.fill(dim)(10.0f),
+      Array.fill(dim)(-10.0f),
+      Array.tabulate(dim)(d => if (d % 2 == 0) 10.0f else -10.0f))
+    (0 until n).map { i =>
+      val c = centers(i % 3)
+      i.toLong -> c.zipWithIndex.map { case (x, d) =>
+        x + ((i * 7 + d) % 13 - 6) * 0.01f // small deterministic jitter
+      }
+    }
+  }
+
+  test("recovers a separable 3-blob clustering exactly") {
+    val data = blobs(60, 8)
+    val out = sparkAssign(data, k = 3, iters = 4)
+    assert(out.size === 60)
+    // every blob lands in one cluster, distinct from the other blobs'
+    val byBlob = (0 until 3).map(b =>
+      out.filter { case (id, _) => id % 3 == b }.values.map(_._1).toSet)
+    byBlob.foreach(s => assert(s.size === 1, s"blob split across clusters: $byBlob"))
+    assert(byBlob.flatten.toSet.size === 3)
+  }
+
+  test("bitwise equality with the sequential reference on random data") {
+    val rnd = new scala.util.Random(1234)
+    val data = (0 until 120).map(i =>
+      i.toLong -> Array.fill(8)(rnd.nextFloat() * 2 - 1))
+    val expected = localKmeans(data, k = 5, iters = 4, Cluster.DefaultScale)
+    val got = sparkAssign(data, k = 5, iters = 4)
+    assert(got === expected)
+  }
+
+  test("deterministic: two runs produce identical assignments") {
+    val rnd = new scala.util.Random(77)
+    val data = (0 until 80).map(i =>
+      i.toLong -> Array.fill(8)(rnd.nextFloat()))
+    assert(sparkAssign(data, 4, 3) === sparkAssign(data, 4, 3))
+  }
+
+  test("empty clusters keep their centroid (k > distinct points)") {
+    // four copies of each of two distinct points, k=4: two seed
+    // centroids never win a vector — the run must stay total and match
+    // the reference's carry rule
+    val a = Array.fill(4)(1.0f)
+    val b = Array.fill(4)(9.0f)
+    val data = (0 until 8).map(i => i.toLong -> (if (i < 4) a.clone() else b.clone()))
+    val expected = localKmeans(data, k = 4, iters = 3, Cluster.DefaultScale)
+    val got = sparkAssign(data, k = 4, iters = 3)
+    assert(got === expected)
+    assert(got.values.map(_._1).toSet.size === 2)
+  }
+
+  test("diverseSample: m nearest per cluster, rank order by (dist, id)") {
+    val data = blobs(60, 8)
+    val assignments = Cluster.kmeansAssignments(
+      data.toDF("vec_id", "embedding"), "vec_id", "embedding", k = 3, iters = 4)
+    val sample = Cluster.diverseSample(assignments, m = 2).collect()
+    assert(sample.length === 6) // 2 per cluster, 3 clusters
+    val byCluster = sample.groupBy(_.getInt(1))
+    byCluster.values.foreach { rows =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq === Seq(1, 2))
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+        .map(r => (r.getAs[Long]("dist"), r.getLong(0)))
+      assert(sorted.toSeq === sorted.toSeq.sorted) // rank follows (dist, id)
+    }
+    // rank-1 rows are the true per-cluster minima
+    val all = assignments.collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(0)))
+    byCluster.foreach { case (c, rows) =>
+      val top = rows.minBy(_.getAs[Int]("rank"))
+      val expectedMin = all.filter(_._1 == c).map(t => (t._2, t._3)).min
+      assert((top.getAs[Long]("dist"), top.getLong(0)) === expectedMin)
+    }
+  }
+
+  test("assignment is map-only over the scan and stays inside WholeStageCodegen") {
+    // parquet-backed (a local relation would be collapsed eagerly by
+    // ConvertToLocalRelation and show no plan at all)
+    val df = Cluster.kmeansAssignments(
+      Tables.embeddings(spark, "/root/testdata/sf0.001"),
+      "vec_id", "embedding", k = 3, iters = 1)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"assignment must not shuffle the corpus:\n${plan.take(2000)}")
+    val line = plan.linesIterator.find(_.contains("sq_dist_long")).getOrElse("")
+    assert(line.trim.matches("""^(\+- )?\*\(\d+\) .*"""),
+      s"sq_dist_long fell out of codegen: $line")
+  }
+}
