@@ -700,6 +700,23 @@ object SparkEntry {
         .select(col("doc_id"), trunc4(col("score")).as("score"),
           col("matched_terms"))),
 
+    // R2: per-doc keyword summary — top-3 TF-IDF terms by weight (the
+    // sparse-vector sibling of BM25: no query, full vocabulary, df via
+    // a term-keyed equi-join rather than a broadcast).
+    "doc_tfidf_topterms" -> ((s, dir) =>
+      graft.operators.Relevance.topTfidfTerms(Tables.documents(s, dir), m = 3)
+        .select(col("id").as("doc_id"), col("term"),
+          col("rank").cast("long").as("rank"), trunc4(col("w")).as("w"))),
+
+    // DD8: sparse TF-IDF cosine pairs — the lexical-weighted member of
+    // the near-dup family (exact < tfidf-cosine < shingle-Jaccard in
+    // strictness). Inverted-index equi-join on the df-capped term;
+    // decimal-summed dots/norms keep the float comparison stable.
+    "dedup_tfidf_cosine" -> ((s, dir) =>
+      graft.operators.Relevance.tfidfCosinePairs(docNearDupCorpus(s, dir),
+          threshold = 0.8, maxDocFreq = Some(100))
+        .select(col("id_a"), col("id_b"), trunc4(col("cosine")).as("cosine"))),
+
     // T12: Gopher-style repetition signals — dup-token and top-bigram
     // fractions, the quality complement to dedup (template/generated
     // text repeats itself long before it duplicates documents).
@@ -1731,6 +1748,45 @@ object SparkEntry {
         |SELECT doc_id, floor(sum(contrib)*10000)/10000 AS score,
         |  count(*)::BIGINT AS matched_terms
         |FROM c GROUP BY doc_id""".stripMargin,
+
+    "doc_tfidf_topterms" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |n AS (SELECT count(*)::DOUBLE AS n_docs FROM tok),
+        |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM (
+        |    SELECT doc_id, unnest(toks) AS term FROM tok) u
+        |  GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        |w AS (SELECT doc_id, tf.term, tf.tf * (ln(n.n_docs / df.df) + 1.0) AS w
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+        |SELECT doc_id, term, rank, floor(w*10000)/10000 AS w FROM (
+        |  SELECT doc_id, term, w, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY w DESC, term) AS rank FROM w)
+        |WHERE rank <= 3""".stripMargin,
+
+    "dedup_tfidf_cosine" ->
+      s"""WITH $corpusNearSql,
+         |tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |  FROM corpus WHERE text IS NOT NULL),
+         |n AS (SELECT count(*)::DOUBLE AS n_docs FROM tok),
+         |tf AS (SELECT doc_id AS id, term, count(*)::DOUBLE AS tf FROM (
+         |    SELECT doc_id, unnest(toks) AS term FROM tok) u
+         |  GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*)::DOUBLE AS df FROM tf
+         |  GROUP BY term HAVING count(*) <= 100),
+         |w AS (SELECT id, tf.term, tf.tf * (ln(n.n_docs / df.df) + 1.0) AS w
+         |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+         |nrm AS (SELECT id, sqrt(sum(CAST(w*w AS DECIMAL(38,12)))::DOUBLE) AS nrm
+         |  FROM w GROUP BY id),
+         |dots AS (SELECT a.id AS id_a, b.id AS id_b,
+         |  sum(CAST(a.w * b.w AS DECIMAL(38,12)))::DOUBLE AS dot
+         |  FROM w a JOIN w b ON a.term = b.term AND a.id < b.id
+         |  GROUP BY a.id, b.id)
+         |SELECT id_a, id_b, floor(cosine*10000)/10000 AS cosine FROM (
+         |  SELECT id_a, id_b, dot / (na.nrm * nb.nrm) AS cosine
+         |  FROM dots JOIN nrm na ON dots.id_a = na.id
+         |  JOIN nrm nb ON dots.id_b = nb.id)
+         |WHERE cosine >= 0.8""".stripMargin,
 
     // DuckDB regexp_replace needs the 'g' flag to match Spark's
     // replace-all semantics.

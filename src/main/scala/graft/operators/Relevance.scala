@@ -63,4 +63,83 @@ object Relevance {
         count(lit(1)).cast("long").as("matched_terms"))
       .select(col(idCol), col("score"), col("matched_terms"))
   }
+
+  /** Sparse TF-IDF document vectors in long format `(id, term, w)` with
+    * `w = tf * (ln(N/df) + 1)` (smooth idf, always positive). The long
+    * format IS the sparse representation — a term row exists only where
+    * tf > 0 — and feeds both ranking ([[topTfidfTerms]]) and the sparse
+    * similarity join ([[tfidfCosinePairs]]).
+    *
+    * Unlike [[bm25]]'s query-bounded df table, the full-vocabulary df
+    * relation here grows with the corpus, so the tf–df join is a plain
+    * equi-join on `term` (shuffle both sides; AQE may still broadcast a
+    * small vocabulary) — broadcasting the vocabulary would be the 100 TB
+    * mistake. `maxDocFreq` drops terms appearing in more than `cap`
+    * documents BEFORE any downstream join — the same hot-key skew guard
+    * as `Dedup.shingles`: ubiquitous terms carry ~zero idf signal but
+    * quadratic join cost.
+    */
+  def tfidfTerms(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", maxDocFreq: Option[Long] = None): DataFrame = {
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        split(trim(lower(col(textCol))), "\\s+").as("toks"))
+    val n = toks.agg(count(lit(1)).cast("double").as("n_docs"))
+    val tf = toks.select(col("id"), explode(col("toks")).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val kept = maxDocFreq.map(c => df.filter(col("df") <= c)).getOrElse(df)
+    tf.join(kept, "term")
+      .crossJoin(broadcast(n)) // 1-row corpus size
+      .select(col("id"), col("term"),
+        (col("tf") * (log(col("n_docs") / col("df")) + lit(1.0))).as("w"))
+  }
+
+  /** Top-`m` TF-IDF terms per document — the per-doc keyword summary
+    * (rank by weight desc, term asc; WindowGroupLimit keeps only ~m rows
+    * per doc through the sort).
+    */
+  def topTfidfTerms(docs: DataFrame, m: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    tfidfTerms(docs, idCol, textCol)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("w").desc, col("term"))))
+      .filter(col("rank") <= m)
+      .select(col("id"), col("term"), col("rank"), col("w"))
+  }
+
+  /** Sparse cosine-similar pairs via the inverted index: documents
+    * sharing at least one (df-capped) term are joined ON THE TERM — the
+    * only join key — so candidate cost is sum over terms of df², capped
+    * by `maxDocFreq`, never corpus². Per-pair dot products and per-doc
+    * norms are summed as DECIMAL so partial-aggregation order cannot
+    * drift the low bits (float sums over unbounded groups are not
+    * truncation-stable, SURVEY §7.3).
+    *
+    * This is the lexical third of the near-dup family: exact-hash
+    * (dedup_exact) < tfidf cosine < n-gram Jaccard in strictness —
+    * TF-IDF weighting finds topical/templated duplication that shingle
+    * Jaccard under-scores when the shared text is re-ordered.
+    */
+  def tfidfCosinePairs(docs: DataFrame, threshold: Double,
+      maxDocFreq: Option[Long] = Some(100), idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val w = Dedup.sharedRelation(
+      tfidfTerms(docs, idCol, textCol, maxDocFreq))
+    val nrm = w.groupBy(col("id"))
+      .agg(sqrt(sum((col("w") * col("w")).cast("decimal(38,12)"))
+        .cast("double")).as("nrm"))
+    val dots = w.as("a").join(w.as("b"),
+        col("a.term") === col("b.term") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(sum((col("a.w") * col("b.w")).cast("decimal(38,12)"))
+        .cast("double").as("dot"))
+    dots.join(nrm.as("na"), col("id_a") === col("na.id"))
+      .join(nrm.as("nb"), col("id_b") === col("nb.id"))
+      .select(col("id_a"), col("id_b"),
+        (col("dot") / (col("na.nrm") * col("nb.nrm"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
 }

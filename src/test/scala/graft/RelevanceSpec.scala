@@ -44,4 +44,61 @@ class RelevanceSpec extends AnyFunSuite with SparkTestBase {
     // tf saturation: 3x the term is far less than 3x the score
     assert(out(1L)._1 < 2 * out(2L)._1)
   }
+
+  test("tfidfTerms matches hand-computed weights; df-cap drops hot terms") {
+    val w = Relevance.tfidfTerms(corpus)
+      .as[(Long, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    def tfidf(tf: Double, df: Double) = tf * (math.log(4.0 / df) + 1.0)
+    val eps = 1e-12
+    assert(math.abs(w((1L, "cat")) - tfidf(3, 3)) < eps)
+    assert(math.abs(w((3L, "owl")) - tfidf(1, 1)) < eps)
+    assert(math.abs(w((4L, "fox")) - tfidf(4, 1)) < eps)
+    // df cap 2 drops cat (df=3) and dog (df=3) everywhere
+    val capped = Relevance.tfidfTerms(corpus, maxDocFreq = Some(2))
+      .select("term").as[String].collect().toSet
+    assert(capped === Set("owl", "fox"))
+  }
+
+  test("topTfidfTerms ranks by weight desc then term; keeps m per doc") {
+    val top = Relevance.topTfidfTerms(corpus, m = 1)
+      .as[(Long, String, Int, Double)].collect()
+      .map(r => r._1 -> r._2).toMap
+    // doc1: cat tf=3 beats dog tf=1 (same idf class would tie-break by term)
+    assert(top(1L) === "cat")
+    // doc3: dog tf=2 (2*(ln(4/3)+1) ~ 2.58) edges out rare owl (ln(4)+1 ~ 2.39)
+    assert(top(3L) === "dog")
+    assert(top(4L) === "fox")
+  }
+
+  test("tfidfCosinePairs: identical docs hit 1.0; disjoint docs never pair") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma"),      // identical to 1
+      (3L, "alpha beta delta"),      // shares 2 of 3 terms
+      (4L, "zeta eta theta")         // disjoint
+    ).toDF("doc_id", "text")
+    val pairs = Relevance.tfidfCosinePairs(docs, threshold = 0.0,
+        maxDocFreq = None)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(math.abs(pairs((1L, 2L)) - 1.0) < 1e-12)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) < 1.0)
+    assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L },
+      "no shared term -> no candidate pair")
+    // threshold filters
+    val strict = Relevance.tfidfCosinePairs(docs, threshold = 0.99,
+      maxDocFreq = None).count()
+    assert(strict === 1)
+  }
+
+  test("tfidfCosinePairs joins on the term inverted index, never all-pairs") {
+    val docs = Seq((1L, "a b"), (2L, "b c"), (3L, "c d")).toDF("doc_id", "text")
+    val plan = Relevance.tfidfCosinePairs(docs, 0.5, Some(100))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    // the only BroadcastNestedLoopJoin allowed is the 1-row n_docs stat
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnlj <= 1, s"unexpected nested-loop joins ($bnlj):\n${plan.take(1500)}")
+  }
 }
