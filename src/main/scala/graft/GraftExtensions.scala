@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DotProductFloat, ImageDims, MinGramHash, TextStats, WavMeta, WinnowFingerprints}
+import graft.functions.{DotProductFloat, ImageDims, MinGramHash, SqDistLong, TextStats, WavMeta, WinnowFingerprints, ZValue}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions, so `spark.sql("SELECT
@@ -87,6 +87,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1,
           s"wav_meta expects 1 argument, got ${children.length}")
         WavMeta(children.head)
+      }))
+
+    // sq_dist_long(a, b) — integer-exact squared L2 distance between two
+    // array<bigint> vectors (the k-means kernel)
+    ext.injectFunction((
+      new FunctionIdentifier("sq_dist_long"),
+      new ExpressionInfo(classOf[SqDistLong].getName, "sq_dist_long"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"sq_dist_long expects 2 arguments, got ${children.length}")
+        SqDistLong(children.head, children(1))
+      }))
+
+    // z_value(x, y) — Morton interleave of two bigint keys (low 16 bits
+    // each) for multi-dimensional layout clustering
+    ext.injectFunction((
+      new FunctionIdentifier("z_value"),
+      new ExpressionInfo(classOf[ZValue].getName, "z_value"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"z_value expects 2 arguments, got ${children.length}")
+        ZValue(children.head, children(1))
       }))
   }
 }

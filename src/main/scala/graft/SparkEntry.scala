@@ -1123,6 +1123,20 @@ object SparkEntry {
             .cast("long").as("q"))
     }),
 
+    // L1: multi-dimensional layout key — the Morton z-value over two
+    // bounded dimension keys. Sorting/range-partitioning a table by zv
+    // ([[graft.operators.Layout.zOrdered]]) tiles the (x, y) space so
+    // file-level min/max stats prune scans filtered on EITHER column;
+    // the contract row pins the interleave bit-exactly.
+    "events_zorder_key" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("value").isNotNull && !isnan(col("value")))
+        .select(col("event_id"),
+          col("user_id").bitwiseAND(lit(4095L)).as("x"),
+          floor(col("value") * 10).cast("long").bitwiseAND(lit(4095L)).as("y"))
+        .select(col("event_id"), col("x"), col("y"),
+          graft.functions.ZValueFunctions.zValue(col("x"), col("y")).as("zv"))),
+
     // CL1: semantic clustering — integer-exact k-means over the
     // embedding corpus (k=8, 3 assignment rounds). Deterministic by
     // construction (quantized longs, lexicographic argmin, floor-mean
@@ -2455,6 +2469,17 @@ object SparkEntry {
         |CAST(least(floor((embedding[i::INT]::DOUBLE - vmin)
         |  / greatest(vmax - vmin, 1e-12) * 256.0), 255.0) AS BIGINT) AS q
         |FROM e, unnest(range(1, len(embedding)+1)) AS u(i)""".stripMargin,
+
+    "events_zorder_key" -> {
+      // the Morton interleave unrolled: bit j of x at 2j, of y at 2j+1
+      val zv = (0 until 16).map(j =>
+        s"(((x >> $j) & 1) << ${2 * j}) | (((y >> $j) & 1) << ${2 * j + 1})")
+        .mkString("(", " | ", ")")
+      s"""SELECT event_id, x, y, $zv AS zv FROM (
+         |  SELECT event_id, user_id & 4095 AS x,
+         |    CAST(floor(value * 10) AS BIGINT) & 4095 AS y
+         |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)) t""".stripMargin
+    },
 
     "semantic_clusters" ->
       s"""WITH ${kmeansSql(8, 3, Cluster.DefaultScale)}

@@ -50,6 +50,12 @@ class ExtensionsAndBucketingSpec extends AnyFunSuite with SparkTestBase {
       val wm = s.sql(s"SELECT wav_meta(unhex('$wavHex')) AS m")
         .select("m.sample_rate", "m.channels").head()
       assert(wm.getInt(0) === 8000 && wm.getInt(1) === 1)
+      // r8 natives: k-means distance kernel and the Morton layout code
+      val sq = s.sql("SELECT sq_dist_long(array(1L, 2L), array(4L, 6L)) AS d")
+        .head().getLong(0)
+      assert(sq === 25L) // 3^2 + 4^2
+      val zv = s.sql("SELECT z_value(5L, 3L) AS z").head().getLong(0)
+      assert(zv === 27L) // x=101b -> bits 0,4; y=011b -> bits 1,3
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
