@@ -1123,6 +1123,16 @@ object SparkEntry {
             .cast("long").as("q"))
     }),
 
+    // Q1: one-pass table profile — per-column non-null/null/distinct
+    // counts and string-cast bounds as rows, the first query against an
+    // unfamiliar table (and the A4 null-profile generalized: queryable,
+    // diffable across snapshots). One scan; exact distincts via the
+    // multi-distinct Expand (ProfileSpec proves the approx variant
+    // drops it for warehouse scale).
+    "table_profile" -> ((s, dir) =>
+      graft.operators.Profile.profile(Tables.documents(s, dir),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))),
+
     // L1: multi-dimensional layout key — the Morton z-value over two
     // bounded dimension keys. Sorting/range-partitioning a table by zv
     // ([[graft.operators.Layout.zOrdered]]) tiles the (x, y) space so
@@ -2469,6 +2479,15 @@ object SparkEntry {
         |CAST(least(floor((embedding[i::INT]::DOUBLE - vmin)
         |  / greatest(vmax - vmin, 1e-12) * 256.0), 255.0) AS BIGINT) AS q
         |FROM e, unnest(range(1, len(embedding)+1)) AS u(i)""".stripMargin,
+
+    "table_profile" ->
+      Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
+        s"""SELECT '$c' AS col_name, count($c)::BIGINT AS n_non_null,
+           |sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+           |count(DISTINCT $c)::BIGINT AS n_distinct,
+           |min($c)::VARCHAR AS min_value, max($c)::VARCHAR AS max_value
+           |FROM documents""".stripMargin
+      }.mkString("\nUNION ALL\n"),
 
     "events_zorder_key" -> {
       // the Morton interleave unrolled: bit j of x at 2j, of y at 2j+1

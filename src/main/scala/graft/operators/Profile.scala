@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One-pass per-column data-quality profile — the first thing a
+  * pipeline runs against an unfamiliar 100 TB table: row/null/distinct
+  * counts and min/max per column, as ROWS (one per column) so the
+  * profile of a wide table is itself queryable and diffable across
+  * snapshots.
+  *
+  * Shape: ONE aggregate computes every column's stats in a single scan
+  * (min/max/counts are plain partial aggregates; each exact
+  * `count(DISTINCT)` adds an Expand branch — the standard multi-distinct
+  * plan, input×|cols| rows through the partial agg but still one scan),
+  * then the 1-row result explodes to |cols| rows map-side. No union of
+  * per-column subqueries — that would re-scan the table once per column.
+  *
+  * `exactDistinct = false` swaps exact distinct counts for HLL++
+  * (`approx_count_distinct`), removing the Expand entirely — the right
+  * trade at warehouse scale where a ±2% cardinality estimate steers the
+  * same decisions. Min/max are emitted as strings so heterogeneous
+  * column types fit one schema; profile numeric-heavy tables with
+  * dedicated queries when exact numeric bounds matter.
+  */
+object Profile {
+
+  def profile(df: DataFrame, cols: Seq[String],
+      exactDistinct: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__nn"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        (if (exactDistinct) count_distinct(col(c))
+         else approx_count_distinct(col(c))).as(s"${c}__distinct"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map { c =>
+        struct(lit(c).as("col_name"),
+          col(s"${c}__nn").as("n_non_null"),
+          col(s"${c}__nulls").as("n_nulls"),
+          col(s"${c}__distinct").as("n_distinct"),
+          col(s"${c}__min").as("min_value"),
+          col(s"${c}__max").as("max_value"))
+      }: _*)).as("p"))
+      .select("p.*")
+  }
+}

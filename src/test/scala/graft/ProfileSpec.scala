@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Profile
+
+/** Column profiler: hand-checked stats including an all-null column,
+  * approx-distinct mode bounds, and the single-scan plan property.
+  */
+class ProfileSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, Some("en"), Some(10L)),
+    (2L, Some("en"), None),
+    (3L, Some("de"), Some(30L)),
+    (4L, None, Some(10L))
+  ).toDF("id", "lang", "n")
+
+  test("per-column stats match hand counts; all-null column stays total") {
+    val p = Profile.profile(corpus.withColumn("dead", lit(null).cast("string")),
+        Seq("id", "lang", "n", "dead"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val id = p("id")
+    assert(id.getLong(1) === 4L && id.getLong(2) === 0L && id.getLong(3) === 4L)
+    assert(id.getString(4) === "1" && id.getString(5) === "4")
+    val lang = p("lang")
+    assert(lang.getLong(1) === 3L && lang.getLong(2) === 1L && lang.getLong(3) === 2L)
+    assert(lang.getString(4) === "de" && lang.getString(5) === "en")
+    val n = p("n")
+    assert(n.getLong(1) === 3L && n.getLong(2) === 1L && n.getLong(3) === 2L)
+    assert(n.getString(4) === "10" && n.getString(5) === "30")
+    val dead = p("dead")
+    assert(dead.getLong(1) === 0L && dead.getLong(2) === 4L && dead.getLong(3) === 0L)
+    assert(dead.isNullAt(4) && dead.isNullAt(5))
+  }
+
+  test("approx mode drops the Expand and stays within HLL error") {
+    val wide = spark.range(0, 5000).select(col("id"),
+      (col("id") % 97).as("mod"))
+    val exactPlan = Profile.profile(wide, Seq("id", "mod"))
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"),
+      "exact multi-distinct plans through Expand")
+    val approx = Profile.profile(wide, Seq("id", "mod"), exactDistinct = false)
+    assert(!approx.queryExecution.executedPlan.toString.contains("Expand"))
+    // default rsd is 5% at one sigma — bound at ~3 sigma
+    val d = approx.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(math.abs(d("id") - 5000L) <= 750, s"HLL estimate off: ${d("id")}")
+    assert(math.abs(d("mod") - 97L) <= 15)
+  }
+
+  test("one scan: the profile never unions per-column subqueries") {
+    val plan = Profile.profile(corpus, Seq("id", "lang", "n"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"), s"per-column re-scan:\n$plan")
+  }
+}
