@@ -1160,6 +1160,13 @@ object SparkEntry {
         .select(col("id").as("vec_id"),
           col("cluster").cast("long").as("cluster"), col("dist"))),
 
+    // CL3: embedding mean-pooling — the chunk→document reduction in the
+    // same integer-exact arithmetic as the k-means update (quantize →
+    // exact long sums → floor-mean), grouped here as 50 synthetic docs.
+    "embedding_mean_pool" -> ((s, dir) =>
+      Cluster.meanPool(Tables.embeddings(s, dir),
+        col("vec_id") % 50, "embedding")),
+
     // CL2: cluster-balanced diverse sample — the consumable end of the
     // clustering chain: 5 centroid-nearest vectors per cluster, a
     // topic-balanced subset that spans the corpus's semantic spread.
@@ -2503,6 +2510,16 @@ object SparkEntry {
     "semantic_clusters" ->
       s"""WITH ${kmeansSql(8, 3, Cluster.DefaultScale)}
          |SELECT vec_id, cluster, dist FROM b3""".stripMargin,
+
+    "embedding_mean_pool" ->
+      s"""WITH q AS (SELECT vec_id % 50 AS group_id,
+         |  list_transform(embedding,
+         |    x -> floor(x::DOUBLE * ${Cluster.DefaultScale})::BIGINT) AS qv
+         |  FROM embeddings),
+         |l AS (SELECT group_id, d.d AS dim, qv[d.d+1] AS q
+         |  FROM q, range(0, ${SimilaritySearch.Dim}) d(d))
+         |SELECT group_id, dim, floor(sum(q)::DOUBLE / count(*))::BIGINT AS qmean
+         |FROM l GROUP BY group_id, dim""".stripMargin,
 
     "semantic_diverse_sample" ->
       s"""WITH ${kmeansSql(8, 3, Cluster.DefaultScale)}

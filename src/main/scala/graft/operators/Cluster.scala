@@ -123,6 +123,40 @@ object Cluster {
     assigned.select(col("id"), col("cluster"), col("dist"))
   }
 
+  /** Mean-pooling of embedding GROUPS — the chunk→document reduction: a
+    * document's chunks (or an entity's event embeddings) pool to one
+    * vector. Same integer-exact arithmetic as the k-means centroid
+    * update (quantize → exact long sums → floor-mean), so pooled
+    * vectors are reproducible at any parallelism and oracle-checkable.
+    * Output is long format `(group_id, dim, qmean)` — the sparse/
+    * relational form every downstream op here consumes; [[meanPoolVectors]]
+    * reassembles arrays when an ANN/cluster step needs them.
+    *
+    * Shape: explode is map-side; the only shuffle is the (group, dim)
+    * hash aggregate, partial-combined within partitions first.
+    */
+  def meanPool(emb: DataFrame, groupCol: Column, vecCol: String,
+      scale: Long = DefaultScale): DataFrame =
+    emb.select(groupCol.as("group_id"),
+        posexplode(transform(col(vecCol),
+          x => floor(x.cast("double") * scale).cast("long")))
+          .as(Seq("dim", "q")))
+      .groupBy(col("group_id"), col("dim").cast("long").as("dim"))
+      .agg(floor(sum(col("q")).cast("double") / count(lit(1)))
+        .cast("long").as("qmean"))
+
+  /** Array form of [[meanPool]]: `(group_id, pooled array<long>)`, the
+    * dims reassembled in order via a sorted struct collect (bounded per
+    * group at the embedding width).
+    */
+  def meanPoolVectors(emb: DataFrame, groupCol: Column, vecCol: String,
+      scale: Long = DefaultScale): DataFrame =
+    meanPool(emb, groupCol, vecCol, scale)
+      .groupBy(col("group_id"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("dim"), col("qmean")))),
+        s => s.getField("qmean")).as("pooled"))
+
   /** Cluster-balanced diverse subset — the consumable end of the
     * clustering chain: the `m` vectors NEAREST their centroid from every
     * cluster (rank by `(dist, id)`), i.e. one small, topic-balanced

@@ -137,6 +137,27 @@ class ClusterSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("meanPool: hand-checked floor-means; array form matches long form") {
+    // groups: ids {0,1} -> g0, {2} -> g1
+    val data = Seq(
+      (0L, Array(1.0f, -1.0f)),
+      (1L, Array(2.0f, 0.5f)),
+      (2L, Array(3.0f, 3.0f))
+    ).toDF("vec_id", "embedding")
+    val grp = expr("vec_id div 2")
+    val pooled = Cluster.meanPool(data, grp, "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // scale 1024: q(1.0)=1024, q(2.0)=2048 -> mean 1536; q(-1.0)=-1024,
+    // q(0.5)=512 -> floor(-512/2)=-256
+    assert(pooled((0L, 0L)) === 1536L)
+    assert(pooled((0L, 1L)) === -256L)
+    assert(pooled((1L, 0L)) === 3072L)
+    val vecs = Cluster.meanPoolVectors(data, grp, "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(vecs(0L) === Seq(1536L, -256L))
+    assert(vecs(1L) === Seq(3072L, 3072L))
+  }
+
   test("assignment is map-only over the scan and stays inside WholeStageCodegen") {
     // parquet-backed (a local relation would be collapsed eagerly by
     // ConvertToLocalRelation and show no plan at all)

@@ -159,6 +159,40 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       s"join keys must include the salt, got: $keysLine")
   }
 
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // Spark's InjectRuntimeFilter builds a bloom filter over the
+    // FILTERED build side's join keys and semi-filters the probe side
+    // BEFORE its shuffle — at 100 TB the difference between shuffling
+    // the full fact table and shuffling the matching slice. The engine
+    // does this automatically once the size conditions hold; this gate
+    // pins the conditions so a conf/default drift can't silently lose
+    // the optimization.
+    import org.apache.spark.sql.functions.col
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force a shuffle join
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val dir = "/root/testdata/sf0.001"
+      val plan = Tables.lineitem(spark, dir)
+        .join(Tables.orders(spark, dir)
+          .filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "l_extendedprice")
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+        s"runtime bloom filter not injected:\n${plan.take(2000)}")
+    } finally {
+      saved.foreach { case (k, v) => v match {
+        case Some(x) => spark.conf.set(k, x)
+        case None => spark.conf.unset(k)
+      } }
+    }
+  }
+
   test("every query result is non-empty at sf0.01 (the driver's oracle SF)") {
     // Must run at the SAME scale factor the driver's DuckDB comparison
     // uses: r6's ann_lsh_banded_topk was non-empty at sf0.001 (a lucky
