@@ -1133,6 +1133,23 @@ object SparkEntry {
       graft.operators.Profile.profile(Tables.documents(s, dir),
         Seq("doc_id", "text", "lang", "source", "n_chars"))),
 
+    // Q2: per-column top-k frequent values — the profile's companion
+    // (which values dominate a skewed column). One scan, map-side
+    // explode, partial-combined counts, WindowGroupLimit rank.
+    "table_topk_values" -> ((s, dir) =>
+      graft.operators.Profile.topValues(Tables.documents(s, dir),
+          Seq("lang", "source"), k = 3)
+        .select(col("col_name"), col("value"), col("n"),
+          col("rank").cast("long").as("rank"))),
+
+    // F1: ordered behavioral funnel — earliest view→click→purchase
+    // chain per user within 7 days of the anchoring view; one row per
+    // entered user with step timestamps (null once broken) and depth.
+    "user_funnel" -> ((s, dir) =>
+      graft.operators.Funnel.funnel(Tables.events(s, dir),
+        "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), withinSec = Some(7L * 86400))),
+
     // L1: multi-dimensional layout key — the Morton z-value over two
     // bounded dimension keys. Sorting/range-partitioning a table by zv
     // ([[graft.operators.Layout.zOrdered]]) tiles the (x, y) space so
@@ -2495,6 +2512,33 @@ object SparkEntry {
            |min($c)::VARCHAR AS min_value, max($c)::VARCHAR AS max_value
            |FROM documents""".stripMargin
       }.mkString("\nUNION ALL\n"),
+
+    "table_topk_values" ->
+      Seq("lang", "source").map { c =>
+        s"""SELECT col_name, value, n, rank FROM (
+           |  SELECT '$c' AS col_name, $c AS value, count(*)::BIGINT AS n,
+           |    row_number() OVER (ORDER BY count(*) DESC, $c) AS rank
+           |  FROM documents WHERE $c IS NOT NULL GROUP BY $c) t
+           |WHERE rank <= 3""".stripMargin
+      }.mkString("\nUNION ALL\n"),
+
+    "user_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT s1.user_id, s1.t1, min(e.ts) AS t2
+        |  FROM s1 LEFT JOIN events e ON e.user_id = s1.user_id
+        |    AND e.event_type = 'click' AND e.ts > s1.t1
+        |    AND e.ts <= s1.t1 + INTERVAL 7 DAY
+        |  GROUP BY s1.user_id, s1.t1),
+        |s3 AS (SELECT s2.user_id, s2.t1, s2.t2, min(e.ts) AS t3
+        |  FROM s2 LEFT JOIN events e ON e.user_id = s2.user_id
+        |    AND e.event_type = 'purchase' AND e.ts > s2.t2
+        |    AND e.ts <= s2.t1 + INTERVAL 7 DAY
+        |  GROUP BY s2.user_id, s2.t1, s2.t2)
+        |SELECT user_id, t1, t2, t3,
+        |  (CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        |   ELSE 1 END)::BIGINT AS depth
+        |FROM s3""".stripMargin,
 
     "events_zorder_key" -> {
       // the Morton interleave unrolled: bit j of x at 2j, of y at 2j+1

@@ -48,4 +48,33 @@ object Profile {
       }: _*)).as("p"))
       .select("p.*")
   }
+
+  /** The `k` most frequent values per column — the profile's companion
+    * (counts and bounds say a column is skewed; this says TOWARD WHAT).
+    * One scan: rows explode map-side to `(col_name, value)` pairs,
+    * partial-combined hash counts, then a per-column WindowGroupLimit
+    * rank. Nulls are excluded (the profile already counts them); ties
+    * break by value for determinism.
+    *
+    * Scale note: the rank partitions by COLUMN, so one column's distinct
+    * values rank in one task — fine for the categorical columns this is
+    * meant for; a free-text column belongs in `profile`'s distinct
+    * count, not here.
+    */
+  def topValues(df: DataFrame, cols: Seq[String], k: Int): DataFrame = {
+    require(cols.nonEmpty, "topValues needs at least one column")
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    df.select(explode(array(cols.map { c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("value"))
+      }: _*)).as("s"))
+      .select("s.*")
+      .filter(col("value").isNotNull)
+      .groupBy(col("col_name"), col("value"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("col_name"))
+          .orderBy(col("n").desc, col("value"))))
+      .filter(col("rank") <= k)
+  }
 }

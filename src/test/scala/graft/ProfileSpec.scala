@@ -51,6 +51,17 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(d("mod") - 97L) <= 15)
   }
 
+  test("topValues: per-column modes, tie-break by value, nulls excluded") {
+    val t = Profile.topValues(corpus, Seq("lang", "n"), k = 1)
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(t("lang") === (("en", 2L))) // null lang row excluded
+    assert(t("n") === (("10", 2L)))
+    val t2 = Profile.topValues(corpus, Seq("lang"), k = 3)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getInt(3)))
+    // en(2) then de(1); no null row
+    assert(t2.toSeq === Seq(("en", 2L, 1), ("de", 1L, 2)))
+  }
+
   test("one scan: the profile never unions per-column subqueries") {
     val plan = Profile.profile(corpus, Seq("id", "lang", "n"))
       .queryExecution.executedPlan.toString
