@@ -1177,6 +1177,21 @@ object SparkEntry {
         .select(col("id").as("vec_id"),
           col("cluster").cast("long").as("cluster"), col("dist"))),
 
+    // CL4: train/apply split — the injected-copy vectors (a "new ingest
+    // batch") classified against centroids TRAINED on the base corpus
+    // (k=8, 3 rounds): the nightly-train / per-batch-apply production
+    // shape. Map-only application; oracle scores the same new vectors
+    // against the unrolled chain's last centroid table.
+    "semantic_assign_new" -> ((s, dir) => {
+      val cents = Cluster.kmeansCentroids(Tables.embeddings(s, dir),
+        "vec_id", "embedding", k = 8, iters = 3)
+      val fresh = Tables.embeddings(s, dir).filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      Cluster.assignTo(fresh, "vec_id", "embedding", cents)
+        .select(col("id").as("vec_id"),
+          col("cluster").cast("long").as("cluster"), col("dist"))
+    }),
+
     // CL3: embedding mean-pooling — the chunk→document reduction in the
     // same integer-exact arithmetic as the k-means update (quantize →
     // exact long sums → floor-mean), grouped here as 50 synthetic docs.
@@ -2554,6 +2569,22 @@ object SparkEntry {
     "semantic_clusters" ->
       s"""WITH ${kmeansSql(8, 3, Cluster.DefaultScale)}
          |SELECT vec_id, cluster, dist FROM b3""".stripMargin,
+
+    "semantic_assign_new" ->
+      s"""WITH ${kmeansSql(8, 3, Cluster.DefaultScale)},
+         |q2 AS (SELECT vec_id + 100000 AS vec_id,
+         |  list_transform(embedding,
+         |    x -> floor(x::DOUBLE * ${Cluster.DefaultScale})::BIGINT) AS qv
+         |  FROM embeddings WHERE vec_id % 25 = 0),
+         |l2 AS (SELECT vec_id, d.d AS dim, qv[d.d+1] AS v
+         |  FROM q2, range(0, ${SimilaritySearch.Dim}) d(d)),
+         |an AS (SELECT l.vec_id, c.cluster,
+         |  sum((l.v - c.val)*(l.v - c.val))::BIGINT AS dist
+         |  FROM l2 l JOIN c2 c ON l.dim = c.dim
+         |  GROUP BY l.vec_id, c.cluster)
+         |SELECT vec_id, cluster, dist FROM (SELECT vec_id, cluster, dist,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+         |  FROM an) WHERE rn = 1""".stripMargin,
 
     "embedding_mean_pool" ->
       s"""WITH q AS (SELECT vec_id % 50 AS group_id,

@@ -62,14 +62,29 @@ object Cluster {
       transform(col(vecCol),
         x => floor(x.cast("double") * scale).cast("long")).as("qv"))
 
-  /** Final k-means assignment `(id, cluster, dist)` after `iters`
-    * assignment rounds (centroids update between rounds, not after the
-    * last). `cluster` is the seed rank (0-based over the k smallest
-    * ids); `dist` the squared-L2 distance to the assigned centroid in
-    * the quantized space.
+  /** The map-only argmin pass: k is small by construction, so the
+    * argmin is a single expression — least() over k static
+    * (dist, cluster) structs (lexicographic, so ties break to the
+    * lowest cluster id, same as ORDER BY dist, cluster). No explode, no
+    * aggregate, no shuffle: one codegen'd projection over the scan.
     */
-  def kmeansAssignments(emb: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int, scale: Long = DefaultScale): DataFrame = {
+  private def assignExpr(q: DataFrame,
+      centroids: Seq[(Int, Array[Long])]): DataFrame =
+    q.select(col("id"),
+      least(centroids.map { case (c, v) =>
+        struct(
+          VectorFunctions.sqDistL(col("qv"), array(v.map(lit(_)): _*))
+            .as("dist"),
+          lit(c).as("cluster"))
+      }: _*).as("m"), col("qv"))
+      .select(col("id"), col("m.cluster").as("cluster"),
+        col("m.dist").as("dist"), col("qv"))
+
+  /** The Lloyd loop: returns the final assignment AND the centroid
+    * matrix it was scored against (i.e. after `iters - 1` updates).
+    */
+  private def lloyd(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, scale: Long): (DataFrame, Seq[(Int, Array[Long])]) = {
     require(k > 0, s"k must be positive, got $k")
     require(iters > 0, s"iters must be positive, got $iters")
     val q = quantized(emb, idCol, vecCol, scale)
@@ -84,21 +99,7 @@ object Cluster {
 
     var assigned: DataFrame = null
     for (t <- 1 to iters) {
-      // ASSIGN: k is small by construction, so the argmin is a single
-      // map-side expression — least() over k static (dist, cluster)
-      // structs (lexicographic, so ties break to the lowest cluster id,
-      // same as ORDER BY dist, cluster). No explode, no aggregate, no
-      // shuffle: the whole assignment pass stays in one codegen'd
-      // projection over the scan.
-      assigned = q.select(col("id"),
-        least(centroids.map { case (c, v) =>
-          struct(
-            VectorFunctions.sqDistL(col("qv"), array(v.map(lit(_)): _*))
-              .as("dist"),
-            lit(c).as("cluster"))
-        }: _*).as("m"), col("qv"))
-        .select(col("id"), col("m.cluster").as("cluster"),
-          col("m.dist").as("dist"), col("qv"))
+      assigned = assignExpr(q, centroids)
       if (t < iters) {
         // UPDATE: floor-mean per (cluster, dim); k*d rows total — bounded
         // collect that also truncates the iteration's lineage
@@ -120,7 +121,52 @@ object Cluster {
         }
       }
     }
-    assigned.select(col("id"), col("cluster"), col("dist"))
+    (assigned, centroids)
+  }
+
+  /** Final k-means assignment `(id, cluster, dist)` after `iters`
+    * assignment rounds (centroids update between rounds, not after the
+    * last). `cluster` is the seed rank (0-based over the k smallest
+    * ids); `dist` the squared-L2 distance to the assigned centroid in
+    * the quantized space.
+    */
+  def kmeansAssignments(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, scale: Long = DefaultScale): DataFrame =
+    lloyd(emb, idCol, vecCol, k, iters, scale)._1
+      .select(col("id"), col("cluster"), col("dist"))
+
+  /** The TRAINED model as data: `(cluster, centroid array<long>)` — the
+    * matrix the final [[kmeansAssignments]] round scored against, so
+    * `assignTo(train, centroids)` reproduces `kmeansAssignments(train)`
+    * exactly. Write it to parquet, reload it tomorrow, and [[assignTo]]
+    * classifies each new ingest batch without touching the corpus — the
+    * train-once / apply-per-batch split every production clustering
+    * pipeline needs.
+    */
+  def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, scale: Long = DefaultScale): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    lloyd(emb, idCol, vecCol, k, iters, scale)._2
+      .map { case (c, v) => (c, v.toSeq) }
+      .toDF("cluster", "centroid")
+  }
+
+  /** Classify vectors against a trained centroid table ([[kmeansCentroids]]
+    * layout): `(id, cluster, dist)`. The centroids collect to the driver
+    * (bounded, k·d longs) and inline into the same map-only codegen'd
+    * argmin as training — assigning a batch is one projection over its
+    * scan, no join, no shuffle.
+    */
+  def assignTo(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, scale: Long = DefaultScale): DataFrame = {
+    val cents: Seq[(Int, Array[Long])] = centroids
+      .select(col("cluster").cast("int"), col("centroid"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toArray).toSeq
+      .sortBy(_._1)
+    require(cents.nonEmpty, "assignTo needs a non-empty centroid table")
+    assignExpr(quantized(emb, idCol, vecCol, scale), cents)
+      .select(col("id"), col("cluster"), col("dist"))
   }
 
   /** Mean-pooling of embedding GROUPS — the chunk→document reduction: a

@@ -137,6 +137,33 @@ class ClusterSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("train/apply split: assignTo(centroids) == kmeansAssignments; parquet roundtrip") {
+    val rnd = new scala.util.Random(55)
+    val data = (0 until 100).map(i =>
+      i.toLong -> Array.fill(8)(rnd.nextFloat() * 2 - 1))
+    val df = data.toDF("vec_id", "embedding")
+    val trained = Cluster.kmeansAssignments(df, "vec_id", "embedding", 4, 3)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    val cents = Cluster.kmeansCentroids(df, "vec_id", "embedding", 4, 3)
+    // applying the trained model to the training set reproduces training
+    val applied = Cluster.assignTo(df, "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(applied === trained)
+    // the model survives persistence (the nightly-train / per-batch-apply shape)
+    val dir = java.nio.file.Files.createTempDirectory("cents").toString
+    cents.write.mode("overwrite").parquet(dir)
+    val reloaded = Cluster.assignTo(df, "vec_id", "embedding",
+        spark.read.parquet(dir))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(reloaded === trained)
+    // identical new vectors land exactly where their originals did
+    val copies = data.take(10).map { case (id, v) => (id + 1000L, v) }
+      .toDF("vec_id", "embedding")
+    val assignedCopies = Cluster.assignTo(copies, "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assignedCopies.foreach { case (id, cd) => assert(cd === trained(id - 1000L)) }
+  }
+
   test("meanPool: hand-checked floor-means; array form matches long form") {
     // groups: ids {0,1} -> g0, {2} -> g1
     val data = Seq(
