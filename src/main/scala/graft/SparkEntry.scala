@@ -312,6 +312,23 @@ object SparkEntry {
     sb.toString
   }
 
+  /** The view→click→purchase funnel chain (mirrors [[Funnel.funnel]]
+    * with a 7-day horizon anchored at t1), shared by the funnel oracles.
+    */
+  private val funnelChainSql =
+    """s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (SELECT s1.user_id, s1.t1, min(e.ts) AS t2
+      |  FROM s1 LEFT JOIN events e ON e.user_id = s1.user_id
+      |    AND e.event_type = 'click' AND e.ts > s1.t1
+      |    AND e.ts <= s1.t1 + INTERVAL 7 DAY
+      |  GROUP BY s1.user_id, s1.t1),
+      |s3 AS (SELECT s2.user_id, s2.t1, s2.t2, min(e.ts) AS t3
+      |  FROM s2 LEFT JOIN events e ON e.user_id = s2.user_id
+      |    AND e.event_type = 'purchase' AND e.ts > s2.t2
+      |    AND e.ts <= s2.t1 + INTERVAL 7 DAY
+      |  GROUP BY s2.user_id, s2.t1, s2.t2)""".stripMargin
+
   // ---- the contract -------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1149,6 +1166,15 @@ object SparkEntry {
       graft.operators.Funnel.funnel(Tables.events(s, dir),
         "user_id", "event_type", "ts",
         Seq("view", "click", "purchase"), withinSec = Some(7L * 86400))),
+
+    // F2: the funnel report — entities reaching each step (cumulative
+    // from the depth histogram by exploding each depth to the steps it
+    // proves; no partitionless window, no inequality join).
+    "funnel_conversion" -> ((s, dir) =>
+      graft.operators.Funnel.conversion(
+        graft.operators.Funnel.funnel(Tables.events(s, dir),
+          "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"), withinSec = Some(7L * 86400)))),
 
     // L1: multi-dimensional layout key — the Morton z-value over two
     // bounded dimension keys. Sorting/range-partitioning a table by zv
@@ -2538,22 +2564,20 @@ object SparkEntry {
       }.mkString("\nUNION ALL\n"),
 
     "user_funnel" ->
-      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
-        |  WHERE event_type = 'view' GROUP BY user_id),
-        |s2 AS (SELECT s1.user_id, s1.t1, min(e.ts) AS t2
-        |  FROM s1 LEFT JOIN events e ON e.user_id = s1.user_id
-        |    AND e.event_type = 'click' AND e.ts > s1.t1
-        |    AND e.ts <= s1.t1 + INTERVAL 7 DAY
-        |  GROUP BY s1.user_id, s1.t1),
-        |s3 AS (SELECT s2.user_id, s2.t1, s2.t2, min(e.ts) AS t3
-        |  FROM s2 LEFT JOIN events e ON e.user_id = s2.user_id
-        |    AND e.event_type = 'purchase' AND e.ts > s2.t2
-        |    AND e.ts <= s2.t1 + INTERVAL 7 DAY
-        |  GROUP BY s2.user_id, s2.t1, s2.t2)
-        |SELECT user_id, t1, t2, t3,
-        |  (CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
-        |   ELSE 1 END)::BIGINT AS depth
-        |FROM s3""".stripMargin,
+      s"""WITH $funnelChainSql
+         |SELECT user_id, t1, t2, t3,
+         |  (CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+         |   ELSE 1 END)::BIGINT AS depth
+         |FROM s3""".stripMargin,
+
+    "funnel_conversion" ->
+      s"""WITH $funnelChainSql,
+         |f AS (SELECT (CASE WHEN t3 IS NOT NULL THEN 3
+         |  WHEN t2 IS NOT NULL THEN 2 ELSE 1 END) AS depth FROM s3),
+         |h AS (SELECT depth, count(*)::BIGINT AS n FROM f GROUP BY depth)
+         |SELECT step, sum(n)::BIGINT AS n_entities FROM (
+         |  SELECT unnest(range(1, depth + 1))::BIGINT AS step, n FROM h) t
+         |GROUP BY step""".stripMargin,
 
     "events_zorder_key" -> {
       // the Morton interleave unrolled: bit j of x at 2j, of y at 2j+1

@@ -58,4 +58,16 @@ object Funnel {
     }
     acc.withColumn("depth", depth)
   }
+
+  /** The funnel report — one row per step with how many entities
+    * reached it (count of depth ≥ step). An entity at depth d reached
+    * steps 1..d, so each depth-histogram row EXPLODES to the steps it
+    * proves — pure relational cumulative, no partitionless window, no
+    * inequality join; everything after the funnel itself is
+    * |steps|-sized. Steps nobody reached are absent.
+    */
+  def conversion(funnelOut: DataFrame): DataFrame =
+    funnelOut.groupBy(col("depth")).agg(count(lit(1)).as("n"))
+      .select(explode(sequence(lit(1L), col("depth"))).as("step"), col("n"))
+      .groupBy(col("step")).agg(sum(col("n")).as("n_entities"))
 }

@@ -60,6 +60,16 @@ class FunnelSpec extends AnyFunSuite with SparkTestBase {
     assert(out(1L)._4 === 3L) // inside the horizon, unchanged
   }
 
+  test("conversion: cumulative reached-step counts from the depth histogram") {
+    val out = Funnel.conversion(
+      Funnel.funnel(events, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // entered: users 1,2,3,4,5,7 = 6; reached click: 1,2,4,5,7 = 5
+    // (user 3's click precedes their view); reached purchase: 1
+    assert(out === Map(1L -> 6L, 2L -> 5L, 3L -> 1L))
+  }
+
   test("guards: short or repeated step lists are rejected") {
     intercept[IllegalArgumentException] {
       Funnel.funnel(events, "user_id", "event_type", "ts", Seq("view"))

@@ -29,8 +29,25 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def run_retry(con, sql: str) -> pd.DataFrame:
+    """One retry on DuckDB's transient 'Out of Memory Error ... bad
+    allocation' — seen on this container when a just-exited JVM still
+    holds commit charge; the rerun a moment later always succeeds."""
+    try:
+        return con.sql(sql).df()
+    except duckdb.Error as e:
+        if "Out of Memory" not in str(e):
+            raise
+        import time
+        time.sleep(10)
+        return con.sql(sql).df()
+
+
 def main() -> int:
     con = duckdb.connect()
+    # bound the allocation appetite: 32 threads' concurrent operator
+    # buffers are what collide with lingering JVM commit charge
+    con.execute("SET threads=8")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     oracle = json.load(open(f"{OUT}/oracle_sql.json"))
@@ -38,8 +55,8 @@ def main() -> int:
     for name, sql in sorted(oracle.items()):
         try:
             got = canon(
-                con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'").df())
-            want = canon(con.sql(sql).df())
+                run_retry(con, f"SELECT * FROM '{OUT}/{name}/*.parquet'"))
+            want = canon(run_retry(con, sql))
             if list(got.columns) != list(want.columns):
                 print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
                 n_fail += 1
