@@ -1140,6 +1140,18 @@ object SparkEntry {
             .cast("long").as("q"))
     }),
 
+    // N1: per-group winsorization — values clipped to their event
+    // type's [p05, p95] (exact interpolated percentiles, the
+    // value_quantiles definition, so bounds are cross-engine
+    // identical); the feature-taming step before training.
+    "value_winsorized" -> ((s, dir) =>
+      graft.operators.Normalize.winsorize(
+          Tables.events(s, dir)
+            .filter(col("value").isNotNull && !isnan(col("value"))),
+          "value", Seq("event_type"))
+        .select(col("event_id"), col("event_type"),
+          trunc4(col("value_w")).as("value_w"))),
+
     // Q1: one-pass table profile — per-column non-null/null/distinct
     // counts and string-cast bounds as rows, the first query against an
     // unfamiliar table (and the A4 null-profile generalized: queryable,
@@ -2544,6 +2556,15 @@ object SparkEntry {
         |CAST(least(floor((embedding[i::INT]::DOUBLE - vmin)
         |  / greatest(vmax - vmin, 1e-12) * 256.0), 255.0) AS BIGINT) AS q
         |FROM e, unnest(range(1, len(embedding)+1)) AS u(i)""".stripMargin,
+
+    "value_winsorized" ->
+      """WITH clean AS (SELECT event_id, event_type, value FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(value)),
+        |b AS (SELECT event_type, quantile_cont(value, 0.05) AS lo,
+        |  quantile_cont(value, 0.95) AS hi FROM clean GROUP BY event_type)
+        |SELECT event_id, clean.event_type,
+        |  floor(least(greatest(value, lo), hi)*10000)/10000 AS value_w
+        |FROM clean JOIN b ON clean.event_type = b.event_type""".stripMargin,
 
     "table_profile" ->
       Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
