@@ -312,6 +312,19 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Per-column profile as UNION ALL branches (mirrors
+    * [[graft.operators.Profile.profile]]; the oracle may re-scan per
+    * column — the engine side must not).
+    */
+  private def profileSql(table: String, cols: Seq[String]): String =
+    cols.map { c =>
+      s"""SELECT '$c' AS col_name, count($c)::BIGINT AS n_non_null,
+         |sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+         |count(DISTINCT $c)::BIGINT AS n_distinct,
+         |min($c)::VARCHAR AS min_value, max($c)::VARCHAR AS max_value
+         |FROM $table""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
   /** The view→click→purchase funnel chain (mirrors [[Funnel.funnel]]
     * with a 7-day horizon anchored at t1), shared by the funnel oracles.
     */
@@ -1187,6 +1200,19 @@ object SparkEntry {
         graft.operators.Funnel.funnel(Tables.events(s, dir),
           "user_id", "event_type", "ts",
           Seq("view", "click", "purchase"), withinSec = Some(7L * 86400)))),
+
+    // Q3: profile drift — two snapshots' profiles full-outer joined on
+    // the column name: schema add/drop status, count deltas, bounds
+    // flag. The "after" snapshot is the en-only subset with `source`
+    // dropped (ProfileSpec also covers the 'added' branch).
+    "profile_drift" -> ((s, dir) => {
+      val P = graft.operators.Profile
+      P.drift(
+        P.profile(Tables.documents(s, dir),
+          Seq("doc_id", "text", "lang", "source", "n_chars")),
+        P.profile(Tables.documents(s, dir).filter(col("lang") === "en"),
+          Seq("doc_id", "text", "lang", "n_chars")))
+    }),
 
     // L1: multi-dimensional layout key — the Morton z-value over two
     // bounded dimension keys. Sorting/range-partitioning a table by zv
@@ -2567,13 +2593,23 @@ object SparkEntry {
         |FROM clean JOIN b ON clean.event_type = b.event_type""".stripMargin,
 
     "table_profile" ->
-      Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
-        s"""SELECT '$c' AS col_name, count($c)::BIGINT AS n_non_null,
-           |sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
-           |count(DISTINCT $c)::BIGINT AS n_distinct,
-           |min($c)::VARCHAR AS min_value, max($c)::VARCHAR AS max_value
-           |FROM documents""".stripMargin
-      }.mkString("\nUNION ALL\n"),
+      profileSql("documents", Seq("doc_id", "text", "lang", "source", "n_chars")),
+
+    "profile_drift" ->
+      s"""WITH pa AS (${profileSql("documents",
+             Seq("doc_id", "text", "lang", "source", "n_chars"))}),
+         |pb AS (${profileSql("(SELECT * FROM documents WHERE lang = 'en')",
+             Seq("doc_id", "text", "lang", "n_chars"))})
+         |SELECT COALESCE(pa.col_name, pb.col_name) AS col_name,
+         |  CASE WHEN pa.col_name IS NULL THEN 'added'
+         |    WHEN pb.col_name IS NULL THEN 'dropped'
+         |    ELSE 'common' END AS status,
+         |  pa.n_non_null AS n_non_null_before, pb.n_non_null AS n_non_null_after,
+         |  pa.n_nulls AS n_nulls_before, pb.n_nulls AS n_nulls_after,
+         |  pa.n_distinct AS n_distinct_before, pb.n_distinct AS n_distinct_after,
+         |  (pa.min_value IS NOT DISTINCT FROM pb.min_value AND
+         |   pa.max_value IS NOT DISTINCT FROM pb.max_value) AS bounds_unchanged
+         |FROM pa FULL OUTER JOIN pb ON pa.col_name = pb.col_name""".stripMargin,
 
     "table_topk_values" ->
       Seq("lang", "source").map { c =>

@@ -49,6 +49,29 @@ object Profile {
       .select("p.*")
   }
 
+  /** Snapshot drift report — the reason profiles are ROWS: full-outer
+    * join two snapshots' profiles on the column name and report, per
+    * column, the before/after counts and whether the value bounds
+    * moved. `status` marks schema drift ('added'/'dropped'); everything
+    * is |columns|-sized — the scans already happened in [[profile]].
+    * This is the nightly data-quality diff that catches a silently
+    * nulled column or a collapsed cardinality before training does.
+    */
+  def drift(before: DataFrame, after: DataFrame): DataFrame =
+    before.as("a").join(after.as("b"), Seq("col_name"), "full_outer")
+      .select(col("col_name"),
+        when(col("a.n_non_null").isNull, "added")
+          .when(col("b.n_non_null").isNull, "dropped")
+          .otherwise("common").as("status"),
+        col("a.n_non_null").as("n_non_null_before"),
+        col("b.n_non_null").as("n_non_null_after"),
+        col("a.n_nulls").as("n_nulls_before"),
+        col("b.n_nulls").as("n_nulls_after"),
+        col("a.n_distinct").as("n_distinct_before"),
+        col("b.n_distinct").as("n_distinct_after"),
+        (col("a.min_value") <=> col("b.min_value") &&
+          col("a.max_value") <=> col("b.max_value")).as("bounds_unchanged"))
+
   /** The `k` most frequent values per column — the profile's companion
     * (counts and bounds say a column is skewed; this says TOWARD WHAT).
     * One scan: rows explode map-side to `(col_name, value)` pairs,

@@ -62,6 +62,24 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     assert(t2.toSeq === Seq(("en", 2L, 1), ("de", 1L, 2)))
   }
 
+  test("drift: schema add/drop status, count deltas, bounds flag") {
+    val before = Profile.profile(corpus, Seq("id", "lang", "n"))
+    val after = Profile.profile(
+      corpus.filter(col("lang") === "en").withColumn("extra", lit(1L)),
+      Seq("id", "lang", "extra"))
+    val d = Profile.drift(before, after)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(d("n").getString(1) === "dropped")
+    assert(d("extra").getString(1) === "added")
+    assert(d("id").getString(1) === "common")
+    // en-only: ids {1, 2} of 4 -> counts shrink, bounds move (max 4 -> 2)
+    assert(d("id").getLong(2) === 4L && d("id").getLong(3) === 2L)
+    assert(!d("id").getBoolean(8))
+    // lang collapses to one distinct value, bounds now en..en
+    assert(d("lang").getLong(6) === 2L && d("lang").getLong(7) === 1L)
+    assert(!d("lang").getBoolean(8))
+  }
+
   test("one scan: the profile never unions per-column subqueries") {
     val plan = Profile.profile(corpus, Seq("id", "lang", "n"))
       .queryExecution.executedPlan.toString
