@@ -271,6 +271,34 @@ object SparkEntry {
     }.mkString("(", " + ", ")")
   }
 
+  /** Unrolled PageRank CTE chain (mirrors [[graft.operators.PageRank.ranks]]):
+    * symmetrized supplier—customer edges, then per superstep one
+    * join+group-by CTE computing r_i from r_{i-1} with the identical
+    * integer recurrence (floor divisions of non-negative longs,
+    * associative BIGINT sums — DuckDB sums into HUGEINT, hence the
+    * ::BIGINT casts).
+    */
+  private def pagerankSql(iters: Int, scale: Long): String = {
+    val base =
+      s"""ebase AS (SELECT DISTINCT 's' || l_suppkey AS a, 'c' || o_custkey AS b
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |edges AS (SELECT a AS src, b AS dst FROM ebase
+         |  UNION SELECT b AS src, a AS dst FROM ebase),
+         |deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY src),
+         |nn AS (SELECT count(*)::BIGINT AS n FROM deg),
+         |r0 AS (SELECT src AS node,
+         |  ($scale // (SELECT n FROM nn))::BIGINT AS rank FROM deg)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (SELECT e.dst AS node,
+         |  (($scale * 15) // (100 * (SELECT n FROM nn)))::BIGINT
+         |    + ((85 * sum(r.rank // d.outdeg)) // 100)::BIGINT AS rank
+         |  FROM edges e JOIN r${i - 1} r ON e.src = r.node
+         |  JOIN deg d ON e.src = d.src
+         |  GROUP BY e.dst)""".stripMargin
+    }
+    (base +: steps).mkString(",\n")
+  }
+
   /** Unrolled k-means CTE chain (mirrors [[Cluster.kmeansAssignments]]):
     * quantize → long format → seeds = k smallest ids → per round an
     * assignment CTE `b<i>` (argmin by ORDER BY dist, cluster) and, between
@@ -1212,6 +1240,56 @@ object SparkEntry {
           Seq("doc_id", "text", "lang", "source", "n_chars")),
         P.profile(Tables.documents(s, dir).filter(col("lang") === "en"),
           Seq("doc_id", "text", "lang", "n_chars")))
+    }),
+
+    // Q4: robust per-group outliers — events whose value sits > 3 MADs
+    // from the per-type median. Discrete lower median (the (n+1)/2-th
+    // row under ORDER BY value, id), so median/MAD/threshold are all
+    // bit-exact cross-engine — no interpolation anywhere.
+    "value_outliers_mad" -> ((s, dir) =>
+      graft.operators.Profile.outliersMad(
+          Tables.events(s, dir)
+            .filter(col("value").isNotNull && !isnan(col("value"))),
+          "event_type", "value", "event_id", k = 3)
+        .select(col("grp").as("event_type"), col("id").as("event_id"),
+          col("v").as("value"), col("med"), col("mad"), col("dev"))),
+
+    // Q5: per-group feature correlation matrix — every pair's Pearson
+    // corr as a partial aggregate in ONE hash aggregate over one scan,
+    // exploded to (group, col_x, col_y) rows map-side. Floor-truncated:
+    // co-moment accumulation order is engine-dependent in the last ulps.
+    "feature_correlations" -> ((s, dir) =>
+      graft.operators.Profile.correlations(Tables.lineitem(s, dir),
+          "l_returnflag", Seq(
+            ("l_quantity", "l_extendedprice"),
+            ("l_extendedprice", "l_discount"),
+            ("l_quantity", "l_discount"),
+            ("l_discount", "l_tax")))
+        .select(col("grp").as("l_returnflag"), col("col_x"), col("col_y"),
+          col("corr_t"))),
+
+    // ER1: fuzzy record linkage — customer-name pairs within edit
+    // distance 1 via EXACT deletion-neighborhood blocking (FastSS
+    // family): an equi-join on delete-one keys + one levenshtein
+    // filter, never a cross join. The oracle is the NAIVE all-pairs
+    // formulation — blocked and unblocked must return the same pairs.
+    "fuzzy_name_pairs" -> ((s, dir) =>
+      graft.operators.EntityMatch.fuzzyPairs(Tables.customer(s, dir),
+        "c_custkey", "c_name")),
+
+    // G1: PageRank over the symmetrized supplier—customer co-purchase
+    // graph, 3 supersteps, integer-exact (floor-division contributions,
+    // LONG sums, literal base term — operators.PageRank rationale). The
+    // oracle replays the same recurrence as an unrolled CTE chain, so
+    // the full iterative propagation is hash-checked, not smoke-checked.
+    "graph_pagerank" -> ((s, dir) => {
+      val raw = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("s"), col("l_suppkey")).as("a"),
+          concat(lit("c"), col("o_custkey")).as("b"))
+      graft.operators.PageRank.ranks(
+        graft.operators.PageRank.undirect(raw, "a", "b"), "src", "dst",
+        iters = 3)
     }),
 
     // L1: multi-dimensional layout key — the Morton z-value over two
@@ -2610,6 +2688,52 @@ object SparkEntry {
          |  (pa.min_value IS NOT DISTINCT FROM pb.min_value AND
          |   pa.max_value IS NOT DISTINCT FROM pb.max_value) AS bounds_unchanged
          |FROM pa FULL OUTER JOIN pb ON pa.col_name = pb.col_name""".stripMargin,
+
+    "value_outliers_mad" ->
+      """WITH base AS (SELECT event_type AS grp, event_id AS id,
+        |  value::DOUBLE AS v FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(value)),
+        |r1 AS (SELECT grp, id, v,
+        |  row_number() OVER (PARTITION BY grp ORDER BY v, id) AS rn,
+        |  count(*) OVER (PARTITION BY grp) AS n FROM base),
+        |med AS (SELECT grp, v AS med FROM r1 WHERE rn = (n + 1) // 2),
+        |dv AS (SELECT b.grp, b.id, b.v, m.med, abs(b.v - m.med) AS dev
+        |  FROM base b JOIN med m ON b.grp = m.grp),
+        |r2 AS (SELECT grp, id, dev,
+        |  row_number() OVER (PARTITION BY grp ORDER BY dev, id) AS rn,
+        |  count(*) OVER (PARTITION BY grp) AS n FROM dv),
+        |mad AS (SELECT grp, dev AS mad FROM r2 WHERE rn = (n + 1) // 2)
+        |SELECT d.grp AS event_type, d.id AS event_id, d.v AS value,
+        |  d.med AS med, m.mad AS mad, d.dev AS dev
+        |FROM dv d JOIN mad m ON d.grp = m.grp
+        |WHERE d.dev > 3 * m.mad""".stripMargin,
+
+    "feature_correlations" ->
+      """WITH a AS (SELECT l_returnflag AS grp,
+        |  corr(l_quantity, l_extendedprice) AS c0,
+        |  corr(l_extendedprice, l_discount) AS c1,
+        |  corr(l_quantity, l_discount) AS c2,
+        |  corr(l_discount, l_tax) AS c3
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT grp AS l_returnflag, col_x, col_y,
+        |  floor(c * 10000) / 10000 AS corr_t FROM (
+        |  SELECT grp, 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+        |    c0 AS c FROM a
+        |  UNION ALL SELECT grp, 'l_extendedprice', 'l_discount', c1 FROM a
+        |  UNION ALL SELECT grp, 'l_quantity', 'l_discount', c2 FROM a
+        |  UNION ALL SELECT grp, 'l_discount', 'l_tax', c3 FROM a) t""".stripMargin,
+
+    "fuzzy_name_pairs" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  a.c_name AS name_a, b.c_name AS name_b,
+        |  levenshtein(a.c_name, b.c_name)::INT AS dist
+        |FROM customer a, customer b
+        |WHERE a.c_custkey < b.c_custkey
+        |  AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+
+    "graph_pagerank" ->
+      s"""WITH ${pagerankSql(3, graft.operators.PageRank.DefaultScale)}
+         |SELECT node, rank FROM r3""".stripMargin,
 
     "table_topk_values" ->
       Seq("lang", "source").map { c =>

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph propagation over an edge table — PageRank as iterated
+  * relational algebra, made integer-exact so it is reproducible at any
+  * parallelism and oracle-checkable cross-engine (same playbook as the
+  * k-means in [[Cluster]]: quantize once, then keep every step in
+  * associative LONG arithmetic).
+  *
+  * Why it belongs in a curation engine: authority scores over a
+  * citation/link/co-occurrence graph are a standard quality prior for
+  * training-data selection (rank documents by the link graph, weight
+  * the sample by rank), and the same propagation skeleton runs label
+  * propagation and connected components ([[Dedup.clusterPairs]] is the
+  * min-label special case).
+  *
+  * Integer formulation (scale `S`, damping 85/100, `N` nodes):
+  *  - r₀(v)   = S // N                      (integer division)
+  *  - contribution of edge (u→v) = r(u) // outdeg(u)
+  *  - r(v)    = (S·15) // (100·N)  +  (85 · Σ contribs) // 100
+  * All divisions are floor divisions of non-negative LONGs, every sum
+  * is a LONG sum — associative, so partial aggregation order cannot
+  * change a single bit, and an unrolled SQL CTE chain computes the
+  * identical table. Dropped remainders mean total mass decays a few
+  * parts per billion per iteration at S = 2⁶² — irrelevant for
+  * ranking, and the price of exact replay.
+  *
+  * Per-iteration shape (the 100 TB posture): ONE equi-join of the rank
+  * table (N rows) to the edge table on `src` + one hash aggregate by
+  * `dst` — the classic Pregel superstep as vanilla shuffle joins, so
+  * AQE/skew handling applies unchanged. The edge table is the big
+  * side and is iterated over k times: persist it partitioned by `src`
+  * (bucketed, or `repartition(src)` + cache) so every superstep reuses
+  * one partitioning and only the N-row rank table moves. Outdegrees
+  * are computed once. Hub skew (a node with 10⁸ in-edges) is absorbed
+  * by partial aggregation — contributions combine map-side before the
+  * exchange, the same shape that makes the daily-KPI aggregate safe.
+  * Lineage grows linearly in iterations; past ~10 supersteps a
+  * `localCheckpoint` per iteration keeps the plan bounded (documented,
+  * not needed at k=3).
+  *
+  * No dangling-node term: callers feed SYMMETRIZED edges (see
+  * [[undirect]]) or accept that sink mass leaks, the common
+  * simplification. With symmetric edges every node has outdeg ≥ 1 and
+  * indeg ≥ 1, so no outer join is needed anywhere.
+  */
+object PageRank {
+
+  /** 2⁶² — headroom: the biggest intermediate is 85 · Σ contribs,
+    * and Σ contribs ≤ S because each node's outgoing mass splits its
+    * own rank; 85 · S < 2⁶³ exactly when S ≤ 2⁶² · (1/42.5)… so we
+    * keep S at 2⁵⁵, far under the overflow line even if every unit of
+    * mass lands on one node.
+    */
+  val DefaultScale = 1L << 55
+
+  /** Both directions of each edge, deduplicated. */
+  def undirect(edges: DataFrame, src: String, dst: String): DataFrame =
+    edges.select(col(src).as("src"), col(dst).as("dst"))
+      .union(edges.select(col(dst).as("src"), col(src).as("dst")))
+      .distinct()
+
+  /** `(node, rank)` after `iters` supersteps over `(src, dst)` edges.
+    * Requires every node to occur as a source (symmetrize with
+    * [[undirect]] first); `nodes` = distinct sources.
+    */
+  def ranks(edges: DataFrame, src: String, dst: String, iters: Int,
+      scale: Long = DefaultScale): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col(src).as("src"), col(dst).as("dst"))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // N is a driver-side scalar (one count job) — it parameterizes the
+    // literal base term exactly as the SQL oracle's constant does.
+    val n = e.select(col("src")).distinct().count()
+    require(n > 0, "empty edge table")
+    val base = (scale * 15L) / (100L * n)
+    var r = e.select(col("src").as("node")).distinct()
+      .withColumn("rank", lit(scale / n))
+    for (_ <- 1 to iters) {
+      r = e.join(deg, "src")
+        .join(r, e("src") === r("node"))
+        .select(col("dst").as("node"),
+          expr("rank div outdeg").as("contrib"))
+        .groupBy(col("node"))
+        .agg((lit(base) + expr("(85 * sum(contrib)) div 100")).as("rank"))
+    }
+    r
+  }
+}

@@ -100,4 +100,72 @@ object Profile {
           .orderBy(col("n").desc, col("value"))))
       .filter(col("rank") <= k)
   }
+
+  /** Robust per-group outlier detection — flag rows whose value sits
+    * more than `k` median-absolute-deviations from the group median.
+    * Median/MAD (not mean/stddev) because the statistic itself must not
+    * be dragged by the outliers it hunts — the standard robust scheme
+    * for fare anomalies, sensor glitches, length-outlier documents.
+    *
+    * Made cross-engine exact the same way [[Cluster]] is: no
+    * interpolation anywhere. The median is the DISCRETE lower median —
+    * the row ranked (n+1)/2 under `ORDER BY value, tie` — so it is an
+    * actual data value, and every derived quantity (deviation = one
+    * IEEE subtraction, MAD = a deviation that exists in the data,
+    * threshold = one IEEE multiply) is bit-identical in any engine.
+    *
+    * Shape: two ranked windows per group (sort shuffles partitioned by
+    * the group key) + two joins of a |groups|-row statistic table back
+    * to the fact side — the bounds side broadcasts, the fact side never
+    * re-shuffles after the windows. Same posture as winsorization next
+    * door ([[Normalize]]), which clips where this flags.
+    */
+  def outliersMad(df: DataFrame, group: String, value: String, tie: String,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"k must be positive, got $k")
+    val base = df.select(col(group).as("grp"), col(tie).as("id"),
+      col(value).cast("double").as("v"))
+    val byGrp = Window.partitionBy(col("grp"))
+    def lowerMedian(in: DataFrame, ord: String, out: String): DataFrame =
+      in.withColumn("rn",
+          row_number().over(byGrp.orderBy(col(ord), col("id"))))
+        .withColumn("n", count(lit(1)).over(byGrp))
+        .filter(expr("rn = (n + 1) div 2"))
+        .select(col("grp"), col(ord).as(out))
+    val med = lowerMedian(base, "v", "med")
+    val withDev = base.join(med, "grp")
+      .withColumn("dev", abs(col("v") - col("med")))
+    val mad = lowerMedian(withDev, "dev", "mad")
+    withDev.join(mad, "grp")
+      .filter(col("dev") > lit(k) * col("mad"))
+      .select(col("grp"), col("id"), col("v"), col("med"), col("mad"),
+        col("dev"))
+  }
+
+  /** Pairwise Pearson correlations per group, ONE scan: every `corr`
+    * is a partial aggregate in a single hash aggregate (no per-pair
+    * subqueries), and the 1-row-per-group result explodes to
+    * (group, col_x, col_y) rows map-side. Correlations are the
+    * profiler's second-order companion — redundant features, leaking
+    * labels, and drifted relationships all show up here first.
+    * Values are floor-truncated at 1e-4: the co-moment accumulation
+    * order is engine- and partitioning-dependent in the last ulps,
+    * the truncation is not.
+    */
+  def correlations(df: DataFrame, group: String,
+      pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "correlations needs at least one column pair")
+    val aggs = pairs.zipWithIndex.map { case ((x, y), i) =>
+      corr(col(x), col(y)).as(s"_c$i")
+    }
+    df.groupBy(col(group).as("grp")).agg(aggs.head, aggs.tail: _*)
+      .select(col("grp"),
+        explode(array(pairs.zipWithIndex.map { case ((x, y), i) =>
+          struct(lit(x).as("col_x"), lit(y).as("col_y"),
+            (floor(col(s"_c$i") * 1e4) / 1e4).as("corr_t"))
+        }: _*)).as("p"))
+      .select(col("grp"), col("p.col_x").as("col_x"),
+        col("p.col_y").as("col_y"), col("p.corr_t").as("corr_t"))
+  }
 }

@@ -85,4 +85,48 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Union"), s"per-column re-scan:\n$plan")
   }
+
+  test("outliersMad: discrete median/MAD, odd and even groups") {
+    val df = Seq(
+      ("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0), ("a", 4L, 4.0),
+      ("a", 5L, 100.0), // odd group: med=3, mad=1 -> only 100 flagged
+      ("b", 6L, 1.0), ("b", 7L, 2.0), ("b", 8L, 3.0),
+      ("b", 9L, 10.0) // even group: lower med=2, mad=1 -> only 10 flagged
+    ).toDF("grp0", "id0", "v0")
+    val got = Profile.outliersMad(df, "grp0", "v0", "id0", k = 3)
+      .select("grp", "id", "v", "med", "mad", "dev")
+      .as[(String, Long, Double, Double, Double, Double)].collect().toSet
+    assert(got === Set(
+      ("a", 5L, 100.0, 3.0, 1.0, 97.0),
+      ("b", 9L, 10.0, 2.0, 1.0, 8.0)))
+  }
+
+  test("outliersMad: zero MAD flags every deviation (documented edge)") {
+    val df = Seq(("c", 1L, 5.0), ("c", 2L, 5.0), ("c", 3L, 5.0),
+      ("c", 4L, 9.0)).toDF("g", "i", "x")
+    val got = Profile.outliersMad(df, "g", "x", "i")
+      .select("id").as[Long].collect().toSeq
+    // med=5, every dev but one is 0 -> mad=0 -> any nonzero dev flags
+    assert(got === Seq(4L))
+  }
+
+  test("correlations: sign and magnitude on constructed linear data") {
+    val df = spark.range(0, 1000).select(
+      (col("id") % 2).cast("string").as("g"),
+      col("id").cast("double").as("x"),
+      (col("id") * 2 + 1).cast("double").as("y"),
+      (-col("id")).cast("double").as("z"),
+      pmod(col("id") * 2654435761L, lit(97L)).cast("double").as("w"))
+    val rows = Profile.correlations(df, "g",
+        Seq(("x", "y"), ("x", "z"), ("x", "w")))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getDouble(3))
+      .toMap
+    for (g <- Seq("0", "1")) {
+      assert(rows((g, "x", "y")) >= 0.9999, "perfect positive correlation")
+      assert(rows((g, "x", "z")) <= -0.9999, "perfect negative correlation")
+      assert(math.abs(rows((g, "x", "w"))) < 0.2, "hash column decorrelated")
+    }
+    assert(rows.size === 6)
+  }
 }
