@@ -1268,6 +1268,22 @@ object SparkEntry {
         .select(col("grp").as("l_returnflag"), col("col_x"), col("col_y"),
           col("corr_t"))),
 
+    // CL5: kNN label propagation — every 50th vector plays "unlabeled"
+    // and takes the majority label of its 10 nearest LABELED neighbors
+    // (exact top-k baseline; the vote composes identically over the
+    // IVF/banded-LSH retrieval for the scale path — KnnClassifySpec
+    // proves vote-over-index == vote-over-exact where recall allows).
+    "knn_label_assign" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      val labeled = emb.filter(col("vec_id") % 50 =!= 0)
+      graft.operators.KnnClassify.vote(
+          SimilaritySearch.bruteForceTopK(labeled, queries, k = 10),
+          labeled, "vec_id", "label")
+        .select(col("query_id"), col("label"), col("votes"),
+          col("best_rank").cast("long").as("best_rank"))
+    }),
+
     // ER1: fuzzy record linkage — customer-name pairs within edit
     // distance 1 via EXACT deletion-neighborhood blocking (FastSS
     // family): an equi-join on delete-one keys + one levenshtein
@@ -2722,6 +2738,24 @@ object SparkEntry {
         |  UNION ALL SELECT grp, 'l_extendedprice', 'l_discount', c1 FROM a
         |  UNION ALL SELECT grp, 'l_quantity', 'l_discount', c2 FROM a
         |  UNION ALL SELECT grp, 'l_discount', 'l_tax', c3 FROM a) t""".stripMargin,
+
+    "knn_label_assign" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |c AS (SELECT vec_id, embedding, label FROM embeddings
+         |  WHERE vec_id % 50 <> 0),
+         |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id, c.label,
+         |  ${cosSql("q.qv", "c.embedding")} AS cosine FROM c, q),
+         |ranked AS (SELECT query_id, neighbor_id, label, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM scored),
+         |tally AS (SELECT query_id, label, count(*)::BIGINT AS votes,
+         |  min(rank)::BIGINT AS best_rank
+         |  FROM ranked WHERE rank <= 10 GROUP BY query_id, label)
+         |SELECT query_id, label, votes, best_rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY votes DESC, best_rank, label) AS rn FROM tally) t
+         |WHERE rn = 1""".stripMargin,
 
     "fuzzy_name_pairs" ->
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
