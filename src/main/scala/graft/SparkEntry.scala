@@ -973,6 +973,16 @@ object SparkEntry {
       Dedup.winnowPairs(docNearDupCorpus(s, dir), minShared = 5,
         maxDocFreq = Some(10L))),
 
+    // DD2c: longest aligned exact span per pair — substring-level dedup
+    // (the suffix-array-dedup signal at n-gram alignment resolution):
+    // positioned-shingle inverted-index join, constant-offset
+    // gaps-and-islands run detection. span_tokens = longest shared
+    // consecutive token run; DedupSpec proves it equals the token-level
+    // longest-common-substring DP on randomized corpora.
+    "dedup_aligned_spans" -> ((s, dir) =>
+      Dedup.alignedSpanPairs(Tables.documents(s, dir), n = 3,
+        minTokens = 10, maxDocFreq = Some(ShingleDfCap))),
+
     // DD3: MinHash+LSH candidate pairs (16 hashes, 4 bands x 4 rows).
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minHashLshPairs(docNearDupCorpus(s, dir))
@@ -2738,6 +2748,30 @@ object SparkEntry {
         |  UNION ALL SELECT grp, 'l_extendedprice', 'l_discount', c1 FROM a
         |  UNION ALL SELECT grp, 'l_quantity', 'l_discount', c2 FROM a
         |  UNION ALL SELECT grp, 'l_discount', 'l_tax', c3 FROM a) t""".stripMargin,
+
+    "dedup_aligned_spans" ->
+      s"""WITH tokp AS (SELECT doc_id,
+         |  string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+         |pshl AS (SELECT doc_id,
+         |  list_transform(range(0, greatest(len(toks)-3, 0)+1),
+         |    i -> struct_pack(pos := i,
+         |      s := array_to_string(toks[(i+1):(i+3)], ' '))) AS lst
+         |  FROM tokp),
+         |psh0 AS (SELECT doc_id AS id, u.pos AS pos, u.s AS s
+         |  FROM (SELECT doc_id, unnest(lst) AS u FROM pshl)),
+         |hot AS (SELECT s FROM psh0 GROUP BY s HAVING count(*) > $ShingleDfCap),
+         |psh AS (SELECT * FROM psh0 WHERE s NOT IN (SELECT s FROM hot)),
+         |j AS (SELECT a.id AS id_a, b.id AS id_b, a.pos AS pa,
+         |  a.pos - b.pos AS diff
+         |  FROM psh a JOIN psh b ON a.s = b.s AND a.id < b.id),
+         |r AS (SELECT id_a, id_b, diff, pa, pa - row_number() OVER (
+         |  PARTITION BY id_a, id_b, diff ORDER BY pa) AS island FROM j),
+         |runs AS (SELECT id_a, id_b, count(*)::BIGINT AS run_len
+         |  FROM r GROUP BY id_a, id_b, diff, island)
+         |SELECT id_a, id_b, (max(run_len) + 2)::BIGINT AS span_tokens,
+         |  sum(run_len)::BIGINT AS n_aligned
+         |FROM runs GROUP BY id_a, id_b
+         |HAVING max(run_len) + 2 >= 10""".stripMargin,
 
     "knn_label_assign" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv

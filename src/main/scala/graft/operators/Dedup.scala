@@ -171,6 +171,63 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
 
+  /** Longest ALIGNED exact span per document pair — the substring-dedup
+    * depth the set-similarity family cannot see: Jaccard/MinHash score
+    * shared VOCABULARY; this finds shared CONSECUTIVE RUNS (quoted
+    * passages, boilerplate blocks, copy-pasted sections), the signal
+    * substring-level training-data dedup (suffix-array dedup à la
+    * "Deduplicating Training Data Makes Language Models Better") keys
+    * on — here at n-gram alignment resolution, as pure relational
+    * algebra instead of a suffix array:
+    *
+    *  1. POSITIONED shingles (id, pos, s) — every occurrence, not the
+    *     distinct set;
+    *  2. inverted-index self-join on the shingle (the same equi-join
+    *     plan as [[jaccardPairs]], same `maxDocFreq` broadcast anti-join
+    *     guard — here capping total OCCURRENCES, the actual join fanout);
+    *  3. aligned matches share a constant offset `diff = pos_a − pos_b`,
+    *     and a consecutive run is a gaps-and-islands group: within
+    *     (pair, diff), `pos_a − row_number()` is constant exactly along
+    *     a run. One partitioned window + one hash aggregate.
+    *
+    * A run of r shingles covers r + n − 1 tokens. Returns
+    * (id_a, id_b, span_tokens, n_aligned) for pairs whose longest
+    * aligned span reaches `minTokens`; n_aligned counts all aligned
+    * shingle occurrences (a pair with many short shared runs scores
+    * high n_aligned, low span_tokens — both signals are useful cuts).
+    */
+  def alignedSpanPairs(docs: DataFrame, n: Int = 3, minTokens: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxDocFreq: Option[Long] = None): DataFrame = {
+    require(minTokens >= n,
+      s"minTokens ($minTokens) must be >= shingle width ($n)")
+    val toks = docs.select(col(idCol).as("id"),
+      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("id").orderBy("pos")
+    val cnt = Window.partitionBy("id")
+    val psh = sharedRelation(dfCap(
+      toks
+        .withColumn("n_toks", count(lit(1)).over(cnt))
+        .withColumn("s", concat_ws(" ",
+          (0 until n).map(j => lead(col("tok"), j).over(w)): _*))
+        .filter(col("pos") <= greatest(col("n_toks") - n, lit(0)))
+        .select("id", "pos", "s"),
+      "s", maxDocFreq))
+    val aligned = psh.as("a")
+      .join(psh.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.pos").as("pa"), (col("a.pos") - col("b.pos")).as("diff"))
+    val runW = Window.partitionBy("id_a", "id_b", "diff").orderBy("pa")
+    aligned
+      .withColumn("island", col("pa") - row_number().over(runW))
+      .groupBy("id_a", "id_b", "diff", "island")
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy("id_a", "id_b")
+      .agg((max(col("run_len")) + lit(n - 1)).as("span_tokens"),
+        sum(col("run_len")).as("n_aligned"))
+      .filter(col("span_tokens") >= minTokens)
+  }
+
   /** Containment pairs: asymmetric near-dup metric |A∩B| / |A| — catches
     * quote-inclusion and subsumption that symmetric Jaccard misses (a
     * short doc fully contained in a long one has low Jaccard but

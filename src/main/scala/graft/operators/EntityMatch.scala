@@ -59,12 +59,17 @@ object EntityMatch {
       col("_k"))
     val b = keyed.select(col("_id").as("id_b"), col("_name").as("name_b"),
       col("_k"))
+    // levenshtein BEFORE the distinct: the verify filter is a codegen'd
+    // per-row op, the distinct is a shuffle — dropping false candidates
+    // first means the dedup exchange carries only true pairs (each
+    // duplicated at most a handful of times by multi-key sharing), not
+    // the full candidate set.
     a.join(b, Seq("_k"))
-      .filter(col("id_a") < col("id_b"))
+      .filter(col("id_a") < col("id_b") &&
+        levenshtein(col("name_a"), col("name_b")) <= 1)
       .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"))
       .distinct() // a pair can share several deletion keys — keep one
       .withColumn("dist",
         levenshtein(col("name_a"), col("name_b")).cast("int"))
-      .filter(col("dist") <= 1)
   }
 }

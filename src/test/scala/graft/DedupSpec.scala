@@ -317,4 +317,56 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(banded === brute,
       "banded LSH must keep exact-dup recall at long code lengths")
   }
+
+  test("alignedSpanPairs: hand-checked runs, separate islands, guard") {
+    val docs = Seq(
+      (1L, "x1 x2 p q r s t u x3 x4"), // shares "p q r s t u" with 2
+      (2L, "y1 p q r s t u y2"),
+      (3L, "p q r s z1 z2 u v w x"), // two distinct runs vs 4
+      (4L, "p q r s k1 u v w x k2"),
+      (5L, "lone words only here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.alignedSpanPairs(docs, n = 3, minTokens = 4)
+      .select("id_a", "id_b", "span_tokens", "n_aligned")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // 1-2: one 6-token run = 4 aligned shingles; 3-4: two 4-token runs
+    // (2 shingles each) at different offsets -> span 4, aligned 4;
+    // every cross pair shares just the "p q r s" prefix -> span 4
+    assert(got === Set((1L, 2L, 6L, 4L), (3L, 4L, 4L, 4L),
+      (1L, 3L, 4L, 2L), (1L, 4L, 4L, 2L),
+      (2L, 3L, 4L, 2L), (2L, 4L, 4L, 2L)))
+    intercept[IllegalArgumentException] {
+      Dedup.alignedSpanPairs(docs, n = 3, minTokens = 2)
+    }
+  }
+
+  test("alignedSpanPairs == token-level longest-common-substring DP") {
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 30L).map { id =>
+      val toksN = 5 + rnd.nextInt(21)
+      (id, (0 until toksN).map(_ => s"w${rnd.nextInt(3)}").mkString(" "))
+    }
+    val n = 3
+    def lcs(a: Array[String], b: Array[String]): Int = {
+      val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+      var best = 0
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        if (a(i - 1) == b(j - 1)) {
+          dp(i)(j) = dp(i - 1)(j - 1) + 1
+          best = math.max(best, dp(i)(j))
+        }
+      best
+    }
+    val expected = (for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      l = lcs(ta.split("\\s+"), tb.split("\\s+")) if l >= n
+    } yield (ia, ib) -> l.toLong).toMap
+    val got = Dedup.alignedSpanPairs(docs.toDF("doc_id", "text"),
+        n = n, minTokens = n)
+      .select("id_a", "id_b", "span_tokens")
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got === expected)
+    assert(expected.nonEmpty, "3-symbol vocab must produce shared runs")
+  }
 }
