@@ -1252,6 +1252,33 @@ object SparkEntry {
           Seq("doc_id", "text", "lang", "n_chars")))
     }),
 
+    // F3: weekly retention cohorts over purchases — each user anchored
+    // to the week of their first purchase; the (cohort, offset) decay
+    // matrix. Monday-anchored date_trunc('week') both engines.
+    "retention_cohorts" -> ((s, dir) =>
+      graft.operators.Retention.cohorts(
+        Tables.events(s, dir).filter(col("event_type") === "purchase"),
+        col("user_id"), col("ts"))),
+
+    // V1: adjacent-token pair frequencies (the BPE-training inner loop;
+    // bigram collocation counts). Pairs never cross doc boundaries;
+    // minCount cuts the hapax tail before materialization.
+    "bpe_pair_counts" -> ((s, dir) =>
+      graft.functions.TextAnalysis.adjacentPairCounts(
+        Tables.documents(s, dir), minCount = 5L)),
+
+    // Q6: equi-DEPTH histogram — 10 near-equal-count bins per event
+    // type (quantile feature bucketing; the skew-proof complement of
+    // the equal-width value_histogram). ntile ties broken by event_id.
+    "value_equidepth_bins" -> ((s, dir) =>
+      graft.operators.Profile.equiDepthBins(
+          Tables.events(s, dir)
+            .filter(col("value").isNotNull && !isnan(col("value"))),
+          "event_type", "value", "event_id", nBins = 10)
+        .select(col("grp").as("event_type"),
+          col("bin").cast("long").as("bin"), col("n"),
+          col("bin_min"), col("bin_max"))),
+
     // Q4: robust per-group outliers — events whose value sits > 3 MADs
     // from the per-type median. Discrete lower median (the (n+1)/2-th
     // row under ORDER BY value, id), so median/MAD/threshold are all
@@ -2714,6 +2741,36 @@ object SparkEntry {
          |  (pa.min_value IS NOT DISTINCT FROM pb.min_value AND
          |   pa.max_value IS NOT DISTINCT FROM pb.max_value) AS bounds_unchanged
          |FROM pa FULL OUTER JOIN pb ON pa.col_name = pb.col_name""".stripMargin,
+
+    "retention_cohorts" ->
+      """WITH src AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |act AS (SELECT DISTINCT user_id AS k,
+        |  date_trunc('week', ts)::DATE AS w FROM src),
+        |fw AS (SELECT k, min(w) AS cohort_week FROM act GROUP BY k)
+        |SELECT fw.cohort_week,
+        |  (datediff('day', fw.cohort_week, act.w) // 7)::BIGINT AS week_offset,
+        |  count(*)::BIGINT AS n_active
+        |FROM act JOIN fw ON act.k = fw.k
+        |GROUP BY 1, 2""".stripMargin,
+
+    "bpe_pair_counts" ->
+      """WITH tok AS (SELECT doc_id,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |p AS (SELECT doc_id, list_transform(range(1, len(toks)),
+        |  i -> struct_pack(l := toks[i], r := toks[i+1])) AS prs FROM tok),
+        |u AS (SELECT u.l AS left_tok, u.r AS right_tok
+        |  FROM (SELECT unnest(prs) AS u FROM p))
+        |SELECT left_tok, right_tok, count(*)::BIGINT AS n FROM u
+        |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin,
+
+    "value_equidepth_bins" ->
+      """WITH base AS (SELECT event_type, event_id, value FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(value)),
+        |b AS (SELECT event_type, value, ntile(10) OVER (
+        |  PARTITION BY event_type ORDER BY value, event_id) AS bin FROM base)
+        |SELECT event_type, bin::BIGINT AS bin, count(*)::BIGINT AS n,
+        |  min(value) AS bin_min, max(value) AS bin_max
+        |FROM b GROUP BY event_type, bin""".stripMargin,
 
     "value_outliers_mad" ->
       """WITH base AS (SELECT event_type AS grp, event_id AS id,

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for the training-data pipeline over the
@@ -38,6 +39,28 @@ object TextAnalysis {
     * [[TextStatsKernel]]); the regexp formulation below is the spec twin.
     */
   private def stats(text: Column): Column = TextStatsFunctions.textStats(text)
+
+  /** Adjacent-token pair frequencies across the corpus — the BPE
+    * training inner loop (count every adjacent symbol pair; the merge
+    * rule picks the most frequent) and the bigram side of collocation
+    * mining. posexplode + a per-doc `lead` window stitch each token to
+    * its successor; the count aggregate partial-combines map-side, so
+    * the exchange carries |distinct pairs|, not |tokens| — at 100 TB
+    * the shuffle is vocabulary-sized (Zipf-bounded), and `minCount`
+    * (BPE's frequency floor) cuts the hapax tail before the result
+    * materializes. Pairs never cross document boundaries.
+    */
+  def adjacentPairCounts(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minCount: Long = 1L): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("id").orderBy("pos")
+    toks.withColumn("next", lead(col("tok"), 1).over(w))
+      .filter(col("next").isNotNull)
+      .groupBy(col("tok").as("left_tok"), col("next").as("right_tok"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+  }
 
   /** The regexp-built twin of [[TextStatsKernel]] — 10 scans per row,
     * kept as the independent parity oracle for the native expression

@@ -143,6 +143,25 @@ object Profile {
         col("dev"))
   }
 
+  /** Equi-DEPTH histogram per group — `nBins` buckets with (near-)equal
+    * row counts, vs the equal-WIDTH `value_histogram` formulation: the
+    * right binning for skewed features (quantile feature bucketing,
+    * calibration-curve bins). `ntile` over (value, tie) is the same
+    * deterministic rule in any SQL engine: first `count % nBins`
+    * buckets take one extra row. One partitioned sort-window + one hash
+    * aggregate; bin bounds are actual data values, so output is exact.
+    */
+  def equiDepthBins(df: DataFrame, group: String, value: String,
+      tie: String, nBins: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    val w = Window.partitionBy(col(group)).orderBy(col(value), col(tie))
+    df.withColumn("bin", ntile(nBins).over(w))
+      .groupBy(col(group).as("grp"), col("bin"))
+      .agg(count(lit(1)).as("n"), min(col(value)).as("bin_min"),
+        max(col(value)).as("bin_max"))
+  }
+
   /** Pairwise Pearson correlations per group, ONE scan: every `corr`
     * is a partial aggregate in a single hash aggregate (no per-pair
     * subqueries), and the 1-row-per-group result explodes to

@@ -16,6 +16,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
   private val allPairsByDesign = Set(
     "dedup_embedding_cosine", // exact O(n^2) baseline
     "ann_bruteforce_topk",    // |q| x corpus exact baseline
+    "knn_label_assign",       // vote over the same |q| x corpus baseline
+                              // (the IVF/banded retrieval composes equi)
     "ann_topk_agg",           // same all-pairs scoring, aggregator ranking
     "ann_ivf_topk",           // corpus x centroids assignment (broadcast)
     "ann_ivfpq_topk",         // same constant-size centroid broadcast; scoring itself is equi

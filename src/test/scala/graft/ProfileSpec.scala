@@ -110,6 +110,19 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     assert(got === Seq(4L))
   }
 
+  test("equiDepthBins: near-equal counts, exact data-value bounds") {
+    val df = (1L to 10L).map(i => ("g", i, i * 10.0)).toDF("g", "i", "v")
+    val got = Profile.equiDepthBins(df, "g", "v", "i", nBins = 3)
+      .select("bin", "n", "bin_min", "bin_max")
+      .as[(Int, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    // 10 rows over 3 bins: first 10 % 3 = 1 bin takes the extra row
+    assert(got === Seq((1, 4L, 10.0, 40.0), (2, 3L, 50.0, 70.0),
+      (3, 3L, 80.0, 100.0)))
+    intercept[IllegalArgumentException] {
+      Profile.equiDepthBins(df, "g", "v", "i", nBins = 0)
+    }
+  }
+
   test("correlations: sign and magnitude on constructed linear data") {
     val df = spark.range(0, 1000).select(
       (col("id") % 2).cast("string").as("g"),

@@ -238,4 +238,21 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     def hamming(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
     assert(hamming(sh(1L), sh(2L)) < hamming(sh(1L), sh(3L)))
   }
+
+  test("adjacentPairCounts: corpus bigrams, doc boundaries, minCount") {
+    val docs = Seq(
+      (1L, "a b a b c"), // (a,b)x2 via positions 0,2; (b,a); (b,c)
+      (2L, "c a b"), // (c,a), (a,b)
+      (3L, "b"), // single token — no pairs
+      (4L, "") // empty — no pairs
+    ).toDF("doc_id", "text")
+    val all = TextAnalysis.adjacentPairCounts(docs)
+      .as[(String, String, Long)].collect().toSet
+    // doc 1 ends in c, doc 2 starts with c — but (c,c) must NOT appear
+    assert(all === Set(("a", "b", 3L), ("b", "a", 1L), ("b", "c", 1L),
+      ("c", "a", 1L)))
+    val floored = TextAnalysis.adjacentPairCounts(docs, minCount = 2L)
+      .as[(String, String, Long)].collect().toSet
+    assert(floored === Set(("a", "b", 3L)))
+  }
 }
