@@ -1404,6 +1404,15 @@ object SparkEntry {
         .select(col("cluster").cast("long").as("cluster"),
           col("id").as("vec_id"), col("rank").cast("long").as("rank"))),
 
+    // T8: temperature-flattened mixture sampling (α = 0.5 via
+    // IEEE-exact sqrt) — keep-rates ∝ 1/sqrt(n_lang), so expected
+    // sample counts follow sqrt(n): the multilingual re-balancing step.
+    // Selection by content hash — reproducible at any parallelism.
+    "mixture_temperature_sample" -> ((s, dir) =>
+      graft.operators.Mixture.temperatureSample(
+          Tables.documents(s, dir), "lang", "text", scalePpm = 2000000L)
+        .select("doc_id", "lang", "keep_ppm")),
+
     // T7: reproducible stratified sampling — hash-based (not rand()), so
     // the sample is stable across runs/engines; rate by lang.
     "doc_sample_stratified" -> ((s, dir) =>
@@ -2931,6 +2940,15 @@ object SparkEntry {
          |SELECT cluster, vec_id, rank FROM (SELECT cluster, vec_id,
          |  row_number() OVER (PARTITION BY cluster ORDER BY dist, vec_id) AS rank
          |  FROM b3) WHERE rank <= 5""".stripMargin,
+
+    "mixture_temperature_sample" ->
+      s"""WITH cnt AS (SELECT lang, count(*)::BIGINT AS n
+         |  FROM documents GROUP BY lang),
+         |r AS (SELECT lang, least(1000000,
+         |  floor(2000000 / sqrt(n::DOUBLE))::BIGINT) AS keep_ppm FROM cnt)
+         |SELECT d.doc_id, d.lang, r.keep_ppm
+         |FROM documents d JOIN r ON d.lang = r.lang
+         |WHERE ${hash60Sql("d.text")} % 1000000 < r.keep_ppm""".stripMargin,
 
     "doc_sample_stratified" ->
       s"""SELECT doc_id, lang, bucket FROM (
