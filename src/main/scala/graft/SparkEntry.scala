@@ -1413,6 +1413,22 @@ object SparkEntry {
           Tables.documents(s, dir), "lang", "text", scalePpm = 2000000L)
         .select("doc_id", "lang", "keep_ppm")),
 
+    // T9: exact fixed-size per-stratum sample — EXACTLY k docs per lang
+    // (not a rate): rank by (content hash, id) per stratum, keep rank
+    // <= k. The deterministic stand-in for per-group reservoir
+    // sampling; WindowGroupLimit keeps only k rows per partition in
+    // the rank shuffle.
+    "doc_sample_fixed_k" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(TextHash.hash60(col("text")), col("doc_id"))
+      Tables.documents(s, dir)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 20)
+        .select(col("doc_id"), col("lang"),
+          col("rank").cast("long").as("rank"))
+    }),
+
     // T7: reproducible stratified sampling — hash-based (not rand()), so
     // the sample is stable across runs/engines; rate by lang.
     "doc_sample_stratified" -> ((s, dir) =>
@@ -2949,6 +2965,13 @@ object SparkEntry {
          |SELECT d.doc_id, d.lang, r.keep_ppm
          |FROM documents d JOIN r ON d.lang = r.lang
          |WHERE ${hash60Sql("d.text")} % 1000000 < r.keep_ppm""".stripMargin,
+
+    "doc_sample_fixed_k" ->
+      s"""SELECT doc_id, lang, rank FROM (
+         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+         |    ORDER BY ${hash60Sql("text")}, doc_id) AS rank
+         |  FROM documents) t
+         |WHERE rank <= 20""".stripMargin,
 
     "doc_sample_stratified" ->
       s"""SELECT doc_id, lang, bucket FROM (
