@@ -278,19 +278,28 @@ object SparkEntry {
     * associative BIGINT sums — DuckDB sums into HUGEINT, hence the
     * ::BIGINT casts).
     */
-  private def pagerankSql(iters: Int, scale: Long): String = {
+  private def pagerankSql(iters: Int, scale: Long,
+      seedPred: Option[String => String] = None): String = {
+    // restart mass: uniform over all nodes, or (personalized) only over
+    // nodes matching the seed predicate — same integer recurrence
+    val nFilter = seedPred.map(f => s" WHERE ${f("src")}").getOrElse("")
+    def restart(c: String, amount: String) = seedPred match {
+      case None => amount
+      case Some(f) => s"CASE WHEN ${f(c)} THEN $amount ELSE 0 END"
+    }
     val base =
       s"""ebase AS (SELECT DISTINCT 's' || l_suppkey AS a, 'c' || o_custkey AS b
          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
          |edges AS (SELECT a AS src, b AS dst FROM ebase
          |  UNION SELECT b AS src, a AS dst FROM ebase),
          |deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY src),
-         |nn AS (SELECT count(*)::BIGINT AS n FROM deg),
+         |nn AS (SELECT count(*)::BIGINT AS n FROM deg$nFilter),
          |r0 AS (SELECT src AS node,
-         |  ($scale // (SELECT n FROM nn))::BIGINT AS rank FROM deg)""".stripMargin
+         |  ${restart("src", s"($scale // (SELECT n FROM nn))")}::BIGINT AS rank
+         |  FROM deg)""".stripMargin
     val steps = (1 to iters).map { i =>
       s"""r$i AS (SELECT e.dst AS node,
-         |  (($scale * 15) // (100 * (SELECT n FROM nn)))::BIGINT
+         |  ${restart("e.dst", s"(($scale * 15) // (100 * (SELECT n FROM nn)))")}::BIGINT
          |    + ((85 * sum(r.rank // d.outdeg)) // 100)::BIGINT AS rank
          |  FROM edges e JOIN r${i - 1} r ON e.src = r.node
          |  JOIN deg d ON e.src = d.src
@@ -298,6 +307,46 @@ object SparkEntry {
     }
     (base +: steps).mkString(",\n")
   }
+
+  /** The symmetrized supplier—customer co-purchase edge table shared by
+    * the PageRank queries.
+    */
+  private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("s"), col("l_suppkey")).as("a"),
+        concat(lit("c"), col("o_custkey")).as("b"))
+    graft.operators.PageRank.undirect(raw, "a", "b")
+  }
+
+  /** Positioned-shingle aligned-span CTE chain (mirrors
+    * [[graft.operators.Dedup.alignedSpanPairs]] at n=3, minTokens=10):
+    * ends in `spans(id_a, id_b, span_tokens, n_aligned)`. Shared by the
+    * pair query and its connected-components kept-set composition.
+    */
+  private def alignedSpansSql: String =
+    s"""tokp AS (SELECT doc_id,
+       |  string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+       |pshl AS (SELECT doc_id,
+       |  list_transform(range(0, greatest(len(toks)-3, 0)+1),
+       |    i -> struct_pack(pos := i,
+       |      s := array_to_string(toks[(i+1):(i+3)], ' '))) AS lst
+       |  FROM tokp),
+       |psh0 AS (SELECT doc_id AS id, u.pos AS pos, u.s AS s
+       |  FROM (SELECT doc_id, unnest(lst) AS u FROM pshl)),
+       |hot AS (SELECT s FROM psh0 GROUP BY s HAVING count(*) > $ShingleDfCap),
+       |psh AS (SELECT * FROM psh0 WHERE s NOT IN (SELECT s FROM hot)),
+       |j AS (SELECT a.id AS id_a, b.id AS id_b, a.pos AS pa,
+       |  a.pos - b.pos AS diff
+       |  FROM psh a JOIN psh b ON a.s = b.s AND a.id < b.id),
+       |rr AS (SELECT id_a, id_b, diff, pa, pa - row_number() OVER (
+       |  PARTITION BY id_a, id_b, diff ORDER BY pa) AS island FROM j),
+       |runs AS (SELECT id_a, id_b, count(*)::BIGINT AS run_len
+       |  FROM rr GROUP BY id_a, id_b, diff, island),
+       |spans AS (SELECT id_a, id_b, (max(run_len) + 2)::BIGINT AS span_tokens,
+       |  sum(run_len)::BIGINT AS n_aligned
+       |  FROM runs GROUP BY id_a, id_b
+       |  HAVING max(run_len) + 2 >= 10)""".stripMargin
 
   /** Unrolled k-means CTE chain (mirrors [[Cluster.kmeansAssignments]]):
     * quantize → long format → seeds = k smallest ids → per round an
@@ -983,6 +1032,17 @@ object SparkEntry {
       Dedup.alignedSpanPairs(Tables.documents(s, dir), n = 3,
         minTokens = 10, maxDocFreq = Some(ShingleDfCap))),
 
+    // DD2d: the consumable end of substring dedup — docs surviving
+    // aligned-span pairing, via the same CC + anti-join chain as
+    // dedup_corpus_kept (one representative per span-sharing cluster).
+    "dedup_aligned_kept" -> ((s, dir) => {
+      val pairs = Dedup.alignedSpanPairs(Tables.documents(s, dir), n = 3,
+        minTokens = 10, maxDocFreq = Some(ShingleDfCap))
+      Dedup.dropNearDups(Tables.documents(s, dir),
+          Dedup.nearDupClusters(pairs.select("id_a", "id_b")))
+        .select(col("doc_id"))
+    }),
+
     // DD3: MinHash+LSH candidate pairs (16 hashes, 4 bands x 4 rows).
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minHashLshPairs(docNearDupCorpus(s, dir))
@@ -1335,15 +1395,17 @@ object SparkEntry {
     // LONG sums, literal base term — operators.PageRank rationale). The
     // oracle replays the same recurrence as an unrolled CTE chain, so
     // the full iterative propagation is hash-checked, not smoke-checked.
-    "graph_pagerank" -> ((s, dir) => {
-      val raw = Tables.lineitem(s, dir)
-        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("s"), col("l_suppkey")).as("a"),
-          concat(lit("c"), col("o_custkey")).as("b"))
-      graft.operators.PageRank.ranks(
-        graft.operators.PageRank.undirect(raw, "a", "b"), "src", "dst",
-        iters = 3)
-    }),
+    "graph_pagerank" -> ((s, dir) =>
+      graft.operators.PageRank.ranks(copurchaseEdges(s, dir), "src", "dst",
+        iters = 3)),
+
+    // G2: PERSONALIZED PageRank — restart mass only at supplier nodes,
+    // so ranks measure proximity to the supply side (seeded relevance
+    // propagation: expand a trusted seed set through the graph). Same
+    // recurrence, seed-conditional restart term.
+    "graph_ppr_suppliers" -> ((s, dir) =>
+      graft.operators.PageRank.personalizedRanks(copurchaseEdges(s, dir),
+        "src", "dst", iters = 3, isSeed = _.startsWith("s"))),
 
     // L1: multi-dimensional layout key — the Morton z-value over two
     // bounded dimension keys. Sorting/range-partitioning a table by zv
@@ -2832,28 +2894,22 @@ object SparkEntry {
         |  UNION ALL SELECT grp, 'l_discount', 'l_tax', c3 FROM a) t""".stripMargin,
 
     "dedup_aligned_spans" ->
-      s"""WITH tokp AS (SELECT doc_id,
-         |  string_split_regex(trim(text), '\\s+') AS toks FROM documents),
-         |pshl AS (SELECT doc_id,
-         |  list_transform(range(0, greatest(len(toks)-3, 0)+1),
-         |    i -> struct_pack(pos := i,
-         |      s := array_to_string(toks[(i+1):(i+3)], ' '))) AS lst
-         |  FROM tokp),
-         |psh0 AS (SELECT doc_id AS id, u.pos AS pos, u.s AS s
-         |  FROM (SELECT doc_id, unnest(lst) AS u FROM pshl)),
-         |hot AS (SELECT s FROM psh0 GROUP BY s HAVING count(*) > $ShingleDfCap),
-         |psh AS (SELECT * FROM psh0 WHERE s NOT IN (SELECT s FROM hot)),
-         |j AS (SELECT a.id AS id_a, b.id AS id_b, a.pos AS pa,
-         |  a.pos - b.pos AS diff
-         |  FROM psh a JOIN psh b ON a.s = b.s AND a.id < b.id),
-         |r AS (SELECT id_a, id_b, diff, pa, pa - row_number() OVER (
-         |  PARTITION BY id_a, id_b, diff ORDER BY pa) AS island FROM j),
-         |runs AS (SELECT id_a, id_b, count(*)::BIGINT AS run_len
-         |  FROM r GROUP BY id_a, id_b, diff, island)
-         |SELECT id_a, id_b, (max(run_len) + 2)::BIGINT AS span_tokens,
-         |  sum(run_len)::BIGINT AS n_aligned
-         |FROM runs GROUP BY id_a, id_b
-         |HAVING max(run_len) + 2 >= 10""".stripMargin,
+      s"""WITH $alignedSpansSql
+         |SELECT id_a, id_b, span_tokens, n_aligned FROM spans""".stripMargin,
+
+    // spans -> connected components -> surviving docs (the consumable
+    // end of substring dedup, same reach-CTE closure as dedup_clusters)
+    "dedup_aligned_kept" ->
+      s"""WITH RECURSIVE $alignedSpansSql,
+         |e AS (SELECT id_a AS src, id_b AS dst FROM spans
+         |  UNION ALL SELECT id_b, id_a FROM spans),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+         |clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster_id)""".stripMargin,
 
     "knn_label_assign" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
@@ -2883,6 +2939,11 @@ object SparkEntry {
 
     "graph_pagerank" ->
       s"""WITH ${pagerankSql(3, graft.operators.PageRank.DefaultScale)}
+         |SELECT node, rank FROM r3""".stripMargin,
+
+    "graph_ppr_suppliers" ->
+      s"""WITH ${pagerankSql(3, graft.operators.PageRank.DefaultScale,
+             Some(c => s"$c LIKE 's%'"))}
          |SELECT node, rank FROM r3""".stripMargin,
 
     "table_topk_values" ->

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Graph propagation over an edge table — PageRank as iterated
@@ -67,24 +67,59 @@ object PageRank {
     * [[undirect]] first); `nodes` = distinct sources.
     */
   def ranks(edges: DataFrame, src: String, dst: String, iters: Int,
-      scale: Long = DefaultScale): DataFrame = {
+      scale: Long = DefaultScale): DataFrame =
+    propagate(edges, src, dst, iters, scale, None)
+
+  /** PERSONALIZED PageRank: the teleport mass restarts only at nodes
+    * matching `isSeed`, so ranks measure proximity to the seed set —
+    * seeded relevance propagation ("expand this trusted/topical seed
+    * set through the graph"), the propagation half of
+    * graph-based corpus selection. Identical recurrence and shapes as
+    * [[ranks]]; with an all-true predicate it IS [[ranks]]
+    * (PageRankSpec pins that equality).
+    */
+  def personalizedRanks(edges: DataFrame, src: String, dst: String,
+      iters: Int, isSeed: Column => Column,
+      scale: Long = DefaultScale): DataFrame =
+    propagate(edges, src, dst, iters, scale, Some(isSeed))
+
+  private def propagate(edges: DataFrame, src: String, dst: String,
+      iters: Int, scale: Long, seed: Option[Column => Column]): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val e = edges.select(col(src).as("src"), col(dst).as("dst"))
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    // N is a driver-side scalar (one count job) — it parameterizes the
-    // literal base term exactly as the SQL oracle's constant does.
-    val n = e.select(col("src")).distinct().count()
-    require(n > 0, "empty edge table")
+    // materialize the edge list and outdegrees ONCE: every superstep
+    // (plus the node count) re-reads them, and their lineage is whatever
+    // produced the edges (joins/unions/distinct) — without this each
+    // iteration re-pays the full edge construction. Reliable checkpoint
+    // when a dir is set (cluster), executor-local otherwise.
+    def materialized(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(false)
+      else df.localCheckpoint(false)
+    val e = materialized(edges.select(col(src).as("src"), col(dst).as("dst")))
+    val deg = materialized(
+      e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
+    val nodes = e.select(col("src")).distinct()
+    // the restart-set size is a driver-side scalar (one count job) — it
+    // parameterizes the literal base term exactly as the SQL oracle's
+    // constant does
+    val n = seed.map(f => nodes.filter(f(col("src"))).count())
+      .getOrElse(nodes.count())
+    require(n > 0, "empty node/seed set")
     val base = (scale * 15L) / (100L * n)
-    var r = e.select(col("src").as("node")).distinct()
-      .withColumn("rank", lit(scale / n))
+    def restart(node: Column, amount: Long) = seed match {
+      case None => lit(amount)
+      case Some(f) => when(f(node), lit(amount)).otherwise(lit(0L))
+    }
+    var r = nodes.select(col("src").as("node"))
+      .withColumn("rank", restart(col("node"), scale / n))
     for (_ <- 1 to iters) {
       r = e.join(deg, "src")
         .join(r, e("src") === r("node"))
         .select(col("dst").as("node"),
           expr("rank div outdeg").as("contrib"))
         .groupBy(col("node"))
-        .agg((lit(base) + expr("(85 * sum(contrib)) div 100")).as("rank"))
+        .agg((restart(col("node"), base) +
+          expr("(85 * sum(contrib)) div 100")).as("rank"))
     }
     r
   }

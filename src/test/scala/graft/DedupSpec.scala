@@ -338,6 +338,13 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException] {
       Dedup.alignedSpanPairs(docs, n = 3, minTokens = 2)
     }
+    // the consumable end: all four span-sharing docs collapse to one
+    // representative; the unpaired doc survives untouched
+    val pairs = Dedup.alignedSpanPairs(docs, n = 3, minTokens = 4)
+    val kept = Dedup.dropNearDups(docs,
+        Dedup.nearDupClusters(pairs.select("id_a", "id_b")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 5L))
   }
 
   test("alignedSpanPairs == token-level longest-common-substring DP") {

@@ -12,17 +12,20 @@ import graft.operators.PageRank
 class PageRankSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
 
-  /** The same recurrence, single-threaded over adjacency maps. */
+  /** The same recurrence, single-threaded over adjacency maps; `seed`
+    * restricts the restart set (all-true = uniform PageRank).
+    */
   private def naive(edges: Seq[(String, String)], iters: Int,
-      scale: Long): Map[String, Long] = {
+      scale: Long, seed: String => Boolean = _ => true): Map[String, Long] = {
     val out = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
     val nodes = edges.map(_._1).distinct
-    val n = nodes.size
+    val n = nodes.count(seed)
     val base = scale * 15L / (100L * n)
-    var r = nodes.map(v => v -> scale / n).toMap
+    var r = nodes.map(v => v -> (if (seed(v)) scale / n else 0L)).toMap
     for (_ <- 1 to iters) {
       r = edges.groupBy(_._2).map { case (dst, es) =>
-        dst -> (base + 85L * es.map { case (src, _) => r(src) / out(src) }.sum / 100L)
+        dst -> ((if (seed(dst)) base else 0L) +
+          85L * es.map { case (src, _) => r(src) / out(src) }.sum / 100L)
       }
     }
     r
@@ -59,6 +62,31 @@ class PageRankSpec extends AnyFunSuite with SparkTestBase {
     val many = PageRank.ranks(e.repartition(7), "src", "dst", iters = 3)
       .as[(String, Long)].collect().toMap
     assert(one === many)
+  }
+
+  test("personalized: matches the seeded naive recurrence; decays with distance") {
+    // path graph a-b-c-d-e, seeded at a
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+    val sym = path.flatMap { case (x, y) => Seq((x, y), (y, x)) }.distinct
+    val got = PageRank.personalizedRanks(sym.toDF("x", "y"), "x", "y",
+        iters = 3, isSeed = _ === "a")
+      .as[(String, Long)].collect().toMap
+    assert(got === naive(sym, 3, PageRank.DefaultScale, _ == "a"))
+    // mass radiates from the seed in pulses: after 3 supersteps it has
+    // reached d (distance 3) but NOT e (distance 4), and every reached
+    // node holds less than the seed's neighbor
+    assert(got("d") > 0L && got("e") === 0L, s"propagation frontier: $got")
+    assert(Seq("c", "d", "e").forall(v => got(v) < got("b")), s"$got")
+  }
+
+  test("personalized with an all-true seed IS uniform PageRank") {
+    val e = PageRank.undirect(raw.toDF("x", "y"), "x", "y")
+    val uniform = PageRank.ranks(e, "src", "dst", iters = 3)
+      .as[(String, Long)].collect().toMap
+    val allSeeded = PageRank.personalizedRanks(e, "src", "dst", iters = 3,
+        isSeed = _ => lit(true))
+      .as[(String, Long)].collect().toMap
+    assert(uniform === allSeeded)
   }
 
   test("guards: empty edges and non-positive iters are rejected") {
