@@ -48,13 +48,16 @@ object EntityMatch {
     */
   def fuzzyPairs(df: DataFrame, idCol: String, nameCol: String): DataFrame = {
     // key 0 = the string itself; key i (1-based) = delete position i.
-    val keyed = df.select(col(idCol).as("_id"), col(nameCol).as("_name"))
-      .withColumn("_k", explode(expr(
-        """transform(sequence(0, length(_name)),
-          |  i -> if(i = 0, _name,
-          |          concat(substring(_name, 1, i - 1),
-          |                 substring(_name, i + 1, length(_name)))))"""
-          .stripMargin)))
+    // materialized once: both self-join sides scan it, and its lineage
+    // (scan + explode) would otherwise run twice
+    val keyed = Dedup.sharedRelation(
+      df.select(col(idCol).as("_id"), col(nameCol).as("_name"))
+        .withColumn("_k", explode(expr(
+          """transform(sequence(0, length(_name)),
+            |  i -> if(i = 0, _name,
+            |          concat(substring(_name, 1, i - 1),
+            |                 substring(_name, i + 1, length(_name)))))"""
+            .stripMargin))))
     val a = keyed.select(col("_id").as("id_a"), col("_name").as("name_a"),
       col("_k"))
     val b = keyed.select(col("_id").as("id_b"), col("_name").as("name_b"),

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Profile
+
+/** Streaming twin of the data-quality pair [[graft.operators.Profile]]
+  * `profile`/`drift` — the live monitor that catches a silently nulled
+  * column or a collapsed cardinality WHILE a feed is ingesting, not at
+  * the nightly diff.
+  *
+  * Mechanics: a `foreachBatch` sink profiles each micro-batch with the
+  * SAME batch operator (one aggregate over the batch — the stream adds
+  * no second profiling implementation, exactly like
+  * [[StreamingSessionize]]), writes the snapshot under
+  * `profileDir/batch=<id>`, and — when a previous snapshot exists —
+  * writes `Profile.drift(prev, current)` under `driftDir/batch=<id>`.
+  * Per-batch output is idempotent (overwrite by batch id), so Spark's
+  * foreachBatch re-delivery cannot duplicate or corrupt a snapshot:
+  * re-processing batch N rewrites byte-equivalent content.
+  *
+  * Everything written is |columns|-sized — the monitor's storage and
+  * compute are independent of batch row counts beyond the one profile
+  * aggregate, so it rides along any ingest at any scale.
+  */
+object StreamingProfile {
+
+  /** The foreachBatch function: profile each batch of `cols`, diff
+    * against the previous batch's snapshot.
+    */
+  def monitor(profileDir: String, driftDir: String, cols: Seq[String],
+      exactDistinct: Boolean = true): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val current = Profile.profile(batch, cols, exactDistinct)
+      current.coalesce(1).write.mode("overwrite")
+        .parquet(s"$profileDir/batch=$batchId")
+      previousSnapshot(spark, profileDir, batchId).foreach { prev =>
+        Profile.drift(prev, current).coalesce(1).write.mode("overwrite")
+          .parquet(s"$driftDir/batch=$batchId")
+      }
+    }
+  }
+
+  /** Latest snapshot with id < `batchId`, if any — read by id order,
+    * not mtime, so re-delivered batches diff against the same
+    * predecessor they did the first time.
+    */
+  private[streaming] def previousSnapshot(spark: SparkSession, dir: String,
+      batchId: Long): Option[DataFrame] = {
+    val base = new java.io.File(dir)
+    Option(base.listFiles())
+      .map(_.toSeq.filter(_.getName.startsWith("batch=")).flatMap(f =>
+        f.getName.stripPrefix("batch=").toLongOption.map(_ -> f)))
+      .getOrElse(Seq.empty)
+      .filter { case (id, f) => id < batchId &&
+        new java.io.File(f, "_SUCCESS").exists() }
+      .sortBy(_._1).lastOption
+      .map { case (_, f) => spark.read.parquet(f.getPath) }
+  }
+}

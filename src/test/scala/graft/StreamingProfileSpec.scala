@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingProfile
+
+/** One record on the streaming profile test feed. */
+case class ProfileTestRow(id: Long, lang: String, n: Option[Long])
+
+/** The live data-quality monitor: per-batch snapshots equal the batch
+  * profiler, drift appears from the second batch and flags a nulled
+  * column, and re-delivery of a batch id is idempotent.
+  */
+class StreamingProfileSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val cols = Seq("id", "lang", "n")
+
+  private def run(dir: String, batches: Seq[Seq[ProfileTestRow]]): Unit = {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[ProfileTestRow]
+    val q = input.toDF().writeStream
+      .foreachBatch(StreamingProfile.monitor(s"$dir/profiles", s"$dir/drift",
+        cols))
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    finally q.stop()
+  }
+
+  test("snapshots match the batch profiler; drift flags a nulled column") {
+    val dir = java.nio.file.Files.createTempDirectory("sprof").toString
+    val b0 = (1L to 20L).map(i => ProfileTestRow(i, "en", Some(i)))
+    val b1 = (21L to 40L).map(i => ProfileTestRow(i, "de", None)) // n dies
+    run(dir, Seq(b0, b1))
+
+    val snap0 = spark.read.parquet(s"$dir/profiles/batch=0")
+    val expected0 = graft.operators.Profile.profile(b0.toDF(), cols)
+    assert(snap0.collect().toSet === expected0.collect().toSet)
+
+    assert(!new java.io.File(s"$dir/drift/batch=0").exists(),
+      "no predecessor -> no drift for the first batch")
+    val drift = spark.read.parquet(s"$dir/drift/batch=1")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // n went all-null in batch 1: 20 non-null before, 0 after
+    assert(drift("n").getLong(2) === 20L && drift("n").getLong(3) === 0L)
+    assert(drift("n").getString(1) === "common")
+  }
+
+  test("re-delivered batch id rewrites an identical snapshot") {
+    val dir = java.nio.file.Files.createTempDirectory("sprof2").toString
+    val rows = (1L to 10L).map(i => ProfileTestRow(i, "en", Some(i)))
+    val fn = StreamingProfile.monitor(s"$dir/profiles", s"$dir/drift", cols)
+    fn(rows.toDF(), 0L)
+    val first = spark.read.parquet(s"$dir/profiles/batch=0").collect().toSet
+    fn(rows.toDF(), 0L) // foreachBatch re-delivery
+    val second = spark.read.parquet(s"$dir/profiles/batch=0").collect().toSet
+    assert(first === second)
+  }
+}
