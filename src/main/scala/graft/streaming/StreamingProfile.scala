@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.Profile
@@ -42,20 +43,25 @@ object StreamingProfile {
     }
   }
 
-  /** Latest snapshot with id < `batchId`, if any — read by id order,
-    * not mtime, so re-delivered batches diff against the same
-    * predecessor they did the first time.
+  /** Latest COMMITTED snapshot with id < `batchId`, if any — read by id
+    * order, not mtime, so re-delivered batches diff against the same
+    * predecessor they did the first time. Hadoop FileSystem listing
+    * (not java.io) so the monitor works against HDFS/S3 paths, and the
+    * `_SUCCESS` marker gates out a snapshot whose write died mid-flight.
     */
   private[streaming] def previousSnapshot(spark: SparkSession, dir: String,
       batchId: Long): Option[DataFrame] = {
-    val base = new java.io.File(dir)
-    Option(base.listFiles())
-      .map(_.toSeq.filter(_.getName.startsWith("batch=")).flatMap(f =>
-        f.getName.stripPrefix("batch=").toLongOption.map(_ -> f)))
-      .getOrElse(Seq.empty)
-      .filter { case (id, f) => id < batchId &&
-        new java.io.File(f, "_SUCCESS").exists() }
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(base)) return None
+    fs.listStatus(base).toSeq
+      .filter(_.isDirectory)
+      .flatMap(st => st.getPath.getName.stripPrefix("batch=").toLongOption
+        .filter(_ => st.getPath.getName.startsWith("batch="))
+        .map(_ -> st.getPath))
+      .filter { case (id, p) => id < batchId &&
+        fs.exists(new Path(p, "_SUCCESS")) }
       .sortBy(_._1).lastOption
-      .map { case (_, f) => spark.read.parquet(f.getPath) }
+      .map { case (_, p) => spark.read.parquet(p.toString) }
   }
 }
