@@ -79,4 +79,34 @@ class StreamingSessionizeSpec extends AnyFunSuite with SparkTestBase {
     val closed = run(Seq(Seq(e("u4", 1, 1.0)), Seq(flush)))
     assert(closed === Set(("u4", 1L, 1L, 1L, 1.0)))
   }
+
+  test("restart from checkpoint: open session state survives, no dup/loss") {
+    implicit val ctx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("sess-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("sess-out").toString
+    val input = MemoryStream[E] // SAME instance across both query runs
+    def start() = StreamingSessionize.sessions(input.toDF(), col("user"),
+        "ts", col("v"), gap = "10 minutes", watermark = "0 seconds")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$out/batch_$id")
+      }.start()
+
+    val q1 = start()
+    try { input.addData(Seq(e("u5", 1, 1.0))); q1.processAllAvailable() }
+    finally q1.stop() // u5's session is OPEN keyed state at shutdown
+    input.addData(Seq(e("u5", 5, 2.0))) // arrives while the query is down
+    val q2 = start()
+    try { input.addData(Seq(flush)); q2.processAllAvailable() }
+    finally q2.stop()
+
+    val got = spark.read.parquet(s"$out/batch_*")
+      .as[(String, java.sql.Timestamp, java.sql.Timestamp, Long, Double)]
+      .collect()
+      .map(r => (r._1, r._2.getTime / 60000L, r._3.getTime / 60000L, r._4, r._5))
+      .toSeq
+    // ONE merged session spanning the restart — the pre-restart event
+    // and the while-down event fused from recovered state, emitted once
+    assert(got === Seq(("u5", 1L, 5L, 2L, 3.0)))
+  }
 }
