@@ -1320,6 +1320,21 @@ object SparkEntry {
         Tables.events(s, dir).filter(col("event_type") === "purchase"),
         col("user_id"), col("ts"))),
 
+    // V2: unigram-LM quality scoring (the CCNet perplexity-filter
+    // signal) — avg per-token log-prob under the corpus's own unigram
+    // distribution; decimal-stable per-doc sums, 1e-4 floor truncation.
+    "doc_unigram_logprob" -> ((s, dir) =>
+      graft.operators.Relevance.unigramLogScores(Tables.documents(s, dir))
+        .select(col("id").as("doc_id"), col("n_toks"),
+          col("avg_logprob_t"))),
+
+    // V3: hashing-trick vectorizer — sparse bag-of-words in a FIXED
+    // 256-bucket space (no vocabulary table, no fit step); long format.
+    "doc_hashed_features" -> ((s, dir) =>
+      graft.functions.TextAnalysis.hashedFeatures(
+          Tables.documents(s, dir), dim = 256)
+        .select(col("id").as("doc_id"), col("bucket"), col("n"))),
+
     // V1: adjacent-token pair frequencies (the BPE-training inner loop;
     // bigram collocation counts). Pairs never cross doc boundaries;
     // minCount cuts the hapax tail before materialization.
@@ -2839,6 +2854,26 @@ object SparkEntry {
         |  count(*)::BIGINT AS n_active
         |FROM act JOIN fw ON act.k = fw.k
         |GROUP BY 1, 2""".stripMargin,
+
+    "doc_unigram_logprob" ->
+      """WITH toks0 AS (SELECT doc_id AS id,
+        |  unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+        |toks AS (SELECT * FROM toks0 WHERE tok <> ''),
+        |freq AS (SELECT tok, count(*)::BIGINT AS cnt FROM toks GROUP BY tok),
+        |tot AS (SELECT count(*)::BIGINT AS n_total FROM toks)
+        |SELECT id AS doc_id, count(*)::BIGINT AS n_toks,
+        |  floor((sum(CAST(ln(cnt::DOUBLE / n_total::DOUBLE) AS DECIMAL(38,12)))::DOUBLE
+        |    / count(*)) * 10000) / 10000 AS avg_logprob_t
+        |FROM toks JOIN freq USING (tok), tot
+        |GROUP BY id""".stripMargin,
+
+    "doc_hashed_features" ->
+      s"""SELECT doc_id, ${hash60Sql("tok")} % 256 AS bucket,
+         |  count(*)::BIGINT AS n FROM (
+         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+         |  FROM documents) u
+         |WHERE tok <> ''
+         |GROUP BY doc_id, bucket""".stripMargin,
 
     "bpe_pair_counts" ->
       """WITH tok AS (SELECT doc_id,

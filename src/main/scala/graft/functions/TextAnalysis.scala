@@ -50,6 +50,26 @@ object TextAnalysis {
     * (BPE's frequency floor) cuts the hapax tail before the result
     * materializes. Pairs never cross document boundaries.
     */
+  /** The hashing-trick vectorizer: each document as a SPARSE
+    * `dim`-dimensional bag-of-words — tokens hashed into a fixed bucket
+    * space (Vowpal-Wabbit lineage), long format (id, bucket, n). No
+    * vocabulary table, no fit step, no OOV problem: the feature space
+    * is constant-size however large the corpus, which is exactly what
+    * lets a 100 TB vectorization run as one explode + one hash
+    * aggregate with nothing corpus-global anywhere. Collisions are the
+    * accepted trade (rate ~ vocab/dim per bucket); the cross-engine
+    * `hash60` keeps bucket assignment reproducible everywhere.
+    */
+  def hashedFeatures(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", dim: Int = 256): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    docs.select(col(idCol).as("id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("id"), (TextHash.hash60(col("tok")) % dim).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   def adjacentPairCounts(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", minCount: Long = 1L): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),

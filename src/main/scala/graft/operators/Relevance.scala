@@ -26,6 +26,41 @@ import org.apache.spark.sql.functions._
   */
 object Relevance {
 
+  /** CCNet-style unigram language-model scoring — every document's
+    * average per-token log-probability under the CORPUS's own unigram
+    * distribution: the perplexity-filter quality signal (documents full
+    * of corpus-atypical tokens — boilerplate, code soup, mojibake —
+    * score low and are the cut candidates; exp(−avg) is the unigram
+    * perplexity). Self-scoring needs no smoothing: every scored token
+    * has corpus count ≥ 1.
+    *
+    * Shape: tokenize once → unigram counts (hash aggregate, vocabulary
+    * sized) → token⋈frequency equi-join (inverted-index, same plan
+    * class as tf·idf next door) + a 1-row total broadcast → per-doc
+    * aggregate. Per-token log-probs are deterministic doubles; the
+    * per-doc SUM runs as DECIMAL(38,12) so partial-aggregation order
+    * cannot drift the float (the [[tfidfCosinePairs]] trick), and the
+    * final average is floor-truncated at 1e-4.
+    */
+  def unigramLogScores(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks.join(freq, "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("lp",
+        log(col("cnt").cast("double") / col("n_total").cast("double")))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(col("lp").cast("decimal(38,12)")).as("_slp"))
+      .select(col("id"), col("n_toks"),
+        (floor(col("_slp").cast("double") / col("n_toks") * 1e4) / 1e4)
+          .as("avg_logprob_t"))
+  }
+
   /** Scores = sum over matched terms of
     * `idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))`.
     * Documents matching NO query term are omitted (their score is 0);

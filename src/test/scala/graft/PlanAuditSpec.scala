@@ -24,6 +24,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     "ann_pq_topk",            // |q| x corpus CODE scoring (8 adds/pair by design)
     "report_metadata",        // 1-row x 1-row metadata crossJoin
     "doc_bm25_relevance",     // 1-row corpus-stats (N, avgdl) broadcast crossJoin
+    "doc_unigram_logprob",    // 1-row token-total broadcast crossJoin
     "doc_tfidf_topterms",     // 1-row corpus-size (N) broadcast crossJoin
     "dedup_tfidf_cosine"      // same 1-row N broadcast; pair join is term-equi
   )

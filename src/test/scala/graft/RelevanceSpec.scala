@@ -101,4 +101,19 @@ class RelevanceSpec extends AnyFunSuite with SparkTestBase {
     val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
     assert(bnlj <= 1, s"unexpected nested-loop joins ($bnlj):\n${plan.take(1500)}")
   }
+
+  test("unigramLogScores: hand-computed averages; typical beats atypical") {
+    // freqs over "a a b a c": a=3, b=1, c=1, N=5
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    def expect(lps: Seq[Double]) =
+      math.floor(lps.sum / lps.size * 1e4) / 1e4
+    val la = math.log(3.0 / 5); val l1 = math.log(1.0 / 5)
+    val got = Relevance.unigramLogScores(docs)
+      .select("id", "n_toks", "avg_logprob_t")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((3L, expect(Seq(la, la, l1)))))
+    assert(got(2L) === ((2L, expect(Seq(la, l1)))))
+    // the doc made of the corpus-common token outscores the rare-heavy one
+    assert(got(1L)._2 > got(2L)._2)
+  }
 }

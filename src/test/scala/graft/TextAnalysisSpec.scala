@@ -255,4 +255,18 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
       .as[(String, String, Long)].collect().toSet
     assert(floored === Set(("a", "b", 3L)))
   }
+
+  test("hashedFeatures: fixed bucket space, counts partition the tokens") {
+    val docs = Seq((1L, "x y x z x"), (2L, "y y"), (3L, "")).toDF("doc_id", "text")
+    val rows = TextAnalysis.hashedFeatures(docs, dim = 16)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.forall { case (_, b, _) => b >= 0 && b < 16 })
+    val perDoc = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(perDoc === Map(1L -> 5L, 2L -> 2L)) // empty doc emits nothing
+    // identical tokens always land in one bucket: doc 1 has <= 3 buckets
+    assert(rows.count(_._1 == 1L) <= 3)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.hashedFeatures(docs, dim = 0)
+    }
+  }
 }
