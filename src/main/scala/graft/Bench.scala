@@ -42,7 +42,8 @@ object Bench {
     // re-attaches ~3s of codegen to the first query of each family)
     val warmDir = Seq("/root/testdata/sf0.001", sfDir)
       .find(d => new java.io.File(d).isDirectory).getOrElse(sfDir)
-    Seq("dedup_ngram_jaccard", "ann_lsh_topk", "doc_winnow_fingerprints")
+    Seq("dedup_ngram_jaccard", "ann_lsh_topk", "doc_winnow_fingerprints",
+      "graph_pagerank", "fuzzy_name_pairs", "dedup_aligned_spans")
       .foreach { q =>
         try SparkEntry.queries(q)(spark, warmDir).count()
         catch { case e: Throwable =>
