@@ -279,20 +279,35 @@ object SparkEntry {
     * ::BIGINT casts).
     */
   private def pagerankSql(iters: Int, scale: Long,
-      seedPred: Option[String => String] = None): String = {
+      seedPred: Option[String => String] = None,
+      weighted: Boolean = false): String = {
     // restart mass: uniform over all nodes, or (personalized) only over
-    // nodes matching the seed predicate — same integer recurrence
+    // nodes matching the seed predicate — same integer recurrence.
+    // weighted: mass splits by integer edge weight, contribution
+    // (rank // Σw) * w; the unweighted text keeps its w=1 formulation.
     val nFilter = seedPred.map(f => s" WHERE ${f("src")}").getOrElse("")
     def restart(c: String, amount: String) = seedPred match {
       case None => amount
       case Some(f) => s"CASE WHEN ${f(c)} THEN $amount ELSE 0 END"
     }
+    val (ebaseSel, edgeW, degExpr, contrib) =
+      if (weighted)
+        ("'s' || l_suppkey AS a, 'c' || o_custkey AS b, count(*)::BIGINT AS w" +
+           " FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2",
+          ", w",
+          "sum(w)::BIGINT AS outw",
+          "(r.rank // d.outw) * e.w")
+      else
+        ("DISTINCT 's' || l_suppkey AS a, 'c' || o_custkey AS b" +
+           " FROM lineitem JOIN orders ON l_orderkey = o_orderkey",
+          "",
+          "count(*)::BIGINT AS outdeg",
+          "r.rank // d.outdeg")
     val base =
-      s"""ebase AS (SELECT DISTINCT 's' || l_suppkey AS a, 'c' || o_custkey AS b
-         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-         |edges AS (SELECT a AS src, b AS dst FROM ebase
-         |  UNION SELECT b AS src, a AS dst FROM ebase),
-         |deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY src),
+      s"""ebase AS (SELECT $ebaseSel),
+         |edges AS (SELECT a AS src, b AS dst$edgeW FROM ebase
+         |  UNION SELECT b AS src, a AS dst$edgeW FROM ebase),
+         |deg AS (SELECT src, $degExpr FROM edges GROUP BY src),
          |nn AS (SELECT count(*)::BIGINT AS n FROM deg$nFilter),
          |r0 AS (SELECT src AS node,
          |  ${restart("src", s"($scale // (SELECT n FROM nn))")}::BIGINT AS rank
@@ -300,7 +315,7 @@ object SparkEntry {
     val steps = (1 to iters).map { i =>
       s"""r$i AS (SELECT e.dst AS node,
          |  ${restart("e.dst", s"(($scale * 15) // (100 * (SELECT n FROM nn)))")}::BIGINT
-         |    + ((85 * sum(r.rank // d.outdeg)) // 100)::BIGINT AS rank
+         |    + ((85 * sum($contrib)) // 100)::BIGINT AS rank
          |  FROM edges e JOIN r${i - 1} r ON e.src = r.node
          |  JOIN deg d ON e.src = d.src
          |  GROUP BY e.dst)""".stripMargin
@@ -1413,6 +1428,21 @@ object SparkEntry {
     "graph_pagerank" -> ((s, dir) =>
       graft.operators.PageRank.ranks(copurchaseEdges(s, dir), "src", "dst",
         iters = 3)),
+
+    // G3: WEIGHTED PageRank — outgoing mass splits by co-purchase
+    // COUNT (lineitems per supplier-customer pair), the real-graph
+    // case; contribution = (rank // Σw) * w, still pure LONG
+    // arithmetic (unweighted is literally the w=1 special case).
+    "graph_pagerank_weighted" -> ((s, dir) => {
+      val raw = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(concat(lit("s"), col("l_suppkey")).as("a"),
+          concat(lit("c"), col("o_custkey")).as("b"))
+        .agg(count(lit(1)).as("w"))
+      graft.operators.PageRank.weightedRanks(
+        graft.operators.PageRank.undirectWeighted(raw, "a", "b", "w"),
+        "src", "dst", "w", iters = 3)
+    }),
 
     // G2: PERSONALIZED PageRank — restart mass only at supplier nodes,
     // so ranks measure proximity to the supply side (seeded relevance
@@ -2979,6 +3009,11 @@ object SparkEntry {
     "graph_ppr_suppliers" ->
       s"""WITH ${pagerankSql(3, graft.operators.PageRank.DefaultScale,
              Some(c => s"$c LIKE 's%'"))}
+         |SELECT node, rank FROM r3""".stripMargin,
+
+    "graph_pagerank_weighted" ->
+      s"""WITH ${pagerankSql(3, graft.operators.PageRank.DefaultScale,
+             None, weighted = true)}
          |SELECT node, rank FROM r3""".stripMargin,
 
     "table_topk_values" ->

@@ -62,13 +62,35 @@ object PageRank {
       .union(edges.select(col(dst).as("src"), col(src).as("dst")))
       .distinct()
 
+  /** Both directions of each WEIGHTED edge (same weight both ways). */
+  def undirectWeighted(edges: DataFrame, src: String, dst: String,
+      w: String): DataFrame =
+    edges.select(col(src).as("src"), col(dst).as("dst"), col(w).as("w"))
+      .union(edges.select(col(dst).as("src"), col(src).as("dst"),
+        col(w).as("w")))
+
   /** `(node, rank)` after `iters` supersteps over `(src, dst)` edges.
     * Requires every node to occur as a source (symmetrize with
     * [[undirect]] first); `nodes` = distinct sources.
     */
   def ranks(edges: DataFrame, src: String, dst: String, iters: Int,
       scale: Long = DefaultScale): DataFrame =
-    propagate(edges, src, dst, iters, scale, None)
+    propagate(edges, src, dst, iters, scale, None, None)
+
+  /** WEIGHTED PageRank — each node's outgoing mass splits proportional
+    * to integer edge weights (co-purchase counts, link multiplicities,
+    * interaction strengths), the common real-graph case. Contribution
+    * of edge (u→v) = `(rank(u) // Σw(u)) · w(u,v)`: per-unit-weight
+    * mass times the edge weight, still pure LONG arithmetic — and with
+    * all weights 1 the formula IS the uniform one (× 1), so the
+    * unweighted operator is literally the w=1 special case
+    * (PageRankSpec pins that equality). Bounds: a node's outgoing
+    * contributions sum to ≤ its rank, so totals never exceed the
+    * uniform case's.
+    */
+  def weightedRanks(edges: DataFrame, src: String, dst: String,
+      wCol: String, iters: Int, scale: Long = DefaultScale): DataFrame =
+    propagate(edges, src, dst, iters, scale, None, Some(wCol))
 
   /** PERSONALIZED PageRank: the teleport mass restarts only at nodes
     * matching `isSeed`, so ranks measure proximity to the seed set —
@@ -81,12 +103,13 @@ object PageRank {
   def personalizedRanks(edges: DataFrame, src: String, dst: String,
       iters: Int, isSeed: Column => Column,
       scale: Long = DefaultScale): DataFrame =
-    propagate(edges, src, dst, iters, scale, Some(isSeed))
+    propagate(edges, src, dst, iters, scale, Some(isSeed), None)
 
   private def propagate(edges: DataFrame, src: String, dst: String,
-      iters: Int, scale: Long, seed: Option[Column => Column]): DataFrame = {
+      iters: Int, scale: Long, seed: Option[Column => Column],
+      wCol: Option[String]): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    // materialize the edge list and outdegrees ONCE: every superstep
+    // materialize the edge list and out-weights ONCE: every superstep
     // (plus the node count) re-reads them, and their lineage is whatever
     // produced the edges (joins/unions/distinct) — without this each
     // iteration re-pays the full edge construction. Reliable checkpoint
@@ -95,9 +118,12 @@ object PageRank {
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
         df.checkpoint(false)
       else df.localCheckpoint(false)
-    val e = materialized(edges.select(col(src).as("src"), col(dst).as("dst")))
+    // uniform = the all-weights-1 special case of the same arithmetic
+    val w = wCol.map(col).getOrElse(lit(1L)).cast("long")
+    val e = materialized(edges.select(col(src).as("src"),
+      col(dst).as("dst"), w.as("w")))
     val deg = materialized(
-      e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
+      e.groupBy(col("src")).agg(sum(col("w")).as("outw")))
     val nodes = e.select(col("src")).distinct()
     // the restart-set size is a driver-side scalar (one count job) — it
     // parameterizes the literal base term exactly as the SQL oracle's
@@ -116,7 +142,7 @@ object PageRank {
       r = e.join(deg, "src")
         .join(r, e("src") === r("node"))
         .select(col("dst").as("node"),
-          expr("rank div outdeg").as("contrib"))
+          expr("(rank div outw) * w").as("contrib"))
         .groupBy(col("node"))
         .agg((restart(col("node"), base) +
           expr("(85 * sum(contrib)) div 100")).as("rank"))

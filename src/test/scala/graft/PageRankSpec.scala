@@ -89,6 +89,43 @@ class PageRankSpec extends AnyFunSuite with SparkTestBase {
     assert(uniform === allSeeded)
   }
 
+  test("weighted: matches a naive weighted replay; heavy edges pull mass") {
+    // triangle a-b-c; a-b carries weight 9, the rest weight 1
+    val we = Seq(("a", "b", 9L), ("b", "a", 9L), ("a", "c", 1L),
+      ("c", "a", 1L), ("b", "c", 1L), ("c", "b", 1L))
+    def naiveW(iters: Int, scale: Long): Map[String, Long] = {
+      val wtot = we.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      val n = wtot.size
+      val base = scale * 15L / (100L * n)
+      var r = wtot.keys.map(v => v -> scale / n).toMap
+      for (_ <- 1 to iters) {
+        r = we.groupBy(_._2).map { case (dst, es) =>
+          dst -> (base + 85L * es.map { case (src, _, w) =>
+            (r(src) / wtot(src)) * w
+          }.sum / 100L)
+        }
+      }
+      r
+    }
+    val got = PageRank.weightedRanks(we.toDF("src", "dst", "w"),
+        "src", "dst", "w", iters = 3)
+      .as[(String, Long)].collect().toMap
+    assert(got === naiveW(3, PageRank.DefaultScale))
+    // c receives only weight-1 trickle; a and b trade the heavy edge
+    assert(got("a") > got("c") && got("b") > got("c"), s"$got")
+  }
+
+  test("weighted with all weights 1 IS the uniform operator") {
+    val e = PageRank.undirect(raw.toDF("x", "y"), "x", "y")
+    val uniform = PageRank.ranks(e, "src", "dst", iters = 3)
+      .as[(String, Long)].collect().toMap
+    val ones = PageRank.weightedRanks(
+        e.withColumn("w", org.apache.spark.sql.functions.lit(1L)),
+        "src", "dst", "w", iters = 3)
+      .as[(String, Long)].collect().toMap
+    assert(uniform === ones)
+  }
+
   test("guards: empty edges and non-positive iters are rejected") {
     val e = raw.toDF("x", "y")
     intercept[IllegalArgumentException] {
