@@ -146,7 +146,59 @@ object Bench {
       s"""{"events":-1,"error":${jstr(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}}"""
     }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":${results.count(_._2.isLeft)},"loadavg":$loadAvg,"rerun_delta":$rerunDelta,"rerun_queries":$rerunNames,"streaming":$streaming,"sf":"$sfDir"}""")
+    // ANN recall@k of the two production index shapes vs exact brute
+    // force, each against ITS OWN corpus (the banded contract query runs
+    // on the injected-dup corpus), plus the candidate fanout each path
+    // actually scored — so a recall regression OR a fanout blowup shows
+    // up in the round artifact, not only in spec assertions.
+    val annRecall = try {
+      import org.apache.spark.sql.DataFrame
+      import graft.operators.SimilaritySearch
+      def recallAt(approx: DataFrame, exact: DataFrame): Double = {
+        val hits = approx.select("query_id", "neighbor_id")
+          .join(exact.select("query_id", "neighbor_id"),
+            Seq("query_id", "neighbor_id")).count()
+        val denom = exact.count()
+        if (denom > 0) hits.toDouble / denom else -1.0
+      }
+      val queries = SparkEntry.annQueries(spark, sfDir)
+      val banded = recallAt(
+        SparkEntry.queries("ann_lsh_banded_topk")(spark, sfDir),
+        SimilaritySearch.bruteForceTopK(
+          SparkEntry.embDupCorpus(spark, sfDir), queries, k = 10))
+      val bandedCand = SimilaritySearch.lshBandedCandidates(
+        SparkEntry.embDupCorpus(spark, sfDir), queries,
+        tables = 4, bitsPerTable = 16).count()
+      val ivfpq = recallAt(
+        SparkEntry.queries("ann_ivfpq_topk")(spark, sfDir),
+        SparkEntry.queries("ann_bruteforce_topk")(spark, sfDir))
+      val ivfpqCand = SimilaritySearch.ivfCandidates(
+        graft.Tables.embeddings(spark, sfDir), queries,
+        numCentroids = 64, nprobe = 8).count()
+      s"""{"k":10,"ann_lsh_banded_topk":{"recall":${jnum(banded)},"candidates_scored":$bandedCand},"ann_ivfpq_topk":{"recall":${jnum(ivfpq)},"candidates_scored":$ivfpqCand}}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] ann recall FAILED — ${e.getMessage}")
+      s"""{"error":${jstr(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}}"""
+    }
+
+    // Headline numbers FIRST, the 123-entry per-query map LAST: r8's
+    // committed artifact kept only the tail of this line, losing the
+    // timings that happened to be serialized early. Front-loading the
+    // totals means any truncation from either end still leaves the
+    // round's verdict-grade numbers, and the full map is ALSO persisted
+    // to its own file below so no truncation can lose per-query data.
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":${results.count(_._2.isLeft)},"loadavg":$loadAvg,"rerun_delta":$rerunDelta,"rerun_queries":$rerunNames,"ann_recall":$annRecall,"streaming":$streaming,"sf":"$sfDir","errors":$errs,"queries":$qs}"""
+    println(line)
+    // belt-and-braces: the identical JSON, committed as its own file —
+    // the durable copy of every per-query timing regardless of what the
+    // driver preserves of stdout
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      "/root/repo/BENCH_full.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $fullPath — ${e.getMessage}")
+    }
     spark.stop()
   }
 }

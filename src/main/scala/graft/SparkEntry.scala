@@ -165,14 +165,17 @@ object SparkEntry {
         concat(col("text"), lit(" extradup token")).as("text")))
   }
 
-  /** Embedding corpus with identical copies of every 25th vector. */
-  private def embDupCorpus(s: SparkSession, dir: String): DataFrame = {
+  /** Embedding corpus with identical copies of every 25th vector.
+    * `private[graft]`: [[Bench]] reuses it to compute ANN ground truth
+    * on the same corpus the banded contract query retrieves from.
+    */
+  private[graft] def embDupCorpus(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
     e.unionByName(e.filter(col("vec_id") % 25 === 0)
       .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
   }
 
-  private def annQueries(s: SparkSession, dir: String): DataFrame =
+  private[graft] def annQueries(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).filter(col("vec_id") % 50 === 0)
 
   // SQL fragment generators for the DuckDB oracles. Constants (seeds,

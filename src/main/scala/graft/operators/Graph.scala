@@ -23,9 +23,10 @@ import org.apache.spark.sql.functions._
   * All divisions are floor divisions of non-negative LONGs, every sum
   * is a LONG sum — associative, so partial aggregation order cannot
   * change a single bit, and an unrolled SQL CTE chain computes the
-  * identical table. Dropped remainders mean total mass decays a few
-  * parts per billion per iteration at S = 2⁶² — irrelevant for
-  * ranking, and the price of exact replay.
+  * identical table. Dropped remainders mean total mass decays by at
+  * most one unit per node per iteration — at S = 2⁵⁵ that is parts
+  * per trillion of the total for any realistic N, irrelevant for
+  * ranking and the price of exact replay.
   *
   * Per-iteration shape (the 100 TB posture): ONE equi-join of the rank
   * table (N rows) to the edge table on `src` + one hash aggregate by
@@ -48,11 +49,11 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
-  /** 2⁶² — headroom: the biggest intermediate is 85 · Σ contribs,
+  /** S = 2⁵⁵ — headroom: the biggest intermediate is 85 · Σ contribs,
     * and Σ contribs ≤ S because each node's outgoing mass splits its
-    * own rank; 85 · S < 2⁶³ exactly when S ≤ 2⁶² · (1/42.5)… so we
-    * keep S at 2⁵⁵, far under the overflow line even if every unit of
-    * mass lands on one node.
+    * own rank, so the worst case is 85 · 2⁵⁵ < 2⁷ · 2⁵⁵ = 2⁶² < 2⁶³
+    * even if every unit of mass lands on one node. (Overflow would
+    * need S > 2⁶³/85 ≈ 2⁵⁶·⁶ — a full 1.6 binary orders of margin.)
     */
   val DefaultScale = 1L << 55
 

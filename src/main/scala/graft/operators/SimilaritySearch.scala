@@ -440,13 +440,8 @@ object SimilaritySearch {
       tables: Int = 4, bitsPerTable: Int = 16,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val dot = graft.functions.VectorFunctions.dotF _
-    def sides(df: DataFrame, id: String) = df.select(col(idCol).as(id),
-      posexplode(array((0 until tables).map(t =>
-        lshBandBucket(col(vecCol), t, bitsPerTable)): _*)).as(Seq("t", "bucket")))
-    val cand = sides(corpus, "id")
-      .join(broadcast(sides(queries, "query_id")), Seq("t", "bucket"))
-      .filter(col("id") =!= col("query_id"))
-      .select("query_id", "id").distinct() // a pair may collide in several tables
+    val cand = lshBandedCandidates(corpus, queries, tables, bitsPerTable,
+      idCol, vecCol)
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       sqrt(dot(col(vecCol), col(vecCol))).as("nrm"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
@@ -459,5 +454,50 @@ object SimilaritySearch {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("id").as("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /** The distinct `(query_id, id)` pairs [[lshBandedTopK]] scores — the
+    * banded index's candidate set, exposed so recall measurements can
+    * report HOW MUCH of the corpus the approximate path actually
+    * touched (`candidates / (|queries| · |corpus|)` is the work ratio
+    * vs brute force). Ids-only: the shuffle never carries vectors.
+    */
+  def lshBandedCandidates(corpus: DataFrame, queries: DataFrame,
+      tables: Int = 4, bitsPerTable: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def sides(df: DataFrame, id: String) = df.select(col(idCol).as(id),
+      posexplode(array((0 until tables).map(t =>
+        lshBandBucket(col(vecCol), t, bitsPerTable)): _*)).as(Seq("t", "bucket")))
+    sides(corpus, "id")
+      .join(broadcast(sides(queries, "query_id")), Seq("t", "bucket"))
+      .filter(col("id") =!= col("query_id"))
+      .select("query_id", "id").distinct() // a pair may collide in several tables
+  }
+
+  /** The `(query_id, id)` pairs the IVF family scores for each query —
+    * every member of the query's `nprobe` nearest cells. Same centroid
+    * selection and probe ranking as [[ivfTopK]]/[[ivfPqTopK]], so the
+    * count measures exactly the candidate fanout those paths pay.
+    */
+  def ivfCandidates(corpus: DataFrame, queries: DataFrame,
+      numCentroids: Int = 64, nprobe: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dot = graft.functions.VectorFunctions.dotF _
+    val cents = ivfCentroids(corpus, numCentroids, idCol, vecCol)
+      .localCheckpoint(false)
+    val assigned = ivfAssignmentsFromCentroids(corpus, cents, idCol, vecCol)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("qnrm"))
+    val probes = q.join(broadcast(cents), lit(true))
+      .withColumn("csim",
+        cosineFromNorms(dot(col("qv"), col("cv")), col("qnrm"), col("cnrm")))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("centroid_id"))
+    val probed = probes.withColumn("prank", row_number().over(pw))
+      .filter(col("prank") <= nprobe)
+      .select("query_id", "centroid_id")
+    assigned.join(broadcast(probed), Seq("centroid_id"))
+      .filter(col("id") =!= col("query_id"))
+      .select("query_id", "id")
   }
 }

