@@ -281,6 +281,54 @@ object SparkEntry {
     * associative BIGINT sums — DuckDB sums into HUGEINT, hence the
     * ::BIGINT casts).
     */
+  /** The BPE trainer unrolled for DuckDB: `steps` CTE rounds, each
+    * (pair count → top-1 by (n DESC, l, r) → greedy non-overlapping
+    * merge via gaps-and-islands odd-rank starts → renumber). Mirrors
+    * [[graft.functions.TextAnalysis.bpeMergeSequence]] exactly: same
+    * tokenization, same total order, same alternation rule (overlap
+    * only exists for self-pairs, where starts are odd ranks within
+    * runs of consecutive candidate positions).
+    */
+  private def bpeMergeSql(steps: Int): String = {
+    // every t/st/top CTE is referenced 2-4 times per round — DuckDB
+    // inlines CTEs by default, so without MATERIALIZED the reference
+    // tree expands ~4^steps scans of documents.parquet (observed as an
+    // fd-exhaustion error at 6 rounds); materializing makes each round
+    // O(tokens) like the Spark loop
+    val tok =
+      """tk AS (SELECT doc_id AS id,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |t0 AS MATERIALIZED (SELECT id, u.pos, u.tok FROM (SELECT id,
+        |  unnest(list_transform(range(1, len(toks) + 1),
+        |    p -> struct_pack(pos := p - 1, tok := toks[p]))) AS u FROM tk))""".stripMargin
+    val rounds = (0 until steps).map { s =>
+      s"""pc$s AS (SELECT a.tok AS l, b.tok AS r, count(*)::BIGINT AS n
+         |  FROM t$s a JOIN t$s b ON a.id = b.id AND b.pos = a.pos + 1
+         |  GROUP BY 1, 2),
+         |top$s AS MATERIALIZED (SELECT l, r, n FROM pc$s
+         |  ORDER BY n DESC, l, r LIMIT 1),
+         |cnd$s AS (SELECT a.id, a.pos FROM t$s a
+         |  JOIN t$s b ON a.id = b.id AND b.pos = a.pos + 1, top$s
+         |  WHERE a.tok = top$s.l AND b.tok = top$s.r),
+         |st$s AS MATERIALIZED (SELECT id, pos FROM (
+         |  SELECT id, pos, row_number() OVER (
+         |    PARTITION BY id, g ORDER BY pos) AS rn FROM (
+         |    SELECT id, pos, pos - row_number() OVER (
+         |      PARTITION BY id ORDER BY pos) AS g FROM cnd$s) i) j
+         |  WHERE rn % 2 = 1),
+         |t${s + 1} AS MATERIALIZED (SELECT id, row_number() OVER (
+         |    PARTITION BY id ORDER BY pos) - 1 AS pos, tok FROM (
+         |  SELECT t.id, t.pos, CASE WHEN st.pos IS NOT NULL
+         |    THEN t.tok || ' ' || nx.tok ELSE t.tok END AS tok
+         |  FROM t$s t
+         |  LEFT JOIN t$s nx ON t.id = nx.id AND nx.pos = t.pos + 1
+         |  LEFT JOIN st$s st ON t.id = st.id AND t.pos = st.pos
+         |  LEFT JOIN st$s sp ON t.id = sp.id AND t.pos = sp.pos + 1
+         |  WHERE sp.pos IS NULL) m)""".stripMargin
+    }
+    (tok +: rounds).mkString(",\n")
+  }
+
   private def pagerankSql(iters: Int, scale: Long,
       seedPred: Option[String => String] = None,
       weighted: Boolean = false): String = {
@@ -1359,6 +1407,16 @@ object SparkEntry {
     "bpe_pair_counts" -> ((s, dir) =>
       graft.functions.TextAnalysis.adjacentPairCounts(
         Tables.documents(s, dir), minCount = 5L)),
+
+    // V1b: the BPE TRAINER the pair counts are the inner loop of — 6
+    // rounds of top-pair → greedy non-overlapping merge → recount,
+    // emitting the learned merge table. Integer/string-exact, so the
+    // oracle replays it as an unrolled CTE chain (the k-means/PageRank
+    // playbook); a single mis-merged token anywhere would change every
+    // later round's counts, which is what makes 6 rows discriminating.
+    "bpe_merge_sequence" -> ((s, dir) =>
+      graft.functions.TextAnalysis.bpeMergeSequence(
+        Tables.documents(s, dir), steps = 6)),
 
     // Q6: equi-DEPTH histogram — 10 near-equal-count bins per event
     // type (quantile feature bucketing; the skew-proof complement of
@@ -2917,6 +2975,14 @@ object SparkEntry {
         |  FROM (SELECT unnest(prs) AS u FROM p))
         |SELECT left_tok, right_tok, count(*)::BIGINT AS n FROM u
         |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin,
+
+    "bpe_merge_sequence" -> {
+      val unions = (0 until 6).map(s =>
+        s"SELECT ${s + 1}::BIGINT AS step, l AS left_tok, r AS right_tok, n FROM top$s")
+        .mkString("\nUNION ALL\n")
+      s"""WITH ${bpeMergeSql(6)}
+         |$unions""".stripMargin
+    },
 
     "value_equidepth_bins" ->
       """WITH base AS (SELECT event_type, event_id, value FROM events

@@ -82,6 +82,86 @@ object TextAnalysis {
       .filter(col("n") >= minCount)
   }
 
+  /** The BPE TRAINER loop that [[adjacentPairCounts]] is the inner loop
+    * of: `steps` rounds of (count adjacent pairs across the corpus →
+    * take THE most frequent pair under the total order (n DESC,
+    * left, right) → merge every non-overlapping adjacent occurrence,
+    * greedy left-to-right → recount). Returns the learned merge table
+    * `(step, left_tok, right_tok, n)` — `steps` rows, the artifact a
+    * BPE tokenizer trainer actually emits (reference scope is token
+    * statistics only; the trainer is the extension that completes it).
+    *
+    * Units are whitespace tokens (word-level BPE): a merge of (l, r)
+    * rewrites the token pair as the single token `l + " " + r`.
+    * Space-joined merged tokens stay unambiguous because the token
+    * table is never re-split — a token is atomic whatever characters
+    * it contains.
+    *
+    * Determinism (the oracle contract): counts are exact LONGs, the
+    * argmax order is total (count, then bytewise string order), and
+    * overlap resolution is exact — a candidate position is a merge
+    * START iff it is at an ODD 1-based rank within its island of
+    * CONSECUTIVE candidate positions (gaps-and-islands; overlap only
+    * occurs for self-pairs l == r, where islands are runs of the
+    * repeated token — for l != r every island is a singleton and the
+    * rule keeps everything). An unrolled DuckDB CTE chain replays the
+    * identical table (same playbook as the k-means / PageRank oracles).
+    *
+    * Scale: each round is (a) one per-doc `lead` window + one pair
+    * count whose exchange carries |distinct pairs| (Zipf-bounded, the
+    * [[adjacentPairCounts]] argument), (b) a top-1 via
+    * TakeOrderedAndProject (never a global sort) collected to the
+    * driver — ONE ROW per round, the bounded-driver pattern of
+    * Cluster/SequencePack, (c) a rewrite pass of per-doc windows and
+    * one (id, pos) equi-join against the start set. The token table is
+    * `localCheckpoint`ed every round so lineage stays O(1) across
+    * rounds (the PageRank lesson). Total driver state: `steps` rows.
+    */
+  def bpeMergeSequence(docs: DataFrame, steps: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(steps > 0, s"steps must be positive, got $steps")
+    val spark = docs.sparkSession
+    val byId = Window.partitionBy("id").orderBy("pos")
+    var toks = docs.select(col(idCol).as("id"),
+        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= steps && !exhausted) {
+      val paired = toks.withColumn("next", lead(col("tok"), 1).over(byId))
+      val top = paired.filter(col("next").isNotNull)
+        .groupBy(col("tok"), col("next")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"), col("next"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true // corpus of ≤1-token docs
+      else {
+        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((step.toLong, l, r, n))
+        val starts = paired
+          .filter(col("tok") === l && col("next") === r)
+          .withColumn("isl", col("pos") - row_number().over(byId))
+          .withColumn("rn",
+            row_number().over(Window.partitionBy("id", "isl").orderBy("pos")))
+          .filter(col("rn") % 2 === 1)
+          .select(col("id"), col("pos"), lit(1).as("start"))
+        toks = paired
+          .join(starts, Seq("id", "pos"), "left")
+          .withColumn("consumed", lag(col("start"), 1).over(byId))
+          .filter(col("consumed").isNull)
+          .withColumn("newpos", row_number().over(byId) - 1)
+          .select(col("id"), col("newpos").as("pos"),
+            when(col("start").isNotNull,
+              concat(col("tok"), lit(" "), col("next")))
+              .otherwise(col("tok")).as("tok"))
+          .localCheckpoint()
+        step += 1
+      }
+    }
+    spark.createDataFrame(merges.toSeq)
+      .toDF("step", "left_tok", "right_tok", "n")
+  }
+
   /** The regexp-built twin of [[TextStatsKernel]] — 10 scans per row,
     * kept as the independent parity oracle for the native expression
     * (TextAnalysisSpec compares all nine counters on edge cases and real

@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextAnalysis
+
+/** BPE trainer merge loop vs an independent SEQUENTIAL reference: the
+  * distributed gaps-and-islands merge must reproduce, bit-for-bit, what
+  * a single-threaded greedy left-to-right scan produces — including
+  * self-pair runs ("a a a a"), merged tokens feeding later merges, and
+  * the (n DESC, left, right) tie order.
+  */
+class BpeSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  /** Single-threaded trainer: the semantics the operator must match. */
+  private def seqBpe(texts: Seq[String], steps: Int): Seq[(Long, String, String, Long)] = {
+    var docs: Seq[Vector[String]] =
+      texts.map(_.trim.split("\\s+").toVector)
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    for (step <- 1 to steps) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      docs.foreach { d =>
+        d.iterator.zip(d.iterator.drop(1)).foreach { p =>
+          counts(p) = counts.getOrElse(p, 0L) + 1L
+        }
+      }
+      if (counts.nonEmpty) {
+        val ((l, r), n) = counts.minBy { case ((l, r), n) => (-n, l, r) }
+        merges += ((step.toLong, l, r, n))
+        docs = docs.map { d =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < d.length) {
+            if (i + 1 < d.length && d(i) == l && d(i + 1) == r) {
+              out += s"$l $r"; i += 2 // greedy: consume both, no overlap
+            } else { out += d(i); i += 1 }
+          }
+          out.result()
+        }
+      }
+    }
+    merges.result()
+  }
+
+  private def run(texts: Seq[String], steps: Int): Seq[(Long, String, String, Long)] =
+    TextAnalysis.bpeMergeSequence(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+      steps)
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+
+  test("hand-checked corpus: top pair merges, count recorded") {
+    val texts = Seq("the cat sat", "the cat ran", "a cat sat")
+    // pairs: (the,cat) 2, (cat,sat) 2, (cat,ran) 1, (a,cat) 1 — tie
+    // (cat,sat) vs (the,cat) broken by left: "cat" < "the"
+    val got = run(texts, 1)
+    assert(got === Seq((1L, "cat", "sat", 2L)))
+  }
+
+  test("self-pair runs merge greedily left-to-right without overlap") {
+    // "a a a a a" -> (a,a) x4 candidates, but only floor(5/2)=2 merges
+    val texts = Seq("a a a a a", "a a a", "b a a")
+    val got = run(texts, 2)
+    assert(got === seqBpe(texts, 2))
+    // step 1 count: overlapping occurrences counted as raw pairs (4+2+1)
+    assert(got.head === ((1L, "a", "a", 7L)))
+  }
+
+  test("merged tokens participate in later rounds") {
+    // after (x,y) merges everywhere, the pair ("x y", z) dominates
+    val texts = Seq.fill(4)("x y z") ++ Seq("x y", "q x y")
+    val got = run(texts, 2)
+    assert(got === seqBpe(texts, 2))
+    assert(got(0)._2 === "x" && got(0)._3 === "y")
+    assert(got(1) === ((2L, "x y", "z", 4L)))
+  }
+
+  test("matches the sequential trainer on real corpus text, 5 steps") {
+    val texts = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("text").as[String].collect().toSeq
+    assert(run(texts, 5) === seqBpe(texts, 5))
+  }
+
+  test("guards: non-positive steps rejected; pairless corpus yields no merges") {
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bpeMergeSequence(Seq((1L, "x")).toDF("doc_id", "text"), 0)
+    }
+    assert(run(Seq("solo", "one"), 3).isEmpty)
+  }
+}
