@@ -1394,6 +1394,17 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_toks"),
           col("avg_logprob_t"))),
 
+    // V2b: interpolated BIGRAM LM scoring — avg log-prob over token
+    // TRANSITIONS (λ·bigram MLE + (1−λ)·unigram, λ=0.75): the
+    // perplexity filter that catches shuffled/stuffed text whose
+    // tokens are common but whose transitions aren't. Self-scoring
+    // makes pure backoff vacuous (every bigram is seen once), hence
+    // interpolation.
+    "doc_bigram_logprob" -> ((s, dir) =>
+      graft.operators.Relevance.bigramLogScores(Tables.documents(s, dir))
+        .select(col("id").as("doc_id"), col("n_bigrams"),
+          col("avg_logprob_b"))),
+
     // V3: hashing-trick vectorizer — sparse bag-of-words in a FIXED
     // 256-bucket space (no vocabulary table, no fit step); long format.
     "doc_hashed_features" -> ((s, dir) =>
@@ -1512,6 +1523,33 @@ object SparkEntry {
     "graph_ppr_suppliers" -> ((s, dir) =>
       graft.operators.PageRank.personalizedRanks(copurchaseEdges(s, dir),
         "src", "dst", iters = 3, isSeed = _.startsWith("s"))),
+
+    // G4: generic connected components (distributed min-label fixpoint)
+    // over the customer–order membership graph — STRING node ids, star
+    // topology (diameter 2, converges in ~2 rounds). The oracle is the
+    // graph's known structure: every component's min node is its 'c'
+    // node ('c' < 'o' bytewise), so component('o…') = the owning 'c…'.
+    "graph_components" -> ((s, dir) => {
+      val edges = Tables.orders(s, dir)
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("o"), col("o_orderkey")).as("dst"))
+      graft.operators.ConnectedComponents.components(edges, "src", "dst")
+    }),
+
+    // G5: star-contraction components over per-customer order CHAINS —
+    // path graphs are the deep-diameter case the alternating
+    // large/small-star rounds exist for (log(size) rounds, where the
+    // min-label fixpoint would pay diameter-many). Component = the
+    // customer's min orderkey, which the oracle computes structurally.
+    "graph_components_star" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val edges = Tables.orders(s, dir)
+        .withColumn("prev", lag(col("o_orderkey"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("prev").as("src"), col("o_orderkey").as("dst"))
+      graft.operators.ConnectedComponents.componentsStar(edges, "src", "dst")
+    }),
 
     // L1: multi-dimensional layout key — the Morton z-value over two
     // bounded dimension keys. Sorting/range-partitioning a table by zv
@@ -2958,6 +2996,27 @@ object SparkEntry {
         |FROM toks JOIN freq USING (tok), tot
         |GROUP BY id""".stripMargin,
 
+    "doc_bigram_logprob" ->
+      """WITH tk AS (SELECT doc_id AS id,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |t AS (SELECT id, u.pos, u.tok FROM (SELECT id,
+        |  unnest(list_transform(range(1, len(toks) + 1),
+        |    p -> struct_pack(pos := p - 1, tok := toks[p]))) AS u FROM tk)),
+        |clean AS (SELECT tok FROM t WHERE tok <> ''),
+        |uni AS (SELECT tok, count(*)::BIGINT AS c1 FROM clean GROUP BY tok),
+        |tot AS (SELECT count(*)::BIGINT AS n_total FROM clean),
+        |bg AS (SELECT a.id, a.tok AS l, b.tok AS r FROM t a
+        |  JOIN t b ON a.id = b.id AND b.pos = a.pos + 1),
+        |bi AS (SELECT l, r, count(*)::BIGINT AS c2 FROM bg GROUP BY l, r)
+        |SELECT id AS doc_id, count(*)::BIGINT AS n_bigrams,
+        |  floor((sum(CAST(ln(0.75 * (c2::DOUBLE / ul.c1::DOUBLE)
+        |    + 0.25 * (ur.c1::DOUBLE / n_total::DOUBLE)) AS DECIMAL(38,12)))::DOUBLE
+        |    / count(*)) * 10000) / 10000 AS avg_logprob_b
+        |FROM bg JOIN bi USING (l, r)
+        |  JOIN uni ul ON bg.l = ul.tok
+        |  JOIN uni ur ON bg.r = ur.tok, tot
+        |GROUP BY id""".stripMargin,
+
     "doc_hashed_features" ->
       s"""SELECT doc_id, ${hash60Sql("tok")} % 256 AS bucket,
          |  count(*)::BIGINT AS n FROM (
@@ -3084,6 +3143,26 @@ object SparkEntry {
       s"""WITH ${pagerankSql(3, graft.operators.PageRank.DefaultScale,
              None, weighted = true)}
          |SELECT node, rank FROM r3""".stripMargin,
+
+    // structural oracle: in the bipartite membership graph each
+    // component is one customer with its orders, and the 'c' node is
+    // the bytewise minimum ('c' < 'o')
+    "graph_components" ->
+      """SELECT 'o' || o_orderkey::VARCHAR AS node,
+        |  'c' || o_custkey::VARCHAR AS component FROM orders
+        |UNION ALL
+        |SELECT DISTINCT 'c' || o_custkey::VARCHAR AS node,
+        |  'c' || o_custkey::VARCHAR AS component FROM orders""".stripMargin,
+
+    // structural oracle: a customer's chain connects ALL their orders,
+    // so component = min orderkey per customer; single-order customers
+    // have no edges and are absent
+    "graph_components_star" ->
+      """WITH c AS (SELECT o_custkey, count(*) AS n,
+        |  min(o_orderkey) AS mn FROM orders GROUP BY o_custkey)
+        |SELECT o.o_orderkey AS node, c.mn AS component
+        |FROM orders o JOIN c ON o.o_custkey = c.o_custkey
+        |WHERE c.n >= 2""".stripMargin,
 
     "table_topk_values" ->
       Seq("lang", "source").map { c =>

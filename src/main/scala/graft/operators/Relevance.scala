@@ -61,6 +61,71 @@ object Relevance {
           .as("avg_logprob_t"))
   }
 
+  /** Bigram language-model scoring with Jelinek-Mercer interpolation —
+    * the standard step up from [[unigramLogScores]]'s CCNet signal:
+    * every document's average log-probability over its token
+    * TRANSITIONS, `avg over positions i≥1 of
+    * ln(λ·c(tᵢ₋₁,tᵢ)/c(tᵢ₋₁) + (1−λ)·c(tᵢ)/N)`. Word salad with
+    * corpus-common TOKENS but corpus-atypical TRANSITIONS — shuffled
+    * text, keyword stuffing, template glitches — scores low here while
+    * passing the unigram filter; that's the perplexity-filter signal
+    * the bigram model adds. INTERPOLATION (not pure backoff): in
+    * self-scoring every bigram has corpus count ≥ 1, so a
+    * seen-bigram-else-backoff rule would never back off; the unigram
+    * term must be mixed in unconditionally to matter.
+    *
+    * Determinism: λ defaults to 0.75 — an exact binary fraction, as is
+    * 1−λ — so both product terms, their sum, each division, and ln are
+    * single IEEE-correctly-rounded steps with an explicitly
+    * parenthesized order mirrored in the oracle SQL; the per-doc sum
+    * runs as DECIMAL(38,12) (associative) and the average is
+    * floor-truncated at 1e-4, the [[unigramLogScores]] recipe exactly.
+    * Denominator convention: c(tᵢ₋₁) is the token's corpus unigram
+    * count (not the context-sum variant that differs at doc tails).
+    *
+    * Shape: tokenize once → per-doc `lead` stitches transitions →
+    * bigram and unigram counts as hash aggregates (vocabulary-sized,
+    * Zipf-bounded exchanges) → three equi-joins back to positions + a
+    * 1-row total broadcast → per-doc aggregate. Same inverted-index
+    * plan class as the rest of the family; nothing pairwise, nothing
+    * corpus-global beyond the 1-row total. Docs with <2 tokens have no
+    * transitions and are omitted (the callers' quality-filter join is
+    * a left join anyway).
+    */
+  def bigramLogScores(docs: DataFrame, lambda: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(lambda > 0 && lambda < 1, s"lambda must be in (0,1), got $lambda")
+    val toks = docs.select(col(idCol).as("id"),
+      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
+    // '' only appears as the sole token of an all-whitespace doc (split
+    // of a trimmed string), so excluding it from the unigram model
+    // cannot create position gaps in any doc that has transitions
+    val clean = toks.filter(col("tok") =!= "")
+    val uni = clean.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val total = clean.agg(count(lit(1)).as("n_total"))
+    val bg = toks
+      .withColumn("next",
+        lead(col("tok"), 1).over(Window.partitionBy("id").orderBy("pos")))
+      .filter(col("next").isNotNull)
+      .select(col("id"), col("tok").as("l"), col("next").as("r"))
+    val bi = bg.groupBy(col("l"), col("r")).agg(count(lit(1)).as("c2"))
+    bg.join(bi, Seq("l", "r"))
+      .join(uni.select(col("tok").as("l"), col("c1").as("c1l")), Seq("l"))
+      .join(uni.select(col("tok").as("r"), col("c1").as("c1r")), Seq("r"))
+      .crossJoin(broadcast(total))
+      .withColumn("lp", log(
+        lit(lambda) * (col("c2").cast("double") / col("c1l").cast("double")) +
+          lit(1.0 - lambda) *
+            (col("c1r").cast("double") / col("n_total").cast("double"))))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("lp").cast("decimal(38,12)")).as("_slp"))
+      .select(col("id"), col("n_bigrams"),
+        (floor(col("_slp").cast("double") / col("n_bigrams") * 1e4) / 1e4)
+          .as("avg_logprob_b"))
+  }
+
   /** Scores = sum over matched terms of
     * `idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))`.
     * Documents matching NO query term are omitted (their score is 0);

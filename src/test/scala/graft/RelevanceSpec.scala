@@ -116,4 +116,47 @@ class RelevanceSpec extends AnyFunSuite with SparkTestBase {
     // the doc made of the corpus-common token outscores the rare-heavy one
     assert(got(1L)._2 > got(2L)._2)
   }
+
+  test("bigramLogScores: hand-computed interpolated averages") {
+    // corpus transitions over docs "a b a b" and "a b c":
+    // bigrams: (a,b)=3, (b,a)=1, (b,c)=1; unigrams: a=3, b=3, c=1, N=7
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    def lp(c2: Double, c1l: Double, c1r: Double) =
+      math.log(0.75 * (c2 / c1l) + 0.25 * (c1r / 7.0))
+    def expect(lps: Seq[Double]) =
+      math.floor(lps.sum / lps.size * 1e4) / 1e4
+    val ab = lp(3, 3, 3); val ba = lp(1, 3, 3); val bc = lp(1, 3, 1)
+    val got = Relevance.bigramLogScores(docs)
+      .select("id", "n_bigrams", "avg_logprob_b")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((3L, expect(Seq(ab, ba, ab)))))
+    assert(got(2L) === ((2L, expect(Seq(ab, bc)))))
+  }
+
+  test("bigramLogScores: typical transitions beat shuffled ones at equal unigrams") {
+    // 6 docs share the same transition structure; the shuffled doc uses
+    // EXACTLY the same tokens (so its unigram profile is corpus-typical)
+    // but each of its transitions occurs only once in the corpus — the
+    // word-salad case the unigram filter cannot see
+    val typical = (1L to 6L).map(i => (i, "the cat sat on the mat"))
+    val shuffled = Seq((7L, "mat the on sat cat the"))
+    val docs = (typical ++ shuffled).toDF("doc_id", "text")
+    val got = Relevance.bigramLogScores(docs)
+      .select("id", "avg_logprob_b").as[(Long, Double)].collect().toMap
+    assert(got(1L) > got(7L),
+      s"typical ${got(1L)} must beat shuffled ${got(7L)}")
+    // and the unigram filter indeed cannot separate them (same tokens)
+    val uni = Relevance.unigramLogScores(docs)
+      .select("id", "avg_logprob_t").as[(Long, Double)].collect().toMap
+    assert(uni(1L) === uni(7L))
+  }
+
+  test("bigramLogScores: docs without transitions are omitted; lambda guarded") {
+    val docs = Seq((1L, "solo"), (2L, "a b")).toDF("doc_id", "text")
+    val ids = Relevance.bigramLogScores(docs).select("id").as[Long].collect()
+    assert(ids.toSeq === Seq(2L))
+    intercept[IllegalArgumentException] {
+      Relevance.bigramLogScores(docs, lambda = 1.0)
+    }
+  }
 }
