@@ -25,6 +25,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     "report_metadata",        // 1-row x 1-row metadata crossJoin
     "doc_bm25_relevance",     // 1-row corpus-stats (N, avgdl) broadcast crossJoin
     "doc_unigram_logprob",    // 1-row token-total broadcast crossJoin
+    "doc_bigram_logprob",     // same 1-row token-total broadcast crossJoin
     "doc_tfidf_topterms",     // 1-row corpus-size (N) broadcast crossJoin
     "dedup_tfidf_cosine"      // same 1-row N broadcast; pair join is term-equi
   )
