@@ -200,5 +200,13 @@ object Bench {
       System.err.println(s"[bench] could not write $fullPath — ${e.getMessage}")
     }
     spark.stop()
+    // rc mirrors the "failed" field: the contract line (stdout + BENCH_full)
+    // is already emitted above, so a nonzero exit loses nothing — it just
+    // stops a partially-failed run from being recorded as a clean one.
+    val nFailed = results.count(_._2.isLeft)
+    if (nFailed > 0) {
+      System.err.println(s"[bench] $nFailed queries failed — exiting nonzero")
+      sys.exit(1)
+    }
   }
 }

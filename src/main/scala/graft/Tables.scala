@@ -20,18 +20,27 @@ object Tables {
     spark
   }
 
-  /** Reads the nanos Long (see [[configure]]) and truncates to micros —
-    * exactly what DuckDB does internally when it loads a TIMESTAMP_NS
-    * column, so oracle comparisons stay bit-identical.
+  /** Normalizes `ts` to TimestampType regardless of how the parquet
+    * encodes it. Testdata generations have shipped both TIMESTAMP(NANOS)
+    * (read as BIGINT under [[configure]]'s nanosAsLong — truncate to
+    * micros, exactly what DuckDB does when it loads TIMESTAMP_NS) and
+    * TIMESTAMP(MICROS) (read as TIMESTAMP / TIMESTAMP_NTZ — pass through;
+    * the NTZ→TZ cast is value-identity because every session builder pins
+    * spark.sql.session.timeZone=UTC).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     // defensive + idempotent: a session built outside the in-repo
-    // builders (which all call configure) would otherwise fail the nanos
+    // builders (which all call configure) would otherwise fail a nanos
     // read with PARQUET_TYPE_ILLEGAL
     configure(spark)
-    apply(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
+    val df = apply(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType      => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => df
+      case _             => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def orders(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
