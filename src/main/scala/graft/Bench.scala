@@ -21,9 +21,29 @@ object Bench {
   private def jnum(d: Double): String =
     if (d.isNaN || d.isInfinite) "-1" else d.toString
 
+  private def load1m: Double = java.lang.management.ManagementFactory
+    .getOperatingSystemMXBean.getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Quiet-load gate: four consecutive rounds recorded their bench at
+    // loadavg 2-6, making per-query history untrustworthy. Wait (capped)
+    // for the 1-min loadavg to settle below the gate before measuring,
+    // and record the wait + the load at measurement start in the artifact
+    // so a still-contaminated run is self-flagging rather than silent.
+    val loadGate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "1.0").toDouble
+    val loadWaitCap =
+      sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_CAP_SEC", "600").toInt
+    val gateT0 = System.nanoTime()
+    while (load1m >= loadGate &&
+        (System.nanoTime() - gateT0) / 1e9 < loadWaitCap) {
+      System.err.println(f"[bench] loadavg ${load1m}%.2f >= $loadGate%.1f" +
+        f" — waiting for quiet (cap ${loadWaitCap}s)")
+      Thread.sleep(15000)
+    }
+    val loadWaitSec = (System.nanoTime() - gateT0) / 1e9
+    val loadAtStart = load1m
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -187,7 +207,7 @@ object Bench {
     // totals means any truncation from either end still leaves the
     // round's verdict-grade numbers, and the full map is ALSO persisted
     // to its own file below so no truncation can lose per-query data.
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":${results.count(_._2.isLeft)},"loadavg":$loadAvg,"rerun_delta":$rerunDelta,"rerun_queries":$rerunNames,"ann_recall":$annRecall,"streaming":$streaming,"sf":"$sfDir","errors":$errs,"queries":$qs}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":${results.count(_._2.isLeft)},"loadavg":$loadAvg,"load_at_start":${jnum(loadAtStart)},"load_wait_sec":${jnum(loadWaitSec)},"rerun_delta":$rerunDelta,"rerun_queries":$rerunNames,"ann_recall":$annRecall,"streaming":$streaming,"sf":"$sfDir","errors":$errs,"queries":$qs}"""
     println(line)
     // belt-and-braces: the identical JSON, committed as its own file —
     // the durable copy of every per-query timing regardless of what the

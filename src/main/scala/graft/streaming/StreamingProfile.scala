@@ -49,6 +49,29 @@ object StreamingProfile {
     }
   }
 
+  /** Streaming twin of [[Profile.outliersMad]] — the live anomaly flag
+    * (fare spikes, sensor glitches, length-outlier documents) raised
+    * per micro-batch instead of at the nightly scan.
+    *
+    * Same discipline as [[monitor]]: the foreachBatch function runs the
+    * SAME batch operator on each micro-batch and writes the flagged rows
+    * under `outlierDir/batch=<id>` with overwrite-by-batch-id, so
+    * foreachBatch re-delivery rewrites byte-equivalent content and the
+    * `_SUCCESS` marker gates out a half-written batch. The median/MAD
+    * statistics are computed WITHIN each batch — the monitor flags "this
+    * row is anomalous against its cohort in this batch", which needs no
+    * cross-batch state and therefore rides any ingest rate in bounded
+    * memory (two group-partitioned windows + a broadcastable
+    * |groups|-row bounds join, per batch).
+    */
+  def monitorOutliers(outlierDir: String, group: String, value: String,
+      tie: String, k: Int = 3): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      Profile.outliersMad(batch, group, value, tie, k)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$outlierDir/batch=$batchId")
+  }
+
   /** Latest COMMITTED snapshot with id < `batchId`, if any — read by id
     * order, not mtime, so re-delivered batches diff against the same
     * predecessor they did the first time. Hadoop FileSystem listing

@@ -57,4 +57,49 @@ class StreamingProfileSpec extends AnyFunSuite with SparkTestBase {
     val second = spark.read.parquet(s"$dir/profiles/batch=0").collect().toSet
     assert(first === second)
   }
+
+  test("outlier monitor equals the batch operator and flags a planted spike") {
+    val dir = java.nio.file.Files.createTempDirectory("soutl").toString
+    implicit val ctx = spark.sqlContext
+    // batch 0: two well-behaved cohorts; batch 1: same shape plus one
+    // planted spike in cohort "en" (value 999 among 10..19)
+    val b0 = (1L to 20L).map(i =>
+      ProfileTestRow(i, if (i % 2 == 0) "en" else "de", Some(10 + i % 10)))
+    val b1 = (21L to 40L).map(i =>
+      ProfileTestRow(i, if (i % 2 == 0) "en" else "de", Some(10 + i % 10))) :+
+      ProfileTestRow(99L, "en", Some(999L))
+    val input = MemoryStream[ProfileTestRow]
+    val q = input.toDF().writeStream
+      .foreachBatch(
+        StreamingProfile.monitorOutliers(s"$dir/outliers", "lang", "n", "id"))
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try Seq(b0, b1).foreach { b => input.addData(b); q.processAllAvailable() }
+    finally q.stop()
+
+    // batch 0 snapshot == running the batch operator directly
+    val snap0 = spark.read.parquet(s"$dir/outliers/batch=0").collect().toSet
+    val expected0 = graft.operators.Profile
+      .outliersMad(b0.toDF(), "lang", "n", "id").collect().toSet
+    assert(snap0 === expected0)
+    assert(new java.io.File(s"$dir/outliers/batch=0/_SUCCESS").exists())
+
+    // the planted spike is the flagged row of batch 1
+    val flagged = spark.read.parquet(s"$dir/outliers/batch=1").collect()
+    assert(flagged.exists(r => r.getAs[Long]("id") == 99L &&
+      r.getAs[Double]("v") == 999.0))
+    assert(flagged.forall(_.getAs[String]("grp") == "en"))
+  }
+
+  test("outlier monitor re-delivery rewrites identical flagged rows") {
+    val dir = java.nio.file.Files.createTempDirectory("soutl2").toString
+    val rows = (1L to 15L).map(i => ProfileTestRow(i, "en", Some(i % 5))) :+
+      ProfileTestRow(50L, "en", Some(1000L))
+    val fn = StreamingProfile.monitorOutliers(
+      s"$dir/outliers", "lang", "n", "id")
+    fn(rows.toDF(), 3L)
+    val first = spark.read.parquet(s"$dir/outliers/batch=3").collect().toSet
+    fn(rows.toDF(), 3L) // foreachBatch re-delivery
+    val second = spark.read.parquet(s"$dir/outliers/batch=3").collect().toSet
+    assert(first === second && first.nonEmpty)
+  }
 }
