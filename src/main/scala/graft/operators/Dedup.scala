@@ -550,34 +550,78 @@ object Dedup {
     */
   private[graft] def starClusters(edges: DataFrame,
       maxRounds: Int = Int.MaxValue): (DataFrame, Int, Boolean) = {
-    def sym(e: DataFrame): DataFrame =
-      e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
-    // m(u) = min(N(u) ∪ {u}) over the symmetrized neighborhood
-    def mins(se: DataFrame): DataFrame =
-      se.groupBy("src").agg(min(col("dst")).as("_mn"))
-        .select(col("src"), least(col("src"), col("_mn")).as("m"))
-    def largeStar(e: DataFrame): DataFrame = {
-      val se = sym(e)
-      se.join(mins(se), "src").filter(col("dst") > col("src"))
-        .select(col("dst").as("src"), col("m").as("dst"))
-        .filter(col("src") =!= col("dst")).distinct()
-    }
+    // INVARIANT: the working edge list is kept NORMALIZED, src > dst.
+    // Both star ops preserve it for free (every emitted edge points a
+    // node at a strictly smaller one), which halves every join input vs
+    // the naive formulation: the textbook version symmetrizes to 2|e|
+    // rows, joins, then throws half away with a direction filter AFTER
+    // the shuffle. Only the neighborhood-min aggregate still reads both
+    // directions (a union feeding one partial-aggregated groupBy — rows
+    // collapse map-side, so the exchange is |nodes|-sized either way).
+    // m(u) = min(N(u) ∪ {u}) over the normalized edge list
+    def mins(e: DataFrame): DataFrame =
+      e.select(col("src").as("node"), col("dst").as("nbr"))
+        .unionByName(e.select(col("dst").as("node"), col("src").as("nbr")))
+        .groupBy("node").agg(min(col("nbr")).as("_mn"))
+        .select(col("node"), least(col("node"), col("_mn")).as("m"))
+    // large-star: for each edge (hi=src, lo=dst), hi re-attaches to
+    // m(lo). m(lo) ≤ lo < hi, so the output is normalized and can never
+    // be a self-loop — no filters at all. No dedup either: the only
+    // consumer is smallStar, whose groupBy-min ignores multiplicity and
+    // whose own output dedups (saves one full shuffle per round at the
+    // price of ≤2x row inflation into the next round's join).
+    def largeStar(e: DataFrame): DataFrame =
+      e.join(mins(e).withColumnRenamed("node", "dst"), "dst")
+        .select(col("src"), col("m").as("dst"))
+    // small-star: for each edge (hi=src, lo=dst), lo re-attaches to
+    // m(hi) (≤ lo, since lo ∈ N(hi)), plus every node attaches to its
+    // own m — stars flatten so every node points at its current minimum.
     def smallStar(e: DataFrame): DataFrame = {
-      val se = sym(e)
-      val m = mins(se)
-      se.join(m, "src").filter(col("dst") < col("src"))
+      val m = mins(e)
+      e.join(m.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("src"), col("m").as("dst"))
-        .unionByName(m.select(col("src"), col("m").as("dst")))
+        .unionByName(m.select(col("node").as("src"), col("m").as("dst")))
         .filter(col("src") =!= col("dst")).distinct()
     }
-    var cur = iterCheckpoint(smallStar(largeStar(edges)))
+    // one round = small-star ∘ large-star, BOTH materialized: smallStar
+    // reads its input twice (the min aggregate and the re-attach join),
+    // so an unmaterialized large-star output would be computed twice.
+    // The inner checkpoint is LAZY — it materializes as part of the
+    // outer round's first job instead of paying its own job barrier.
+    def lazyCheckpoint(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(false)
+      else df.localCheckpoint(false)
+    def round(e: DataFrame): DataFrame =
+      iterCheckpoint(smallStar(lazyCheckpoint(largeStar(e))))
+    // (row count, XOR of row hashes) in ONE agg job over the checkpointed
+    // set. The signature is an exact NEGATIVE convergence filter:
+    // different signatures ⇒ different edge sets, so the expensive
+    // set-diff only runs in rounds whose signature matches — in practice
+    // exactly once, at the true fixpoint. (Chain graphs keep the edge
+    // COUNT constant from round one — each non-min node always carries
+    // exactly one out-edge — so a count-only short-circuit never fires
+    // and the diff would otherwise run every round, ~25% of round cost.)
+    // bit_xor, not sum: associative, order-free, and can't overflow
+    // under ANSI arithmetic at any scale.
+    def sig(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        bit_xor(xxhash64(col("src"), col("dst")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var cur = round(
+      edges.filter(col("src") =!= col("dst"))
+        .select(greatest(col("src"), col("dst")).as("src"),
+          least(col("src"), col("dst")).as("dst")))
+    var curSig = sig(cur)
     var rounds = 1
     var converged = false
     while (!converged && rounds < maxRounds) {
-      val next = iterCheckpoint(smallStar(largeStar(cur)))
-      converged = next.count() == cur.count() &&
-        next.exceptAll(cur).count() == 0
+      val next = round(cur)
+      val nextSig = sig(next)
+      converged = nextSig == curSig && next.exceptAll(cur).count() == 0
       cur = next
+      curSig = nextSig
       if (!converged) rounds += 1
     }
     // the fixpoint is a star set (v, component-min): labels are the
