@@ -195,7 +195,38 @@ object Bench {
       val ivfpqCand = SimilaritySearch.ivfCandidates(
         graft.Tables.embeddings(spark, sfDir), queries,
         numCentroids = 64, nprobe = 8).count()
-      s"""{"k":10,"ann_lsh_banded_topk":{"recall":${jnum(banded)},"candidates_scored":$bandedCand},"ann_ivfpq_topk":{"recall":${jnum(ivfpq)},"candidates_scored":$ivfpqCand}}"""
+
+      // PLANTED recall — the meaningful index-quality number on this
+      // corpus. The embeddings are isotropic noise (ann_corpus_isotropy:
+      // pairwise cosine mean ~0, std ~1/sqrt(64), top-10 label agreement
+      // at chance), so organic neighbors are ~0.45-cosine fluctuations no
+      // sublinear index can bucket — the organic numbers above are
+      // bounded near the candidate fraction BY THE CORPUS, not the index.
+      // Planted queries (every 20th vector perturbed to cosine ~0.945,
+      // ann_planted_check proves the source is the exact top-1) measure
+      // whether the index retrieves a true near-neighbor when one exists.
+      import org.apache.spark.sql.functions.col
+      val emb = graft.Tables.embeddings(spark, sfDir)
+      val planted = SimilaritySearch.plantedQueries(emb).localCheckpoint(false)
+      val nPlanted = planted.count()
+      val corpusN = emb.count()
+      def pRecall(df: DataFrame): Double =
+        if (nPlanted == 0) -1.0
+        else df.filter(col("neighbor_id") === col("query_id") - 900000L)
+          .count().toDouble / nPlanted
+      val pBandedMp = pRecall(SimilaritySearch.lshBandedTopK(emb, planted,
+        k = 10, tables = 4, bitsPerTable = 16, multiProbe = true))
+      val pBandedMpCand = SimilaritySearch.lshBandedCandidates(emb, planted,
+        tables = 4, bitsPerTable = 16, multiProbe = true).count()
+      val trainedCents = SimilaritySearch.ivfTrainedCentroids(emb,
+        numCentroids = 32, iters = 3).localCheckpoint(false)
+      val pIvfTrained = pRecall(SimilaritySearch.ivfTopKTrained(emb, planted,
+        k = 10, numCentroids = 32, iters = 3, nprobe = 3))
+      val pIvfTrainedCand = SimilaritySearch.ivfCandidatesFromCents(emb,
+        planted, trainedCents, nprobe = 3).count()
+      def frac(c: Long): Double =
+        if (nPlanted * corpusN == 0) -1.0 else c.toDouble / (nPlanted * corpusN)
+      s"""{"k":10,"ann_lsh_banded_topk":{"recall":${jnum(banded)},"candidates_scored":$bandedCand},"ann_ivfpq_topk":{"recall":${jnum(ivfpq)},"candidates_scored":$ivfpqCand},"planted":{"cosine":0.945,"n_queries":$nPlanted,"banded_multiprobe":{"recall":${jnum(pBandedMp)},"candidates_scored":$pBandedMpCand,"candidate_fraction":${jnum(frac(pBandedMpCand))}},"ivf_trained_32c_3probe":{"recall":${jnum(pIvfTrained)},"candidates_scored":$pIvfTrainedCand,"candidate_fraction":${jnum(frac(pIvfTrainedCand))}}}}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] ann recall FAILED — ${e.getMessage}")
       s"""{"error":${jstr(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}}"""

@@ -1192,15 +1192,25 @@ object SparkEntry {
           tables = 4, bitsPerTable = 16)
         .select(col("id_a"), col("id_b"), trunc4(col("cosine")).as("cosine"))),
 
-    // A5 (extension): HLL++ approximate distinct users per day. No
-    // oracleSql on purpose: DuckDB's approx sketch differs; the driver
-    // records a rows-only check and AggregatesSpec bounds the error vs
-    // exact counts.
+    // A5 (extension): HLL++ approximate distinct users per day, with a
+    // BOUNDS-CHECK oracle. The sketch value itself can't be compared
+    // cross-engine (DuckDB's approx sketch differs), so the verified
+    // output carries the exact distinct count (engine-identical) plus
+    // `approx_ok` = |approx − exact| ≤ 3·rsd·exact; the oracle emits the
+    // same exact counts with approx_ok constant-true. Rows hash-match
+    // iff every day's sketch landed inside its 3σ band — a real
+    // cross-engine guarantee on the approximation, not just a row count.
+    // (The exact count rides along for verification only; the sketch is
+    // the production path — AggregatesSpec bounds it too.)
     "approx_distinct_users_daily" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy(to_date(col("ts")).as("event_date"))
         .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-          count(lit(1)).as("n_events"))),
+          count_distinct(col("user_id")).as("exact_users"),
+          count(lit(1)).as("n_events"))
+        .select(col("event_date"), col("exact_users"), col("n_events"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            lit(3 * 0.02) * col("exact_users")).as("approx_ok"))),
 
     // P15: base64 encode/decode roundtrip (lambda1.py:31's decode step).
     "base64_roundtrip" -> ((s, dir) =>
@@ -1302,6 +1312,81 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"),
           trunc4(col("approx_score")).as("approx_score"))),
+
+    // SS2d: banded LSH with hamming-1 multiprobe on the query side —
+    // the recall lever at constant index cost (probe fanout is
+    // (bits+1) x |queries| rows; the corpus side and the ids-only
+    // candidate shuffle are unchanged). Same injected-dup corpus as
+    // ann_lsh_banded_topk so the contract rows are non-vacuous.
+    "ann_banded_multiprobe_topk" -> ((s, dir) =>
+      SimilaritySearch.lshBandedTopK(embDupCorpus(s, dir),
+          annQueries(s, dir), k = 10, tables = 4, bitsPerTable = 16,
+          multiProbe = true)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"), trunc4(col("cosine")).as("cosine"))),
+
+    // SS3b: IVF over K-MEANS-TRAINED centroids (integer-exact Lloyd,
+    // 32 cells x 3 iters) instead of the hash-order sample — the
+    // train-once / probe-per-query production split. nprobe=3 of 32
+    // cells ~ 9% candidate fraction.
+    "ann_ivf_trained_topk" -> ((s, dir) =>
+      SimilaritySearch.ivfTopKTrained(Tables.embeddings(s, dir),
+          annQueries(s, dir), k = 10, numCentroids = 32, iters = 3, nprobe = 3)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"), trunc4(col("cosine")).as("cosine"))),
+
+    // SS7: planted-neighbor ground-truth check — every 20th corpus
+    // vector perturbed to cosine ~0.945 (seeded md5 noise, engine-
+    // portable) must find its SOURCE as exact top-1, with the runner-up
+    // far below. Proves the planted recall metric the bench reports
+    // (recall = "index retrieved the source") measures index quality on
+    // this isotropic corpus (see ann_corpus_isotropy and the
+    // SimilaritySearch.plantedQueries scaladoc).
+    "ann_planted_check" -> ((s, dir) =>
+      SimilaritySearch.bruteForceTopK(Tables.embeddings(s, dir),
+          SimilaritySearch.plantedQueries(Tables.embeddings(s, dir)), k = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"), trunc4(col("cosine")).as("cosine"),
+          (col("neighbor_id") === col("query_id") - 900000L).as("is_source"))),
+
+    // SS8: the isotropy demonstration, oracle-checked — pairwise cosine
+    // moments over the id%10 sample (mean ~0, std ~1/sqrt(64): the
+    // i.i.d.-noise signature) and the label-agreement rate of each
+    // query's true top-10 (chance = 1/|labels|: labels carry no
+    // geometry). The documented reason organic ANN recall on this
+    // corpus is bounded near the candidate fraction, and the planted
+    // metric is the meaningful one.
+    "ann_corpus_isotropy" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val dot = graft.functions.VectorFunctions.dotF _
+      // the pair sample is bounded by an absolute id range (not just a
+      // modulus) so the quadratic diagnostic stays <= 2000^2/2 pairs at
+      // ANY corpus scale — it is a geometry probe, not a corpus scan
+      def side(n: String) = emb.filter(col("vec_id") % 10 === 0 &&
+          col("vec_id") < 20000)
+        .select(col("vec_id").as(s"id_$n"), col("embedding").as(s"v_$n"),
+          sqrt(dot(col("embedding"), col("embedding"))).as(s"nrm_$n"))
+      val pairs = side("a").join(broadcast(side("b")),
+          col("id_a") < col("id_b"))
+        .select(SimilaritySearch.cosineFromNorms(
+          dot(col("v_a"), col("v_b")), col("nrm_a"), col("nrm_b")).as("c"))
+        .agg(count(lit(1)).as("n_pairs"), avg(col("c")).as("mean_c"),
+          avg(col("c") * col("c")).as("m2"))
+        .select(col("n_pairs"), trunc4(col("mean_c")).as("mean_cos"),
+          trunc4(sqrt(col("m2") - col("mean_c") * col("mean_c")))
+            .as("std_cos"))
+      val lbl = emb.select(col("vec_id"), col("label"))
+      val top10 = SimilaritySearch.bruteForceTopK(emb, annQueries(s, dir),
+          k = 10)
+        .join(lbl.withColumnRenamed("vec_id", "query_id")
+          .withColumnRenamed("label", "q_label"), Seq("query_id"))
+        .join(lbl.withColumnRenamed("vec_id", "neighbor_id")
+          .withColumnRenamed("label", "n_label"), Seq("neighbor_id"))
+        .agg(trunc4(avg((col("q_label") === col("n_label"))
+          .cast("double"))).as("top10_label_match"),
+          countDistinct(col("n_label")).as("n_labels_seen"))
+      pairs.crossJoin(top10)
+    }),
 
     // SS4: scalar int8 quantization of embeddings (per-vector min/max,
     // floor-based so both engines bit-agree), exploded to scalar rows.
@@ -2089,6 +2174,15 @@ object SparkEntry {
     "date_projection" ->
       "SELECT event_id, CAST(ts AS DATE) AS event_date FROM events",
 
+    // bounds-check oracle: exact counts are engine-identical; approx_ok
+    // is constant-true here and computed from the sketch on the Spark
+    // side, so a hash match PROVES |approx − exact| ≤ 3·rsd·exact per day
+    "approx_distinct_users_daily" ->
+      """SELECT CAST(ts AS DATE) AS event_date,
+        |count(DISTINCT user_id)::BIGINT AS exact_users,
+        |count(*)::BIGINT AS n_events, true AS approx_ok
+        |FROM events GROUP BY CAST(ts AS DATE)""".stripMargin,
+
     "union_interleave" ->
       """SELECT o_orderkey AS id, o_orderdate AS event_time,
         |'trip_start' AS data_type FROM orders
@@ -2792,6 +2886,115 @@ object SparkEntry {
          |  cosine FROM scored)
          |SELECT query_id, neighbor_id, rank,
          |floor(cosine*10000)/10000 AS cosine FROM ranked WHERE rank <= 10""".stripMargin,
+
+    // banded LSH with hamming-1 multiprobe on the query side: each query
+    // band bucket expands to itself + its 16 one-bit-flip neighbors.
+    "ann_banded_multiprobe_topk" ->
+      s"""WITH $embCorpusSql,
+         |e AS (SELECT vec_id, embedding,
+         |  [${(0 until 4).map(t => bandBucketSql("embedding", t, 16)).mkString(", ")}] AS tbl
+         |  FROM corpus),
+         |x AS (SELECT vec_id, t.t AS t, tbl[t.t+1] AS bucket FROM e, range(0,4) t(t)),
+         |xq AS (SELECT vec_id, t, xor(bucket, o.off) AS bucket
+         |  FROM x, unnest([0${(0 until 16).map(j => s", ${1L << j}").mkString}]) o(off)
+         |  WHERE vec_id % 50 = 0 AND vec_id < 100000),
+         |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM x c JOIN xq q ON c.t = q.t AND c.bucket = q.bucket
+         |  WHERE c.vec_id <> q.vec_id),
+         |scored AS (SELECT cand.query_id, cand.neighbor_id,
+         |  ${cosSql("eq.embedding", "ec.embedding")} AS cosine
+         |  FROM cand JOIN e ec ON cand.neighbor_id = ec.vec_id
+         |  JOIN e eq ON cand.query_id = eq.vec_id),
+         |ranked AS (SELECT query_id, neighbor_id, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank,
+         |  cosine FROM scored)
+         |SELECT query_id, neighbor_id, rank,
+         |floor(cosine*10000)/10000 AS cosine FROM ranked WHERE rank <= 10""".stripMargin,
+
+    // IVF over k-means-trained centroids: kmeansSql's c2 is the Lloyd
+    // matrix the final assignment round scored against (= Spark's
+    // Cluster.kmeansCentroids(32, 3)); de-quantized (val/scale)::FLOAT
+    // exactly as ivfTrainedCentroids casts it. Probe/assign/rank mirror
+    // ann_ivf_topk with nprobe=3.
+    "ann_ivf_trained_topk" ->
+      s"""WITH ${kmeansSql(32, 3, Cluster.DefaultScale)},
+         |cents AS (SELECT cluster AS centroid_id,
+         |  list((val / ${Cluster.DefaultScale}.0)::FLOAT ORDER BY dim) AS cv
+         |  FROM c2 GROUP BY cluster),
+         |vecs AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+         |assign AS (SELECT id, v, centroid_id FROM (
+         |  SELECT v.id, v.v, c.centroid_id, row_number() OVER (
+         |    PARTITION BY v.id ORDER BY ${cosSql("v.v", "c.cv")} DESC,
+         |    c.centroid_id) AS crank FROM vecs v, cents c) t WHERE crank = 1),
+         |qq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |  WHERE vec_id % 50 = 0),
+         |probes AS (SELECT query_id, qv, centroid_id FROM (
+         |  SELECT q.query_id, q.qv, c.centroid_id, row_number() OVER (
+         |    PARTITION BY q.query_id ORDER BY ${cosSql("q.qv", "c.cv")} DESC,
+         |    c.centroid_id) AS prank FROM qq q, cents c) t WHERE prank <= 3),
+         |scored AS (SELECT p.query_id, a.id AS neighbor_id,
+         |  ${cosSql("p.qv", "a.v")} AS cosine
+         |  FROM assign a JOIN probes p ON a.centroid_id = p.centroid_id
+         |  WHERE a.id <> p.query_id),
+         |ranked AS (SELECT query_id, neighbor_id, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank,
+         |  cosine FROM scored)
+         |SELECT query_id, neighbor_id, rank,
+         |floor(cosine*10000)/10000 AS cosine FROM ranked WHERE rank <= 10""".stripMargin,
+
+    // planted-neighbor ground truth: the perturbed query regenerated
+    // bit-for-bit (md5 noise, double arithmetic in Spark's exact
+    // expression order, FLOAT cast last), then exact top-2.
+    "ann_planted_check" ->
+      s"""WITH src AS (SELECT vec_id, embedding,
+         |  sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM embeddings WHERE vec_id % 20 = 0),
+         |pq AS (SELECT vec_id + 900000 AS query_id,
+         |  list_transform(range(0, ${SimilaritySearch.Dim}), d ->
+         |    (embedding[d+1]::DOUBLE + 0.6 * nrm / 8.0 *
+         |      ((${hash60Sql("vec_id::VARCHAR || ':' || d::VARCHAR")}
+         |        / 576460752303423488.0) - 1.0))::FLOAT) AS qv
+         |  FROM src),
+         |scored AS (SELECT p.query_id, e.vec_id AS neighbor_id,
+         |  ${cosSql("p.qv", "e.embedding")} AS cosine
+         |  FROM embeddings e, pq p WHERE e.vec_id <> p.query_id),
+         |ranked AS (SELECT query_id, neighbor_id, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank,
+         |  cosine FROM scored)
+         |SELECT query_id, neighbor_id, rank,
+         |floor(cosine*10000)/10000 AS cosine,
+         |(neighbor_id = query_id - 900000) AS is_source
+         |FROM ranked WHERE rank <= 2""".stripMargin,
+
+    // isotropy demonstration: cosine moments over a bounded id-range
+    // pair sample + label agreement of the true top-10.
+    "ann_corpus_isotropy" ->
+      s"""WITH smp AS (SELECT vec_id, embedding,
+         |  sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < 20000),
+         |pr AS (SELECT (${dotSql("a.embedding", "b.embedding")})
+         |    / (a.nrm * b.nrm) AS c
+         |  FROM smp a JOIN smp b ON a.vec_id < b.vec_id),
+         |st AS (SELECT count(*)::BIGINT AS n_pairs,
+         |  floor(avg(c)*10000)/10000 AS mean_cos,
+         |  floor(sqrt(avg(c*c) - avg(c)*avg(c))*10000)/10000 AS std_cos
+         |  FROM pr),
+         |qy AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |  WHERE vec_id % 50 = 0),
+         |scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+         |  ${cosSql("q.qv", "e.embedding")} AS cosine
+         |  FROM embeddings e, qy q WHERE e.vec_id <> q.query_id),
+         |top AS (SELECT query_id, neighbor_id FROM (SELECT query_id,
+         |  neighbor_id, row_number() OVER (PARTITION BY query_id
+         |  ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+         |  WHERE rank <= 10),
+         |lm AS (SELECT floor(avg(CASE WHEN ql.label = nl.label
+         |    THEN 1.0 ELSE 0.0 END)*10000)/10000 AS top10_label_match,
+         |  count(DISTINCT nl.label)::BIGINT AS n_labels_seen
+         |  FROM top JOIN embeddings ql ON top.query_id = ql.vec_id
+         |  JOIN embeddings nl ON top.neighbor_id = nl.vec_id)
+         |SELECT s.n_pairs, s.mean_cos, s.std_cos,
+         |l.top10_label_match, l.n_labels_seen FROM st s, lm l""".stripMargin,
 
     "ann_topk_agg" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings

@@ -20,7 +20,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
                               // (the IVF/banded retrieval composes equi)
     "ann_topk_agg",           // same all-pairs scoring, aggregator ranking
     "ann_ivf_topk",           // corpus x centroids assignment (broadcast)
+    "ann_ivf_trained_topk",   // same corpus x centroids broadcast, trained cells
     "ann_ivfpq_topk",         // same constant-size centroid broadcast; scoring itself is equi
+    "ann_planted_check",      // |q| x corpus exact baseline (planted queries)
+    "ann_corpus_isotropy",    // bounded id-range pair sample (<=2000^2/2 at any
+                              // SF) + the |q| x corpus baseline + 1x1 stat join
     "ann_pq_topk",            // |q| x corpus CODE scoring (8 adds/pair by design)
     "report_metadata",        // 1-row x 1-row metadata crossJoin
     "doc_bm25_relevance",     // 1-row corpus-stats (N, avgdl) broadcast crossJoin
@@ -214,8 +218,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     val orphans = SparkEntry.oracleSql.keySet.diff(qs)
     assert(orphans.isEmpty, s"oracleSql without a query: ${orphans.mkString(", ")}")
     val noOracle = qs.diff(SparkEntry.oracleSql.keySet)
-    // rows-only checks are deliberate and enumerated
-    assert(noOracle === Set("approx_distinct_users_daily"),
+    // every query carries an oracle (approx_distinct_users_daily's is the
+    // bounds-check shape: exact counts + approx_ok band flag)
+    assert(noOracle.isEmpty,
       s"queries silently missing an oracle: ${noOracle.mkString(", ")}")
   }
 }

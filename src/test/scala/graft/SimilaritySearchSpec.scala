@@ -173,6 +173,81 @@ class SimilaritySearchSpec extends AnyFunSuite with SparkTestBase {
     assert(probedRows.count() === nq * 10)
   }
 
+  test("plantedQueries: the source is the unambiguous exact top-1 for every query") {
+    // the ground-truth premise of the planted recall metric (the corpus
+    // is isotropic noise — organic neighbors are ~0.45-cosine noise
+    // fluctuations, the planted source sits at ~0.945)
+    val corpus = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val planted = SimilaritySearch.plantedQueries(corpus)
+    val top2 = SimilaritySearch.bruteForceTopK(corpus, planted, k = 2)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+      .as[(Long, Long, Int, Double)].collect()
+    val n = planted.count()
+    assert(n > 0 && top2.length === 2 * n)
+    top2.filter(_._3 == 1).foreach { case (q, nb, _, c) =>
+      assert(nb === q - 900000L, s"query $q: top-1 must be its source")
+      assert(c > 0.85, s"query $q: planted cosine $c below design (~0.945)")
+    }
+    top2.filter(_._3 == 2).foreach { case (q, _, _, c) =>
+      assert(c < 0.7, s"query $q: runner-up at $c — planted margin collapsed")
+    }
+  }
+
+  test("banded multiprobe: candidate superset of exact banding, planted recall rises") {
+    val corpus = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val planted = SimilaritySearch.plantedQueries(corpus)
+    def cands(mp: Boolean) = SimilaritySearch
+      .lshBandedCandidates(corpus, planted, tables = 4, bitsPerTable = 16,
+        multiProbe = mp)
+      .as[(Long, Long)].collect().toSet
+    val exactC = cands(mp = false)
+    val probedC = cands(mp = true)
+    assert(exactC.subsetOf(probedC),
+      "hamming-1 probing must only ADD candidates")
+    def plantedRecall(mp: Boolean): Double = {
+      val hits = SimilaritySearch.lshBandedTopK(corpus, planted, k = 10,
+          tables = 4, bitsPerTable = 16, multiProbe = mp)
+        .filter(col("neighbor_id") === col("query_id") - 900000L)
+        .count()
+      hits.toDouble / planted.count()
+    }
+    val r0 = plantedRecall(mp = false)
+    val r1 = plantedRecall(mp = true)
+    assert(r1 >= r0, f"multiprobe lost recall: $r1%.2f < $r0%.2f")
+    // design point: per-plane p ~ 0.894 at planted cosine ~0.945 gives
+    // ~0.52 exact-band recall and ~0.93 with hamming-1 probes over 4
+    // tables; the floor guards the mechanism with sampling headroom
+    assert(r1 >= 0.6,
+      f"banded multiprobe planted recall $r1%.2f — probing is broken")
+  }
+
+  test("ivfTopKTrained: valid ranking, true cosines, constant centroid count") {
+    val corpus = Tables.embeddings(spark, sf)
+    val queries = corpus.filter(col("vec_id") % 50 === 0)
+    val exact = SimilaritySearch.bruteForceTopK(corpus, queries, k = 500)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, n, c) => (q, n) -> c }.toMap
+    val trained = SimilaritySearch.ivfTopKTrained(corpus, queries, k = 10,
+      numCentroids = 8, iters = 3, nprobe = 2).collect()
+    assert(trained.nonEmpty)
+    trained.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getAs[Int]("rank"))
+      assert(byRank.map(_.getAs[Int]("rank")).toSeq === (1 to byRank.length))
+    }
+    trained.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      exact.get(key).foreach(c =>
+        assert(math.abs(c - r.getAs[Double]("cosine")) < 1e-12))
+    }
+    // train-once contract: the centroid table is numCentroids rows
+    // regardless of corpus size
+    val doubled = corpus.select("vec_id", "embedding").unionByName(
+      corpus.select(($"vec_id" + 500000L).as("vec_id"), $"embedding"))
+    assert(SimilaritySearch.ivfTrainedCentroids(doubled, numCentroids = 8,
+      iters = 2).count() === 8L)
+  }
+
   test("lshBucket is deterministic and within bit range") {
     val corpus = Tables.embeddings(spark, sf).limit(50)
     val b1 = corpus.select(SimilaritySearch.lshBucket(col("embedding"), 8).as("b"))
