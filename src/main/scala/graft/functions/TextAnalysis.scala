@@ -162,6 +162,106 @@ object TextAnalysis {
       .toDF("step", "left_tok", "right_tok", "n")
   }
 
+  /** The PRODUCTION-SCALE variant of [[bpeMergeSequence]]: up to
+    * `batchSize` merges learned per distributed pass instead of one.
+    * A 50k-merge vocabulary at one merge per pass means 50k driver
+    * round-trips and 50k corpus rewrites; batching learns the top-m
+    * NON-CONFLICTING pairs per pass — m-fold fewer passes at identical
+    * per-pass cost, the standard trainer optimization (Rust/HF tokenizer
+    * trainers batch the same way).
+    *
+    * Conflict rule: a pass's selected pairs must have pairwise-DISJOINT
+    * token sets (no token is the left or right of two selected pairs).
+    * Disjointness makes the one-pass rewrite unambiguous: a position
+    * matches at most one pair, and consecutive candidate positions
+    * always belong to the SAME pair (pos p matching (a,b) and p+1
+    * matching (c,d) would force b = c — excluded), so the
+    * gaps-and-islands odd-rank overlap rule of the sequential trainer
+    * applies island-by-island unchanged. Selection is greedy in the
+    * same total order (n DESC, left, right): scan candidates, keep a
+    * pair iff its tokens are unseen in this pass.
+    *
+    * Equivalence contract (BpeSpec): when the top pairs are mutually
+    * conflict-free AND merging one does not change another's count
+    * (no shared tokens, no adjacency between their instances), one
+    * m-batched pass selects exactly the pairs m sequential rounds
+    * select, with the same counts and the same rewritten corpus —
+    * 2-pass batched ≡ 2×1-pass sequential on such corpora. On corpora
+    * where counts DO interact the batched trainer diverges from
+    * sequential (it freezes rank order within a pass: the documented
+    * trade every batched BPE trainer makes).
+    *
+    * Each pass: one pair count; ONE bounded driver collect
+    * (`batchSize * 4` candidate rows, the greedy filter's headroom);
+    * one rewrite pass — same window + equi-join machinery as the
+    * sequential trainer, with the matched pair id resolved per
+    * position by a static when-chain over the pass's <= batchSize
+    * pairs. Lineage localCheckpoint-bounded per pass as before.
+    */
+  def bpeMergeSequenceBatched(docs: DataFrame, steps: Int,
+      batchSize: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(steps > 0, s"steps must be positive, got $steps")
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    val spark = docs.sparkSession
+    val byId = Window.partitionBy("id").orderBy("pos")
+    var toks = docs.select(col(idCol).as("id"),
+        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var exhausted = false
+    while (merges.length < steps && !exhausted) {
+      val m = math.min(batchSize, steps - merges.length)
+      val paired = toks.withColumn("next", lead(col("tok"), 1).over(byId))
+      // bounded collect: 4x headroom over the batch for conflict skips;
+      // rank order is the sequential trainer's total order
+      val cand = paired.filter(col("next").isNotNull)
+        .groupBy(col("tok"), col("next")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"), col("next"))
+        .limit(batchSize * 4).collect()
+      // greedy disjoint selection in rank order
+      val seen = scala.collection.mutable.Set.empty[String]
+      val picked = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      cand.iterator.takeWhile(_ => picked.length < m).foreach { r =>
+        val (l, rr, n) = (r.getString(0), r.getString(1), r.getLong(2))
+        if (!seen(l) && !seen(rr)) { picked += ((l, rr, n)); seen += l; seen += rr }
+      }
+      if (picked.isEmpty) exhausted = true
+      else {
+        picked.foreach { case (l, r, n) =>
+          merges += ((merges.length + 1L, l, r, n))
+        }
+        // one rewrite pass for the whole batch: pk = which selected pair
+        // (if any) starts at this position; disjointness guarantees at
+        // most one matches and islands are single-pair
+        val pk = picked.zipWithIndex.foldLeft(lit(null).cast("int")) {
+          case (acc, ((l, r, _), i)) =>
+            when(col("tok") === l && col("next") === r, lit(i)).otherwise(acc)
+        }
+        val candPos = paired.withColumn("pk", pk)
+        val starts = candPos
+          .filter(col("pk").isNotNull)
+          .withColumn("isl", col("pos") - row_number().over(byId))
+          .withColumn("rn",
+            row_number().over(Window.partitionBy("id", "isl").orderBy("pos")))
+          .filter(col("rn") % 2 === 1)
+          .select(col("id"), col("pos"), lit(1).as("start"))
+        toks = paired
+          .join(starts, Seq("id", "pos"), "left")
+          .withColumn("consumed", lag(col("start"), 1).over(byId))
+          .filter(col("consumed").isNull)
+          .withColumn("newpos", row_number().over(byId) - 1)
+          .select(col("id"), col("newpos").as("pos"),
+            when(col("start").isNotNull,
+              concat(col("tok"), lit(" "), col("next")))
+              .otherwise(col("tok")).as("tok"))
+          .localCheckpoint()
+      }
+    }
+    spark.createDataFrame(merges.toSeq)
+      .toDF("step", "left_tok", "right_tok", "n")
+  }
+
   /** The regexp-built twin of [[TextStatsKernel]] — 10 scans per row,
     * kept as the independent parity oracle for the native expression
     * (TextAnalysisSpec compares all nine counters on edge cases and real

@@ -42,15 +42,26 @@ object TripStreams {
       .load()
       .select(col("value").cast("string").as("value"))
 
+  /** The exact (key, value) projection [[toKafka]] writes — split out so
+    * the wire contract is testable in this broker-less container
+    * (TripSourcesSpec): key = trip_id (Kafka's default partitioner then
+    * gives per-trip partition affinity, hence per-trip ordering under
+    * at-least-once — the reference's exact partition-key semantics,
+    * to_kinesis.py:63-67,89-93), value = the full row as JSON, decodable
+    * by the same schema [[TripSources.parseEvents]] applies on the read
+    * side.
+    */
+  def kafkaPayload(events: DataFrame): DataFrame =
+    events.select(col("trip_id").cast("string").as("key"),
+      to_json(struct(col("*"))).as("value"))
+
   /** S2 producer sink: key by trip_id (per-trip ordering within a
     * partition, exactly the reference's partition-key choice,
     * to_kinesis.py:66) and JSON-serialize the row. Same jar caveat.
     */
   def toKafka(events: DataFrame, brokers: String, topic: String,
       checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
-    events
-      .select(col("trip_id").cast("string").as("key"),
-        to_json(struct(col("*"))).as("value"))
+    kafkaPayload(events)
       .writeStream
       .format("kafka")
       .option("kafka.bootstrap.servers", brokers)

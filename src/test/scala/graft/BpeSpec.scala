@@ -81,6 +81,54 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     assert(run(texts, 5) === seqBpe(texts, 5))
   }
 
+  private def runBatched(texts: Seq[String], steps: Int,
+      batch: Int): Seq[(Long, String, String, Long)] =
+    TextAnalysis.bpeMergeSequenceBatched(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+      steps, batch)
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+
+  test("batched with batchSize=1 degenerates to the sequential trainer exactly") {
+    val texts = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("text").as[String].collect().toSeq
+    assert(runBatched(texts, 4, batch = 1) === run(texts, 4))
+  }
+
+  test("one 2-batched pass == two sequential rounds on a conflict-free corpus") {
+    // (a,b) and (c,d) are token-disjoint and never adjacent to each
+    // other's instances, so merging one cannot change the other's count
+    // — the documented equivalence domain of the batched trainer
+    val texts = Seq("a b x c d", "a b y c d", "a b z c d")
+    val twoPass = run(texts, 2)          // two driver round-trips
+    val onePass = runBatched(texts, 2, batch = 2) // one
+    assert(onePass === twoPass)
+    assert(onePass.map(m => (m._2, m._3, m._4)) ===
+      Seq(("a", "b", 3L), ("c", "d", 3L)))
+  }
+
+  test("batched selection skips conflicting pairs within a pass (greedy disjoint)") {
+    // top pairs share token b: (a,b) n=3 then (b,c) n=2 conflict; the
+    // pass must take (a,b) and then the best DISJOINT pair (x,y) n=2
+    // rather than rewriting an ambiguous chain in one pass
+    val texts = Seq("a b c", "a b c", "a b", "x y", "x y")
+    val got = runBatched(texts, 2, batch = 2)
+    assert(got.map(m => (m._2, m._3)) === Seq(("a", "b"), ("x", "y")))
+    // and the skipped (b,c) stays mergeable in the NEXT pass, counted
+    // against the rewritten corpus (b is now inside "a b")
+    val got3 = runBatched(texts, 3, batch = 2)
+    assert(got3.length === 3)
+    assert(got3(2)._2 === "a b" && got3(2)._3 === "c",
+      s"expected the merged-token pair ('a b', c) third, got ${got3(2)}")
+  }
+
+  test("batched on real corpus: full step count, within-pass ranks non-increasing") {
+    val texts = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("text").as[String].collect().toSeq
+    val got = runBatched(texts, 6, batch = 3)
+    assert(got.map(_._1) === (1L to 6L))
+    assert(got.forall(_._4 >= 1L))
+  }
+
   test("guards: non-positive steps rejected; pairless corpus yields no merges") {
     intercept[IllegalArgumentException] {
       TextAnalysis.bpeMergeSequence(Seq((1L, "x")).toDF("doc_id", "text"), 0)

@@ -51,6 +51,41 @@ class TripSourcesSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.table("file_fed").count() === 1)
   }
 
+  test("kafka wire contract: key = trip_id, value JSON round-trips through parseEvents") {
+    // the broker-less twin of an embedded-Kafka round-trip (no connector
+    // jar in this container): [[TripStreams.kafkaPayload]] is the exact
+    // projection toKafka writes, so producing then re-parsing the value
+    // column must reproduce the events — and every event of a trip must
+    // carry the same key (Kafka's default partitioner then guarantees
+    // the per-trip partition affinity the reference gets from Kinesis's
+    // PartitionKey=trip_id, to_kinesis.py:63-67,89-93)
+    val events = Seq(
+      ("k1", "trip_start", "2024-05-25 10:00:00", null.asInstanceOf[String], 12.5),
+      ("k1", "trip_end", null.asInstanceOf[String], "2024-05-25 10:30:00", 20.0),
+      ("k2", "trip_start", "2024-05-25 11:00:00", null.asInstanceOf[String], 7.0)
+    ).toDF("trip_id", "data_type", "pickup_datetime", "dropoff_datetime", "fare_amount")
+    val wire = graft.sources.TripStreams.kafkaPayload(events)
+    assert(wire.columns.toSeq === Seq("key", "value"),
+      "kafka sink schema must be exactly (key, value)")
+    // per-trip key affinity: one distinct key per trip_id, equal across
+    // that trip's start and end events
+    val keys = wire.select("key").as[String].collect().toSeq
+    assert(keys === Seq("k1", "k1", "k2"))
+    // the value decodes through the SAME schema the read side applies
+    val back = TripSources.parseEvents(wire.select("value"))
+    assert(back.count() === 3)
+    val k1start = back.filter($"trip_id" === "k1" && $"data_type" === "trip_start")
+    assert(k1start.select("pickup_datetime").as[String].head() === "2024-05-25 10:00:00")
+    assert(k1start.select("fare_amount").as[Double].head() === 12.5)
+    val k1end = back.filter($"trip_id" === "k1" && $"data_type" === "trip_end")
+    assert(k1end.select("dropoff_datetime").as[String].head() === "2024-05-25 10:30:00")
+    // null fields are ABSENT from the JSON (to_json drops them), and the
+    // permissive read restores them as nulls — the at-least-once wire
+    // shape survives sparse rows
+    assert(k1end.select("pickup_datetime").isEmpty ||
+      k1end.select("pickup_datetime").as[String].collect().forall(_ == null))
+  }
+
   test("validated: type-appropriate timestamp rule") {
     val events = Seq(
       ("t1", "trip_start", "2024-05-25 10:00:00", null.asInstanceOf[String]),
