@@ -1388,6 +1388,26 @@ object SparkEntry {
       pairs.crossJoin(top10)
     }),
 
+    // SS9: incremental ANN ingest — a "new batch" (every 25th vector
+    // re-emitted at +100000, the embDupCorpus convention) answered
+    // against the already-indexed corpus via the persisted-band-store
+    // path (IncrementalAnn.incrementalTopK: corpus bands ids-only,
+    // batch-internal candidates included, exact-cosine rank). Each batch
+    // vector is an exact copy of a corpus vector, so it collides in all
+    // 4 band tables and its source is the guaranteed rank-1 row —
+    // non-vacuous at every SF. Batch-by-batch == union-corpus rerun is
+    // IncrementalAnnSpec's equality.
+    "ann_incremental_topk" -> ((s, dir) => {
+      val corpus = Tables.embeddings(s, dir)
+      val batch = corpus.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      graft.operators.IncrementalAnn.incrementalTopK(
+          graft.operators.IncrementalAnn.indexRows(batch),
+          graft.operators.IncrementalAnn.indexRows(corpus), k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"), trunc4(col("cosine")).as("cosine"))
+    }),
+
     // SS4: scalar int8 quantization of embeddings (per-vector min/max,
     // floor-based so both engines bit-agree), exploded to scalar rows.
     "embedding_quantize" -> ((s, dir) => {
@@ -2941,6 +2961,32 @@ object SparkEntry {
          |  cosine FROM scored)
          |SELECT query_id, neighbor_id, rank,
          |floor(cosine*10000)/10000 AS cosine FROM ranked WHERE rank <= 10""".stripMargin,
+
+    // incremental ANN ingest: batch = +100000 copies of every 25th
+    // vector; candidates = (corpus ∪ batch) band rows joined to the
+    // batch's band rows; exact-cosine rank (copies inherit their
+    // source's band row in `e`, so tbl is computed once).
+    "ann_incremental_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |  [${(0 until 4).map(t => bandBucketSql("embedding", t, 16)).mkString(", ")}] AS tbl
+         |  FROM embeddings),
+         |bq AS (SELECT vec_id + 100000 AS vec_id, embedding, tbl
+         |  FROM e WHERE vec_id % 25 = 0),
+         |u AS (SELECT * FROM e UNION ALL SELECT * FROM bq),
+         |xs AS (SELECT vec_id, t.t AS t, tbl[t.t+1] AS bucket FROM u, range(0,4) t(t)),
+         |xq AS (SELECT vec_id, t.t AS t, tbl[t.t+1] AS bucket FROM bq, range(0,4) t(t)),
+         |cand AS (SELECT DISTINCT q.vec_id AS query_id, s.vec_id AS neighbor_id
+         |  FROM xs s JOIN xq q ON s.t = q.t AND s.bucket = q.bucket
+         |  WHERE s.vec_id <> q.vec_id),
+         |scored AS (SELECT cand.query_id, cand.neighbor_id,
+         |  ${cosSql("uq.embedding", "us.embedding")} AS cosine
+         |  FROM cand JOIN u us ON cand.neighbor_id = us.vec_id
+         |  JOIN u uq ON cand.query_id = uq.vec_id),
+         |ranked AS (SELECT query_id, neighbor_id, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank,
+         |  cosine FROM scored)
+         |SELECT query_id, neighbor_id, rank,
+         |floor(cosine*10000)/10000 AS cosine FROM ranked WHERE rank <= 5""".stripMargin,
 
     // planted-neighbor ground truth: the perturbed query regenerated
     // bit-for-bit (md5 noise, double arithmetic in Spark's exact
