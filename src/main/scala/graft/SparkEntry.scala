@@ -1534,6 +1534,20 @@ object SparkEntry {
       graft.functions.TextAnalysis.bpeMergeSequence(
         Tables.documents(s, dir), steps = 6)),
 
+    // T4: the tokenizer ENCODE side — train 3 merges, replay them
+    // against the same corpus; the result must be the exact token
+    // stream the trainer held after round 3 (the oracle replays the
+    // unrolled trainer CTEs), proving the train-once/encode-everywhere
+    // split reproduces training tokenization. (Merge chaining — a merge
+    // consuming a prior merge's token — is BpeSpec territory: this
+    // corpus's top merges are all disjoint word pairs.)
+    "bpe_encode_tokens" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.functions.TextAnalysis.bpeEncode(docs,
+          graft.functions.TextAnalysis.bpeMergeSequence(docs, steps = 3))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
+    }),
+
     // Q6: equi-DEPTH histogram — 10 near-equal-count bins per event
     // type (quantile feature bucketing; the skew-proof complement of
     // the equal-width value_histogram). ntile ties broken by event_id.
@@ -3291,6 +3305,12 @@ object SparkEntry {
       s"""WITH ${bpeMergeSql(6)}
          |$unions""".stripMargin
     },
+
+    // encode == the trainer's internal stream after round 4: t4 is the
+    // final token CTE of the unrolled trainer replay
+    "bpe_encode_tokens" ->
+      s"""WITH ${bpeMergeSql(3)}
+         |SELECT id AS doc_id, pos::BIGINT AS pos, tok AS token FROM t3""".stripMargin,
 
     "value_equidepth_bins" ->
       """WITH base AS (SELECT event_type, event_id, value FROM events

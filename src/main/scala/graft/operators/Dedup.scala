@@ -547,6 +547,17 @@ object Dedup {
 
   /** [[nearDupClustersStar]] over a normalized directed edge list, with
     * the round counter exposed. Returns (labels, rounds, converged).
+    *
+    * Measured (r11, sf0.1 per-customer order chains, 135k edges, quiet
+    * load): 5 composed rounds to the fixpoint (4 contracting + 1
+    * confirming — the protocol cost of exact convergence detection),
+    * 5.7 s end-to-end. The Kiveris TWO-PHASE variant (large-star to
+    * local fixpoint, then small-star, repeat) was prototyped and
+    * measured SLOWER here (17 star ops, 8.8 s, identical labels): its
+    * per-phase convergence confirms cost more rounds than the cheaper
+    * large-star rounds save on this overhead-bound graph. At cluster
+    * scale the trade can flip (large-star rounds shuffle ~40% fewer
+    * bytes); revisit with real executor counts before changing.
     */
   private[graft] def starClusters(edges: DataFrame,
       maxRounds: Int = Int.MaxValue): (DataFrame, Int, Boolean) = {

@@ -129,6 +129,60 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     assert(got.forall(_._4 >= 1L))
   }
 
+  /** Sequential encode reference: apply merges in step order, each
+    * greedy left-to-right (same loop the trainer reference uses).
+    */
+  private def seqEncode(texts: Seq[String],
+      merges: Seq[(String, String)]): Seq[Vector[String]] = {
+    var docs: Seq[Vector[String]] = texts.map(_.trim.split("\\s+").toVector)
+    merges.foreach { case (l, r) =>
+      docs = docs.map { d =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < d.length) {
+          if (i + 1 < d.length && d(i) == l && d(i + 1) == r) {
+            out += s"$l $r"; i += 2
+          } else { out += d(i); i += 1 }
+        }
+        out.result()
+      }
+    }
+    docs
+  }
+
+  private def encodeStreams(texts: Seq[String],
+      merges: Seq[(Long, String, String, Long)]): Map[Long, Vector[String]] =
+    TextAnalysis.bpeEncode(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+      merges.toDF("step", "left_tok", "right_tok", "n"))
+      .as[(Long, Int, String)].collect()
+      .groupBy(_._1)
+      .map { case (id, rows) => id -> rows.sortBy(_._2).map(_._3).toVector }
+
+  test("bpeEncode: training corpus reproduces the trainer's final stream exactly") {
+    val texts = Seq("x y z x y z", "x y", "q x y z w", "z z z")
+    val merges = seqBpe(texts, 3)
+    val got = encodeStreams(texts, merges)
+    val want = seqEncode(texts, merges.map(m => (m._2, m._3)))
+    texts.indices.foreach { i =>
+      assert(got(i.toLong) === want(i), s"doc $i stream diverged")
+    }
+  }
+
+  test("bpeEncode: NEW documents encode greedily under a trained merge table") {
+    val train = Seq("a b c a b", "a b", "c d c d")
+    val merges = seqBpe(train, 2) // learns (a,b) then (c,d)
+    val fresh = Seq("a b a b a", "c d a b x", "b a")
+    val got = encodeStreams(fresh, merges)
+    val want = seqEncode(fresh, merges.map(m => (m._2, m._3)))
+    fresh.indices.foreach { i =>
+      assert(got(i.toLong) === want(i), s"new doc $i stream diverged")
+    }
+    // sanity: the merged tokens actually appear in the fresh encodes
+    assert(got(0L).contains("a b"))
+    assert(got(1L) === Vector("c d", "a b", "x"))
+  }
+
   test("guards: non-positive steps rejected; pairless corpus yields no merges") {
     intercept[IllegalArgumentException] {
       TextAnalysis.bpeMergeSequence(Seq((1L, "x")).toDF("doc_id", "text"), 0)
