@@ -423,11 +423,12 @@ object SparkEntry {
     * DuckDB sums BIGINT into HUGEINT — the ::BIGINT casts keep the output
     * schema aligned with Spark's longs.
     */
-  private def kmeansSql(k: Int, iters: Int, scale: Long): String = {
+  private def kmeansSql(k: Int, iters: Int, scale: Long,
+      src: String = "embeddings"): String = {
     val sb = new StringBuilder
     sb ++= s"""q AS (SELECT vec_id,
        |  list_transform(embedding, x -> floor(x::DOUBLE * $scale)::BIGINT) AS qv
-       |  FROM embeddings),
+       |  FROM $src),
        |lng AS (SELECT vec_id, d.d AS dim, qv[d.d+1] AS v
        |  FROM q, range(0, ${SimilaritySearch.Dim}) d(d)),
        |seeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
@@ -1728,6 +1729,32 @@ object SparkEntry {
             "vec_id", "embedding", k = 8, iters = 3), m = 5)
         .select(col("cluster").cast("long").as("cluster"),
           col("id").as("vec_id"), col("rank").cast("long").as("rank"))),
+
+    // CL5: SemDeDup — semantic near-dup pairs with k-means cells as the
+    // candidate blocks (Abbas et al. 2023): cluster the dup-injected
+    // corpus (k=8, 3 Lloyd rounds, integer-exact so the cells oracle),
+    // exact cosine within a cell only. Candidate join is equi on the
+    // cell id — n^2/k expected, k grows with the corpus at scale.
+    "semantic_dedup_pairs" -> ((s, dir) =>
+      Cluster.semanticNearDupPairs(embDupCorpus(s, dir),
+        "vec_id", "embedding", k = 8, iters = 3, threshold = 0.9)),
+
+    // CL5b: the consumable end — first-wins by id: every id with a
+    // smaller-id semantic duplicate in its cell is dropped.
+    "semantic_dedup_kept" -> ((s, dir) =>
+      Cluster.semanticDedupKept(embDupCorpus(s, dir),
+          "vec_id", "embedding", k = 8, iters = 3, threshold = 0.9)
+        .select("vec_id")),
+
+    // CL5c: the paper's keep rule — within a pair keep the member
+    // FARTHER from its centroid (less prototypical = more training
+    // signal); deterministic because (dist, id) is a total integer
+    // order.
+    "semantic_dedup_far_kept" -> ((s, dir) =>
+      Cluster.semanticDedupKept(embDupCorpus(s, dir),
+          "vec_id", "embedding", k = 8, iters = 3, threshold = 0.9,
+          keepFarthest = true)
+        .select("vec_id")),
 
     // T8: temperature-flattened mixture sampling (α = 0.5 via
     // IEEE-exact sqrt) — keep-rates ∝ 1/sqrt(n_lang), so expected
@@ -3504,6 +3531,47 @@ object SparkEntry {
          |SELECT cluster, vec_id, rank FROM (SELECT cluster, vec_id,
          |  row_number() OVER (PARTITION BY cluster ORDER BY dist, vec_id) AS rank
          |  FROM b3) WHERE rank <= 5""".stripMargin,
+
+    "semantic_dedup_pairs" ->
+      s"""WITH $embCorpusSql,
+         |${kmeansSql(8, 3, Cluster.DefaultScale, src = "corpus")},
+         |sides AS (SELECT c.vec_id AS id, c.embedding, b.cluster, b.dist
+         |  FROM corpus c JOIN b3 b ON c.vec_id = b.vec_id),
+         |pr AS (SELECT a.id AS id_a, b.id AS id_b,
+         |  a.cluster::BIGINT AS cluster, a.dist AS dist_a, b.dist AS dist_b,
+         |  ${cosSql("a.embedding", "b.embedding")} AS cosine
+         |  FROM sides a JOIN sides b
+         |  ON a.cluster = b.cluster AND a.id < b.id)
+         |SELECT id_a, id_b, cluster, dist_a, dist_b,
+         |  floor(cosine*10000)/10000 AS cosine
+         |FROM pr WHERE cosine >= 0.9""".stripMargin,
+
+    "semantic_dedup_kept" ->
+      s"""WITH $embCorpusSql,
+         |${kmeansSql(8, 3, Cluster.DefaultScale, src = "corpus")},
+         |sides AS (SELECT c.vec_id AS id, c.embedding, b.cluster, b.dist
+         |  FROM corpus c JOIN b3 b ON c.vec_id = b.vec_id),
+         |pr AS (SELECT a.id AS id_a, b.id AS id_b,
+         |  ${cosSql("a.embedding", "b.embedding")} AS cosine
+         |  FROM sides a JOIN sides b
+         |  ON a.cluster = b.cluster AND a.id < b.id)
+         |SELECT vec_id FROM corpus WHERE vec_id NOT IN (
+         |  SELECT DISTINCT id_b FROM pr WHERE cosine >= 0.9)""".stripMargin,
+
+    "semantic_dedup_far_kept" ->
+      s"""WITH $embCorpusSql,
+         |${kmeansSql(8, 3, Cluster.DefaultScale, src = "corpus")},
+         |sides AS (SELECT c.vec_id AS id, c.embedding, b.cluster, b.dist
+         |  FROM corpus c JOIN b3 b ON c.vec_id = b.vec_id),
+         |pr AS (SELECT a.id AS id_a, b.id AS id_b,
+         |  a.dist AS dist_a, b.dist AS dist_b,
+         |  ${cosSql("a.embedding", "b.embedding")} AS cosine
+         |  FROM sides a JOIN sides b
+         |  ON a.cluster = b.cluster AND a.id < b.id)
+         |SELECT vec_id FROM corpus WHERE vec_id NOT IN (
+         |  SELECT DISTINCT CASE WHEN (dist_a, id_a) < (dist_b, id_b)
+         |    THEN id_a ELSE id_b END
+         |  FROM pr WHERE cosine >= 0.9)""".stripMargin,
 
     "mixture_temperature_sample" ->
       s"""WITH cnt AS (SELECT lang, count(*)::BIGINT AS n

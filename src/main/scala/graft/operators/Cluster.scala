@@ -216,4 +216,79 @@ object Cluster {
         Window.partitionBy(col("cluster")).orderBy(col("dist"), col("id"))))
       .filter(col("rank") <= m)
   }
+
+  /** SemDeDup-style semantic near-dup pairs: k-means cells as the
+    * candidate blocks, exact cosine within a cell. (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication" — cluster the corpus, then prune cosine-similar
+    * pairs WITHIN each cluster only.) The complement of the LSH dedup
+    * family: LSH blocks on random projections (recall is probabilistic
+    * at the threshold boundary), k-means blocks on the corpus's own
+    * density structure (near-dups co-cluster deterministically — the
+    * integer argmin assigns identical vectors identically, so an exact
+    * duplicate can never cross a cell boundary).
+    *
+    * Cost/scale posture: the pair join is EQUI on the cluster id, so
+    * cost is sum over cells of |cell|^2 — n^2/k in expectation. At
+    * 100 TB you grow k with the corpus (the paper uses k ~ n/1e3..1e4,
+    * i.e. bounded mean cell size), keeping per-cell work constant;
+    * vectors ride the cell shuffle once per side (cheaper than an
+    * ids-only pair join-back, which would replicate each vector once
+    * per PAIR, |cell|x more). A pathologically hot cell is an AQE
+    * skew-join split, same guard as every other candidate join here.
+    *
+    * Returns `(id_a, id_b, cluster, dist_a, dist_b, cosine)` with
+    * id_a < id_b, cosine >= threshold, cosine floored to 1e-4 for
+    * cross-engine hash stability (filtering happens on the raw value;
+    * dist_* are the integer centroid distances the keep rules key on).
+    */
+  def semanticNearDupPairs(embs: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, threshold: Double,
+      scale: Long = DefaultScale): DataFrame = {
+    val dot = graft.functions.VectorFunctions.dotF _
+    val asg = kmeansAssignments(embs, idCol, vecCol, k, iters, scale)
+    // norms once per ROW before the pair join — not once per pair
+    val side = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
+        sqrt(dot(col(vecCol), col(vecCol))).as("nrm"))
+      .join(asg, Seq("id"))
+    side.as("a").join(side.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+      .withColumn("cosine", graft.operators.SimilaritySearch.cosineFromNorms(
+        dot(col("a.v"), col("b.v")), col("a.nrm"), col("b.nrm")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.cluster").cast("long").as("cluster"),
+        col("a.dist").as("dist_a"), col("b.dist").as("dist_b"),
+        (floor(col("cosine") * 10000) / 10000).as("cosine"))
+  }
+
+  /** The consumable end of [[semanticNearDupPairs]]: the corpus with one
+    * member of every semantic near-dup pair dropped. Two keep rules:
+    *
+    *  - `keepFarthest = false` (default): first-wins by id — drop every
+    *    id that appears as the larger side of a pair, the convention the
+    *    rest of the dedup family uses.
+    *  - `keepFarthest = true`: the paper's rule — within a pair, keep
+    *    the member FARTHER from its centroid (the less prototypical
+    *    example carries more training signal); drop the nearer one,
+    *    ties broken to keep the larger id. Deterministic because dist
+    *    is integer and (dist, id) is a total order.
+    *
+    * Victims are a distinct id set; the drop is one left-anti hash join
+    * against it (no shuffle of the corpus when victims broadcast).
+    */
+  def semanticDedupKept(embs: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, threshold: Double, scale: Long = DefaultScale,
+      keepFarthest: Boolean = false): DataFrame = {
+    val pairs = semanticNearDupPairs(embs, idCol, vecCol, k, iters,
+      threshold, scale)
+    val victims =
+      if (!keepFarthest) pairs.select(col("id_b").as("victim"))
+      else pairs.select(
+        when(struct(col("dist_a"), col("id_a")) <
+             struct(col("dist_b"), col("id_b")), col("id_a"))
+          .otherwise(col("id_b")).as("victim"))
+    embs.join(victims.distinct(),
+      embs(idCol) === col("victim"), "left_anti")
+  }
 }

@@ -32,10 +32,11 @@ import org.apache.spark.sql.functions._
   * table (N rows) to the edge table on `src` + one hash aggregate by
   * `dst` — the classic Pregel superstep as vanilla shuffle joins, so
   * AQE/skew handling applies unchanged. The edge table is the big
-  * side and is iterated over k times: persist it partitioned by `src`
-  * (bucketed, or `repartition(src)` + cache) so every superstep reuses
-  * one partitioning and only the N-row rank table moves. Outdegrees
-  * are computed once. Hub skew (a node with 10⁸ in-edges) is absorbed
+  * side and is iterated over k times, so [[propagate]] materializes it
+  * ONCE with the out-weights already folded in — supersteps pay no
+  * e⋈deg join. In production, store the edge table bucketed by `src`
+  * so the superstep join is exchange-free on the edge side and only
+  * the N-row rank table moves. Hub skew (a node with 10⁸ in-edges) is absorbed
   * by partial aggregation — contributions combine map-side before the
   * exchange, the same shape that makes the daily-KPI aggregate safe.
   * Lineage grows linearly in iterations; past ~10 supersteps a
@@ -121,10 +122,25 @@ object PageRank {
       else df.localCheckpoint(false)
     // uniform = the all-weights-1 special case of the same arithmetic
     val w = wCol.map(col).getOrElse(lit(1L)).cast("long")
-    val e = materialized(edges.select(col(src).as("src"),
+    val e0 = materialized(edges.select(col(src).as("src"),
       col(dst).as("dst"), w.as("w")))
-    val deg = materialized(
-      e.groupBy(col("src")).agg(sum(col("w")).as("outw")))
+    // out-weights are FOLDED INTO the edge table once before
+    // materializing, so each superstep is ONE join, not two: the
+    // pre-r11 shape re-joined the N-row deg table every round, which at
+    // test scale hides behind a broadcast (measured wall-clock neutral
+    // in an interleaved same-JVM A/B at sf0.1 — medians 4.4 s both) but
+    // at cluster scale re-ships an N-row relation per round for no
+    // reason. A repartition(src)+persist() variant that also skips the
+    // per-round e-side exchange was measured SLOWER here — the
+    // InMemoryRelation does keep its HashPartitioning visible to
+    // EnsureRequirements (a checkpoint's LogicalRDD reports
+    // UnknownPartitioning under AQE), but the columnar cache fill costs
+    // more than the avoided exchanges return at this scale. On a real
+    // cluster store the edge table BUCKETED by src instead: the scan
+    // carries the partitioning natively and the superstep join is
+    // exchange-free on the edge side.
+    val e = materialized(e0.join(
+      e0.groupBy(col("src")).agg(sum(col("w")).as("outw")), "src"))
     val nodes = e.select(col("src")).distinct()
     // the restart-set size is a driver-side scalar (one count job) — it
     // parameterizes the literal base term exactly as the SQL oracle's
@@ -140,8 +156,7 @@ object PageRank {
     var r = nodes.select(col("src").as("node"))
       .withColumn("rank", restart(col("node"), scale / n))
     for (_ <- 1 to iters) {
-      r = e.join(deg, "src")
-        .join(r, e("src") === r("node"))
+      r = e.join(r, e("src") === r("node"))
         .select(col("dst").as("node"),
           expr("(rank div outw) * w").as("contrib"))
         .groupBy(col("node"))

@@ -185,6 +185,81 @@ class ClusterSpec extends AnyFunSuite with SparkTestBase {
     assert(vecs(1L) === Seq(3072L, 3072L))
   }
 
+  /** Dispersed random corpus + identical copies of ids 0,4,8 at 1000+.
+    * Random 8-dim vectors essentially never reach cosine 0.999, so the
+    * planted copies are the ONLY pairs at that threshold (blobs would
+    * not work here: within-blob cosine is ~1-1e-7, above any usable
+    * threshold).
+    */
+  private def plantedCopies(): Seq[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(42)
+    val base = (0 until 60).map(i =>
+      i.toLong -> Array.fill(8)(rnd.nextFloat() * 2 - 1))
+    base ++ Seq(0L, 4L, 8L).map(id =>
+      (id + 1000L) -> base(id.toInt)._2.clone())
+  }
+
+  test("semanticNearDupPairs: planted copies are found; kept drops them first-wins") {
+    val data = plantedCopies()
+    val df = data.toDF("vec_id", "embedding")
+    val pairs = Cluster.semanticNearDupPairs(df, "vec_id", "embedding",
+        k = 3, iters = 3, threshold = 0.999)
+      .collect()
+    // every planted copy pairs with its original (cosine 1.0, same cell)
+    val pairSet = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    Seq(0L, 4L, 8L).foreach(id =>
+      assert(pairSet.contains((id, id + 1000L)), s"missing pair for $id"))
+    // identical vectors tie on centroid dist (dist_a == dist_b)
+    pairs.filter(r => r.getLong(1) == r.getLong(0) + 1000L)
+      .foreach(r => assert(r.getLong(3) === r.getLong(4)))
+    val kept = Cluster.semanticDedupKept(df, "vec_id", "embedding",
+        k = 3, iters = 3, threshold = 0.999)
+      .select("vec_id").as[Long].collect().toSet
+    // first-wins: originals stay, copies go
+    Seq(0L, 4L, 8L).foreach { id =>
+      assert(kept.contains(id), s"original $id dropped")
+      assert(!kept.contains(id + 1000L), s"copy of $id survived")
+    }
+    // nothing else was dropped (random vectors never reach 0.999)
+    assert(kept.size === 60)
+  }
+
+  test("semanticDedupKept keepFarthest: centroid-nearer member of a pair is dropped") {
+    val df = plantedCopies().toDF("vec_id", "embedding")
+    val kept = Cluster.semanticDedupKept(df, "vec_id", "embedding",
+        k = 3, iters = 3, threshold = 0.999, keepFarthest = true)
+      .select("vec_id").as[Long].collect().toSet
+    // identical vectors tie on dist -> tie keeps the LARGER id: the
+    // copy survives, the original goes
+    Seq(0L, 4L, 8L).foreach { id =>
+      assert(!kept.contains(id), s"original $id survived a dist tie")
+      assert(kept.contains(id + 1000L), s"copy of $id dropped")
+    }
+    assert(kept.size === 60)
+  }
+
+  test("semantic pairs == brute-force pairs scoped to the same cell") {
+    val rnd = new scala.util.Random(99)
+    val data = (0 until 80).map(i =>
+      i.toLong -> Array.fill(8)(rnd.nextFloat() * 2 - 1))
+    val df = data.toDF("vec_id", "embedding")
+    val threshold = 0.5 // random low-dim vectors: some natural pairs
+    val got = Cluster.semanticNearDupPairs(df, "vec_id", "embedding",
+        k = 4, iters = 3, threshold = threshold)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(5))).toSet
+    // reference: all brute-force pairs, filtered to co-clustered ids
+    val cell = Cluster.kmeansAssignments(df, "vec_id", "embedding", 4, 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val brute = graft.operators.Dedup.embeddingNearDups(df, threshold)
+      .collect()
+      .filter(r => cell(r.getLong(0)) == cell(r.getLong(1)))
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.floor(r.getDouble(2) * 10000) / 10000)).toSet
+    assert(got === brute)
+    assert(got.nonEmpty, "threshold produced no pairs; test is vacuous")
+  }
+
   test("assignment is map-only over the scan and stays inside WholeStageCodegen") {
     // parquet-backed (a local relation would be collapsed eagerly by
     // ConvertToLocalRelation and show no plan at all)
