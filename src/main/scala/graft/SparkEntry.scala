@@ -220,6 +220,31 @@ object SparkEntry {
   private def hash60Sql(e: String): String =
     s"('0x'||substr(md5($e),1,15))::BIGINT"
 
+  /** DSIR weight CTE chain `w` (mirrors [[Relevance.dsirLogWeights]]
+    * with target = lang 'en', 256 buckets): hashed-bucket conditional
+    * counts → Laplace-smoothed log-ratio per token → per-doc DECIMAL
+    * sum floored at 1e-4. The Spark side inlines the two totals as
+    * driver literals; here they ride a 1-row `tot` CTE — same values,
+    * same per-step IEEE ops (divide, ln).
+    */
+  private val dsirWeightsSql: String =
+    s"""tk AS (SELECT doc_id, tgt, ${hash60Sql("tok")} % 256 AS bucket
+       |  FROM (SELECT doc_id, lang = 'en' AS tgt,
+       |    unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |    FROM documents) u WHERE tok <> ''),
+       |model AS (SELECT bucket,
+       |  sum(CASE WHEN tgt THEN 1 ELSE 0 END)::BIGINT AS ct,
+       |  sum(CASE WHEN tgt THEN 0 ELSE 1 END)::BIGINT AS cr
+       |  FROM tk GROUP BY bucket),
+       |tot AS (SELECT sum(ct)::BIGINT AS nt, sum(cr)::BIGINT AS nr FROM model),
+       |lp AS (SELECT t.doc_id,
+       |  ln((m.ct + 1)::DOUBLE / ((tot.nt + 256)::DOUBLE)) -
+       |  ln((m.cr + 1)::DOUBLE / ((tot.nr + 256)::DOUBLE)) AS lp
+       |  FROM tk t JOIN model m USING (bucket), tot WHERE NOT t.tgt),
+       |w AS (SELECT doc_id, count(*)::BIGINT AS n_toks,
+       |  floor(sum(lp::DECIMAL(38,12))::DOUBLE * 10000)/10000 AS log_weight
+       |  FROM lp GROUP BY doc_id)""".stripMargin
+
   /** 16-term minhash signature list over the pre-hashed shingle list `hs`
     * (TextHash.mixSeeded affine family, same constants).
     */
@@ -1510,6 +1535,27 @@ object SparkEntry {
       graft.operators.Relevance.bigramLogScores(Tables.documents(s, dir))
         .select(col("id").as("doc_id"), col("n_bigrams"),
           col("avg_logprob_b"))),
+
+    // R5: DSIR importance weights (Xie et al. 2023) — every non-English
+    // doc scored for how English-target-like its hashed bag-of-words
+    // is: log-ratio of Laplace-smoothed 256-bucket unigram models
+    // (target = lang 'en', raw pool = the rest). One tokenize pass
+    // feeds both models; totals inline as literals (bounded 2-long
+    // collect, no 1-row broadcast); scoring is a broadcast equi-join of
+    // the 256-row model + per-doc decimal-sum aggregate.
+    "dsir_log_weights" -> ((s, dir) =>
+      graft.operators.Relevance.dsirLogWeights(Tables.documents(s, dir),
+          isTarget = col("lang") === "en", buckets = 256)
+        .select(col("id").as("doc_id"), col("n_toks"), col("log_weight"))),
+
+    // R5b: the selection end — top-100 most target-like raw docs by
+    // (floored weight DESC, id): deterministic cut, plans as
+    // TakeOrderedAndProject (per-partition top-n, no global sort).
+    "dsir_selected" -> ((s, dir) =>
+      graft.operators.Relevance.dsirSelect(
+          graft.operators.Relevance.dsirLogWeights(Tables.documents(s, dir),
+            isTarget = col("lang") === "en", buckets = 256), n = 100)
+        .select(col("id").as("doc_id"), col("log_weight"))),
 
     // V3: hashing-trick vectorizer — sparse bag-of-words in a FIXED
     // 256-bucket space (no vocabulary table, no fit step); long format.
@@ -3314,6 +3360,15 @@ object SparkEntry {
          |  FROM documents) u
          |WHERE tok <> ''
          |GROUP BY doc_id, bucket""".stripMargin,
+
+    "dsir_log_weights" ->
+      s"""WITH $dsirWeightsSql
+         |SELECT doc_id, n_toks, log_weight FROM w""".stripMargin,
+
+    "dsir_selected" ->
+      s"""WITH $dsirWeightsSql
+         |SELECT doc_id, log_weight FROM w
+         |ORDER BY log_weight DESC, doc_id LIMIT 100""".stripMargin,
 
     "bpe_pair_counts" ->
       """WITH tok AS (SELECT doc_id,

@@ -210,6 +210,79 @@ object Relevance {
       .select(col("id"), col("term"), col("rank"), col("w"))
   }
 
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every RAW-pool
+    * document by how target-like its hashed bag-of-words is, as the
+    * log-ratio of two bucket unigram models —
+    * `log w(x) = Σ_tokens [ ln p_target(bucket(tok)) − ln p_raw(bucket(tok)) ]`
+    * with Laplace-smoothed bucket probabilities
+    * `p(b) = (c(b)+1)/(N+B)` over a fixed `B`-bucket hashed feature
+    * space ([[graft.functions.TextAnalysis.hashedFeatures]]'s hashing
+    * trick — no vocabulary table, constant-size models at any corpus
+    * size). High scores = documents whose token distribution resembles
+    * the target slice; selection takes the top-n ([[dsirSelect]]),
+    * which is the deterministic limit of the paper's Gumbel-top-k
+    * resampling as temperature → 0.
+    *
+    * `isTarget` is a boolean Column over `docs`' columns splitting the
+    * corpus into the TARGET sample (defines the desired distribution)
+    * and the RAW pool (gets scored); only raw docs are returned.
+    *
+    * Shape: one tokenize pass feeds both models (a conditional-sum
+    * groupBy on the bucket — B rows out, partial-agged map-side); the
+    * two corpus totals collect to the driver (2 longs, the bounded
+    * k-means-style collect) and inline as literals, so the plan has NO
+    * 1-row broadcast; scoring is one broadcast equi-join of the B-row
+    * model table onto the token relation + a per-doc aggregate. Per-doc
+    * sums run as DECIMAL(38,12) (associative — float sums over
+    * unbounded groups are not truncation-stable), final weight
+    * floor-truncated at 1e-4. Everything per-token is two
+    * correctly-rounded IEEE ops (divide, ln) mirrored in the oracle.
+    */
+  def dsirLogWeights(docs: DataFrame, isTarget: org.apache.spark.sql.Column,
+      buckets: Int = 256, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val toks = docs.select(col(idCol).as("id"), isTarget.as("tgt"),
+        explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("id"), col("tgt"),
+        (graft.functions.TextHash.hash60(col("tok")) % buckets).as("bucket"))
+    val model = toks.groupBy(col("bucket"))
+      .agg(sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+        sum(when(col("tgt"), 0L).otherwise(1L)).as("cr"))
+    // totals to the driver: 2 longs, bounded — inlined as literals so
+    // no 1-row broadcast join appears in the plan
+    val t = model.agg(sum(col("ct")), sum(col("cr"))).head()
+    require(!t.isNullAt(0) && t.getLong(0) > 0, "empty target sample")
+    require(!t.isNullAt(1) && t.getLong(1) > 0, "empty raw pool")
+    val dt = (t.getLong(0) + buckets).toDouble
+    val dr = (t.getLong(1) + buckets).toDouble
+    toks.filter(!col("tgt"))
+      .join(broadcast(model), Seq("bucket"))
+      .withColumn("lp",
+        log((col("ct") + lit(1L)).cast("double") / lit(dt)) -
+          log((col("cr") + lit(1L)).cast("double") / lit(dr)))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(col("lp").cast("decimal(38,12)")).as("_s"))
+      .select(col("id"), col("n_toks"),
+        (floor(col("_s").cast("double") * 1e4) / 1e4).as("log_weight"))
+  }
+
+  /** The selection end of DSIR: the `n` most target-like raw docs by
+    * `(log_weight DESC, id)` — a total order on the FLOORED weight, so
+    * the cut is reproducible cross-engine even with ties at the
+    * boundary. Plans as TakeOrderedAndProject (per-partition top-n,
+    * then an n-row driver merge — no global sort, no partitionless
+    * window).
+    */
+  def dsirSelect(weights: DataFrame, n: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    weights.orderBy(col("log_weight").desc, col("id")).limit(n)
+      .select(col("id"), col("log_weight"))
+  }
+
   /** Sparse cosine-similar pairs via the inverted index: documents
     * sharing at least one (df-capped) term are joined ON THE TERM — the
     * only join key — so candidate cost is sum over terms of df², capped

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Relevance
@@ -157,6 +158,79 @@ class RelevanceSpec extends AnyFunSuite with SparkTestBase {
     assert(ids.toSeq === Seq(2L))
     intercept[IllegalArgumentException] {
       Relevance.bigramLogScores(docs, lambda = 1.0)
+    }
+  }
+
+  /** Independent md5-bucket hash (TextHash.hash60's contract, written
+    * against java.security directly so a shared bug is implausible).
+    */
+  private def h60(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** Sequential reference of dsirLogWeights: same spec (hashed-bucket
+    * Laplace models, log-ratio per token, 1e-4 floor), plain
+    * collections.
+    */
+  private def localDsir(docs: Seq[(Long, String, Boolean)],
+      buckets: Int): Map[Long, (Long, Double)] = {
+    def toks(t: String) = t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    val ct = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    val cr = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    docs.foreach { case (_, t, tgt) =>
+      toks(t).foreach { w =>
+        val b = h60(w) % buckets
+        if (tgt) ct(b) += 1 else cr(b) += 1
+      }
+    }
+    val dt = (ct.values.sum + buckets).toDouble
+    val dr = (cr.values.sum + buckets).toDouble
+    docs.filterNot(_._3).map { case (id, t, _) =>
+      val lps = toks(t).map { w =>
+        val b = h60(w) % buckets
+        math.log((ct(b) + 1).toDouble / dt) - math.log((cr(b) + 1).toDouble / dr)
+      }
+      // decimal-exact sum surrogate: BigDecimal at 12 digits like the engine
+      val s = lps.map(x => BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum
+      id -> ((lps.size.toLong, math.floor(s.toDouble * 1e4) / 1e4))
+    }.toMap
+  }
+
+  test("dsirLogWeights matches the sequential reference; target docs excluded") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat", true),
+      (2L, "the dog sat on the log", true),
+      (3L, "the cat sat on the rug", false), // target-like raw doc
+      (4L, "zx qv wq jj kk zz", false),      // target-alien raw doc
+      (5L, "the mat the cat", false)
+    )
+    val df = docs.map { case (id, t, tgt) => (id, t, tgt) }
+      .toDF("doc_id", "text", "is_tgt")
+    val got = Relevance.dsirLogWeights(df, col("is_tgt"), buckets = 64)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val expected = localDsir(docs, 64)
+    assert(got.keySet === Set(3L, 4L, 5L)) // only raw docs, no targets
+    assert(got === expected)
+    // the target-like doc must beat the alien one on per-doc weight
+    assert(got(3L)._2 > got(4L)._2)
+  }
+
+  test("dsirSelect: top-n by (weight desc, id), deterministic at ties") {
+    val w = Seq((10L, 5L, 2.5), (11L, 5L, 2.5), (12L, 5L, 1.0), (13L, 5L, 3.0))
+      .toDF("id", "n_toks", "log_weight")
+    val got = Relevance.dsirSelect(w, n = 3)
+      .as[(Long, Double)].collect().toSeq
+    assert(got === Seq((13L, 3.0), (10L, 2.5), (11L, 2.5)))
+    intercept[IllegalArgumentException] { Relevance.dsirSelect(w, 0) }
+  }
+
+  test("dsirLogWeights guards empty target/raw splits") {
+    val allTgt = Seq((1L, "a b", true)).toDF("doc_id", "text", "t")
+    intercept[IllegalArgumentException] {
+      Relevance.dsirLogWeights(allTgt, col("t"))
     }
   }
 }
