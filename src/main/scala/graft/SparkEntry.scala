@@ -354,6 +354,44 @@ object SparkEntry {
     (tok +: rounds).mkString(",\n")
   }
 
+  /** Unrolled perceptron training replay (mirrors
+    * [[graft.operators.Perceptron.trainHistory]]): epoch e scores every
+    * doc with w_{e−1} (w_0 = 0 → every doc misclassified), then
+    * w_e = w_{e−1} + Σ_{misclassified} y·n per bucket. All-integer, so
+    * one mis-scored doc in any epoch shifts every later w. Yields CTEs
+    * f/lab/bu, d1/w1/m1 … d{E}/w{E}/m{E}.
+    */
+  private def perceptronSql(epochs: Int, dim: Int): String = {
+    val base =
+      s"""f AS MATERIALIZED (SELECT doc_id AS id,
+         |  ${hash60Sql("tok")} % $dim AS bucket, count(*)::BIGINT AS n
+         |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+         |    FROM documents) u
+         |  WHERE tok <> '' GROUP BY 1, 2),
+         |lab AS MATERIALIZED (SELECT doc_id AS id,
+         |  CASE WHEN lang = 'en' THEN 1::BIGINT ELSE -1::BIGINT END AS y
+         |  FROM documents),
+         |bu AS (SELECT range::BIGINT AS bucket FROM range(0, $dim)),
+         |d1 AS (SELECT f.bucket, sum(l.y * f.n)::BIGINT AS d
+         |  FROM f JOIN lab l USING (id) GROUP BY f.bucket),
+         |w1 AS MATERIALIZED (SELECT b.bucket, coalesce(d1.d, 0)::BIGINT AS w
+         |  FROM bu b LEFT JOIN d1 USING (bucket)),
+         |m1 AS (SELECT count(*)::BIGINT AS m FROM lab)""".stripMargin
+    val rounds = (2 to epochs).map { e =>
+      s"""s$e AS (SELECT l.id, l.y, coalesce(sum(f.n * w.w), 0)::BIGINT AS s
+         |  FROM lab l LEFT JOIN f ON l.id = f.id
+         |  LEFT JOIN w${e - 1} w ON f.bucket = w.bucket
+         |  GROUP BY l.id, l.y),
+         |mis$e AS MATERIALIZED (SELECT id, y FROM s$e WHERE y * s <= 0),
+         |m$e AS (SELECT count(*)::BIGINT AS m FROM mis$e),
+         |d$e AS (SELECT f.bucket, sum(mm.y * f.n)::BIGINT AS d
+         |  FROM f JOIN mis$e mm USING (id) GROUP BY f.bucket),
+         |w$e AS MATERIALIZED (SELECT w.bucket, (w.w + coalesce(d$e.d, 0))::BIGINT AS w
+         |  FROM w${e - 1} w LEFT JOIN d$e USING (bucket))""".stripMargin
+    }
+    (base +: rounds).mkString(",\n")
+  }
+
   private def pagerankSql(iters: Int, scale: Long,
       seedPred: Option[String => String] = None,
       weighted: Boolean = false): String = {
@@ -1020,6 +1058,20 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("inter"), col("size_a"),
           col("size_b"), trunc4(col("jaccard")).as("jaccard"))),
 
+    // DD2e: the SAME exact-Jaccard contract through the AllPairs/PPJoin
+    // prefix-filtered candidate scheme — rarest-first global ordering,
+    // per-doc prefix index, size-ratio filter, per-CANDIDATE exact
+    // verification. Oracle = the same exact pair SQL as
+    // dedup_ngram_jaccard: result equality IS the losslessness proof of
+    // the prefix pruning; the candidate join touches Σ(prefix-df)² rows
+    // instead of Σdf² — the scheme that keeps all-pairs similarity
+    // affordable when the corpus is 100 TB and t is high.
+    "dedup_prefix_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairsPrefix(docNearDupCorpus(s, dir), n = 3,
+          threshold = 0.5, maxDocFreq = Some(ShingleDfCap))
+        .select(col("id_a"), col("id_b"), col("inter"), col("size_a"),
+          col("size_b"), trunc4(col("jaccard")).as("jaccard"))),
+
     // DD7: decontamination — eval "benchmark prompts" are injected as
     // 25-token prefixes of every 50th doc; the contamination check must
     // flag each against its source (5-gram overlap covering >=80% of the
@@ -1570,6 +1622,61 @@ object SparkEntry {
     "bpe_pair_counts" -> ((s, dir) =>
       graft.functions.TextAnalysis.adjacentPairCounts(
         Tables.documents(s, dir), minCount = 5L)),
+
+    // V4: PMI collocations — adjacent pairs co-occurring far above
+    // their unigram expectation (phrase-mining / tokenizer vocab
+    // seeding). Exact integer counts; fixed ln-chain score, trunc4.
+    "token_pmi_pairs" -> ((s, dir) =>
+      graft.functions.TextAnalysis.pmiPairs(
+        Tables.documents(s, dir), minCount = 5L)),
+
+    // C1: in-engine trained quality classifier — full-batch perceptron
+    // over 64-bucket hashed features, label = (lang == 'en'), 4 epochs.
+    // Integer-exact training trajectory: the oracle replays all 4
+    // epochs as an unrolled CTE chain; one mis-scored doc in any epoch
+    // would shift every later epoch's weights.
+    "perceptron_weights" -> ((s, dir) =>
+      graft.operators.Perceptron.trainHistory(Tables.documents(s, dir),
+        isPositive = col("lang") === "en", dim = 64, epochs = 4)),
+
+    // C1b: the trained filter applied — every doc scored by the final
+    // epoch's weights; pred = sign(score), zero scored negative (the
+    // decision rule training counted mistakes with).
+    "perceptron_scored" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val w4 = graft.operators.Perceptron.trainHistory(docs,
+          isPositive = col("lang") === "en", dim = 64, epochs = 4)
+        .filter(col("epoch") === 4)
+      graft.operators.Perceptron.score(docs, w4, dim = 64)
+        .select(col("id").as("doc_id"), col("score"), col("pred"))
+    }),
+
+    // R5: multi-query BM25 retrieval — every 400th doc's first-4-token
+    // prefix becomes a query; term-at-a-time inverted-index join, no
+    // query×doc cross product; per-query top-10 by a DECIMAL-exact
+    // score sum, ties by doc_id.
+    "search_bm25_topk" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val queries = docs.filter(col("doc_id") % 400 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, 4))
+            .as("qtext"))
+      graft.operators.Relevance.bm25SearchTopK(docs, queries, k = 10)
+    }),
+
+    // S9: per-source cap (domain balancing) — keep at most 200 docs per
+    // source by (n_chars desc, doc_id) rank: the over-represented-domain
+    // guard of a crawl mixture. WindowGroupLimit keeps ~200 rows per
+    // source below the sort.
+    "source_capped_docs" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(s, dir)
+        .withColumn("rk", row_number().over(Window.partitionBy("source")
+          .orderBy(col("n_chars").desc, col("doc_id"))))
+        .filter(col("rk") <= 200)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("rk").cast("long").as("rk"))
+    }),
 
     // V1b: the BPE TRAINER the pair counts are the inner loop of — 6
     // rounds of top-pair → greedy non-overlapping merge → recount,
@@ -2631,6 +2738,22 @@ object SparkEntry {
          |JOIN sizes sb ON p.id_b = sb.id
          |WHERE p.inter/(sa.sz+sb.sz-p.inter)::DOUBLE >= 0.5""".stripMargin,
 
+    // Same exact-pair SQL as dedup_ngram_jaccard: equality through a
+    // DIFFERENT candidate scheme (prefix filtering) is the point.
+    "dedup_prefix_jaccard" ->
+      s"""WITH $corpusNearSql,
+         |${shingleSql(3)},
+         |${cappedShSql(ShingleDfCap)},
+         |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+         |pairs AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+         |  GROUP BY 1, 2)
+         |SELECT p.id_a, p.id_b, p.inter, sa.sz AS size_a, sb.sz AS size_b,
+         |floor(p.inter/(sa.sz+sb.sz-p.inter)::DOUBLE*10000)/10000 AS jaccard
+         |FROM pairs p JOIN sizes sa ON p.id_a = sa.id
+         |JOIN sizes sb ON p.id_b = sb.id
+         |WHERE p.inter/(sa.sz+sb.sz-p.inter)::DOUBLE >= 0.5""".stripMargin,
+
     "decontaminate_docs" ->
       s"""WITH train AS (SELECT doc_id, text FROM documents),
          |ev AS (SELECT doc_id+500000 AS doc_id,
@@ -3379,6 +3502,85 @@ object SparkEntry {
         |  FROM (SELECT unnest(prs) AS u FROM p))
         |SELECT left_tok, right_tok, count(*)::BIGINT AS n FROM u
         |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin,
+
+    "token_pmi_pairs" ->
+      """WITH tok AS (SELECT doc_id,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |clean AS (SELECT tok FROM (SELECT unnest(toks) AS tok FROM tok)
+        |  WHERE tok <> ''),
+        |uni AS (SELECT tok, count(*)::BIGINT AS c1 FROM clean GROUP BY tok),
+        |p AS (SELECT doc_id, list_transform(range(1, len(toks)),
+        |  i -> struct_pack(l := toks[i], r := toks[i+1])) AS prs FROM tok),
+        |pp AS (SELECT u.l AS l, u.r AS r
+        |  FROM (SELECT unnest(prs) AS u FROM p)),
+        |tot AS (SELECT (SELECT count(*) FROM clean) AS u_tot,
+        |  (SELECT count(*) FROM pp) AS b_tot),
+        |g AS (SELECT l, r, count(*)::BIGINT AS n FROM pp
+        |  GROUP BY l, r HAVING count(*) >= 5)
+        |SELECT g.l AS left_tok, g.r AS right_tok, g.n,
+        |  ul.c1 AS c1l, ur.c1 AS c1r,
+        |  floor(((((ln(g.n::DOUBLE) - ln(t.b_tot::DOUBLE))
+        |    - ln(ul.c1::DOUBLE)) - ln(ur.c1::DOUBLE))
+        |    + 2.0 * ln(t.u_tot::DOUBLE)) * 10000) / 10000 AS pmi_t
+        |FROM g JOIN uni ul ON g.l = ul.tok
+        |JOIN uni ur ON g.r = ur.tok, tot t""".stripMargin,
+
+    "perceptron_weights" -> {
+      val unions = (1 to 4).map(e =>
+        s"SELECT ${e}::BIGINT AS epoch, bucket, w AS weight, (SELECT m FROM m$e) AS mistakes FROM w$e")
+        .mkString("\nUNION ALL\n")
+      s"""WITH ${perceptronSql(4, 64)}
+         |$unions""".stripMargin
+    },
+
+    "perceptron_scored" ->
+      s"""WITH ${perceptronSql(4, 64)}
+         |SELECT l.id AS doc_id, coalesce(sum(f.n * w.w), 0)::BIGINT AS score,
+         |  CASE WHEN coalesce(sum(f.n * w.w), 0) > 0
+         |    THEN 1::BIGINT ELSE -1::BIGINT END AS pred
+         |FROM lab l LEFT JOIN f ON l.id = f.id
+         |LEFT JOIN w4 w ON f.bucket = w.bucket
+         |GROUP BY l.id""".stripMargin,
+
+    "search_bm25_topk" ->
+      """WITH q AS (SELECT doc_id AS qid, array_to_string(
+        |  (string_split_regex(trim(text), '\s+'))[1:4], ' ') AS qtext
+        |  FROM documents WHERE doc_id % 400 = 0),
+        |qt AS (SELECT DISTINCT qid, tok AS term FROM (SELECT qid,
+        |  unnest(string_split_regex(trim(lower(qtext)), '\s+')) AS tok FROM q)
+        |  WHERE tok <> ''),
+        |vocab AS (SELECT DISTINCT term FROM qt),
+        |dtok AS (SELECT doc_id AS id,
+        |  string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |stats AS (SELECT count(*)::DOUBLE AS n_docs,
+        |  sum(len(toks))::DOUBLE AS sum_dl FROM dtok),
+        |dd AS (SELECT id, len(toks)::DOUBLE AS dl, unnest(toks) AS term
+        |  FROM dtok),
+        |tf AS (SELECT id, dl, term, count(*)::DOUBLE AS tf
+        |  FROM dd JOIN vocab USING (term) GROUP BY id, dl, term),
+        |df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        |con AS (SELECT tf.id, tf.term,
+        |  ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+        |    * (tf.tf * (1.2 + 1.0))
+        |    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl
+        |        / (s.sum_dl / s.n_docs))) AS contrib
+        |  FROM tf JOIN df USING (term), stats s),
+        |agg AS (SELECT qt.qid, con.id,
+        |  sum(CAST(con.contrib AS DECIMAL(38,12))) AS s,
+        |  count(*)::BIGINT AS matched_terms
+        |  FROM qt JOIN con USING (term) GROUP BY qt.qid, con.id),
+        |rk AS (SELECT qid, id, s, matched_terms, row_number() OVER (
+        |  PARTITION BY qid ORDER BY s DESC, id) AS rank FROM agg)
+        |SELECT qid AS query_id, rank::BIGINT AS rank, id AS doc_id,
+        |  matched_terms, floor(s::DOUBLE * 10000) / 10000 AS score_t
+        |FROM rk WHERE rank <= 10""".stripMargin,
+
+    "source_capped_docs" ->
+      """SELECT doc_id, source, n_chars, rk FROM (
+        |  SELECT doc_id, source, n_chars, row_number() OVER (
+        |    PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents) t WHERE rk <= 200""".stripMargin,
 
     "bpe_merge_sequence" -> {
       val unions = (0 until 6).map(s =>

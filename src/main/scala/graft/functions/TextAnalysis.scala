@@ -82,6 +82,55 @@ object TextAnalysis {
       .filter(col("n") >= minCount)
   }
 
+  /** Pointwise-mutual-information collocations: adjacent token pairs
+    * that co-occur far more than their unigram frequencies predict —
+    * the multi-word-expression signal behind tokenizer vocab seeding
+    * and phrase mining ("new york" is a unit; "of the" is not, despite
+    * a far higher raw count).
+    *
+    * `pmi = ln( (c(l,r)/B) / ((c(l)/U)·(c(r)/U)) )` with B = total
+    * adjacent-pair count and U = total token count; `minCount` cuts the
+    * hapax tail BEFORE the marginal joins (PMI of a count-1 pair is
+    * noise, and the tail is most of the vocabulary — Zipf).
+    *
+    * Shape: one tokenize pass feeds the unigram aggregate, the bigram
+    * aggregate ([[adjacentPairCounts]]' lead-window stitch), and the
+    * two scalar totals (collected to the driver as 2 longs and inlined
+    * as literals — no 1-row broadcast in the plan, the DSIR recipe);
+    * then two vocabulary-sized equi-joins attach the marginals. All
+    * counts are exact integers; the score is a fixed ln/arithmetic
+    * chain mirrored operation-for-operation in the oracle and
+    * floor-truncated at 1e-4.
+    */
+  def pmiPairs(docs: DataFrame, minCount: Long = 5L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
+    val clean = toks.filter(col("tok") =!= "")
+    val uni = clean.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val pairs = toks
+      .withColumn("next",
+        lead(col("tok"), 1).over(Window.partitionBy("id").orderBy("pos")))
+      .filter(col("next").isNotNull)
+      .select(col("tok").as("l"), col("next").as("r"))
+    // totals: 2 longs to the driver, inlined as literals
+    val t = clean.agg(count(lit(1)).as("u"))
+      .crossJoin(pairs.agg(count(lit(1)).as("b"))).head()
+    val (u, bTot) = (t.getLong(0), t.getLong(1))
+    require(bTot > 0, "corpus has no adjacent token pairs")
+    pairs.groupBy(col("l"), col("r")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .join(uni.select(col("tok").as("l"), col("c1").as("c1l")), Seq("l"))
+      .join(uni.select(col("tok").as("r"), col("c1").as("c1r")), Seq("r"))
+      .withColumn("pmi",
+        (((log(col("n").cast("double")) - log(lit(bTot).cast("double"))) -
+          log(col("c1l").cast("double"))) - log(col("c1r").cast("double"))) +
+          lit(2.0) * log(lit(u).cast("double")))
+      .select(col("l").as("left_tok"), col("r").as("right_tok"), col("n"),
+        col("c1l"), col("c1r"),
+        (floor(col("pmi") * 1e4) / 1e4).as("pmi_t"))
+  }
+
   /** The BPE TRAINER loop that [[adjacentPairCounts]] is the inner loop
     * of: `steps` rounds of (count adjacent pairs across the corpus →
     * take THE most frequent pair under the total order (n DESC,

@@ -171,6 +171,72 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
 
+  /** Prefix-filtered exact Jaccard pairs (the AllPairs/PPJoin candidate
+    * scheme) — same output as [[jaccardPairs]], far fewer candidates.
+    *
+    * [[jaccardPairs]] joins the FULL inverted index: every shingle two
+    * docs share produces a join row, Σ df² total. Prefix filtering
+    * exploits a lossless pruning lemma: order each doc's shingles by a
+    * global total order (here ascending document frequency, rarest
+    * first, then the shingle string) and keep only the first
+    * `sz − ceil(t·sz) + 1` as its PREFIX. For any pair with
+    * J(x,y) ≥ t the overlap o satisfies o ≥ ceil(t·|x|) and
+    * o ≥ ceil(t·|y|) (from o ≥ t(|x|+|y|)/(1+t) and |y| ≥ o), so if the
+    * pair's smallest common shingle sat outside x's prefix, all o ≥
+    * ceil(t·|x|) common shingles would have to fit in x's
+    * ceil(t·|x|)−1 suffix slots — impossible. Hence the smallest common
+    * shingle lies in BOTH prefixes and the prefix-only self-join loses
+    * no qualifying pair. Candidate rows shrink from Σ df² over all
+    * shingles to Σ (prefix-df)² over the RAREST ~(1−t) fraction of each
+    * doc — the classic orders-of-magnitude cut for high thresholds.
+    *
+    * Verification then runs per CANDIDATE pair, not per shared shingle:
+    * candidates (deduped, size-ratio-filtered: t·max ≤ min) join the
+    * per-doc sorted shingle-set arrays on each id and one codegen'd
+    * `array_intersect` computes the exact intersection. Shuffle cost is
+    * |candidates| id-pairs plus the doc-set arrays for docs that appear
+    * in at least one candidate — bounded by the prefix join's output,
+    * never by the corpus.
+    *
+    * The df ordering needs one extra shuffle of the shingle relation
+    * (window by shingle) — at 100 TB that buys back its cost many times
+    * over in pruned candidates; `maxDocFreq` remains the hard skew cap
+    * underneath (a prefix shingle's df is still bounded by it).
+    */
+  def jaccardPairsPrefix(docs: DataFrame, n: Int = 3,
+      threshold: Double = 0.5, idCol: String = "doc_id",
+      textCol: String = "text", maxDocFreq: Option[Long] = None): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0,1], got $threshold")
+    val sh = sharedRelation(
+      shingles(docs, n, idCol, textCol, maxDocFreq))
+    val prefix = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("id").orderBy(col("df"), col("shingle"))))
+      .filter(col("rk") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select("id", "shingle", "sz")
+    val cand = prefix.as("a")
+      .join(prefix.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.id") < col("b.id") &&
+        col("a.sz") * threshold <= col("b.sz") &&
+        col("b.sz") * threshold <= col("a.sz"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sz").as("size_a"), col("b.sz").as("size_b"))
+      .distinct()
+    val sets = sh.groupBy(col("id"))
+      .agg(collect_set(col("shingle")).as("sset"))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("sset").as("set_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sset").as("set_b")), "id_b")
+      .withColumn("inter",
+        size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter") / (col("size_a") + col("size_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
+  }
+
   /** Longest ALIGNED exact span per document pair — the substring-dedup
     * depth the set-similarity family cannot see: Jaccard/MinHash score
     * shared VOCABULARY; this finds shared CONSECUTIVE RUNS (quoted

@@ -164,6 +164,75 @@ object Relevance {
       .select(col(idCol), col("score"), col("matched_terms"))
   }
 
+  /** Multi-query BM25 retrieval: top-`k` documents per query — the
+    * batch search primitive (seed-query corpus ranking, eval-set
+    * retrieval, RAG index smoke tests) that [[bm25]]'s single fixed
+    * term set cannot express. Term-at-a-time over an inverted index:
+    * NO query×doc cross join anywhere; a query only ever meets the
+    * documents that share a term with it.
+    *
+    * Shape: tokenize queries → (query_id, term) rows, distinct per
+    * query; restrict the corpus token stream to the queries' term
+    * vocabulary with an equi-join (the vocabulary relation is
+    * |queries|·|terms| rows — AQE broadcasts it when small, shuffles
+    * when a million queries arrive; both are right); tf/df/idf exactly
+    * as [[bm25]]; one equi-join on `term` fans contributions out to
+    * (query_id, doc) and a hash aggregate sums them. Top-k is a
+    * per-query `row_number` — Spark's WindowGroupLimit pushes the k
+    * cut below the sort, so only ~k rows per query survive the
+    * exchange.
+    *
+    * Determinism: every per-(doc,term) contribution is the same
+    * correctly-rounded IEEE expression chain as [[bm25]] (tf/df/N/dl
+    * all integer-valued doubles; integer-valued double sums are exact
+    * and order-free); the per-(query,doc) SUM runs as DECIMAL(38,12)
+    * so partial-aggregation order cannot drift the value the rank
+    * sorts on, and ties break by doc_id. The reported score is
+    * floor-truncated at 1e-4.
+    */
+  def bm25SearchTopK(docs: DataFrame, queries: DataFrame, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75, idCol: String = "doc_id",
+      textCol: String = "text", queryIdCol: String = "query_id",
+      queryTextCol: String = "qtext"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"k must be positive, got $k")
+    val qterms = queries.select(col(queryIdCol).as("qid"),
+        explode(split(trim(lower(col(queryTextCol))), "\\s+")).as("term"))
+      .filter(col("term") =!= "").distinct()
+    val vocab = qterms.select("term").distinct()
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        split(trim(lower(col(textCol))), "\\s+").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val stats = toks.agg(count(lit(1)).cast("double").as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val tf = toks.select(col("id"), col("dl"), explode(col("toks")).as("term"))
+      .join(vocab, "term")
+      .groupBy(col("id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val contrib = tf.join(df, "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+          + lit(1.0)))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * (lit(k1) + lit(1.0))) /
+          (col("tf") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) * col("dl") /
+              (col("sum_dl") / col("n_docs")))))
+    qterms.join(contrib, "term")
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("contrib").cast("decimal(38,12)")).as("_s"),
+        count(lit(1)).as("matched_terms"))
+      .withColumn("rank", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("_s").desc, col("id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid").as(queryIdCol), col("rank").cast("long").as("rank"),
+        col("id").as(idCol), col("matched_terms"),
+        (floor(col("_s").cast("double") * 1e4) / 1e4).as("score_t"))
+  }
+
   /** Sparse TF-IDF document vectors in long format `(id, term, w)` with
     * `w = tf * (ln(N/df) + 1)` (smooth idf, always positive). The long
     * format IS the sparse representation — a term row exists only where

@@ -33,6 +33,35 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs.size === 3, s"unexpected pairs: $pairs")
   }
 
+  test("jaccardPairsPrefix returns exactly jaccardPairs' output (prefix pruning is lossless)") {
+    val full = Dedup.jaccardPairs(base, n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("inter"),
+        r.getAs[Long]("size_a"), r.getAs[Long]("size_b"))).toSet
+    val pref = Dedup.jaccardPairsPrefix(base, n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("inter"),
+        r.getAs[Long]("size_a"), r.getAs[Long]("size_b"))).toSet
+    assert(pref === full)
+    // and under a df-cap, still equal to the capped full join
+    val fullC = Dedup.jaccardPairs(base, n = 3, threshold = 0.5,
+      maxDocFreq = Some(2L)).select("id_a", "id_b").as[(Long, Long)]
+      .collect().toSet
+    val prefC = Dedup.jaccardPairsPrefix(base, n = 3, threshold = 0.5,
+      maxDocFreq = Some(2L)).select("id_a", "id_b").as[(Long, Long)]
+      .collect().toSet
+    assert(prefC === fullC)
+  }
+
+  test("jaccardPairsPrefix stays lossless at a high threshold where prefixes are shortest") {
+    // t=0.9: prefix length is |d| - ceil(0.9|d|) + 1 — roughly 10% of
+    // each doc. Only the exact-dup pair survives the threshold, and the
+    // prefix scheme must still find it.
+    val full = Dedup.jaccardPairs(base, n = 3, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val pref = Dedup.jaccardPairsPrefix(base, n = 3, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pref === full && pref.contains((1L, 4L)))
+  }
+
   test("jaccardPairs maxDocFreq drops hot shingles before the join") {
     // 'the quick brown'... shingles shared by docs 1,2,4 have df=3; cap=2
     // removes them, so pair (1,2) loses shared shingles and its jaccard

@@ -28,6 +28,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     "ann_pq_topk",            // |q| x corpus CODE scoring (8 adds/pair by design)
     "report_metadata",        // 1-row x 1-row metadata crossJoin
     "doc_bm25_relevance",     // 1-row corpus-stats (N, avgdl) broadcast crossJoin
+    "search_bm25_topk",       // same 1-row corpus-stats broadcast crossJoin;
+                              // query-doc matching itself is term-equi
     "doc_unigram_logprob",    // 1-row token-total broadcast crossJoin
     "doc_bigram_logprob",     // same 1-row token-total broadcast crossJoin
     "doc_tfidf_topterms",     // 1-row corpus-size (N) broadcast crossJoin

@@ -46,6 +46,26 @@ class RelevanceSpec extends AnyFunSuite with SparkTestBase {
     assert(out(1L)._1 < 2 * out(2L)._1)
   }
 
+  test("bm25SearchTopK: per-query ranking equals single-query bm25; k cut; no cross-query leakage") {
+    val queries = Seq((100L, "owl"), (200L, "cat dog")).toDF("query_id", "qtext")
+    val out = Relevance.bm25SearchTopK(corpus, queries, k = 2).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    // query "owl": only doc 3 contains it
+    val owl = out(100L).map(r =>
+      (r.getAs[Long]("rank"), r.getAs[Long]("doc_id")))
+    assert(owl.toSeq === Seq((1L, 3L)))
+    // query "cat dog": docs 1-3 match; k=2 keeps the top two, and the
+    // ordering must agree with the fixed-term bm25 operator's scores
+    val single = Relevance.bm25(corpus, Seq("cat", "dog")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    val expected = single.toSeq.sortBy { case (id, s) => (-s, id) }
+      .take(2).map(_._1)
+    val catdog = out(200L).sortBy(_.getAs[Long]("rank"))
+      .map(_.getAs[Long]("doc_id")).toSeq
+    assert(catdog === expected)
+    assert(out.values.forall(_.length <= 2))
+  }
+
   test("tfidfTerms matches hand-computed weights; df-cap drops hot terms") {
     val w = Relevance.tfidfTerms(corpus)
       .as[(Long, String, Double)].collect()

@@ -256,6 +256,26 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(floored === Set(("a", "b", 3L)))
   }
 
+  test("pmiPairs: hand-computed collocation score; minCount cuts the tail") {
+    val docs = Seq(
+      (1L, "new york new york"),
+      (2L, "of the of the")
+    ).toDF("doc_id", "text")
+    // U=8 (each token count 2), B=6; both kept pairs have n=2:
+    // pmi = ln((2/6) / ((2/8)·(2/8))) = ln(16/3) = 1.67397... -> 1.6739
+    val out = TextAnalysis.pmiPairs(docs, minCount = 2L).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("c1l"), r.getAs[Long]("c1r"),
+          r.getAs[Double]("pmi_t"))).toMap
+    assert(out.keySet === Set(("new", "york"), ("of", "the")))
+    assert(out(("new", "york")) === ((2L, 2L, 2L, 1.6739)))
+    assert(out(("of", "the")) === ((2L, 2L, 2L, 1.6739)))
+    // minCount=1 admits the cross pairs (york,new)/(the,of), which are
+    // UNDER-represented vs independence only through the totals: n=1
+    val all = TextAnalysis.pmiPairs(docs, minCount = 1L).collect()
+    assert(all.length === 4)
+  }
+
   test("hashedFeatures: fixed bucket space, counts partition the tokens") {
     val docs = Seq((1L, "x y x z x"), (2L, "y y"), (3L, "")).toDF("doc_id", "text")
     val rows = TextAnalysis.hashedFeatures(docs, dim = 16)
