@@ -928,6 +928,25 @@ object SparkEntry {
           .when(col("bucket") < 90, "val").otherwise("test"))
         .select("doc_id", "split", "bucket")),
 
+    // TSEL: token-budget corpus selection — keep the highest-quality
+    // docs (quality tier desc, doc_id asc) until 16k tokens are spent;
+    // the boundary doc is kept. CorpusSelect.budgetSelect is the
+    // two-phase distributed prefix sum with budget bucket-pruning; the
+    // order key packs the integer quality tier and the id into one long
+    // so ascending key == (quality DESC, doc_id ASC).
+    "corpus_budget_select" -> ((s, dir) => {
+      val scored = TextAnalysis.withQualityScore(
+          TextAnalysis.withTokenCounts(Tables.documents(s, dir)))
+        .select(col("doc_id"),
+          floor(col("quality_score") * 10000).cast("long").as("q_ppm"),
+          col("ws_tokens").cast("long").as("ws_tokens"))
+        .withColumn("_ord",
+          (lit(10000L) - col("q_ppm")) * lit(1L << 41) + col("doc_id"))
+      graft.operators.CorpusSelect
+        .budgetSelect(scored, "_ord", "ws_tokens", budget = 16000L)
+        .select("doc_id", "q_ppm", "ws_tokens", "cum_before")
+    }),
+
     // TX: BM25 relevance of every document against a fixed query-term
     // set (Relevance.bm25 — inverted-index tf/df hash aggregates, no
     // pairwise work; the curation-by-relevance primitive).
@@ -2522,6 +2541,33 @@ object SparkEntry {
          |ELSE 'test' END AS split, bucket
          |FROM (SELECT doc_id, ${hash60Sql("text")} % 100 AS bucket
          |FROM documents) t""".stripMargin,
+
+    // Ratio formulas mirror doc_quality / doc_token_counts exactly; the
+    // quality tier is floor(score*1e4) (trunc4's integer part), so both
+    // engines order by the same integer and the ROWS ... 1 PRECEDING
+    // frame is the strictly-before running sum budgetSelect computes.
+    "corpus_budget_select" ->
+      """WITH t AS (SELECT doc_id,
+        |  CASE WHEN length(trim(text))=0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens,
+        |  least(length(text)/500.0, 1.0) AS len_score,
+        |  len(regexp_extract_all(text, '[[:punct:]]'))
+        |    / CAST(greatest(length(text),1) AS DOUBLE) AS punct_ratio,
+        |  len(regexp_extract_all(lower(text), '\b(the|a|an|and|of|to|in|is|it|that)\b'))
+        |    / CAST(greatest(CASE WHEN length(trim(text))=0 THEN 0
+        |        ELSE len(string_split_regex(trim(text), '\s+')) END, 1) AS DOUBLE)
+        |    AS stopword_ratio
+        |  FROM documents),
+        |q AS (SELECT doc_id, ws_tokens::BIGINT AS ws_tokens,
+        |  CAST(floor((0.4*len_score + 0.3*least(stopword_ratio*5.0,1.0)
+        |    + 0.3*(1.0-least(punct_ratio*10.0,1.0)))*10000) AS BIGINT) AS q_ppm
+        |  FROM t),
+        |o AS (SELECT doc_id, q_ppm, ws_tokens,
+        |  COALESCE(SUM(ws_tokens) OVER (ORDER BY q_ppm DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |    AS cum_before FROM q)
+        |SELECT doc_id, q_ppm, ws_tokens, cum_before FROM o
+        |WHERE cum_before < 16000""".stripMargin,
 
     // Constants mirror Relevance.bm25 exactly (k1=1.2, b=0.75, ln idf
     // with the +1 floor); every intermediate (tf/df/dl sums) is

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Token-budget corpus selection: keep the best documents (by a caller-
+  * supplied total order) until a global token budget is exhausted — the
+  * "give me the top N billion tokens by quality" step every pretraining
+  * data curation ends with.
+  *
+  * The semantics are a global running sum over a total order, which a
+  * naive `Window.orderBy(ord)` computes in ONE task. This uses the same
+  * two-phase distributed prefix sum as [[SequencePack.packOffsets]]
+  * (per-bucket totals -> driver prefix over <= `buckets` rows ->
+  * within-bucket window), with one budget-specific improvement:
+  * **bucket pruning**. Buckets whose global offset already meets the
+  * budget cannot contribute a kept row, so they are filtered out BEFORE
+  * the phase-2 shuffle — at 100 TB with a 1% keep rate, ~99% of the
+  * corpus never leaves its scan stage.
+  *
+  * Bit-identical to the single-task window: integer token sums, unique
+  * integer order key, floor-div bucketing identical across both passes.
+  */
+object CorpusSelect {
+
+  /** Filters `docs` to the rows whose strictly-before cumulative token
+    * count (in ascending `ordCol` order) is below `budget`, adding that
+    * count as `cum_before`. The boundary document (the one that crosses
+    * the budget) is KEPT — greedy selection takes it.
+    *
+    * `ordCol` must be a unique non-negative long (compose quality tier
+    * and id as `(tierMax - tier) * 2^k + id` for a quality-descending
+    * order); `tokensCol` integral and non-negative.
+    *
+    * EAGER AT CONSTRUCTION like [[SequencePack.packOffsets]]: the
+    * bucket-total aggregate runs when this is called. `docs` is
+    * materialized first (lazy local checkpoint) so upstream work — here
+    * typically a quality-scoring pass — runs once, not once per phase.
+    */
+  def budgetSelect(docs: DataFrame, ordCol: String, tokensCol: String,
+      budget: Long, buckets: Int = 256): DataFrame = {
+    val spark = docs.sparkSession
+    val base = docs.localCheckpoint(false)
+    val stats = base.agg(min(col(ordCol)).cast("long").as("lo"),
+      max(col(ordCol)).cast("long").as("hi")).head()
+    if (stats.isNullAt(0)) return base.withColumn("cum_before", lit(0L))
+    val lo = stats.getLong(0)
+    val hi = stats.getLong(1)
+    val width = math.max((hi - lo) / buckets, 0L) + 1L
+    // exact integer floor-div, identical in both phases (see packOffsets)
+    def bucketOf: Column = expr(
+      s"CAST((CAST(`$ordCol` AS BIGINT) - ${lo}L) DIV ${width}L AS BIGINT)")
+
+    // phase 1: per-bucket token totals -> driver (<= buckets rows)
+    val totals = base
+      .select(bucketOf.as("_bucket"), col(tokensCol).cast("long").as("_t"))
+      .groupBy("_bucket").agg(sum(col("_t")).as("_t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (b, t) => val row = (b, acc); acc += t; row }
+    // bucket pruning: a bucket whose global offset is already >= budget
+    // has cum_before >= budget for every row — drop it pre-shuffle
+    val live = offsets.filter(_._2 < budget)
+    val offsetDf = spark.createDataFrame(live.toSeq)
+      .toDF("_bucket", "_bucket_offset")
+
+    // phase 2: within-bucket running sum over the surviving buckets only
+    val w = Window.partitionBy("_bucket").orderBy(ordCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.withColumn("_bucket", bucketOf)
+      .join(broadcast(offsetDf), Seq("_bucket")) // inner join = the prune
+      .withColumn("cum_before",
+        (coalesce(sum(col(tokensCol)).over(w), lit(0L)) +
+          col("_bucket_offset")).cast("long"))
+      .filter(col("cum_before") < budget)
+      .drop("_bucket", "_bucket_offset")
+  }
+}

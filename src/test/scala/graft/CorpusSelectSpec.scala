@@ -1,0 +1,71 @@
+package graft
+
+import graft.functions.TextAnalysis
+import graft.operators.CorpusSelect
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CorpusSelectSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def scored = TextAnalysis.withQualityScore(
+      TextAnalysis.withTokenCounts(Tables.documents(spark, sf)))
+    .select(col("doc_id"),
+      floor(col("quality_score") * 10000).cast("long").as("q_ppm"),
+      col("ws_tokens").cast("long").as("ws_tokens"))
+    .withColumn("_ord",
+      (lit(10000L) - col("q_ppm")) * lit(1L << 41) + col("doc_id"))
+
+  private def naive(budget: Long) = scored
+    .withColumn("cum_before", coalesce(sum(col("ws_tokens")).over(
+      Window.orderBy("_ord").rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0L)).cast("long"))
+    .filter(col("cum_before") < budget)
+
+  test("two-phase budget select equals the single-task window") {
+    // few buckets => several bucket boundaries land inside the kept set,
+    // exercising the offset stitching; budget mid-corpus so pruning and
+    // the boundary doc both occur
+    for (budget <- Seq(1L, 5000L, 16000L)) {
+      val got = CorpusSelect.budgetSelect(scored, "_ord", "ws_tokens",
+          budget, buckets = 7)
+        .select("doc_id", "cum_before").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      val want = naive(budget)
+        .select("doc_id", "cum_before").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(got.toSeq == want.toSeq, s"budget=$budget")
+    }
+  }
+
+  test("boundary document is kept and the budget binds") {
+    val budget = 16000L
+    val kept = CorpusSelect.budgetSelect(scored, "_ord", "ws_tokens", budget)
+      .select("cum_before", "ws_tokens").collect()
+    assert(kept.nonEmpty)
+    val maxBefore = kept.map(_.getLong(0)).max
+    assert(maxBefore < budget) // every kept row started under budget
+    // the kept set crosses the budget (greedy takes the boundary doc)
+    assert(kept.map(_.getLong(1)).sum >= budget)
+    // and is a strict subset of the corpus
+    assert(kept.length < scored.count())
+  }
+
+  test("bucket pruning drops out-of-budget buckets before the shuffle") {
+    // with budget tiny and many buckets, the broadcast offset table must
+    // carry only the live prefix — observable as a result unchanged by
+    // bucket count while the full-corpus sum far exceeds the budget
+    val a = CorpusSelect.budgetSelect(scored, "_ord", "ws_tokens", 100L,
+      buckets = 2).select("doc_id").collect().map(_.getLong(0)).sorted
+    val b = CorpusSelect.budgetSelect(scored, "_ord", "ws_tokens", 100L,
+      buckets = 251).select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("empty input keeps the schema contract") {
+    val empty = scored.filter(lit(false))
+    val out = CorpusSelect.budgetSelect(empty, "_ord", "ws_tokens", 100L)
+    assert(out.columns.contains("cum_before"))
+    assert(out.count() == 0)
+  }
+}
