@@ -947,6 +947,20 @@ object SparkEntry {
         .select("doc_id", "q_ppm", "ws_tokens", "cum_before")
     }),
 
+    // TSPLIT2: leakage-safe split — near-dup cluster members share the
+    // split decision (bucketed by the cluster REPRESENTATIVE's content
+    // hash), so a duplicate can never straddle train and eval. Clusters
+    // from the same Jaccard-CC labeling as dedup_clusters.
+    "corpus_split_leakage_safe" -> ((s, dir) => {
+      val corpus = docNearDupCorpus(s, dir)
+      val clusters = Dedup.nearDupClusters(
+        Dedup.jaccardPairs(corpus, n = 3, threshold = 0.5,
+            maxDocFreq = Some(ShingleDfCap))
+          .select("id_a", "id_b"))
+      graft.operators.CorpusSelect.leakageSafeSplit(corpus, clusters)
+        .select("doc_id", "rep_id", "split", "bucket")
+    }),
+
     // TX: BM25 relevance of every document against a fixed query-term
     // set (Relevance.bm25 — inverted-index tf/df hash aggregates, no
     // pairwise work; the curation-by-relevance primitive).
@@ -2568,6 +2582,35 @@ object SparkEntry {
         |    AS cum_before FROM q)
         |SELECT doc_id, q_ppm, ws_tokens, cum_before FROM o
         |WHERE cum_before < 16000""".stripMargin,
+
+    // Cluster CTEs identical to dedup_clusters; the split hash runs on
+    // the REPRESENTATIVE's text, so every cluster member lands together.
+    "corpus_split_leakage_safe" ->
+      s"""WITH RECURSIVE $corpusNearSql,
+         |${shingleSql(3)},
+         |${cappedShSql(ShingleDfCap)},
+         |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+         |prs AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+         |  GROUP BY 1, 2),
+         |jp AS (SELECT p.id_a, p.id_b FROM prs p
+         |  JOIN sizes sa ON p.id_a = sa.id JOIN sizes sb ON p.id_b = sb.id
+         |  WHERE p.inter/(sa.sz+sb.sz-p.inter)::DOUBLE >= 0.5),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM jp
+         |  UNION ALL SELECT id_b, id_a FROM jp),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+         |clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |rep AS (SELECT c.doc_id, COALESCE(cl.cluster_id, c.doc_id) AS rep_id
+         |  FROM corpus c LEFT JOIN clusters cl ON c.doc_id = cl.id),
+         |bk AS (SELECT rep.doc_id, rep.rep_id,
+         |  ${hash60Sql("rc.text")} % 100 AS bucket
+         |  FROM rep JOIN corpus rc ON rep.rep_id = rc.doc_id)
+         |SELECT doc_id, rep_id,
+         |CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+         |ELSE 'test' END AS split, bucket FROM bk""".stripMargin,
 
     // Constants mirror Relevance.bm25 exactly (k1=1.2, b=0.75, ln idf
     // with the +1 floor); every intermediate (tf/df/dl sums) is

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.TextHash
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -75,5 +76,38 @@ object CorpusSelect {
           col("_bucket_offset")).cast("long"))
       .filter(col("cum_before") < budget)
       .drop("_bucket", "_bucket_offset")
+  }
+
+  /** Leakage-safe train/val/test split: a plain hash split puts two
+    * near-duplicates of the same document in DIFFERENT splits ~32% of
+    * the time (1 − 0.8² − 0.1² − 0.1²), leaking train content into
+    * eval. Here every near-dup cluster moves as a unit: each document
+    * is bucketed by the content hash of its cluster REPRESENTATIVE
+    * (min-id member; singletons represent themselves), so the split
+    * decision is identical across a whole duplicate group.
+    *
+    * `clusters` is a `(id, cluster_id)` labeling as produced by
+    * [[Dedup.nearDupClusters]] — any near-dup notion (Jaccard, SimHash,
+    * embedding, SemDeDup cells) plugs in unchanged. Two shuffling
+    * equi-joins: docs⋈labels on id, then rep-text lookup on rep_id —
+    * both key-partitioned, no broadcast of anything corpus-sized, so
+    * the shape survives 100 TB (the rep-text join's key distribution is
+    * the cluster-size distribution; a pathological mega-cluster is a
+    * dedup bug upstream, not a split concern).
+    */
+  def leakageSafeSplit(corpus: DataFrame, clusters: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val withRep = corpus
+      .join(clusters.select(col("id").as(idCol), col("cluster_id")),
+        Seq(idCol), "left")
+      .withColumn("rep_id", coalesce(col("cluster_id"), col(idCol)))
+    val repText = corpus.select(col(idCol).as("rep_id"),
+      col(textCol).as("_rep_text"))
+    withRep.join(repText, Seq("rep_id"))
+      .withColumn("bucket", TextHash.hash60(col("_rep_text")) % 100)
+      .withColumn("split", when(col("bucket") < trainPct, "train")
+        .when(col("bucket") < trainPct + valPct, "val").otherwise("test"))
+      .drop("_rep_text", "cluster_id")
   }
 }

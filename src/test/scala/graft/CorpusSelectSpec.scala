@@ -62,6 +62,37 @@ class CorpusSelectSpec extends AnyFunSuite with SparkTestBase {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("leakage-safe split keeps near-dup clusters in one split") {
+    import graft.operators.{CorpusSelect, Dedup}
+    val d = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    // every 20th doc duplicated with a 2-token suffix (near dup)
+    val corpus = d.unionByName(d.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(col("text"), lit(" extradup token")).as("text")))
+    val clusters = Dedup.nearDupClusters(
+      Dedup.jaccardPairs(corpus, n = 3, threshold = 0.5)
+        .select("id_a", "id_b"))
+    val split = CorpusSelect.leakageSafeSplit(corpus, clusters)
+
+    // property 1: all members of a cluster share the split
+    val clustered = split.join(clusters.withColumnRenamed("id", "doc_id"),
+        Seq("doc_id"))
+      .groupBy("cluster_id").agg(countDistinct("split").as("n"),
+        count(lit(1)).as("sz"))
+      .collect()
+    assert(clustered.nonEmpty && clustered.forall(_.getLong(2) >= 2))
+    assert(clustered.forall(_.getLong(1) == 1L),
+      "a near-dup cluster straddles splits")
+
+    // property 2: singletons match the plain hash split of their own text
+    val plain = corpus
+      .withColumn("bucket2", graft.functions.TextHash.hash60(col("text")) % 100)
+    val single = split.join(clusters.select(col("id").as("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .join(plain.select("doc_id", "bucket2"), Seq("doc_id"))
+    assert(single.filter(col("bucket") =!= col("bucket2")).count() == 0)
+  }
+
   test("empty input keeps the schema contract") {
     val empty = scored.filter(lit(false))
     val out = CorpusSelect.budgetSelect(empty, "_ord", "ws_tokens", 100L)
