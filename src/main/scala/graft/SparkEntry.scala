@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{TextAnalysis, TextHash}
+import graft.functions.{GramFunctions, TextAnalysis, TextHash}
 import graft.operators.{AsOfJoin, Cluster, Dedup, KpiAggregator, RawEventStore, SequencePack, Sessionize, SimilaritySearch, TripMatcher}
 import graft.sources.{MediaColumns, TripSources}
 
@@ -959,6 +959,40 @@ object SparkEntry {
           .select("id_a", "id_b"))
       graft.operators.CorpusSelect.leakageSafeSplit(corpus, clusters)
         .select("doc_id", "rep_id", "split", "bucket")
+    }),
+
+    // CDC1: content-defined chunking — boundary after every position
+    // whose trailing 8-gram hash ≡ 0 (mod 64), final cut at EOT; chunk
+    // boundaries depend only on local content so edits resync (the
+    // rsync/LBFS storage-dedup primitive). One codegen'd pass per doc
+    // (GramFunctions.cdcChunks), map-only plan; the per-character
+    // relational formulation is the ORACLE, not the plan.
+    "doc_cdc_chunks" -> ((s, dir) =>
+      Tables.documents(s, dir).filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+          posexplode(GramFunctions.cdcChunks(col("text"), 8, 64)))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+          col("col.start").cast("long").as("start_pos"),
+          col("col.len").cast("long").as("chunk_len"),
+          col("col.hash").as("chunk_hash"))),
+
+    // CDC2: chunk-level dedup over the near-dup corpus — per doc, how
+    // many of its chunks also appear in ANOTHER doc. Because CDC
+    // boundaries resync, a near-dup that only appends a suffix shares
+    // every chunk except its last; the chunk-hash equi-join is the
+    // 100 TB shape (hash-keyed, df-cappable like shingles if a
+    // boilerplate chunk ever goes hot).
+    "cdc_dup_chunk_stats" -> ((s, dir) => {
+      val ch = docNearDupCorpus(s, dir).filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+          explode(GramFunctions.cdcChunks(col("text"), 8, 64)).as("c"))
+        .select(col("doc_id"), col("c.hash").as("chunk_hash"))
+      val shared = ch.groupBy("chunk_hash")
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+      ch.join(shared, Seq("chunk_hash"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("dup_chunks"))
     }),
 
     // TX: BM25 relevance of every document against a fixed query-term
@@ -2611,6 +2645,48 @@ object SparkEntry {
          |SELECT doc_id, rep_id,
          |CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
          |ELSE 'test' END AS split, bucket FROM bk""".stripMargin,
+
+    // Per-character relational replay of GramHashes.cdcChunks: candidate
+    // cut at every end position c in [8, len] whose trailing 8-gram
+    // hash60 ≡ 0 (mod 64), plus the EOT cut; chunks stitched with
+    // lag/row_number per doc.
+    "doc_cdc_chunks" ->
+      s"""WITH docs AS (SELECT doc_id, text, length(text) AS len
+         |  FROM documents WHERE length(text) > 0),
+         |cand AS (SELECT doc_id, c FROM docs,
+         |    unnest(range(8, len + 1)) AS u(c)
+         |  WHERE ${hash60Sql("substr(text, (c-7)::INT, 8)")} % 64 = 0),
+         |cuts AS (SELECT doc_id, c FROM cand
+         |  UNION SELECT doc_id, len FROM docs),
+         |ord AS (SELECT doc_id, c,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY c) - 1 AS chunk_idx,
+         |  COALESCE(lag(c) OVER (PARTITION BY doc_id ORDER BY c), 0) AS prev
+         |  FROM cuts)
+         |SELECT o.doc_id, chunk_idx::BIGINT AS chunk_idx,
+         |(prev + 1)::BIGINT AS start_pos, (c - prev)::BIGINT AS chunk_len,
+         |${hash60Sql("substr(d.text, (prev+1)::INT, (c-prev)::INT)")} AS chunk_hash
+         |FROM ord o JOIN docs d USING (doc_id)""".stripMargin,
+
+    "cdc_dup_chunk_stats" ->
+      s"""WITH $corpusNearSql,
+         |docs AS (SELECT doc_id, text, length(text) AS len
+         |  FROM corpus WHERE length(text) > 0),
+         |cand AS (SELECT doc_id, c FROM docs,
+         |    unnest(range(8, len + 1)) AS u(c)
+         |  WHERE ${hash60Sql("substr(text, (c-7)::INT, 8)")} % 64 = 0),
+         |cuts AS (SELECT doc_id, c FROM cand
+         |  UNION SELECT doc_id, len FROM docs),
+         |ord AS (SELECT doc_id, c,
+         |  COALESCE(lag(c) OVER (PARTITION BY doc_id ORDER BY c), 0) AS prev
+         |  FROM cuts),
+         |ch AS (SELECT o.doc_id,
+         |  ${hash60Sql("substr(d.text, (prev+1)::INT, (c-prev)::INT)")} AS chunk_hash
+         |  FROM ord o JOIN docs d USING (doc_id)),
+         |shared AS (SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs
+         |  FROM ch GROUP BY chunk_hash)
+         |SELECT doc_id, count(*)::BIGINT AS n_chunks,
+         |SUM(CASE WHEN s.n_docs >= 2 THEN 1 ELSE 0 END)::BIGINT AS dup_chunks
+         |FROM ch JOIN shared s USING (chunk_hash) GROUP BY doc_id""".stripMargin,
 
     // Constants mirror Relevance.bm25 exactly (k1=1.2, b=0.75, ln idf
     // with the +1 floor); every intermediate (tf/df/dl sums) is

@@ -125,6 +125,54 @@ object GramHashes {
     new GenericArrayData(out)
   }
 
+  /** Content-defined chunking (storage-dedup lineage: LBFS/rsync,
+    * Rabin-style): a chunk boundary falls after every position whose
+    * trailing w-gram hash satisfies `hash % divisor == 0`, plus a final
+    * boundary at end-of-text. Because boundaries depend only on LOCAL
+    * content, an insertion or edit re-chunks just its neighborhood and
+    * the stream RESYNCS — the chunks after the edit are byte-identical
+    * to the original's, which fixed-width blocking can never achieve.
+    * Expected chunk length == divisor chars.
+    *
+    * One pass per document: no per-character explode, no window shuffle
+    * (the relational formulation is the oracle, not the plan). Returns
+    * `array<struct<start int, len int, hash long>>` — 1-based code-point
+    * start, chunk length, and [[hash60]] of the chunk text; empty text
+    * yields an empty array, text shorter than w one whole-text chunk.
+    *
+    * Deliberately no min/max chunk-size clamp: the greedy accept-if-far-
+    * enough rule is sequential state a fused kernel adds trivially, but
+    * it would make the cut set non-relational and the cross-engine
+    * oracle recursive; resync behavior is unaffected.
+    */
+  def cdcChunks(text: UTF8String, w: Int, divisor: Int): ArrayData = {
+    val s0 = text.toString
+    val bmp = s0.codePointCount(0, s0.length) == s0.length
+    val cps: Array[Int] = if (bmp) null else s0.codePoints().toArray
+    val len = if (bmp) s0.length else cps.length
+    if (len == 0) return new GenericArrayData(Array.empty[Any])
+    def slice(from: Int, until: Int): String =
+      if (bmp) s0.substring(from, until) else new String(cps, from, until - from)
+    val cuts = new java.util.ArrayList[Integer]()
+    var c = w
+    while (c <= len) {
+      if (hash60(slice(c - w, c)) % divisor == 0) cuts.add(c)
+      c += 1
+    }
+    if (cuts.isEmpty || cuts.get(cuts.size - 1) != len) cuts.add(len)
+    val out = new Array[Any](cuts.size)
+    var prev = 0
+    var i = 0
+    while (i < cuts.size) {
+      val end = cuts.get(i).intValue()
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](prev + 1, end - prev, hash60(slice(prev, end))))
+      prev = end
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Whole-document fingerprint: min gram hash (array_min of the gram
     * hashes — the [[TextAnalysis.withFingerprint]] kernel).
     */
@@ -169,6 +217,31 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int,
     copy(child = newChild)
 }
 
+/** Content-defined chunks of a text column — one codegen'd call per row
+  * into [[GramHashes.cdcChunks]] (w-gram boundary test, `hash % divisor
+  * == 0`, final cut at end-of-text).
+  */
+case class CdcChunks(child: Expression, w: Int, divisor: Int)
+    extends GramExpression {
+  override def dataType: DataType = ArrayType(
+    DataTypes.createStructType(Array(
+      DataTypes.createStructField("start", DataTypes.IntegerType, false),
+      DataTypes.createStructField("len", DataTypes.IntegerType, false),
+      DataTypes.createStructField("hash", DataTypes.LongType, false))),
+    containsNull = false)
+  override def prettyName: String = "cdc_chunks"
+
+  override def nullSafeEval(t: Any): Any =
+    GramHashes.cdcChunks(t.asInstanceOf[UTF8String], w, divisor)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GramHashes.cdcChunks($c, $w, $divisor)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Min gram hash of a text column (whole-document rolling fingerprint). */
 case class MinGramHash(child: Expression, k: Int) extends GramExpression {
   override def dataType: DataType = DataTypes.LongType
@@ -191,4 +264,6 @@ object GramFunctions {
     Bridge.column(WinnowFingerprints(Bridge.expression(text), k, w, coverShort))
   def minGramHash(text: Column, k: Int): Column =
     Bridge.column(MinGramHash(Bridge.expression(text), k))
+  def cdcChunks(text: Column, w: Int, divisor: Int): Column =
+    Bridge.column(CdcChunks(Bridge.expression(text), w, divisor))
 }
