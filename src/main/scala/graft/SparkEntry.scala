@@ -995,6 +995,29 @@ object SparkEntry {
           sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("dup_chunks"))
     }),
 
+    // IP1: incremental profile — the corpus ingested as 3 disjoint
+    // batches, each summarized ONCE (mergeable counts/bounds + HLL
+    // distinct sketch) and folded; no full-corpus scan at query time in
+    // production. Exact distinct rides along as the verification
+    // column: approx_ok proves the folded sketch landed within 5% of
+    // exact, the same bounds-oracle shape as approx_distinct_users_daily.
+    "incremental_profile_final" -> ((s, dir) => {
+      val IP = graft.operators.IncrementalProfile
+      val docs = Tables.documents(s, dir)
+      val cols = Seq("doc_id", "lang", "source", "n_chars")
+      val folded = (0 until 3)
+        .map(i => IP.summarize(docs.filter(pmod(col("doc_id"), lit(3)) === i), cols))
+        .reduce(IP.merge)
+      val exact = graft.operators.Profile.profile(docs, cols)
+        .select(col("col_name"), col("n_distinct").as("exact_distinct"))
+      IP.report(folded).join(exact, Seq("col_name"))
+        .select(col("col_name"), col("n_non_null"), col("n_nulls"),
+          col("exact_distinct"),
+          (abs(col("n_distinct_approx") - col("exact_distinct")) <=
+            lit(0.05) * col("exact_distinct")).as("approx_ok"),
+          col("min_value"), col("max_value"))
+    }),
+
     // TX: BM25 relevance of every document against a fixed query-term
     // set (Relevance.bm25 — inverted-index tf/df hash aggregates, no
     // pairwise work; the curation-by-relevance primitive).
@@ -2687,6 +2710,17 @@ object SparkEntry {
          |SELECT doc_id, count(*)::BIGINT AS n_chunks,
          |SUM(CASE WHEN s.n_docs >= 2 THEN 1 ELSE 0 END)::BIGINT AS dup_chunks
          |FROM ch JOIN shared s USING (chunk_hash) GROUP BY doc_id""".stripMargin,
+
+    // Batch-fold equals one-shot for every exact field (counts, bounds
+    // are monoids); approx_ok is the 5%-band rider on the folded HLL
+    // estimate, constant-true here and computed Spark-side, so a hash
+    // match PROVES the sketch union stayed in band.
+    "incremental_profile_final" ->
+      s"""WITH p AS (${profileSql("documents",
+             Seq("doc_id", "lang", "source", "n_chars"))})
+         |SELECT col_name, n_non_null, n_nulls,
+         |n_distinct AS exact_distinct, true AS approx_ok,
+         |min_value, max_value FROM p""".stripMargin,
 
     // Constants mirror Relevance.bm25 exactly (k1=1.2, b=0.75, ln idf
     // with the +1 floor); every intermediate (tf/df/dl sums) is

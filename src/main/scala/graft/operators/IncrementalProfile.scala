@@ -1,0 +1,151 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Incremental column statistics — the metadata twin of
+  * [[IncrementalDedup]]: per-batch MERGEABLE summaries that fold into a
+  * persisted store, so corpus-level statistics (row counts, null
+  * counts, bounds, distinct cardinality) stay current under continuous
+  * ingestion WITHOUT ever re-scanning the corpus. A nightly
+  * [[Profile.profile]] over 100 TB is a full-corpus scan for an
+  * O(batch)-sized question; here each batch is scanned exactly once, and
+  * the store is |columns| rows forever.
+  *
+  * Everything in a summary row is a commutative monoid:
+  *   - counts merge by sum;
+  *   - bounds merge by min/max IN THE COLUMN'S OWN ORDER — three typed
+  *     families (long / double / string), exactly one populated per
+  *     column, so merging never compares numbers lexicographically and
+  *     never round-trips integers through doubles;
+  *   - distinct cardinality merges by HLL sketch union (Apache
+  *     DataSketches via hll_sketch_agg / hll_union_agg — the union of
+  *     sketches IS the sketch of the union, so batch-wise folding loses
+  *     nothing vs a one-shot sketch).
+  *
+  * Exact distinct counts are NOT incrementally mergeable (that is the
+  * point of the sketch); [[report]] surfaces the HLL estimate, whose
+  * default lgK=12 config carries ~1.6% rsd — the oracle bounds it the
+  * same way as `approx_distinct_users_daily`.
+  */
+object IncrementalProfile {
+
+  /** One mergeable summary row per column of `cols`:
+    * (col_name, n_non_null, n_nulls, min/max in the column's typed
+    * family, distinct_hll binary sketch). One scan for all columns.
+    */
+  def summarize(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "summarize needs at least one column")
+    def family(c: String): String = df.schema(c).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => "long"
+      case DoubleType | FloatType | _: DecimalType       => "double"
+      case _                                             => "string"
+    }
+    val aggs = cols.flatMap { c =>
+      val fam = family(c)
+      Seq(
+        count(col(c)).as(s"${c}__nn"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        (if (fam == "long") min(col(c)).cast("long") else lit(null).cast("long"))
+          .as(s"${c}__minl"),
+        (if (fam == "long") max(col(c)).cast("long") else lit(null).cast("long"))
+          .as(s"${c}__maxl"),
+        (if (fam == "double") min(col(c)).cast("double") else lit(null).cast("double"))
+          .as(s"${c}__mind"),
+        (if (fam == "double") max(col(c)).cast("double") else lit(null).cast("double"))
+          .as(s"${c}__maxd"),
+        (if (fam == "string") min(col(c)).cast("string") else lit(null).cast("string"))
+          .as(s"${c}__mins"),
+        (if (fam == "string") max(col(c)).cast("string") else lit(null).cast("string"))
+          .as(s"${c}__maxs"),
+        // sketch input must be int/bigint/string/binary: longs go in as
+        // bigint; doubles (and anything else) via their canonical string
+        // form — a 1:1 value encoding, so distinct counts are unchanged
+        hll_sketch_agg(
+          if (fam == "long") col(c).cast("long") else col(c).cast("string"))
+          .as(s"${c}__hll"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map { c =>
+        struct(lit(c).as("col_name"),
+          col(s"${c}__nn").as("n_non_null"),
+          col(s"${c}__nulls").as("n_nulls"),
+          col(s"${c}__minl").as("min_long"), col(s"${c}__maxl").as("max_long"),
+          col(s"${c}__mind").as("min_dbl"), col(s"${c}__maxd").as("max_dbl"),
+          col(s"${c}__mins").as("min_str"), col(s"${c}__maxs").as("max_str"),
+          col(s"${c}__hll").as("distinct_hll"))
+      }: _*)).as("p"))
+      .select("p.*")
+  }
+
+  /** Folds two summary relations: |columns|-sized shuffle, nothing
+    * corpus-sized anywhere. Aggregates skip the unpopulated families'
+    * nulls, so each column's bounds merge in its own order.
+    */
+  def merge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("col_name").agg(
+      sum("n_non_null").as("n_non_null"),
+      sum("n_nulls").as("n_nulls"),
+      min("min_long").as("min_long"), max("max_long").as("max_long"),
+      min("min_dbl").as("min_dbl"), max("max_dbl").as("max_dbl"),
+      min("min_str").as("min_str"), max("max_str").as("max_str"),
+      hll_union_agg(col("distinct_hll")).as("distinct_hll"))
+
+  /** Consumable stats from a summary: bounds rendered from whichever
+    * family is populated (longs print as integers — no double
+    * round-trip), distinct as the HLL estimate.
+    */
+  def report(summary: DataFrame): DataFrame =
+    summary.select(col("col_name"), col("n_non_null"), col("n_nulls"),
+      hll_sketch_estimate(col("distinct_hll")).as("n_distinct_approx"),
+      coalesce(col("min_str"), col("min_long").cast("string"),
+        col("min_dbl").cast("string")).as("min_value"),
+      coalesce(col("max_str"), col("max_long").cast("string"),
+        col("max_dbl").cast("string")).as("max_value"))
+
+  /** Persisted fold with AT-LEAST-ONCE safety. Counts are NOT
+    * idempotent under re-merge (merging the same batch twice double
+    * counts), so the store records ingested batch ids as marker dirs and
+    * re-delivery becomes a no-op — the same discipline as
+    * [[KeyedUpsertSink]]'s idempotent overwrite, adapted to a fold.
+    * Each update writes the full merged summary (it is |columns| rows)
+    * under `summary/batch=<id>`; the current state is the max-id
+    * snapshot, so a torn write of batch k leaves k-1 intact.
+    */
+  def updateStore(storeDir: String, batchId: Long, batch: DataFrame): Unit = {
+    val marker = Paths.get(s"$storeDir/ingested/batch=$batchId")
+    if (Files.exists(marker)) return
+    val spark = batch.sparkSession
+    val merged = readStore(spark, storeDir) match {
+      case Some(cur) => merge(cur, batch)
+      case None      => batch
+    }
+    merged.coalesce(1).write.mode("overwrite")
+      .parquet(s"$storeDir/summary/batch=$batchId")
+    Files.createDirectories(marker)
+  }
+
+  /** Latest persisted summary, if any batch has been ingested. */
+  def readStore(spark: SparkSession, storeDir: String): Option[DataFrame] = {
+    val base = Paths.get(s"$storeDir/summary")
+    if (!Files.exists(base)) return None
+    val ids = Files.list(base).toArray.map(_.toString)
+      .flatMap { p =>
+        val n = p.substring(p.lastIndexOf('/') + 1)
+        if (n.startsWith("batch=")) Some(n.substring(6).toLong) else None
+      }
+    if (ids.isEmpty) None
+    else Some(spark.read.parquet(s"$storeDir/summary/batch=${ids.max}"))
+  }
+
+  /** foreachBatch adapter: fold every micro-batch of a stream into the
+    * store — the live twin, same at-least-once marker discipline.
+    */
+  def sink(storeDir: String, cols: Seq[String])
+      : (DataFrame, Long) => Unit = { (batch, id) =>
+    updateStore(storeDir, id, summarize(batch, cols))
+  }
+}

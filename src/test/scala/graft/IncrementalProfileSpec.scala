@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.{IncrementalProfile => IP, Profile}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IncrementalProfileSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+  private val cols = Seq("doc_id", "lang", "source", "n_chars")
+
+  private def docs = Tables.documents(spark, sf)
+
+  private def batches = (0 until 3).map(i =>
+    docs.filter(pmod(col("doc_id"), lit(3)) === i))
+
+  test("batch-wise fold equals the one-shot profile on exact fields") {
+    val folded = IP.report(batches.map(IP.summarize(_, cols)).reduce(IP.merge))
+      .select("col_name", "n_non_null", "n_nulls", "min_value", "max_value")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4))).sortBy(_._1)
+    val oneShot = Profile.profile(docs, cols)
+      .select("col_name", "n_non_null", "n_nulls", "min_value", "max_value")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4))).sortBy(_._1)
+    assert(folded.toSeq == oneShot.toSeq)
+  }
+
+  test("folded HLL distinct estimate stays within 5% of exact") {
+    val est = IP.report(batches.map(IP.summarize(_, cols)).reduce(IP.merge))
+      .select("col_name", "n_distinct_approx").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val exact = Profile.profile(docs, cols)
+      .select("col_name", "n_distinct").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    for ((c, e) <- exact)
+      assert(math.abs(est(c) - e) <= 0.05 * e, s"$c: est=${est(c)} exact=$e")
+  }
+
+  test("double columns merge bounds numerically, not lexicographically") {
+    import spark.implicits._
+    // 10.0 < 9.0 lexicographically — the trap the typed families avoid
+    val a = Seq(9.0, 2.5).toDF("v")
+    val b = Seq(10.0, 3.5).toDF("v")
+    val m = IP.report(IP.merge(IP.summarize(a, Seq("v")), IP.summarize(b, Seq("v"))))
+      .select("min_value", "max_value").head()
+    assert(m.getString(0) == "2.5" && m.getString(1) == "10.0")
+  }
+
+  test("persisted store folds batches and ignores re-delivery") {
+    val dir = Files.createTempDirectory("ipstore").toString
+    val sums = batches.map(IP.summarize(_, cols).localCheckpoint(true))
+    sums.zipWithIndex.foreach { case (s0, i) => IP.updateStore(dir, i, s0) }
+    // re-deliver every batch: markers make it a no-op
+    sums.zipWithIndex.foreach { case (s0, i) => IP.updateStore(dir, i, s0) }
+    val stored = IP.report(IP.readStore(spark, dir).get)
+      .select("col_name", "n_non_null", "n_nulls").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val oneShot = Profile.profile(docs, cols)
+      .select("col_name", "n_non_null", "n_nulls").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(stored.toSeq == oneShot.toSeq)
+  }
+}
