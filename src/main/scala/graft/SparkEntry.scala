@@ -1396,6 +1396,20 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"), trunc4(col("cosine")).as("cosine"))),
 
+    // SS1b: hard-negative mining — per query, the top-10 most-similar
+    // vectors in a DIFFERENT IVF cell (16 deterministic cells as the
+    // label): the high-similarity wrong-class examples contrastive
+    // training needs. Label filter rides the broadcast join condition;
+    // at scale the corpus side swaps for any equi candidate generator.
+    "ann_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val labels = SimilaritySearch.ivfAssignments(emb, numCentroids = 16)
+        .select(col("id").as("vec_id"), col("centroid_id").as("label"))
+      SimilaritySearch.hardNegatives(emb, annQueries(s, dir), labels, k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("neighbor_label"),
+          col("rank").cast("long").as("rank"), trunc4(col("cosine")).as("cosine"))
+    }),
+
     // SS2: LSH-bucketed top-10 (8-bit random-hyperplane buckets).
     "ann_lsh_topk" -> ((s, dir) =>
       SimilaritySearch.lshTopK(Tables.embeddings(s, dir),
@@ -3280,6 +3294,30 @@ object SparkEntry {
          |  PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank,
          |  cosine FROM scored)
          |SELECT query_id, neighbor_id, rank,
+         |floor(cosine*10000)/10000 AS cosine FROM ranked WHERE rank <= 10""".stripMargin,
+
+    // Labels = the 16-cell deterministic IVF assignment (ann_ivf_topk's
+    // cents/assign CTEs at 16); negatives exclude self AND same cell.
+    "ann_hard_negatives" ->
+      s"""WITH cents AS (SELECT centroid_id, cv FROM (
+         |  SELECT vec_id AS centroid_id, embedding AS cv,
+         |    ${hash60Sql("CAST(vec_id AS VARCHAR)")} AS h
+         |  FROM embeddings ORDER BY h, centroid_id LIMIT 16) tc),
+         |vecs AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+         |assign AS (SELECT id, v, centroid_id FROM (
+         |  SELECT v.id, v.v, c.centroid_id, row_number() OVER (
+         |    PARTITION BY v.id ORDER BY ${cosSql("v.v", "c.cv")} DESC,
+         |    c.centroid_id) AS crank FROM vecs v, cents c) t WHERE crank = 1),
+         |q AS (SELECT id AS query_id, v AS qv, centroid_id AS qlabel
+         |  FROM assign WHERE id % 50 = 0),
+         |scored AS (SELECT q.query_id, a.id AS neighbor_id,
+         |  a.centroid_id AS neighbor_label, ${cosSql("q.qv", "a.v")} AS cosine
+         |  FROM assign a, q
+         |  WHERE a.id <> q.query_id AND a.centroid_id <> q.qlabel),
+         |ranked AS (SELECT query_id, neighbor_id, neighbor_label,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS rank, cosine FROM scored)
+         |SELECT query_id, neighbor_id, neighbor_label, rank,
          |floor(cosine*10000)/10000 AS cosine FROM ranked WHERE rank <= 10""".stripMargin,
 
     "ann_lsh_topk" ->

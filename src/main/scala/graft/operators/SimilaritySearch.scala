@@ -165,6 +165,53 @@ object SimilaritySearch {
       .select(col("query_id"), col("id").as("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** Hard-negative mining for contrastive embedding training: per
+    * query, the k most-similar corpus vectors carrying a DIFFERENT
+    * label — the high-similarity wrong-class examples that make
+    * contrastive losses learn anything (easy random negatives are
+    * already separated). `labels` is any per-id labeling `(idCol,
+    * labelCol)` — IVF cell, k-means cluster, source/domain tag,
+    * dedup component — joined to both sides by plain equi-joins.
+    *
+    * This is the EXACT baseline: queries (with their labels) broadcast
+    * against the labeled corpus, one pass, like [[bruteForceTopK]] —
+    * the label filter rides the broadcast join condition so wrong-label
+    * rows never reach the ranking window. At 100 TB swap the corpus
+    * side for any candidate generator (banded LSH, IVF probes) and
+    * anti-filter the label the same way.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+      labels: DataFrame, k: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding", labelCol: String = "label"): DataFrame = {
+    val dot = graft.functions.VectorFunctions.dotF _
+    // labels is typically DERIVED from corpus (cluster assignment), so
+    // both joins below are lineage self-joins: rename each side's id and
+    // label up front to keep every reference unambiguous
+    val c = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        sqrt(dot(col(vecCol), col(vecCol))).as("nrm"))
+      .join(labels.select(col(idCol).as("_nid"),
+        col(labelCol).as("neighbor_label")), col("id") === col("_nid"))
+      .drop("_nid")
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        sqrt(dot(col(vecCol), col(vecCol))).as("qnrm"))
+      .join(labels.select(col(idCol).as("_qid"),
+        col(labelCol).as("_qlabel")), col("query_id") === col("_qid"))
+      .drop("_qid")
+    val scored = c.join(broadcast(q),
+        col("id") =!= col("query_id") &&
+          col("neighbor_label") =!= col("_qlabel"))
+      .withColumn("cosine",
+        cosineFromNorms(dot(col("qv"), col("v")), col("qnrm"), col("nrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        col("neighbor_label"), col("rank"), col("cosine"))
+  }
+
   /** The fixed-size deterministic centroid set of the IVF index: the
     * `numCentroids` corpus vectors with the smallest
     * (hash60(id), id) — a seeded uniform sample whose SIZE IS CONSTANT IN

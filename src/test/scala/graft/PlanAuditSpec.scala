@@ -16,6 +16,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
   private val allPairsByDesign = Set(
     "dedup_embedding_cosine", // exact O(n^2) baseline
     "ann_bruteforce_topk",    // |q| x corpus exact baseline
+    "ann_hard_negatives",     // same |q| x corpus baseline + label filter
+                              // (corpus x 16-centroid broadcast assignment)
     "knn_label_assign",       // vote over the same |q| x corpus baseline
                               // (the IVF/banded retrieval composes equi)
     "ann_topk_agg",           // same all-pairs scoring, aggregator ranking

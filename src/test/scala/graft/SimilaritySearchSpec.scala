@@ -258,6 +258,40 @@ class SimilaritySearchSpec extends AnyFunSuite with SparkTestBase {
     assert(b1.forall(b => b >= 0 && b < 256))
   }
 
+  test("hardNegatives: never the query's label, equals label-filtered brute force") {
+    val corpus = Tables.embeddings(spark, sf)
+    val queries = corpus.filter(col("vec_id") % 50 === 0)
+    val labels = SimilaritySearch.ivfAssignments(corpus, numCentroids = 16)
+      .select(col("id").as("vec_id"), col("centroid_id").as("label"))
+    val out = SimilaritySearch.hardNegatives(corpus, queries, labels, k = 5)
+    val labelMap = labels.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // no negative shares its query's label (or is the query itself)
+    rows.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      val n = r.getAs[Long]("neighbor_id")
+      assert(n != q)
+      assert(labelMap(n) != labelMap(q))
+      assert(r.getAs[Long]("neighbor_label") == labelMap(n))
+    }
+    // equals brute force over the different-label sub-corpus, per query
+    val qids = queries.select("vec_id").collect().map(_.getLong(0))
+    for (q <- qids.take(3)) {
+      val sub = corpus.filter(col("vec_id").isin(
+        labelMap.filter(_._2 != labelMap(q)).keys.toSeq: _*))
+      val want = SimilaritySearch.bruteForceTopK(sub,
+          queries.filter(col("vec_id") === q), k = 5)
+        .select("neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._2).toSeq
+      val got = rows.filter(_.getAs[Long]("query_id") == q)
+        .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank")))
+        .sortBy(_._2).toSeq
+      assert(got == want, s"query $q")
+    }
+  }
+
   test("cosine: orthogonal -> 0, identical -> 1, opposite -> -1") {
     val df = Seq(
       (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
