@@ -2083,6 +2083,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), min(col("value")).as("bin_min"),
           max(col("value")).as("bin_max"))),
 
+    // Q4: PSI drift score — the standard per-column distribution-drift
+    // alarm between two snapshots (here: all events vs the value<=50
+    // slice, a real shift in both columns). Bins: the category itself /
+    // the value_histogram floor(value/10) convention. |bins|-sized work
+    // after the two scans; DECIMAL term sum so the score is exact.
+    "drift_psi" -> ((s, dir) => {
+      val clean = Tables.events(s, dir)
+        .filter(col("value").isNotNull && !isnan(col("value")))
+      val after = clean.filter(col("value") <= 50)
+      val P = graft.operators.Profile
+      P.psi(clean, after, col("event_type"), "event_type")
+        .unionByName(P.psi(clean, after,
+          floor(col("value") / 10).cast("long"), "value_bin10"))
+        .select(col("col_name"), col("n_bins"), trunc4(col("psi")).as("psi"))
+    }),
+
     // A8: pivot — daily event counts by type (explicit value list keeps
     // output columns deterministic).
     "daily_counts_pivot" -> ((s, dir) =>
@@ -3612,6 +3628,37 @@ object SparkEntry {
     "daily_counts_rollup" ->
       """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
         |FROM events GROUP BY ROLLUP (event_type, CAST(ts AS DATE))""".stripMargin,
+
+    // Mirrors Profile.psi exactly: proportions floored at 1e-6, terms
+    // summed as DECIMAL, totals as scalar subqueries (the Spark side
+    // inlines them as driver literals — same values, same IEEE ops).
+    "drift_psi" ->
+      """WITH clean AS (SELECT event_type, value FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(value)),
+        |aft AS (SELECT * FROM clean WHERE value <= 50),
+        |cb1 AS (SELECT event_type AS bin, count(*) AS nb FROM clean GROUP BY 1),
+        |ca1 AS (SELECT event_type AS bin, count(*) AS na FROM aft GROUP BY 1),
+        |t1 AS (SELECT (SELECT sum(nb) FROM cb1)::DOUBLE AS tb,
+        |  (SELECT sum(na) FROM ca1)::DOUBLE AS ta),
+        |p1 AS (SELECT greatest(COALESCE(na, 0)/ta, 1e-6) AS pa,
+        |  greatest(COALESCE(nb, 0)/tb, 1e-6) AS pb
+        |  FROM cb1 FULL OUTER JOIN ca1 ON cb1.bin = ca1.bin, t1),
+        |r1 AS (SELECT 'event_type' AS col_name, count(*)::BIGINT AS n_bins,
+        |  floor(sum(CAST((pa-pb)*ln(pa/pb) AS DECIMAL(38,12)))::DOUBLE
+        |    *10000)/10000 AS psi FROM p1),
+        |cb2 AS (SELECT CAST(floor(value/10) AS BIGINT) AS bin, count(*) AS nb
+        |  FROM clean GROUP BY 1),
+        |ca2 AS (SELECT CAST(floor(value/10) AS BIGINT) AS bin, count(*) AS na
+        |  FROM aft GROUP BY 1),
+        |t2 AS (SELECT (SELECT sum(nb) FROM cb2)::DOUBLE AS tb,
+        |  (SELECT sum(na) FROM ca2)::DOUBLE AS ta),
+        |p2 AS (SELECT greatest(COALESCE(na, 0)/ta, 1e-6) AS pa,
+        |  greatest(COALESCE(nb, 0)/tb, 1e-6) AS pb
+        |  FROM cb2 FULL OUTER JOIN ca2 ON cb2.bin = ca2.bin, t2),
+        |r2 AS (SELECT 'value_bin10' AS col_name, count(*)::BIGINT AS n_bins,
+        |  floor(sum(CAST((pa-pb)*ln(pa/pb) AS DECIMAL(38,12)))::DOUBLE
+        |    *10000)/10000 AS psi FROM p2)
+        |SELECT * FROM r1 UNION ALL SELECT * FROM r2""".stripMargin,
 
     "value_histogram" ->
       """SELECT event_type, CAST(floor(value / 10) AS BIGINT) AS bin,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** One-pass per-column data-quality profile — the first thing a
@@ -71,6 +71,51 @@ object Profile {
         col("b.n_distinct").as("n_distinct_after"),
         (col("a.min_value") <=> col("b.min_value") &&
           col("a.max_value") <=> col("b.max_value")).as("bounds_unchanged"))
+
+  /** Population Stability Index between two snapshots of one column —
+    * THE standard drift score (credit-scoring lineage, now the default
+    * feature/label drift alarm in ML monitoring): bin both snapshots
+    * identically, then
+    *   PSI = Σ_bins (p_after − p_before) · ln(p_after / p_before),
+    * with proportions floored at `eps` so bins that vanish or appear
+    * contribute a large-but-finite term (the standard clip; rule of
+    * thumb: < 0.1 stable, 0.1-0.25 drifting, > 0.25 shifted).
+    *
+    * `bin` is any deterministic binning expression — a categorical
+    * column as-is, `floor(value/width)` for numerics (the
+    * value_histogram convention), a [[equiDepthBins]] bucket. Cost: one
+    * hash aggregate per snapshot (|bins| rows out), a |bins|-sized
+    * full-outer join, one tiny sum — nothing corpus-sized after the
+    * scans, so snapshots can be 100 TB. Totals land as driver literals
+    * (two 1-row aggregates over the checkpointed |bins| counts), which
+    * keeps the plan free of 1-row crossJoins AND partitionless windows.
+    * The per-bin terms sum as DECIMAL so the result is reproducible at
+    * any parallelism (float order drift would break the oracle).
+    *
+    * Returns one row: (col_name, n_bins, psi).
+    */
+  def psi(before: DataFrame, after: DataFrame, bin: Column,
+      colName: String, eps: Double = 1e-6): DataFrame = {
+    def counts(df: DataFrame, out: String) =
+      df.select(bin.as("bin")).filter(col("bin").isNotNull)
+        .groupBy("bin").agg(count(lit(1)).as(out))
+        .localCheckpoint(false) // read twice: total + join
+    val cb = counts(before, "nb")
+    val ca = counts(after, "na")
+    val tb = cb.agg(sum("nb")).head().getLong(0).toDouble
+    val ta = ca.agg(sum("na")).head().getLong(0).toDouble
+    require(tb > 0 && ta > 0, s"psi($colName): empty snapshot")
+    cb.join(ca, Seq("bin"), "full_outer")
+      .select(
+        (greatest(coalesce(col("na"), lit(0L)) / ta, lit(eps)) -
+          greatest(coalesce(col("nb"), lit(0L)) / tb, lit(eps))).as("d"),
+        (greatest(coalesce(col("na"), lit(0L)) / ta, lit(eps)) /
+          greatest(coalesce(col("nb"), lit(0L)) / tb, lit(eps))).as("r"))
+      .agg(count(lit(1)).as("n_bins"),
+        sum((col("d") * log(col("r"))).cast("decimal(38,12)")).as("_s"))
+      .select(lit(colName).as("col_name"), col("n_bins"),
+        col("_s").cast("double").as("psi"))
+  }
 
   /** The `k` most frequent values per column — the profile's companion
     * (counts and bounds say a column is skewed; this says TOWARD WHAT).

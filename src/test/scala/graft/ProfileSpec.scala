@@ -142,4 +142,32 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(rows.size === 6)
   }
+
+  test("psi: zero on identical snapshots, hand value on a known shift") {
+    val before = Seq.fill(80)("a").map(Tuple1(_)) ++ Seq.fill(20)("b").map(Tuple1(_))
+    val after = Seq.fill(50)("a").map(Tuple1(_)) ++ Seq.fill(50)("b").map(Tuple1(_))
+    val bdf = before.toDF("c")
+    val adf = after.toDF("c")
+    val same = Profile.psi(bdf, bdf, col("c"), "c").head()
+    assert(same.getAs[Long]("n_bins") == 2L)
+    assert(math.abs(same.getAs[Double]("psi")) < 1e-12)
+    // PSI = (0.5-0.8)ln(0.5/0.8) + (0.5-0.2)ln(0.5/0.2)
+    val expected = (0.5 - 0.8) * math.log(0.5 / 0.8) +
+      (0.5 - 0.2) * math.log(0.5 / 0.2)
+    val shifted = Profile.psi(bdf, adf, col("c"), "c").head().getAs[Double]("psi")
+    assert(math.abs(shifted - expected) < 1e-9)
+  }
+
+  test("psi: a vanished bin contributes a finite eps-floored term") {
+    val bdf = (Seq.fill(90)("a") ++ Seq.fill(10)("gone")).map(Tuple1(_)).toDF("c")
+    val adf = Seq.fill(100)("a").map(Tuple1(_)).toDF("c")
+    val r = Profile.psi(bdf, adf, col("c"), "c").head()
+    assert(r.getAs[Long]("n_bins") == 2L)
+    val psi = r.getAs[Double]("psi")
+    // 'gone': (1e-6 - 0.1) ln(1e-6/0.1) ~ +1.15; 'a': (1.0-0.9)ln(1/0.9)
+    val expected = (1e-6 - 0.1) * math.log(1e-6 / 0.1) +
+      (1.0 - 0.9) * math.log(1.0 / 0.9)
+    assert(math.abs(psi - expected) < 1e-9)
+    assert(psi > 1.0 && !psi.isInfinite)
+  }
 }
