@@ -995,6 +995,21 @@ object SparkEntry {
           sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("dup_chunks"))
     }),
 
+    // CDC3: incremental passage-level ingest — the near-dup batch
+    // fixture (suffix-edited copies of every 20th doc, +100000) CDC-
+    // chunked once and chunk-joined against the existing corpus's
+    // chunks (IncrementalCdc): only pairs involving the batch, with the
+    // count of distinct shared chunk hashes — resync means a suffix
+    // edit still shares every chunk but its last.
+    "cdc_incremental_pairs" -> ((s, dir) => {
+      val IC = graft.operators.IncrementalCdc
+      val a = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val added = a.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" extradup token")).as("text"))
+      IC.incrementalChunkPairs(IC.chunkHashes(added), IC.chunkHashes(a))
+    }),
+
     // IP1: incremental profile — the corpus ingested as 3 disjoint
     // batches, each summarized ONCE (mergeable counts/bounds + HLL
     // distinct sketch) and folded; no full-corpus scan at query time in
@@ -2740,6 +2755,30 @@ object SparkEntry {
          |SELECT doc_id, count(*)::BIGINT AS n_chunks,
          |SUM(CASE WHEN s.n_docs >= 2 THEN 1 ELSE 0 END)::BIGINT AS dup_chunks
          |FROM ch JOIN shared s USING (chunk_hash) GROUP BY doc_id""".stripMargin,
+
+    // One-shot replay over the union corpus: batch ids are all +100000,
+    // so "pair involves the batch" is the batch side of the join; the
+    // distinct (id, hash) relation mirrors IncrementalCdc.chunkHashes.
+    "cdc_incremental_pairs" ->
+      s"""WITH $corpusNearSql,
+         |docs AS (SELECT doc_id, text, length(text) AS len
+         |  FROM corpus WHERE length(text) > 0),
+         |cand AS (SELECT doc_id, c FROM docs,
+         |    unnest(range(8, len + 1)) AS u(c)
+         |  WHERE ${hash60Sql("substr(text, (c-7)::INT, 8)")} % 64 = 0),
+         |cuts AS (SELECT doc_id, c FROM cand
+         |  UNION SELECT doc_id, len FROM docs),
+         |ord AS (SELECT doc_id, c,
+         |  COALESCE(lag(c) OVER (PARTITION BY doc_id ORDER BY c), 0) AS prev
+         |  FROM cuts),
+         |chd AS (SELECT DISTINCT o.doc_id AS id,
+         |  ${hash60Sql("substr(d.text, (prev+1)::INT, (c-prev)::INT)")} AS h
+         |  FROM ord o JOIN docs d USING (doc_id)),
+         |b AS (SELECT id, h FROM chd WHERE id >= 100000)
+         |SELECT least(b.id, c.id) AS id_a, greatest(b.id, c.id) AS id_b,
+         |count(DISTINCT b.h)::BIGINT AS shared_chunks
+         |FROM b JOIN chd c ON b.h = c.h AND b.id <> c.id
+         |GROUP BY 1, 2""".stripMargin,
 
     // Batch-fold equals one-shot for every exact field (counts, bounds
     // are monoids); approx_ok is the 5%-band rider on the folded HLL
