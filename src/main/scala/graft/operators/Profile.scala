@@ -95,13 +95,28 @@ object Profile {
     * Returns one row: (col_name, n_bins, psi).
     */
   def psi(before: DataFrame, after: DataFrame, bin: Column,
+      colName: String, eps: Double = 1e-6): DataFrame =
+    psiFromCounts(binCounts(before, bin), binCounts(after, bin),
+      colName, eps)
+
+  /** The binned-count relation [[psi]] compares: `(bin, n)`. Persist
+    * one of these (it is |bins| rows) as the REFERENCE distribution a
+    * live monitor scores every batch against — recomputing the
+    * reference scan per batch is the anti-pattern this exists to avoid.
+    */
+  def binCounts(df: DataFrame, bin: Column): DataFrame =
+    df.select(bin.as("bin")).filter(col("bin").isNotNull)
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+
+  /** [[psi]] over pre-binned `(bin, n)` counts — the monitor's entry
+    * point: the before side can be a persisted reference read back from
+    * parquet, the after side a fresh micro-batch's [[binCounts]].
+    */
+  def psiFromCounts(before: DataFrame, after: DataFrame,
       colName: String, eps: Double = 1e-6): DataFrame = {
-    def counts(df: DataFrame, out: String) =
-      df.select(bin.as("bin")).filter(col("bin").isNotNull)
-        .groupBy("bin").agg(count(lit(1)).as(out))
-        .localCheckpoint(false) // read twice: total + join
-    val cb = counts(before, "nb")
-    val ca = counts(after, "na")
+    // read twice each (total + join): materialize the |bins|-row counts
+    val cb = before.select(col("bin"), col("n").as("nb")).localCheckpoint(false)
+    val ca = after.select(col("bin"), col("n").as("na")).localCheckpoint(false)
     val tb = cb.agg(sum("nb")).head().getLong(0).toDouble
     val ta = ca.agg(sum("na")).head().getLong(0).toDouble
     require(tb > 0 && ta > 0, s"psi($colName): empty snapshot")

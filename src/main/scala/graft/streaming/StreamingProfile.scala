@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.operators.Profile
 
@@ -70,6 +70,35 @@ object StreamingProfile {
       Profile.outliersMad(batch, group, value, tie, k)
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$outlierDir/batch=$batchId")
+  }
+
+  /** Persist the REFERENCE binned distribution [[monitorPsi]] scores
+    * batches against — typically the training set's (or a blessed
+    * week's) distribution, written once; |bins| rows.
+    */
+  def writePsiReference(reference: DataFrame, bin: Column,
+      refDir: String): Unit =
+    Profile.binCounts(reference, bin)
+      .coalesce(1).write.mode("overwrite").parquet(refDir)
+
+  /** Streaming twin of [[Profile.psi]]: every micro-batch's binned
+    * distribution is scored against the persisted reference (PSI with
+    * the same eps floor), one (col_name, n_bins, psi) row landing under
+    * `psiDir/batch=<id>`. The production drift alarm: reference = what
+    * the model trained on; a batch scoring > 0.25 means the feed no
+    * longer looks like the training data. Same idempotent-overwrite
+    * discipline as [[monitor]]; per-batch cost is one hash aggregate
+    * over the batch plus a |bins|-sized join against a tiny parquet —
+    * independent of history length, no cross-batch state.
+    */
+  def monitorPsi(refDir: String, psiDir: String, bin: Column,
+      colName: String, eps: Double = 1e-6): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) => {
+      val ref = batch.sparkSession.read.parquet(refDir)
+      Profile.psiFromCounts(ref, Profile.binCounts(batch, bin), colName, eps)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$psiDir/batch=$batchId")
+    }
   }
 
   /** Latest COMMITTED snapshot with id < `batchId`, if any — read by id

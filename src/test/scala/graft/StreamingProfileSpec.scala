@@ -102,4 +102,30 @@ class StreamingProfileSpec extends AnyFunSuite with SparkTestBase {
     val second = spark.read.parquet(s"$dir/outliers/batch=3").collect().toSet
     assert(first === second && first.nonEmpty)
   }
+
+  test("psi monitor: in-distribution batch quiet, shifted batch alarms") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("psimon").toString
+    // reference: 80/20 langs
+    val ref = (Seq.fill(80)("en") ++ Seq.fill(20)("de"))
+      .zipWithIndex.map { case (l, i) => ProfileTestRow(i.toLong, l, Some(1L)) }
+    StreamingProfile.writePsiReference(ref.toDF(), col("lang"), s"$dir/ref")
+    val fn = StreamingProfile.monitorPsi(s"$dir/ref", s"$dir/psi",
+      col("lang"), "lang")
+    // batch 0: same mix -> quiet; batch 1: inverted mix -> alarm
+    val same = (Seq.fill(40)("en") ++ Seq.fill(10)("de"))
+      .zipWithIndex.map { case (l, i) => ProfileTestRow(i.toLong, l, Some(1L)) }
+    val shifted = (Seq.fill(10)("en") ++ Seq.fill(40)("de"))
+      .zipWithIndex.map { case (l, i) => ProfileTestRow(i.toLong, l, Some(1L)) }
+    fn(same.toDF(), 0L)
+    fn(shifted.toDF(), 1L)
+    val p0 = spark.read.parquet(s"$dir/psi/batch=0").head().getAs[Double]("psi")
+    val p1 = spark.read.parquet(s"$dir/psi/batch=1").head().getAs[Double]("psi")
+    assert(math.abs(p0) < 1e-9, s"identical mix must score ~0, got $p0")
+    assert(p1 > 0.25, s"inverted mix must alarm, got $p1")
+    // re-delivery rewrites identical content
+    fn(shifted.toDF(), 1L)
+    assert(spark.read.parquet(s"$dir/psi/batch=1").head()
+      .getAs[Double]("psi") == p1)
+  }
 }
