@@ -453,7 +453,10 @@ object SparkEntry {
     * ends in `spans(id_a, id_b, span_tokens, n_aligned)`. Shared by the
     * pair query and its connected-components kept-set composition.
     */
-  private def alignedSpansSql: String =
+  /** The positioned-shingle → aligned-island prefix (through `rr`)
+    * shared by the pair-level spans CTE and the positioned-runs CTE.
+    */
+  private def alignedRRSql: String =
     s"""tokp AS (SELECT doc_id,
        |  string_split_regex(trim(text), '\\s+') AS toks FROM documents),
        |pshl AS (SELECT doc_id,
@@ -469,7 +472,10 @@ object SparkEntry {
        |  a.pos - b.pos AS diff
        |  FROM psh a JOIN psh b ON a.s = b.s AND a.id < b.id),
        |rr AS (SELECT id_a, id_b, diff, pa, pa - row_number() OVER (
-       |  PARTITION BY id_a, id_b, diff ORDER BY pa) AS island FROM j),
+       |  PARTITION BY id_a, id_b, diff ORDER BY pa) AS island FROM j)""".stripMargin
+
+  private def alignedSpansSql: String =
+    s"""$alignedRRSql,
        |runs AS (SELECT id_a, id_b, count(*)::BIGINT AS run_len
        |  FROM rr GROUP BY id_a, id_b, diff, island),
        |spans AS (SELECT id_a, id_b, (max(run_len) + 2)::BIGINT AS span_tokens,
@@ -1280,6 +1286,18 @@ object SparkEntry {
     "dedup_aligned_spans" -> ((s, dir) =>
       Dedup.alignedSpanPairs(Tables.documents(s, dir), n = 3,
         minTokens = 10, maxDocFreq = Some(ShingleDfCap))),
+
+    // DD2d'': SPAN EXCISION — instead of dropping a span-sharing doc
+    // wholesale, cut the longest shared passage out of the higher-id
+    // member (keep-first: the min-id doc stays intact) and keep the
+    // rest. One longest span per doc per pass, deterministic tiebreak.
+    "dedup_span_pruned" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.pruneSharedSpans(docs,
+          Dedup.alignedSpanRuns(docs, n = 3, minTokens = 10,
+            maxDocFreq = Some(ShingleDfCap)))
+        .select("doc_id", "removed_tokens", "text_pruned")
+    }),
 
     // DD2d: the consumable end of substring dedup — docs surviving
     // aligned-span pairing, via the same CC + anti-join chain as
@@ -3965,6 +3983,31 @@ object SparkEntry {
     "dedup_aligned_spans" ->
       s"""WITH $alignedSpansSql
          |SELECT id_a, id_b, span_tokens, n_aligned FROM spans""".stripMargin,
+
+    // Positioned runs -> per-victim longest span (span desc, start asc,
+    // partner asc) -> token-slice excision; untouched docs pass through
+    // as their ORIGINAL text (not a token rejoin).
+    "dedup_span_pruned" ->
+      s"""WITH $alignedRRSql,
+         |pruns AS (SELECT id_a, id_b, min(pa) - diff AS start_b,
+         |  (count(*) + 2)::BIGINT AS span_tokens
+         |  FROM rr GROUP BY id_a, id_b, diff, island
+         |  HAVING count(*) + 2 >= 10),
+         |pick AS (SELECT id_b AS doc_id, span_tokens, start_b FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY id_b
+         |    ORDER BY span_tokens DESC, start_b, id_a) AS rn FROM pruns) t
+         |  WHERE rn = 1)
+         |SELECT d.doc_id,
+         |COALESCE(p.span_tokens, 0)::BIGINT AS removed_tokens,
+         |CASE WHEN p.doc_id IS NULL THEN d.text
+         |-- COALESCE: DuckDB's array_to_string([]) is NULL, Spark's
+         |-- array_join([]) is '' — a fully-excised doc must compare ''
+         |ELSE COALESCE(array_to_string(list_concat(t.toks[1:(p.start_b)::INT],
+         |  t.toks[(p.start_b + p.span_tokens + 1)::INT:len(t.toks)]), ' '), '')
+         |END AS text_pruned
+         |FROM documents d
+         |JOIN tokp t ON d.doc_id = t.doc_id
+         |LEFT JOIN pick p ON d.doc_id = p.doc_id""".stripMargin,
 
     // spans -> connected components -> surviving docs (the consumable
     // end of substring dedup, same reach-CTE closure as dedup_clusters)

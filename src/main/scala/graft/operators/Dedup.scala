@@ -267,6 +267,19 @@ object Dedup {
       maxDocFreq: Option[Long] = None): DataFrame = {
     require(minTokens >= n,
       s"minTokens ($minTokens) must be >= shingle width ($n)")
+    alignedIslandRuns(docs, n, idCol, textCol, maxDocFreq)
+      .groupBy("id_a", "id_b")
+      .agg((max(col("run_len")) + lit(n - 1)).as("span_tokens"),
+        sum(col("run_len")).as("n_aligned"))
+      .filter(col("span_tokens") >= minTokens)
+  }
+
+  /** Per-run island rows (id_a, id_b, diff, run_len, start_a) — the
+    * shared core of [[alignedSpanPairs]] (which keeps only per-pair
+    * maxima) and [[alignedSpanRuns]] (which keeps positions).
+    */
+  private def alignedIslandRuns(docs: DataFrame, n: Int, idCol: String,
+      textCol: String, maxDocFreq: Option[Long]): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),
       posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
     val w = Window.partitionBy("id").orderBy("pos")
@@ -287,11 +300,62 @@ object Dedup {
     aligned
       .withColumn("island", col("pa") - row_number().over(runW))
       .groupBy("id_a", "id_b", "diff", "island")
-      .agg(count(lit(1)).as("run_len"))
-      .groupBy("id_a", "id_b")
-      .agg((max(col("run_len")) + lit(n - 1)).as("span_tokens"),
-        sum(col("run_len")).as("n_aligned"))
+      .agg(count(lit(1)).as("run_len"), min(col("pa")).as("start_a"))
+  }
+
+  /** [[alignedSpanPairs]] with POSITIONS: one row per aligned run of at
+    * least `minTokens` tokens — (id_a, id_b, start_a, start_b,
+    * span_tokens), starts 0-based in each doc's whitespace-token stream.
+    * The input [[pruneSharedSpans]] consumes: pair-level maxima say WHO
+    * shares a passage; this says WHERE, which is what excision needs.
+    */
+  def alignedSpanRuns(docs: DataFrame, n: Int = 3, minTokens: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxDocFreq: Option[Long] = None): DataFrame = {
+    require(minTokens >= n,
+      s"minTokens ($minTokens) must be >= shingle width ($n)")
+    alignedIslandRuns(docs, n, idCol, textCol, maxDocFreq)
+      .select(col("id_a"), col("id_b"), col("start_a"),
+        (col("start_a") - col("diff")).as("start_b"),
+        (col("run_len") + lit(n - 1)).as("span_tokens"))
       .filter(col("span_tokens") >= minTokens)
+  }
+
+  /** SPAN EXCISION — the consumable end of substring dedup (the
+    * "remove the duplicated substring, keep the rest" step of
+    * suffix-array training-data dedup): from each doc that appears as
+    * the HIGHER id of a span-sharing pair (keep-first convention — the
+    * min-id doc keeps its text intact), cut the tokens of its single
+    * LONGEST shared span (ties: earliest start, then smallest partner
+    * id — deterministic), rejoin with single spaces. Docs with no
+    * shared span pass through byte-identical.
+    *
+    * One longest span per doc per pass, not all spans: overlapping
+    * spans from different partners make multi-span excision
+    * order-dependent; iterate the operator to a fixpoint when corpora
+    * are pathologically templated. Cost: a |runs|-sized argmax plus one
+    * equi-join onto the corpus — the heavy lifting already happened in
+    * [[alignedSpanRuns]].
+    */
+  def pruneSharedSpans(docs: DataFrame, runs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val pick = runs.groupBy(col("id_b").as(idCol))
+      .agg(max_by(struct(col("span_tokens"), col("start_b")),
+        struct(col("span_tokens"), (-col("start_b")).as("ns"),
+          (-col("id_a")).as("na"))).as("m"))
+      .select(col(idCol), col("m.span_tokens").as("_span"),
+        col("m.start_b").as("_start"))
+    docs.join(pick, Seq(idCol), "left")
+      .withColumn("_toks", split(trim(col(textCol)), "\\s+"))
+      .withColumn("removed_tokens", coalesce(col("_span"), lit(0L)))
+      .withColumn("text_pruned", when(col("_span").isNull, col(textCol))
+        .otherwise(array_join(concat(
+          slice(col("_toks"), lit(1), col("_start").cast("int")),
+          slice(col("_toks"),
+            (col("_start") + col("_span") + lit(1)).cast("int"),
+            greatest(size(col("_toks")) - (col("_start") + col("_span"))
+              .cast("int"), lit(0)))), " ")))
+      .drop("_toks", "_span", "_start")
   }
 
   /** Containment pairs: asymmetric near-dup metric |A∩B| / |A| — catches

@@ -376,6 +376,51 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(kept === Set(1L, 5L))
   }
 
+  test("alignedSpanRuns positions + pruneSharedSpans hand-checked excision") {
+    val docs = Seq(
+      (1L, "x1 x2 p q r s t u x3 x4"), // source: keeps its text
+      (2L, "y1 p q r s t u y2"),       // victim: loses "p q r s t u"
+      (5L, "lone words only here")     // untouched, byte-identical
+    ).toDF("doc_id", "text")
+    val runs = Dedup.alignedSpanRuns(docs, n = 3, minTokens = 4)
+      .select("id_a", "id_b", "start_a", "start_b", "span_tokens")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // "p q r s t u": starts at token 2 in doc 1, token 1 in doc 2
+    assert(runs === Set((1L, 2L, 2L, 1L, 6L)))
+    val pruned = Dedup.pruneSharedSpans(docs,
+        Dedup.alignedSpanRuns(docs, n = 3, minTokens = 4))
+      .select("doc_id", "removed_tokens", "text_pruned")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(pruned(1L) === (0L, "x1 x2 p q r s t u x3 x4"))
+    assert(pruned(2L) === (6L, "y1 y2"))
+    assert(pruned(5L) === (0L, "lone words only here"))
+  }
+
+  test("pruneSharedSpans: excision shrinks the pair's span, never grows any") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val runs = Dedup.alignedSpanRuns(docs, n = 3, minTokens = 10)
+    val before = Dedup.alignedSpanPairs(docs, n = 3, minTokens = 3)
+      .select("id_a", "id_b", "span_tokens")
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val prunedDocs = Dedup.pruneSharedSpans(docs, runs)
+      .select(col("doc_id"), col("text_pruned").as("text"))
+    val after = Dedup.alignedSpanPairs(prunedDocs, n = 3, minTokens = 3)
+      .select("id_a", "id_b", "span_tokens")
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val victims = runs.select("id_b").as[Long].collect().toSet
+    assert(victims.nonEmpty)
+    // every pair whose victim was pruned lost span length (or vanished);
+    // no pair anywhere gained
+    for ((pair, sp) <- before) {
+      val now = after.getOrElse(pair, 0L)
+      assert(now <= sp, s"pair $pair grew: $sp -> $now")
+    }
+    val shrunk = before.keys.filter(p => victims.contains(p._2))
+      .count(p => after.getOrElse(p, 0L) < before(p))
+    assert(shrunk > 0, "at least one pruned pair must strictly shrink")
+  }
+
   test("alignedSpanPairs == token-level longest-common-substring DP") {
     val rnd = new scala.util.Random(7)
     val docs = (1L to 30L).map { id =>
