@@ -1625,6 +1625,34 @@ object SparkEntry {
 
     // SS4: scalar int8 quantization of embeddings (per-vector min/max,
     // floor-based so both engines bit-agree), exploded to scalar rows.
+    // E0: unit-L2 normalization — the embedding-prep step after which
+    // cosine == dot and norm columns disappear. Codegen'd native
+    // kernel (VectorKernels.l2normalize), map-only plan; exploded to
+    // rows for the cross-engine compare. Division by the left-to-right
+    // double norm, NOT multiplication by a reciprocal (different
+    // rounding would break the oracle).
+    "embedding_l2_normalize" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          posexplode(graft.functions.VectorFunctions.l2normF(col("embedding")))
+            .as(Seq("dim", "xn")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"),
+          col("xn").cast("double").as("xn"))),
+
+    // T2b: per-language percentile rank of the quality score — how
+    // per-language curation thresholds are set. Scale-safe two-phase
+    // rank (Normalize.percentileRanks): tier counts + tiny running sum,
+    // rows rank only within their (lang, tier) — never a whole-language
+    // window task.
+    "doc_quality_percentile" -> ((s, dir) => {
+      val scored = TextAnalysis.withQualityScore(Tables.documents(s, dir))
+        .select(col("doc_id"), col("lang"),
+          floor(col("quality_score") * 10000).cast("long").as("q_ppm"))
+      graft.operators.Normalize.percentileRanks(scored, "lang", "q_ppm", "doc_id")
+        .select(col("doc_id"), col("lang"), col("q_ppm"), col("rank"),
+          trunc4(col("pct")).as("pct"))
+    }),
+
     "embedding_quantize" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
         .withColumn("vmin", array_min(col("embedding")).cast("double"))
@@ -3735,6 +3763,38 @@ object SparkEntry {
         |count(*) FILTER (WHERE event_type = 'signup') AS signup,
         |count(*) FILTER (WHERE event_type = 'error') AS error
         |FROM events GROUP BY CAST(ts AS DATE)""".stripMargin,
+
+    "embedding_l2_normalize" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings)
+         |SELECT vec_id, i - 1 AS dim,
+         |((embedding[i::INT]::DOUBLE / nrm)::FLOAT)::DOUBLE AS xn
+         |FROM e, unnest(range(1, ${SimilaritySearch.Dim} + 1)) AS u(i)""".stripMargin,
+
+    // percent_rank replayed explicitly ((rn-1)/(n-1), 0 for n=1) so the
+    // single-row-group convention is pinned rather than engine-defined;
+    // ORDER BY (q_ppm, doc_id) is tie-free, so rank == row_number.
+    "doc_quality_percentile" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  least(length(text)/500.0, 1.0) AS len_score,
+        |  len(regexp_extract_all(text, '[[:punct:]]'))
+        |    / CAST(greatest(length(text),1) AS DOUBLE) AS punct_ratio,
+        |  len(regexp_extract_all(lower(text), '\b(the|a|an|and|of|to|in|is|it|that)\b'))
+        |    / CAST(greatest(CASE WHEN length(trim(text))=0 THEN 0
+        |        ELSE len(string_split_regex(trim(text), '\s+')) END, 1) AS DOUBLE)
+        |    AS stopword_ratio
+        |  FROM documents),
+        |q AS (SELECT doc_id, lang,
+        |  CAST(floor((0.4*len_score + 0.3*least(stopword_ratio*5.0,1.0)
+        |    + 0.3*(1.0-least(punct_ratio*10.0,1.0)))*10000) AS BIGINT) AS q_ppm
+        |  FROM t),
+        |r AS (SELECT doc_id, lang, q_ppm,
+        |  row_number() OVER (PARTITION BY lang ORDER BY q_ppm, doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY lang) AS n FROM q)
+        |SELECT doc_id, lang, q_ppm, rn::BIGINT AS rank,
+        |CASE WHEN n = 1 THEN 0.0
+        |ELSE floor((rn-1)::DOUBLE/(n-1)::DOUBLE*10000)/10000 END AS pct
+        |FROM r""".stripMargin,
 
     "embedding_quantize" ->
       """WITH e AS (SELECT vec_id, embedding,

@@ -146,6 +146,69 @@ case class SqDistLong(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** One-pass static kernels the codegen'd expressions call — the
+  * [[graft.functions.GramHashes]] pattern: a single static invocation
+  * stays inside WholeStageCodegen without hand-writing array-builder
+  * codegen.
+  */
+object VectorKernels {
+  /** Unit-L2 copy of a float vector. Norm accumulates left-to-right in
+    * double (the [[DotProductFloat]] fold order) and each element is
+    * DIVIDED by it — not multiplied by a reciprocal, which rounds
+    * differently and would break the cross-engine oracle. A zero (or
+    * all-null) vector is returned unchanged — the standard guard; null
+    * elements contribute nothing and stay null.
+    */
+  def l2normalize(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val x = a.getFloat(i).toDouble
+        s += x * x
+      }
+      i += 1
+    }
+    if (s == 0.0) return a.copy()
+    val nrm = math.sqrt(s)
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      out(i) = if (a.isNullAt(i)) null
+        else (a.getFloat(i).toDouble / nrm).toFloat
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Unit-L2 normalization of an array<float> column — the embedding-prep
+  * step every cosine-based pipeline runs first (after which cosine ==
+  * dot product and the norm join columns disappear). One codegen'd call
+  * per row into [[VectorKernels.l2normalize]]; map-only plans.
+  */
+case class L2NormalizeFloat(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"l2_normalize_float expects array<float>, got ${t.sql}")
+  }
+  override def dataType: DataType = child.dataType
+  override def prettyName: String = "l2_normalize_float"
+
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.l2normalize(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernels.l2normalize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level API for the native vector expressions. */
 object VectorFunctions {
   /** Codegen'd float-array dot product in double precision. */
@@ -154,4 +217,7 @@ object VectorFunctions {
   /** Codegen'd long-array squared L2 distance (integer-exact). */
   def sqDistL(a: Column, b: Column): Column =
     Bridge.column(SqDistLong(Bridge.expression(a), Bridge.expression(b)))
+  /** Codegen'd unit-L2 float vector normalization. */
+  def l2normF(a: Column): Column =
+    Bridge.column(L2NormalizeFloat(Bridge.expression(a)))
 }

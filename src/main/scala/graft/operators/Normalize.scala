@@ -38,4 +38,46 @@ object Normalize {
         when(clean, least(greatest(col(valueCol), col("_lo")), col("_hi")))
           .otherwise(col(valueCol)))
   }
+
+  /** Per-group percentile RANK (`percent_rank` over (tier, id) within
+    * each group) without the per-group global sort: rank-normalizing a
+    * quality score within each language is how per-language curation
+    * thresholds are set, but `Window.partitionBy(lang).orderBy(...)`
+    * funnels an entire language — half the corpus, at 100 TB — through
+    * ONE task. Two-phase instead, the [[SequencePack.packOffsets]]
+    * playbook at rank granularity:
+    *
+    *  1. count rows per (group, tier) — `tierCol` must be a bounded
+    *     integer discretization (e.g. `floor(quality*1e4)`), so this
+    *     relation is |groups|·|tiers| rows, corpus-independent;
+    *  2. a running sum over THAT relation (windowed by group — fine,
+    *     it is tiny) gives each tier's strictly-before count;
+    *  3. rows rank within their (group, tier) only — max task = one
+    *     tier of one group — and `rank = cum_before + within-tier
+    *     row_number` reproduces the single-window rank exactly
+    *     (`idCol` unique ⇒ no ties ⇒ percent_rank = (rank−1)/(n−1)).
+    *
+    * Returns the rows plus (`rank`, `pct`); single-row groups get
+    * pct = 0 (percent_rank's convention, dodging 0/0).
+    */
+  def percentileRanks(df: DataFrame, groupCol: String, tierCol: String,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(groupCol), col(tierCol))
+      .agg(count(lit(1)).as("_n"))
+    val wTier = Window.partitionBy(groupCol).orderBy(tierCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = counts
+      .withColumn("_cum_before", coalesce(sum(col("_n")).over(wTier), lit(0L)))
+      .withColumn("_n_group",
+        sum(col("_n")).over(Window.partitionBy(groupCol)))
+      .select(col(groupCol), col(tierCol), col("_cum_before"), col("_n_group"))
+    val wIn = Window.partitionBy(groupCol, tierCol).orderBy(idCol)
+    df.join(broadcast(cum), Seq(groupCol, tierCol))
+      .withColumn("rank", col("_cum_before") + row_number().over(wIn))
+      .withColumn("pct", when(col("_n_group") === 1L, lit(0.0))
+        .otherwise((col("rank") - 1L).cast("double") /
+          (col("_n_group") - 1L).cast("double")))
+      .drop("_cum_before", "_n_group")
+  }
 }

@@ -52,4 +52,34 @@ class NormalizeSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"),
       s"bounds must broadcast:\n${plan.take(1500)}")
   }
+
+  test("percentileRanks equals the single-window percent_rank") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.functions.TextAnalysis
+      .withQualityScore(Tables.documents(spark, "/root/testdata/sf0.001"))
+      .select(col("doc_id"), col("lang"),
+        floor(col("quality_score") * 10000).cast("long").as("q_ppm"))
+    val got = Normalize.percentileRanks(docs, "lang", "q_ppm", "doc_id")
+      .select("doc_id", "rank", "pct").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val w = Window.partitionBy("lang").orderBy("q_ppm", "doc_id")
+    val want = docs
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("pct", percent_rank().over(w))
+      .select("doc_id", "rank", "pct").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("percentileRanks: single-row group gets pct 0, not NaN") {
+    import spark.implicits._
+    val df = Seq(("a", 5L, 1L), ("b", 3L, 2L), ("b", 7L, 3L))
+      .toDF("g", "tier", "id")
+    val out = Normalize.percentileRanks(df, "g", "tier", "id")
+      .select("g", "id", "rank", "pct").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(out == Set(("a", 1L, 1L, 0.0), ("b", 2L, 1L, 0.0), ("b", 3L, 2L, 1.0)))
+  }
 }

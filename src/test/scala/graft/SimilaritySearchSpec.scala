@@ -292,6 +292,36 @@ class SimilaritySearchSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("l2normalize: unit norms, division semantics, zero-vector passthrough") {
+    import graft.functions.VectorFunctions.{dotF, l2normF}
+    val corpus = Tables.embeddings(spark, sf).limit(100)
+    // normalized vectors have unit norm (within float rounding)
+    val norms = corpus.select(dotF(l2normF(col("embedding")),
+        l2normF(col("embedding"))).as("n2"))
+      .as[Double].collect()
+    assert(norms.nonEmpty && norms.forall(n => math.abs(n - 1.0) < 1e-5))
+    // bit-identical to the explicit divide-by-norm formulation
+    val viaExpr = corpus.select(col("vec_id"),
+        posexplode(l2normF(col("embedding"))).as(Seq("dim", "xn")))
+      .select("vec_id", "dim", "xn")
+      .as[(Long, Int, Float)].collect().toSet
+    val viaSql = corpus
+      .withColumn("nrm", sqrt(dotF(col("embedding"), col("embedding"))))
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .join(corpus.withColumn("nrm",
+        sqrt(dotF(col("embedding"), col("embedding"))))
+        .select(col("vec_id"), col("nrm")), Seq("vec_id"))
+      .select(col("vec_id"), col("dim"),
+        (col("x").cast("double") / col("nrm")).cast("float").as("xn"))
+      .as[(Long, Int, Float)].collect().toSet
+    assert(viaExpr == viaSql)
+    // zero vector is returned unchanged, not NaN'd
+    val z = Seq(Tuple1(Array(0.0f, 0.0f, 0.0f))).toDF("embedding")
+      .select(l2normF(col("embedding")).as("v"))
+      .as[Array[Float]].head()
+    assert(z.toSeq == Seq(0.0f, 0.0f, 0.0f))
+  }
+
   test("cosine: orthogonal -> 0, identical -> 1, opposite -> -1") {
     val df = Seq(
       (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
