@@ -337,6 +337,36 @@ object Dedup {
     * equi-join onto the corpus — the heavy lifting already happened in
     * [[alignedSpanRuns]].
     */
+  /** [[pruneSharedSpans]] iterated to the fixpoint: rounds of mine →
+    * excise until no shared span of `minTokens` remains (or `maxRounds`
+    * — a backstop far above real corpora: every round removes at least
+    * `minTokens` tokens from some doc, so rounds are bounded by
+    * corpus-tokens / minTokens and in practice by the deepest per-doc
+    * overlap chain). Returns (pruned corpus `(id, text)`, rounds run,
+    * converged). Each round's result is materialized so round k+1's
+    * shingle pass reads a flat relation, not k stacked excisions.
+    * Spec-proven terminal state: `alignedSpanPairs(result)` is empty.
+    */
+  def pruneSharedSpansToFixpoint(docs: DataFrame, n: Int = 3,
+      minTokens: Int = 10, idCol: String = "doc_id",
+      textCol: String = "text", maxDocFreq: Option[Long] = None,
+      maxRounds: Int = 20): (DataFrame, Int, Boolean) = {
+    var cur = iterCheckpoint(docs.select(col(idCol), col(textCol)))
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val runs = iterCheckpoint(
+        alignedSpanRuns(cur, n, minTokens, idCol, textCol, maxDocFreq))
+      if (runs.isEmpty) converged = true
+      else {
+        cur = iterCheckpoint(pruneSharedSpans(cur, runs, idCol, textCol)
+          .select(col(idCol), col("text_pruned").as(textCol)))
+        rounds += 1
+      }
+    }
+    (cur, rounds, converged)
+  }
+
   def pruneSharedSpans(docs: DataFrame, runs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val pick = runs.groupBy(col("id_b").as(idCol))

@@ -421,6 +421,25 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(shrunk > 0, "at least one pruned pair must strictly shrink")
   }
 
+  test("pruneSharedSpansToFixpoint: terminal corpus has no shared span left") {
+    // doc 3 shares DIFFERENT passages with 1 and 2 — one excision pass
+    // (longest span only) cannot clear it; the fixpoint must
+    val docs = Seq(
+      (1L, "a1 a2 a3 p q r s t u b1 b2"),
+      (2L, "c1 v w x y z1 z2 z3 z4 c2"),
+      (3L, "p q r s t u m1 m2 v w x y z1 z2 z3 z4")
+    ).toDF("doc_id", "text")
+    val (pruned, rounds, converged) =
+      Dedup.pruneSharedSpansToFixpoint(docs, n = 3, minTokens = 4)
+    assert(converged)
+    assert(rounds >= 2, s"two distinct passages need two rounds, got $rounds")
+    assert(Dedup.alignedSpanPairs(pruned, n = 3, minTokens = 4).isEmpty)
+    // min-id docs keep their text byte-identical through every round
+    val texts = pruned.as[(Long, String)].collect().toMap
+    assert(texts(1L) == "a1 a2 a3 p q r s t u b1 b2")
+    assert(texts(2L) == "c1 v w x y z1 z2 z3 z4 c2")
+  }
+
   test("alignedSpanPairs == token-level longest-common-substring DP") {
     val rnd = new scala.util.Random(7)
     val docs = (1L to 30L).map { id =>
