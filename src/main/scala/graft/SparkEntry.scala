@@ -953,6 +953,25 @@ object SparkEntry {
         .select("doc_id", "q_ppm", "ws_tokens", "cum_before")
     }),
 
+    // TSEL2: per-language token budgets — 2,000 tokens of the best
+    // docs from EACH language (a global budget lets the dominant
+    // language starve the rest). Fully distributed two-phase rank: the
+    // running sum is a window over the tiny (lang, bucket) totals
+    // relation, pruning applies per language.
+    "corpus_budget_select_by_lang" -> ((s, dir) => {
+      val scored = TextAnalysis.withQualityScore(
+          TextAnalysis.withTokenCounts(Tables.documents(s, dir)))
+        .select(col("doc_id"), col("lang"),
+          floor(col("quality_score") * 10000).cast("long").as("q_ppm"),
+          col("ws_tokens").cast("long").as("ws_tokens"))
+        .withColumn("_ord",
+          (lit(10000L) - col("q_ppm")) * lit(1L << 41) + col("doc_id"))
+      graft.operators.CorpusSelect
+        .budgetSelectPerGroup(scored, "lang", "_ord", "ws_tokens",
+          budgetPerGroup = 2000L)
+        .select("doc_id", "lang", "q_ppm", "ws_tokens", "cum_before")
+    }),
+
     // TSPLIT2: leakage-safe split — near-dup cluster members share the
     // split decision (bucketed by the cluster REPRESENTATIVE's content
     // hash), so a duplicate can never straddle train and eval. Clusters
@@ -2730,6 +2749,30 @@ object SparkEntry {
         |    AS cum_before FROM q)
         |SELECT doc_id, q_ppm, ws_tokens, cum_before FROM o
         |WHERE cum_before < 16000""".stripMargin,
+
+    "corpus_budget_select_by_lang" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  CASE WHEN length(trim(text))=0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens,
+        |  least(length(text)/500.0, 1.0) AS len_score,
+        |  len(regexp_extract_all(text, '[[:punct:]]'))
+        |    / CAST(greatest(length(text),1) AS DOUBLE) AS punct_ratio,
+        |  len(regexp_extract_all(lower(text), '\b(the|a|an|and|of|to|in|is|it|that)\b'))
+        |    / CAST(greatest(CASE WHEN length(trim(text))=0 THEN 0
+        |        ELSE len(string_split_regex(trim(text), '\s+')) END, 1) AS DOUBLE)
+        |    AS stopword_ratio
+        |  FROM documents),
+        |q AS (SELECT doc_id, lang, ws_tokens::BIGINT AS ws_tokens,
+        |  CAST(floor((0.4*len_score + 0.3*least(stopword_ratio*5.0,1.0)
+        |    + 0.3*(1.0-least(punct_ratio*10.0,1.0)))*10000) AS BIGINT) AS q_ppm
+        |  FROM t),
+        |o AS (SELECT doc_id, lang, q_ppm, ws_tokens,
+        |  COALESCE(SUM(ws_tokens) OVER (PARTITION BY lang
+        |    ORDER BY q_ppm DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |    AS cum_before FROM q)
+        |SELECT doc_id, lang, q_ppm, ws_tokens, cum_before FROM o
+        |WHERE cum_before < 2000""".stripMargin,
 
     // Cluster CTEs identical to dedup_clusters; the split hash runs on
     // the REPRESENTATIVE's text, so every cluster member lands together.

@@ -78,6 +78,47 @@ object CorpusSelect {
       .drop("_bucket", "_bucket_offset")
   }
 
+  /** [[budgetSelect]] with an INDEPENDENT budget per group — "2 B
+    * tokens per language", the multilingual curation contract (a global
+    * budget lets the dominant language starve the rest). Fully
+    * distributed: no driver prefix at all — the per-(group, bucket)
+    * totals relation is |groups|·|buckets| rows, its running sum is a
+    * window over THAT tiny relation (partitioned by group), and bucket
+    * pruning applies per group before the phase-2 shuffle. `ordCol`
+    * unique within each group; same boundary-doc-kept semantics.
+    */
+  def budgetSelectPerGroup(docs: DataFrame, groupCol: String,
+      ordCol: String, tokensCol: String, budgetPerGroup: Long,
+      buckets: Int = 256): DataFrame = {
+    val base = docs.localCheckpoint(false)
+    val stats = base.agg(min(col(ordCol)).cast("long").as("lo"),
+      max(col(ordCol)).cast("long").as("hi")).head()
+    if (stats.isNullAt(0)) return base.withColumn("cum_before", lit(0L))
+    val lo = stats.getLong(0)
+    val width = math.max((stats.getLong(1) - lo) / buckets, 0L) + 1L
+    def bucketOf: Column = expr(
+      s"CAST((CAST(`$ordCol` AS BIGINT) - ${lo}L) DIV ${width}L AS BIGINT)")
+    val counts = base
+      .select(col(groupCol), bucketOf.as("_bucket"),
+        col(tokensCol).cast("long").as("_t"))
+      .groupBy(col(groupCol), col("_bucket")).agg(sum(col("_t")).as("_t"))
+    val wB = Window.partitionBy(groupCol).orderBy("_bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("_bucket_offset", coalesce(sum(col("_t")).over(wB), lit(0L)))
+      .filter(col("_bucket_offset") < budgetPerGroup) // per-group prune
+      .select(col(groupCol), col("_bucket"), col("_bucket_offset"))
+    val wIn = Window.partitionBy(groupCol, "_bucket").orderBy(ordCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.withColumn("_bucket", bucketOf)
+      .join(broadcast(offsets), Seq(groupCol, "_bucket"))
+      .withColumn("cum_before",
+        (coalesce(sum(col(tokensCol)).over(wIn), lit(0L)) +
+          col("_bucket_offset")).cast("long"))
+      .filter(col("cum_before") < budgetPerGroup)
+      .drop("_bucket", "_bucket_offset")
+  }
+
   /** Leakage-safe train/val/test split: a plain hash split puts two
     * near-duplicates of the same document in DIFFERENT splits ~32% of
     * the time (1 − 0.8² − 0.1² − 0.1²), leaking train content into

@@ -63,6 +63,36 @@ class CdcChunksSpec extends AnyFunSuite with SparkTestBase {
     assert(chunksOf(Seq("")).isEmpty)
   }
 
+  test("fuzz: kernel matches the reference on random short strings") {
+    val rnd = new scala.util.Random(11)
+    val alpha = "ab \txy."
+    val texts = (0 until 200).map { _ =>
+      val len = rnd.nextInt(30)
+      (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    }
+    for (t <- texts) assert(chunksOf(Seq(t)).toSeq == naive(t), s"on [$t]")
+  }
+
+  test("non-BMP text chunks by code points, not UTF-16 units") {
+    // U+1F600 is a surrogate pair in UTF-16; positions must count code
+    // points (the unit SQL substr counts in both engines)
+    val t = "hello 😀 world of chunked text streams"
+    val cps = t.codePoints().toArray
+    def cpSlice(a: Int, b: Int) = new String(cps, a, b - a)
+    val len = cps.length
+    val cand = (W to len).filter(c =>
+      GramHashes.hash60(cpSlice(c - W, c)) % D == 0)
+    val cuts = if (cand.nonEmpty && cand.last == len) cand else cand :+ len
+    var prev = 0
+    val want = cuts.map { c =>
+      val r = (prev + 1, c - prev, GramHashes.hash60(cpSlice(prev, c)))
+      prev = c; r
+    }
+    assert(chunksOf(Seq(t)).toSeq == want)
+    // tiling is in code points: lens sum to the code-point count
+    assert(want.map(_._2).sum == len)
+  }
+
   test("boundaries resync after an edit (the CDC property)") {
     val base = Tables.documents(spark, sf).select("text")
       .orderBy("doc_id").limit(5).collect().map(_.getString(0))

@@ -62,6 +62,36 @@ class CorpusSelectSpec extends AnyFunSuite with SparkTestBase {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("per-group budget select equals the per-group window; groups independent") {
+    val scored = TextAnalysis.withQualityScore(
+        TextAnalysis.withTokenCounts(Tables.documents(spark, sf)))
+      .select(col("doc_id"), col("lang"),
+        floor(col("quality_score") * 10000).cast("long").as("q_ppm"),
+        col("ws_tokens").cast("long").as("ws_tokens"))
+      .withColumn("_ord",
+        (lit(10000L) - col("q_ppm")) * lit(1L << 41) + col("doc_id"))
+    for (budget <- Seq(500L, 2000L)) {
+      val got = CorpusSelect.budgetSelectPerGroup(scored, "lang", "_ord",
+          "ws_tokens", budget, buckets = 7)
+        .select("doc_id", "cum_before").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      val naivePg = scored
+        .withColumn("cum_before", coalesce(sum(col("ws_tokens")).over(
+          Window.partitionBy("lang").orderBy("_ord")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).cast("long"))
+        .filter(col("cum_before") < budget)
+        .select("doc_id", "cum_before").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(got.toSeq == naivePg.toSeq, s"budget=$budget")
+    }
+    // every group is represented: no language starves another's budget
+    val langs = CorpusSelect.budgetSelectPerGroup(scored, "lang", "_ord",
+        "ws_tokens", 500L)
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs == scored.select("lang").distinct()
+      .collect().map(_.getString(0)).toSet)
+  }
+
   test("leakage-safe split keeps near-dup clusters in one split") {
     import graft.operators.{CorpusSelect, Dedup}
     val d = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
