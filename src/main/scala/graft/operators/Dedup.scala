@@ -216,15 +216,31 @@ object Dedup {
         Window.partitionBy("id").orderBy(col("df"), col("shingle"))))
       .filter(col("rk") <= col("sz") - ceil(col("sz") * threshold) + 1)
       .select("id", "shingle", "sz")
-    val cand = prefix.as("a")
+    // materialized: read twice below (candidate-id semi-join + the
+    // verification join) — unmaterialized, the prefix windows + join
+    // would run twice
+    val cand = sharedRelation(prefix.as("a")
       .join(prefix.as("b"), col("a.shingle") === col("b.shingle") &&
         col("a.id") < col("b.id") &&
         col("a.sz") * threshold <= col("b.sz") &&
         col("b.sz") * threshold <= col("a.sz"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sz").as("size_a"), col("b.sz").as("size_b"))
-      .distinct()
-    val sets = sh.groupBy(col("id"))
+      .distinct())
+    // only docs that appear in at least one candidate need their set
+    // materialized — without this semi-join the collect_set shuffles
+    // the WHOLE corpus's shingles and the candidate join prunes too
+    // late (the scaladoc's cost claim is this line). Measured trade at
+    // sf0.1/local[32]: ~5.0s -> ~6.3s, because the full-corpus
+    // collect_set used to run CONCURRENTLY with the prefix windows on
+    // idle cores and the semi-join serializes it behind them — the
+    // critical path lengthens while TOTAL work shrinks. At cluster
+    // scale (no idle cores, corpus >> candidates) total work is the
+    // quantity that matters, so the semi-join stays.
+    val candIds = cand.select(col("id_a").as("id"))
+      .unionByName(cand.select(col("id_b").as("id"))).distinct()
+    val sets = sh.join(candIds, Seq("id"), "left_semi")
+      .groupBy(col("id"))
       .agg(collect_set(col("shingle")).as("sset"))
     cand
       .join(sets.select(col("id").as("id_a"), col("sset").as("set_a")), "id_a")
