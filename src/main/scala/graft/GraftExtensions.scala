@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DotProductFloat, ImageDims, MinGramHash, SqDistLong, TextStats, WavMeta, WinnowFingerprints, ZValue}
+import graft.functions.{CdcChunks, DotProductFloat, ImageDims, L2NormalizeFloat, MinGramHash, SqDistLong, TextStats, WavMeta, WinnowFingerprints, ZValue}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions, so `spark.sql("SELECT
@@ -98,6 +98,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           s"sq_dist_long expects 2 arguments, got ${children.length}")
         SqDistLong(children.head, children(1))
+      }))
+
+    // cdc_chunks(text, w, divisor) — content-defined chunk structs
+    // (start, len, hash) with resyncing boundaries
+    ext.injectFunction((
+      new FunctionIdentifier("cdc_chunks"),
+      new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"cdc_chunks expects (text, w, divisor), got ${children.length} args")
+        CdcChunks(children.head, intArg("cdc_chunks", "w", children(1)),
+          intArg("cdc_chunks", "divisor", children(2)))
+      }))
+
+    // l2_normalize_float(vec) — unit-L2 copy of an array<float>
+    ext.injectFunction((
+      new FunctionIdentifier("l2_normalize_float"),
+      new ExpressionInfo(classOf[L2NormalizeFloat].getName, "l2_normalize_float"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"l2_normalize_float expects 1 argument, got ${children.length}")
+        L2NormalizeFloat(children.head)
       }))
 
     // z_value(x, y) — Morton interleave of two bigint keys (low 16 bits

@@ -56,6 +56,15 @@ class ExtensionsAndBucketingSpec extends AnyFunSuite with SparkTestBase {
       assert(sq === 25L) // 3^2 + 4^2
       val zv = s.sql("SELECT z_value(5L, 3L) AS z").head().getLong(0)
       assert(zv === 27L) // x=101b -> bits 0,4; y=011b -> bits 1,3
+      // r12 natives: CDC chunker and unit-L2 normalization
+      val cc = s.sql(
+        "SELECT cdc_chunks('tiny', 8, 64) AS c").select(col("c")).head()
+        .getSeq[org.apache.spark.sql.Row](0)
+      assert(cc.length == 1 && cc.head.getInt(1) == 4) // one whole-text chunk
+      val nn = s.sql(
+        "SELECT dot_product_float(l2_normalize_float(array(3.0F, 4.0F)), " +
+          "l2_normalize_float(array(3.0F, 4.0F))) AS n").head().getDouble(0)
+      assert(math.abs(nn - 1.0) < 1e-6)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
