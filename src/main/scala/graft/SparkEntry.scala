@@ -953,6 +953,20 @@ object SparkEntry {
         .select("doc_id", "q_ppm", "ws_tokens", "cum_before")
     }),
 
+    // V2b: CROSS-corpus LM scoring — the actual CCNet shape: a unigram
+    // model TRAINED on the reference slice (lang='en', add-one
+    // smoothing) scores every document, OOV tokens at the smoothed
+    // floor. Train-once/score-everywhere: the model is a (tok, logp)
+    // table; scoring is a token-equi join, no train-time scalars.
+    "doc_lm_cross_score" -> ((s, dir) => {
+      val R = graft.operators.Relevance
+      val docs = Tables.documents(s, dir)
+      R.scoreWithUnigramModel(docs,
+          R.unigramModel(docs.filter(col("lang") === "en")))
+        .select(col("id").as("doc_id"), col("n_toks"), col("oov_toks"),
+          col("avg_logprob_m"))
+    }),
+
     // TSEL2: per-language token budgets — 2,000 tokens of the best
     // docs from EACH language (a global budget lets the dominant
     // language starve the rest). Fully distributed two-phase rank: the
@@ -2749,6 +2763,30 @@ object SparkEntry {
         |    AS cum_before FROM q)
         |SELECT doc_id, q_ppm, ws_tokens, cum_before FROM o
         |WHERE cum_before < 16000""".stripMargin,
+
+    // Laplace model over the en slice; OOV floor ln(1/(N+V)) — the
+    // Spark side carries it inside the model table, here it recomputes
+    // from the same stats CTE (identical IEEE steps).
+    "doc_lm_cross_score" ->
+      """WITH tr AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents WHERE lang = 'en'),
+        |trc AS (SELECT tok FROM tr WHERE tok <> ''),
+        |stats AS (SELECT count(*)::BIGINT AS n,
+        |  count(DISTINCT tok)::BIGINT AS v FROM trc),
+        |m AS (SELECT tok, ln((count(*)+1)::DOUBLE / (s.n + s.v)::DOUBLE) AS logp
+        |  FROM trc, stats s GROUP BY tok, s.n, s.v),
+        |dt AS (SELECT doc_id AS id,
+        |  unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+        |dtc AS (SELECT * FROM dt WHERE tok <> ''),
+        |sc AS (SELECT id,
+        |  COALESCE(m.logp, ln(1.0/(s.n + s.v)::DOUBLE)) AS lp,
+        |  m.logp IS NULL AS isoov
+        |  FROM dtc LEFT JOIN m USING (tok), stats s)
+        |SELECT id AS doc_id, count(*)::BIGINT AS n_toks,
+        |SUM(CASE WHEN isoov THEN 1 ELSE 0 END)::BIGINT AS oov_toks,
+        |floor(sum(CAST(lp AS DECIMAL(38,12)))::DOUBLE / count(*) * 10000)/10000
+        |  AS avg_logprob_m
+        |FROM sc GROUP BY id""".stripMargin,
 
     "corpus_budget_select_by_lang" ->
       """WITH t AS (SELECT doc_id, lang,

@@ -61,6 +61,59 @@ object Relevance {
           .as("avg_logprob_t"))
   }
 
+  /** The TRAINED unigram model as DATA — the train-once/score-everywhere
+    * split [[unigramLogScores]] (self-scoring) doesn't have: CCNet's
+    * actual setup scores CANDIDATE text under a model trained on a
+    * REFERENCE corpus (Wikipedia there), so high-perplexity-under-
+    * reference junk filters out even when it is self-consistent.
+    * Returns the `(tok, logp)` vocabulary table with add-one (Laplace)
+    * smoothing, `logp = ln((c+1)/(N+V))` — persist it as parquet, score
+    * any batch forever (the [[Cluster.kmeansCentroids]]/`assignTo`
+    * pattern for language models). N and V ride as driver literals:
+    * two scalar aggregates at train time, zero 1-row crossJoins at
+    * score time.
+    */
+  def unigramModel(train: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = train.select(
+        explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .localCheckpoint(false) // read twice: stats + counts
+    val Array(n, v) = toks.agg(count(lit(1)), count_distinct(col("tok")))
+      .head() match { case r => Array(r.getLong(0), r.getLong(1)) }
+    toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .select(col("tok"),
+        log((col("cnt") + lit(1L)).cast("double") /
+          lit((n + v).toDouble)).as("logp"),
+        lit(math.log(1.0 / (n + v))).as("oov_logp"))
+  }
+
+  /** Score documents under a TRAINED [[unigramModel]]: per-doc average
+    * token log-probability with out-of-vocabulary tokens at the
+    * smoothed floor `ln(1/(N+V))` (carried inside the model table, so
+    * scoring needs no train-time scalars). The join is token-equi
+    * against the vocabulary-sized model — never a broadcast of
+    * something that grows with the training corpus's vocabulary, same
+    * stance as the tf·idf df join. DECIMAL per-doc sum, 1e-4 floor —
+    * the family recipe.
+    */
+  def scoreWithUnigramModel(docs: DataFrame, model: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val oov = model.select(max(col("oov_logp")).as("_oov")).head().getDouble(0)
+    toks.join(model.select(col("tok"), col("logp")), Seq("tok"), "left")
+      .withColumn("lp", coalesce(col("logp"), lit(oov)))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(col("lp").cast("decimal(38,12)")).as("_slp"),
+        sum(when(col("logp").isNull, 1L).otherwise(0L)).as("oov_toks"))
+      .select(col("id"), col("n_toks"), col("oov_toks"),
+        (floor(col("_slp").cast("double") / col("n_toks") * 1e4) / 1e4)
+          .as("avg_logprob_m"))
+  }
+
   /** Bigram language-model scoring with Jelinek-Mercer interpolation —
     * the standard step up from [[unigramLogScores]]'s CCNet signal:
     * every document's average log-probability over its token

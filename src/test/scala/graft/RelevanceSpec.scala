@@ -253,4 +253,34 @@ class RelevanceSpec extends AnyFunSuite with SparkTestBase {
       Relevance.dsirLogWeights(allTgt, col("t"))
     }
   }
+
+  test("unigramModel: the model is data — parquet round-trip scores identically") {
+    val dir = java.nio.file.Files.createTempDirectory("lmmodel").toString
+    val model = Relevance.unigramModel(corpus)
+    model.write.parquet(s"$dir/m")
+    val direct = Relevance.scoreWithUnigramModel(corpus, model)
+      .select("id", "avg_logprob_m").as[(Long, Double)].collect().toMap
+    val reloaded = Relevance.scoreWithUnigramModel(corpus,
+        spark.read.parquet(s"$dir/m"))
+      .select("id", "avg_logprob_m").as[(Long, Double)].collect().toMap
+    assert(direct == reloaded && direct.size == 4)
+  }
+
+  test("scoreWithUnigramModel: seen tokens have no OOV, unseen score the floor") {
+    val model = Relevance.unigramModel(corpus)
+    val target = Seq((10L, "cat dog"), (11L, "zebra quark"))
+      .toDF("doc_id", "text")
+    val out = Relevance.scoreWithUnigramModel(target, model)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("oov_toks"), r.getAs[Double]("avg_logprob_m"))).toMap
+    assert(out(10L)._1 == 0L)
+    assert(out(11L)._1 == 2L)
+    // corpus: N=16 tokens, V=4 -> OOV floor ln(1/20); avg of two floors
+    // floor-truncated at 1e-4
+    val floorLp = math.log(1.0 / 20.0)
+    assert(out(11L)._2 == math.floor(floorLp * 1e4) / 1e4)
+    // seen-token doc scores the Laplace probs: cat c=5, dog c=6
+    val want = (math.log(6.0 / 20.0) + math.log(7.0 / 20.0)) / 2
+    assert(math.abs(out(10L)._2 - math.floor(want * 1e4) / 1e4) < 1e-12)
+  }
 }
