@@ -1,0 +1,64 @@
+package graft.streaming
+
+import graft.operators.{IncrementalDedup, IncrementalProfile}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** The COMPOSED ingestion sink a production training-data corpus runs —
+  * the end-to-end shape every piece of this library exists for, wired
+  * as one `foreachBatch` function over a document stream:
+  *
+  *  1. CURATE: the caller's filter chain (quality / lang-ID / token
+  *     bounds / repetition gates — any `DataFrame => DataFrame`)
+  *     prunes the raw batch;
+  *  2. LAND: the curated batch persists under `docs/batch=<id>`
+  *     (idempotent overwrite — re-delivery rewrites equal bytes);
+  *  3. DEDUP AT INGEST: [[IncrementalDedup.ingestBatch]] mines the
+  *     batch's near-dup pairs against the PERSISTED corpus signature
+  *     store and folds the batch in — O(batch + collisions), never a
+  *     corpus rescan; pairs land under `pairs/batch=<id>`;
+  *  4. PROFILE AT INGEST: [[IncrementalProfile]] folds the batch's
+  *     mergeable column summary (counts, typed bounds, HLL distinct
+  *     sketch) into the |columns|-row store — statistics stay current
+  *     with zero corpus rescans, re-delivery is a marker-guarded no-op.
+  *
+  * Everything downstream (drop-near-dups, budget selection, splits)
+  * reads the landed relations; nothing here ever scans more than one
+  * batch. IngestPipelineSpec proves the composed sink equals the
+  * batch-composed one-shot run part by part, and that re-delivering a
+  * batch changes nothing.
+  */
+object IngestPipeline {
+
+  /** The foreachBatch function. `profileCols` must exist on the CURATED
+    * batch. Step order matters: land first (so a crash between steps
+    * leaves a readable batch and re-delivery repairs the rest), then
+    * dedup (which materializes its pairs before touching the signature
+    * store), then the marker-guarded profile fold.
+    */
+  def sink(baseDir: String, curate: DataFrame => DataFrame,
+      profileCols: Seq[String]): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) => {
+      val curated = curate(batch).localCheckpoint(false)
+      curated.write.mode(SaveMode.Overwrite)
+        .parquet(s"$baseDir/docs/batch=$batchId")
+      IncrementalDedup.ingestBatch(curated, s"$baseDir/sigs", batchId)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$baseDir/pairs/batch=$batchId")
+      IncrementalProfile.updateStore(s"$baseDir/profile", batchId,
+        IncrementalProfile.summarize(curated, profileCols))
+    }
+  }
+
+  /** The landed curated corpus (all batches, `batch` partition column). */
+  def landedDocs(spark: SparkSession, baseDir: String): DataFrame =
+    spark.read.parquet(s"$baseDir/docs")
+
+  /** All near-dup pairs mined so far. */
+  def minedPairs(spark: SparkSession, baseDir: String): DataFrame =
+    spark.read.parquet(s"$baseDir/pairs")
+
+  /** Current corpus statistics from the profile store. */
+  def currentProfile(spark: SparkSession, baseDir: String): Option[DataFrame] =
+    IncrementalProfile.readStore(spark, s"$baseDir/profile")
+      .map(IncrementalProfile.report)
+}
