@@ -1,7 +1,6 @@
 package graft.operators
 
-import java.nio.file.{Files, Paths}
-
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -116,27 +115,33 @@ object IncrementalProfile {
     * snapshot, so a torn write of batch k leaves k-1 intact.
     */
   def updateStore(storeDir: String, batchId: Long, batch: DataFrame): Unit = {
-    val marker = Paths.get(s"$storeDir/ingested/batch=$batchId")
-    if (Files.exists(marker)) return
     val spark = batch.sparkSession
+    // Hadoop FileSystem, not java.nio: the store must work on HDFS/S3
+    // paths, same discipline as StreamingProfile.previousSnapshot
+    val marker = new Path(s"$storeDir/ingested/batch=$batchId")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(marker)) return
     val merged = readStore(spark, storeDir) match {
       case Some(cur) => merge(cur, batch)
       case None      => batch
     }
     merged.coalesce(1).write.mode("overwrite")
       .parquet(s"$storeDir/summary/batch=$batchId")
-    Files.createDirectories(marker)
+    fs.mkdirs(marker)
   }
 
-  /** Latest persisted summary, if any batch has been ingested. */
+  /** Latest COMMITTED summary (by batch id, `_SUCCESS`-gated so a
+    * half-written snapshot never reads), if any batch has been ingested.
+    */
   def readStore(spark: SparkSession, storeDir: String): Option[DataFrame] = {
-    val base = Paths.get(s"$storeDir/summary")
-    if (!Files.exists(base)) return None
-    val ids = Files.list(base).toArray.map(_.toString)
-      .flatMap { p =>
-        val n = p.substring(p.lastIndexOf('/') + 1)
-        if (n.startsWith("batch=")) Some(n.substring(6).toLong) else None
-      }
+    val base = new Path(s"$storeDir/summary")
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(base)) return None
+    val ids = fs.listStatus(base).toSeq
+      .filter(_.isDirectory)
+      .flatMap(st => st.getPath.getName.stripPrefix("batch=").toLongOption
+        .filter(_ => st.getPath.getName.startsWith("batch="))
+        .filter(_ => fs.exists(new Path(st.getPath, "_SUCCESS"))))
     if (ids.isEmpty) None
     else Some(spark.read.parquet(s"$storeDir/summary/batch=${ids.max}"))
   }
