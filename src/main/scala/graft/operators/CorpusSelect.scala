@@ -110,8 +110,11 @@ object CorpusSelect {
       .select(col(groupCol), col("_bucket"), col("_bucket_offset"))
     val wIn = Window.partitionBy(groupCol, "_bucket").orderBy(ordCol)
       .rowsBetween(Window.unboundedPreceding, -1)
+    // no broadcast hint: offsets is |groups|·|buckets| rows — tiny for
+    // languages, but a per-domain run can have millions of groups and a
+    // hard hint would OOM the driver; AQE broadcasts it when it IS small
     base.withColumn("_bucket", bucketOf)
-      .join(broadcast(offsets), Seq(groupCol, "_bucket"))
+      .join(offsets, Seq(groupCol, "_bucket"))
       .withColumn("cum_before",
         (coalesce(sum(col(tokensCol)).over(wIn), lit(0L)) +
           col("_bucket_offset")).cast("long"))

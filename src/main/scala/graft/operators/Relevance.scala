@@ -78,14 +78,19 @@ object Relevance {
     val toks = train.select(
         explode(split(trim(col(textCol)), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
-      .localCheckpoint(false) // read twice: stats + counts
-    val Array(n, v) = toks.agg(count(lit(1)), count_distinct(col("tok")))
-      .head() match { case r => Array(r.getLong(0), r.getLong(1)) }
-    toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-      .select(col("tok"),
-        log((col("cnt") + lit(1L)).cast("double") /
-          lit((n + v).toDouble)).as("logp"),
-        lit(math.log(1.0 / (n + v))).as("oov_logp"))
+    // N and V both derive from the VOCABULARY-sized counts relation
+    // (N = Σcnt, V = |rows|), so only counts is materialized — never
+    // the corpus-sized token stream (a localCheckpoint of `toks` would
+    // cache every token of a 100 TB training corpus for two scalars)
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false) // read twice: stats + the model projection
+    val r = counts.agg(sum(col("cnt")), count(lit(1))).head()
+    val n = r.getLong(0)
+    val v = r.getLong(1)
+    counts.select(col("tok"),
+      log((col("cnt") + lit(1L)).cast("double") /
+        lit((n + v).toDouble)).as("logp"),
+      lit(math.log(1.0 / (n + v))).as("oov_logp"))
   }
 
   /** Score documents under a TRAINED [[unigramModel]]: per-doc average
