@@ -953,6 +953,15 @@ object SparkEntry {
         .select("doc_id", "q_ppm", "ws_tokens", "cum_before")
     }),
 
+    // V2c: n-gram novelty — fraction of each doc's distinct 3-grams
+    // occurring in no other document: the diversity/boilerplate signal
+    // orthogonal to quality and perplexity (templated text scores low
+    // however grammatical it is). Vocabulary-sized intermediates only.
+    "doc_ngram_novelty" -> ((s, dir) =>
+      graft.operators.Relevance.noveltyScores(Tables.documents(s, dir))
+        .select(col("id").as("doc_id"), col("n_shingles"),
+          col("novel_shingles"), trunc4(col("novelty")).as("novelty"))),
+
     // V2b: CROSS-corpus LM scoring — the actual CCNet shape: a unigram
     // model TRAINED on the reference slice (lang='en', add-one
     // smoothing) scores every document, OOV tokens at the smoothed
@@ -2763,6 +2772,22 @@ object SparkEntry {
         |    AS cum_before FROM q)
         |SELECT doc_id, q_ppm, ws_tokens, cum_before FROM o
         |WHERE cum_before < 16000""".stripMargin,
+
+    // Same distinct word-3-gram construction as the dedup oracles
+    // (list_distinct mirrors Dedup.shingles), df over the whole corpus.
+    "doc_ngram_novelty" ->
+      """WITH tok AS (SELECT doc_id,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |shs AS (SELECT doc_id, list_distinct(list_transform(
+        |  range(0, greatest(len(toks)-3,0)+1),
+        |  i -> array_to_string(toks[(i+1):(i+3)], ' '))) AS shingles FROM tok),
+        |sh AS (SELECT doc_id AS id, unnest(shingles) AS s FROM shs),
+        |dfx AS (SELECT s, count(*) AS df FROM sh GROUP BY s)
+        |SELECT id AS doc_id, count(*)::BIGINT AS n_shingles,
+        |SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END)::BIGINT AS novel_shingles,
+        |floor(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END)
+        |  / count(*)::DOUBLE * 10000)/10000 AS novelty
+        |FROM sh JOIN dfx USING (s) GROUP BY id""".stripMargin,
 
     // Laplace model over the en slice; OOV floor ln(1/(N+V)) — the
     // Spark side carries it inside the model table, here it recomputes

@@ -61,6 +61,33 @@ object Relevance {
           .as("avg_logprob_t"))
   }
 
+  /** Per-document n-gram NOVELTY: the fraction of a doc's distinct
+    * n-grams occurring in no other document — the diversity/boilerplate
+    * signal orthogonal to quality and perplexity (a grammatical,
+    * in-distribution doc can still be 95% template; its novelty is what
+    * exposes that). High novelty = fresh content worth its tokens; low
+    * novelty = templated/syndicated text a diversity-weighted curation
+    * pass down-samples.
+    *
+    * Shape: the [[Dedup.shingles]] relation (distinct per doc, df-cap
+    * guard available) → a shingle-keyed df hash aggregate → one
+    * shingle-equi join back + per-doc aggregate. Vocabulary-sized
+    * intermediates only; the same plan class as tf·idf.
+    */
+  def noveltyScores(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text",
+      maxDocFreq: Option[Long] = None): DataFrame = {
+    val sh = Dedup.shingles(docs, n, idCol, textCol, maxDocFreq,
+      materialize = true)
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    sh.join(dfreq, Seq("shingle"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("novel_shingles"))
+      .withColumn("novelty",
+        col("novel_shingles") / col("n_shingles").cast("double"))
+  }
+
   /** The TRAINED unigram model as DATA — the train-once/score-everywhere
     * split [[unigramLogScores]] (self-scoring) doesn't have: CCNet's
     * actual setup scores CANDIDATE text under a model trained on a

@@ -254,6 +254,21 @@ class RelevanceSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("noveltyScores: duplicated content zeroes novelty, unique content keeps 1.0") {
+    val withDup = corpus.unionByName(
+      Seq((5L, "cat dog dog dog")).toDF("doc_id", "text"))
+    val out = Relevance.noveltyScores(withDup)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("novel_shingles"),
+          r.getAs[Double]("novelty"))).toMap
+    // doc 2 == doc 5: every shingle has df 2 -> novelty 0
+    assert(out(2L) == ((2L, 0L, 0.0)) && out(5L) == ((2L, 0L, 0.0)))
+    // docs 1/3 share nothing at 3-gram level -> fully novel
+    assert(out(1L)._3 == 1.0 && out(3L)._3 == 1.0)
+    // doc 4 "fox fox fox fox" has ONE distinct shingle, unique -> 1.0
+    assert(out(4L) == ((1L, 1L, 1.0)))
+  }
+
   test("unigramModel: the model is data — parquet round-trip scores identically") {
     val dir = java.nio.file.Files.createTempDirectory("lmmodel").toString
     val model = Relevance.unigramModel(corpus)
