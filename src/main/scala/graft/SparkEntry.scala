@@ -1043,6 +1043,21 @@ object SparkEntry {
           sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("dup_chunks"))
     }),
 
+    // CDC2b: the chunk-dedup CONSUMABLE — docs surviving passage-level
+    // clustering: pairs sharing >= 3 CDC chunks → connected components
+    // → keep one representative per cluster (the dedup_corpus_kept
+    // chain at chunk granularity).
+    "cdc_corpus_kept" -> ((s, dir) => {
+      val IC = graft.operators.IncrementalCdc
+      val corpus = docNearDupCorpus(s, dir)
+      val ch = IC.chunkHashes(corpus)
+      val pairs = IC.incrementalChunkPairs(ch, ch.filter(lit(false)))
+        .filter(col("shared_chunks") >= 3)
+      Dedup.dropNearDups(corpus,
+          Dedup.nearDupClusters(pairs.select("id_a", "id_b")))
+        .select("doc_id")
+    }),
+
     // CDC3: incremental passage-level ingest — the near-dup batch
     // fixture (suffix-edited copies of every 20th doc, +100000) CDC-
     // chunked once and chunk-joined against the existing corpus's
@@ -2907,6 +2922,36 @@ object SparkEntry {
          |SELECT doc_id, count(*)::BIGINT AS n_chunks,
          |SUM(CASE WHEN s.n_docs >= 2 THEN 1 ELSE 0 END)::BIGINT AS dup_chunks
          |FROM ch JOIN shared s USING (chunk_hash) GROUP BY doc_id""".stripMargin,
+
+    // chunk pairs (>= 3 shared) -> reach closure -> survivors, the
+    // dedup_corpus_kept chain over CDC chunk hashes.
+    "cdc_corpus_kept" ->
+      s"""WITH RECURSIVE $corpusNearSql,
+         |docs AS (SELECT doc_id, text, length(text) AS len
+         |  FROM corpus WHERE length(text) > 0),
+         |cand AS (SELECT doc_id, c FROM docs,
+         |    unnest(range(8, len + 1)) AS u(c)
+         |  WHERE ${hash60Sql("substr(text, (c-7)::INT, 8)")} % 64 = 0),
+         |cuts AS (SELECT doc_id, c FROM cand
+         |  UNION SELECT doc_id, len FROM docs),
+         |ord AS (SELECT doc_id, c,
+         |  COALESCE(lag(c) OVER (PARTITION BY doc_id ORDER BY c), 0) AS prev
+         |  FROM cuts),
+         |chd AS (SELECT DISTINCT o.doc_id AS id,
+         |  ${hash60Sql("substr(d.text, (prev+1)::INT, (c-prev)::INT)")} AS h
+         |  FROM ord o JOIN docs d USING (doc_id)),
+         |prs AS (SELECT a.id AS id_a, b.id AS id_b
+         |  FROM chd a JOIN chd b ON a.h = b.h AND a.id < b.id
+         |  GROUP BY 1, 2 HAVING count(*) >= 3),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM prs
+         |  UNION ALL SELECT id_b, id_a FROM prs),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+         |clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+         |SELECT doc_id FROM corpus
+         |WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster_id)""".stripMargin,
 
     // One-shot replay over the union corpus: batch ids are all +100000,
     // so "pair involves the batch" is the batch side of the join; the
