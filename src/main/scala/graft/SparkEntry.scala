@@ -3872,8 +3872,10 @@ object SparkEntry {
       """WITH clean AS (SELECT event_type, value FROM events
         |  WHERE value IS NOT NULL AND NOT isnan(value)),
         |aft AS (SELECT * FROM clean WHERE value <= 50),
-        |cb1 AS (SELECT event_type AS bin, count(*) AS nb FROM clean GROUP BY 1),
-        |ca1 AS (SELECT event_type AS bin, count(*) AS na FROM aft GROUP BY 1),
+        |cb1 AS (SELECT event_type AS bin, count(*) AS nb FROM clean
+        |  WHERE event_type IS NOT NULL GROUP BY 1),
+        |ca1 AS (SELECT event_type AS bin, count(*) AS na FROM aft
+        |  WHERE event_type IS NOT NULL GROUP BY 1),
         |t1 AS (SELECT (SELECT sum(nb) FROM cb1)::DOUBLE AS tb,
         |  (SELECT sum(na) FROM ca1)::DOUBLE AS ta),
         |p1 AS (SELECT greatest(COALESCE(na, 0)/ta, 1e-6) AS pa,
@@ -3915,11 +3917,14 @@ object SparkEntry {
         |count(*) FILTER (WHERE event_type = 'error') AS error
         |FROM events GROUP BY CAST(ts AS DATE)""".stripMargin,
 
+    // nrm = 0 passthrough mirrors VectorKernels.l2normalize's zero-vector
+    // guard (otherwise 0/0 = NaN breaks the compare on an all-zero row)
     "embedding_l2_normalize" ->
       s"""WITH e AS (SELECT vec_id, embedding,
          |  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings)
          |SELECT vec_id, i - 1 AS dim,
-         |((embedding[i::INT]::DOUBLE / nrm)::FLOAT)::DOUBLE AS xn
+         |CASE WHEN nrm = 0 THEN (embedding[i::INT]::FLOAT)::DOUBLE
+         |  ELSE ((embedding[i::INT]::DOUBLE / nrm)::FLOAT)::DOUBLE END AS xn
          |FROM e, unnest(range(1, ${SimilaritySearch.Dim} + 1)) AS u(i)""".stripMargin,
 
     // percent_rank replayed explicitly ((rn-1)/(n-1), 0 for n=1) so the

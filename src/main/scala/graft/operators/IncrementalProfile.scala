@@ -113,6 +113,15 @@ object IncrementalProfile {
     * Each update writes the full merged summary (it is |columns| rows)
     * under `summary/batch=<id>`; the current state is the max-id
     * snapshot, so a torn write of batch k leaves k-1 intact.
+    *
+    * The merge base is the newest snapshot with id STRICTLY BELOW
+    * `batchId` — never the global max. A prior attempt of this very
+    * batch can crash after the parquet `_SUCCESS` commit but before the
+    * marker mkdirs; the global max would then be batchId's own snapshot,
+    * and the re-delivered batch would double-merge its counts (and the
+    * lazy merged plan would read `summary/batch=<id>` while overwriting
+    * that same path). Bounding the read keeps re-delivery a no-op in
+    * every crash ordering.
     */
   def updateStore(storeDir: String, batchId: Long, batch: DataFrame): Unit = {
     val spark = batch.sparkSession
@@ -121,7 +130,7 @@ object IncrementalProfile {
     val marker = new Path(s"$storeDir/ingested/batch=$batchId")
     val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(marker)) return
-    val merged = readStore(spark, storeDir) match {
+    val merged = readStore(spark, storeDir, maxExclusive = Some(batchId)) match {
       case Some(cur) => merge(cur, batch)
       case None      => batch
     }
@@ -132,8 +141,11 @@ object IncrementalProfile {
 
   /** Latest COMMITTED summary (by batch id, `_SUCCESS`-gated so a
     * half-written snapshot never reads), if any batch has been ingested.
+    * `maxExclusive` bounds the candidate ids (used by [[updateStore]] to
+    * exclude a crashed prior attempt's own snapshot).
     */
-  def readStore(spark: SparkSession, storeDir: String): Option[DataFrame] = {
+  def readStore(spark: SparkSession, storeDir: String,
+      maxExclusive: Option[Long] = None): Option[DataFrame] = {
     val base = new Path(s"$storeDir/summary")
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(base)) return None
@@ -142,6 +154,7 @@ object IncrementalProfile {
       .flatMap(st => st.getPath.getName.stripPrefix("batch=").toLongOption
         .filter(_ => st.getPath.getName.startsWith("batch="))
         .filter(_ => fs.exists(new Path(st.getPath, "_SUCCESS"))))
+      .filter(id => maxExclusive.forall(id < _))
     if (ids.isEmpty) None
     else Some(spark.read.parquet(s"$storeDir/summary/batch=${ids.max}"))
   }

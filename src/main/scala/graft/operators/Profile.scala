@@ -117,8 +117,11 @@ object Profile {
     // read twice each (total + join): materialize the |bins|-row counts
     val cb = before.select(col("bin"), col("n").as("nb")).localCheckpoint(false)
     val ca = after.select(col("bin"), col("n").as("na")).localCheckpoint(false)
-    val tb = cb.agg(sum("nb")).head().getLong(0).toDouble
-    val ta = ca.agg(sum("na")).head().getLong(0).toDouble
+    val (rb, ra) = (cb.agg(sum("nb")).head(), ca.agg(sum("na")).head())
+    require(!rb.isNullAt(0) && !ra.isNullAt(0),
+      s"psi($colName): empty snapshot (no bins on one side)")
+    val tb = rb.getLong(0).toDouble
+    val ta = ra.getLong(0).toDouble
     require(tb > 0 && ta > 0, s"psi($colName): empty snapshot")
     cb.join(ca, Seq("bin"), "full_outer")
       .select(

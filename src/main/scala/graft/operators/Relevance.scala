@@ -112,6 +112,8 @@ object Relevance {
     val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint(false) // read twice: stats + the model projection
     val r = counts.agg(sum(col("cnt")), count(lit(1))).head()
+    require(!r.isNullAt(0),
+      "unigramModel: training corpus has no tokens (empty or all-blank text)")
     val n = r.getLong(0)
     val v = r.getLong(1)
     counts.select(col("tok"),
@@ -134,7 +136,10 @@ object Relevance {
     val toks = docs.select(col(idCol).as("id"),
         explode(split(trim(col(textCol)), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
-    val oov = model.select(max(col("oov_logp")).as("_oov")).head().getDouble(0)
+    val oovRow = model.select(max(col("oov_logp")).as("_oov")).head()
+    require(!oovRow.isNullAt(0),
+      "scoreWithUnigramModel: model has no rows (was it trained on an empty corpus?)")
+    val oov = oovRow.getDouble(0)
     toks.join(model.select(col("tok"), col("logp")), Seq("tok"), "left")
       .withColumn("lp", coalesce(col("logp"), lit(oov)))
       .groupBy(col("id"))

@@ -63,4 +63,26 @@ class IncrementalProfileSpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     assert(stored.toSeq == oneShot.toSeq)
   }
+
+  test("re-delivery after crash between snapshot commit and marker is a no-op") {
+    val dir = Files.createTempDirectory("ipcrash").toString
+    val sums = batches.map(IP.summarize(_, cols).localCheckpoint(true))
+    IP.updateStore(dir, 0, sums(0))
+    IP.updateStore(dir, 1, sums(1))
+    // simulate the torn attempt: batch 1's snapshot committed (_SUCCESS
+    // present) but the crash hit before the marker mkdirs
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/ingested/batch=1")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.delete(marker, true))
+    IP.updateStore(dir, 1, sums(1)) // re-delivery must merge base < 1, not 1
+    val stored = IP.report(IP.readStore(spark, dir).get)
+      .select("col_name", "n_non_null", "n_nulls").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val oneShot = Profile.profile(
+        docs.filter(pmod(col("doc_id"), lit(3)) =!= 2), cols)
+      .select("col_name", "n_non_null", "n_nulls").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(stored.toSeq == oneShot.toSeq,
+      "crashed attempt's own snapshot must not double-merge")
+  }
 }
