@@ -2360,6 +2360,37 @@ object SparkEntry {
           col("m.bits_per_sample").as("bits_per_sample"))
     }),
 
+    // M6: perceptual fingerprints — dHash-64 + aHash-64 over the 9x8
+    // byte-strided "thumbnail" (byte==pixel is the codec seam; the
+    // gradient/mean bit packs are the real algorithms). The oracle
+    // replays the construction formula, so a kernel that samples, packs
+    // bits, or handles the <72-byte null case differently mismatches.
+    "media_phash" -> ((s, dir) =>
+      MediaColumns.withPerceptualHash(
+          MediaColumns.mediaFromDocuments(Tables.documents(s, dir)))
+        .select("doc_id", "media_type", "phash_d", "phash_a")),
+
+    // M7: content-level image near-dup pairs — every 20th doc gets a
+    // planted "re-encode" (one sampled byte changed, flipping <= 2
+    // gradient bits), and the hamming <= 3 pairs are mined by the
+    // 16-bit-block pigeonhole equi-join (never all-pairs; only
+    // (id, hash) rides the shuffle, never payloads).
+    "media_neardup_pairs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val len = length(col("text"))
+      val idx0 = floor(len * 40 / 72).cast("int") // 0-based, == sample k=40
+      val planted = docs
+        .filter(col("doc_id") % 20 === 0 && len >= 72)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(col("text").substr(lit(1), idx0),
+            chr(lit(65) + pmod(col("doc_id"), lit(26))),
+            col("text").substr(idx0 + lit(2), len)).as("text"))
+      MediaColumns.nearDupPairs(
+          MediaColumns.mediaFromDocuments(docs.unionByName(planted)),
+          maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long"))
+    }),
+
     // O3: multi-key sort (notebook cell 13). Sort itself is not hashable
     // output — the oracle compares the sorted-stable row set.
     "multi_key_sort" -> ((s, dir) =>
@@ -4558,6 +4589,74 @@ object SparkEntry {
         |((doc_id % 5 + 1) * 8000)::INT AS sample_rate,
         |((doc_id % 3 + 1) * 8)::INT AS bits_per_sample
         |FROM documents""".stripMargin,
+
+    // Construction-formula replay of the 9x8 strided thumbnail + dHash
+    // gradient pack + aHash mean pack; bit sums ride HUGEINT then wrap
+    // to two's-complement BIGINT (bit 63 overflows a signed sum). ASCII
+    // corpus => ord(char) == payload byte, the documented convention.
+    "media_phash" ->
+      """WITH m AS (SELECT doc_id,
+        |  CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |    ELSE 'video' END AS media_type,
+        |  text, length(text)::BIGINT AS len FROM documents),
+        |px AS (SELECT doc_id, u.k AS k,
+        |  ord(substr(text, (((u.k * len) // 72) + 1)::INT, 1))::BIGINT AS v
+        |  FROM m, unnest(range(0, 72)) AS u(k) WHERE len >= 72),
+        |db AS (SELECT a.doc_id AS doc_id,
+        |  sum(CASE WHEN b.v > a.v
+        |    THEN (1::HUGEINT << ((a.k // 9) * 8 + (a.k % 9))::INT)
+        |    ELSE 0::HUGEINT END) AS s
+        |  FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.k = a.k + 1
+        |  WHERE a.k % 9 < 8 GROUP BY a.doc_id),
+        |ab AS (SELECT doc_id, k, v, sum(v) OVER (PARTITION BY doc_id) AS asum
+        |  FROM px WHERE k % 9 < 8),
+        |ah AS (SELECT doc_id,
+        |  sum(CASE WHEN 64 * v > asum
+        |    THEN (1::HUGEINT << ((k // 9) * 8 + (k % 9))::INT)
+        |    ELSE 0::HUGEINT END) AS s
+        |  FROM ab GROUP BY doc_id)
+        |SELECT m.doc_id, m.media_type,
+        |  CASE WHEN db.s IS NULL THEN NULL
+        |    WHEN db.s > 9223372036854775807
+        |    THEN (db.s - 18446744073709551616::HUGEINT)::BIGINT
+        |    ELSE db.s::BIGINT END AS phash_d,
+        |  CASE WHEN ah.s IS NULL THEN NULL
+        |    WHEN ah.s > 9223372036854775807
+        |    THEN (ah.s - 18446744073709551616::HUGEINT)::BIGINT
+        |    ELSE ah.s::BIGINT END AS phash_a
+        |FROM m LEFT JOIN db ON m.doc_id = db.doc_id
+        |LEFT JOIN ah ON m.doc_id = ah.doc_id""".stripMargin,
+
+    // Same construction over the planted-union corpus, then ALL-PAIRS
+    // bit_count(xor) <= 3 — the oracle may brute-force what the Spark
+    // side must mine with the pigeonhole equi-join.
+    "media_neardup_pairs" ->
+      """WITH planted AS (SELECT doc_id + 10000000 AS doc_id,
+        |  substr(text, 1, ((40 * length(text)::BIGINT) // 72)::INT)
+        |    || chr((65 + doc_id % 26)::INT)
+        |    || substr(text, (((40 * length(text)::BIGINT) // 72) + 2)::INT,
+        |         length(text)::INT) AS text
+        |  FROM documents WHERE doc_id % 20 = 0 AND length(text) >= 72),
+        |corpus AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id, text FROM planted),
+        |m AS (SELECT doc_id, text, length(text)::BIGINT AS len FROM corpus
+        |  WHERE length(text) >= 72),
+        |px AS (SELECT doc_id, u.k AS k,
+        |  ord(substr(text, (((u.k * len) // 72) + 1)::INT, 1))::BIGINT AS v
+        |  FROM m, unnest(range(0, 72)) AS u(k)),
+        |db AS (SELECT a.doc_id AS doc_id,
+        |  sum(CASE WHEN b.v > a.v
+        |    THEN (1::HUGEINT << ((a.k // 9) * 8 + (a.k % 9))::INT)
+        |    ELSE 0::HUGEINT END) AS s
+        |  FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.k = a.k + 1
+        |  WHERE a.k % 9 < 8 GROUP BY a.doc_id),
+        |h AS (SELECT doc_id, CASE WHEN s > 9223372036854775807
+        |  THEN (s - 18446744073709551616::HUGEINT)::BIGINT
+        |  ELSE s::BIGINT END AS hd FROM db)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  bit_count(xor(a.hd, b.hd))::BIGINT AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.hd, b.hd)) <= 3""".stripMargin,
 
     "multi_key_sort" ->
       """SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice

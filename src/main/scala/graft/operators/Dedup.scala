@@ -597,6 +597,64 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Hamming-distance pairs over ANY precomputed 64-bit signature relation
+    * `(id, h)` — the [[simHashPairs]] pigeonhole generalized to full
+    * 64-bit fingerprints (perceptual image hashes, feature SimHashes,
+    * …): split each signature into `64/blockBits` blocks; a pair within
+    * `maxHamming < blocks` differing BITS can corrupt at most
+    * `maxHamming` blocks, so the survivors agree on at least one and
+    * the self-join is equi on `(block, byte)` — never a cross product.
+    * Signatures are 8 bytes, so letting `h` ride the candidate shuffle
+    * costs the same as re-joining it back — unlike MinHash/embedding
+    * candidates, ids-only banding would BUY nothing here.
+    *
+    * Block width is the scale dial: the default 16-bit blocks give 4
+    * blocks x 65536 buckets per position, so a uniform corpus of n
+    * signatures costs Σdf² ≈ n²/16384 candidate rows — 256x fewer than
+    * byte blocks — while still admitting maxHamming <= 3. Byte blocks
+    * (blockBits = 8) buy maxHamming up to 7 at 256 buckets per
+    * position; use them only when the radius matters more than the
+    * join size. The skew guard is `maxBlockFreq`: a degenerate mass
+    * (all-black thumbnails → dhash 0) piles onto one bucket; the cap
+    * drops blocks hotter than it before the join (the [[dfCap]]
+    * stance), trading recall on degenerate masses for a bounded join.
+    */
+  def hammingPairs64(hashes: DataFrame, maxHamming: Int = 3,
+      idCol: String = "id", hashCol: String = "h",
+      maxBlockFreq: Option[Long] = None, blockBits: Int = 16): DataFrame = {
+    require(blockBits == 8 || blockBits == 16,
+      s"blockBits must be 8 or 16, got $blockBits")
+    val blocks = 64 / blockBits
+    val mask = (1L << blockBits) - 1L
+    require(maxHamming >= 0 && maxHamming < blocks,
+      s"pigeonhole blocking needs 0 <= maxHamming < $blocks, got $maxHamming")
+    val blocked0 = hashes
+      .select(col(idCol).as("id"), col(hashCol).as("h"))
+      .filter(col("h").isNotNull)
+      .select(col("id"), col("h"),
+        explode(array((0 until blocks).map(b =>
+          struct(lit(b).as("block"),
+            shiftright(col("h"), b * blockBits).bitwiseAND(mask).as("byte"))): _*)).as("bb"))
+      .select(col("id"), col("h"), col("bb.block"), col("bb.byte"))
+    val blocked = sharedRelation(maxBlockFreq match {
+      case Some(cap) =>
+        val hot = blocked0.groupBy("block", "byte")
+          .agg(count(lit(1)).as("_df")).filter(col("_df") > cap)
+        blocked0.join(hot, Seq("block", "byte"), "left_anti")
+      case None => blocked0
+    })
+    blocked.as("a")
+      .join(blocked.as("b"),
+        col("a.block") === col("b.block") && col("a.byte") === col("b.byte") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.h").as("h_a"), col("b.h").as("h_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Eager lineage-truncating materialization for iterative fixpoints:
     * RELIABLE `checkpoint()` when the context has a checkpoint dir (the
     * cluster deploy — survives executor loss), executor-local

@@ -147,6 +147,33 @@ object MediaColumns {
       .withColumn("img_height", col("_dims.height"))
       .drop("_dims")
 
+  /** Perceptual fingerprints from the binary payload — dHash-64 +
+    * aHash-64 via the codegen'd [[graft.functions.PerceptualHash]]
+    * expression (map-only: any shuffle here would move raw media
+    * bytes). Payloads under 72 bytes fingerprint as null and are kept
+    * (the header parsers' garbage-tolerance contract).
+    */
+  def withPerceptualHash(media: DataFrame): DataFrame =
+    media
+      .withColumn("_ph",
+        graft.functions.PerceptualHashFunctions.perceptualHash(col("payload")))
+      .withColumn("phash_d", col("_ph.dhash"))
+      .withColumn("phash_a", col("_ph.ahash"))
+      .drop("_ph")
+
+  /** Content-level image near-dup pairs: hamming distance between
+    * dHash fingerprints <= `maxHamming`, candidates mined by
+    * [[graft.operators.Dedup.hammingPairs64]]'s byte-block pigeonhole
+    * (equi-join on signature blocks — never all-pairs, and only
+    * (id, 8-byte hash) rows ride the shuffle, never payloads).
+    */
+  def nearDupPairs(media: DataFrame, maxHamming: Int = 3,
+      maxBlockFreq: Option[Long] = None): DataFrame =
+    graft.operators.Dedup.hammingPairs64(
+      withPerceptualHash(media).select(col("doc_id"), col("phash_d")),
+      maxHamming, idCol = "doc_id", hashCol = "phash_d",
+      maxBlockFreq = maxBlockFreq)
+
   /** Typed seam for the decode path. */
   def asMediaRecords(media: DataFrame): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._

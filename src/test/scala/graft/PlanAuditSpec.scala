@@ -111,6 +111,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       s"the image_dims projection is outside codegen: $decodeLine")
   }
 
+  test("perceptual_hash runs inside WholeStageCodegen (no interpreted fallback)") {
+    val df = SparkEntry.queries("media_phash")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    val decodeLine = plan.linesIterator
+      .find(_.contains("perceptual_hash")).getOrElse("")
+    assert(decodeLine.trim.matches("""^(\+- )?\*\(\d+\) .*"""),
+      s"the perceptual_hash projection is outside codegen: $decodeLine")
+  }
+
   test("incremental dedup's corpus band relation shuffles ids only, no vectors/sigs") {
     // the 100 TB property: the big (corpus) side of the band join must
     // not carry signature arrays through the exchange — candidate ids
@@ -134,7 +144,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     // pipeline can make
     val sf = "/root/testdata/sf0.001"
     val mediaQueries = Seq("media_metadata", "media_frames",
-      "media_image_dims", "media_wav_meta", "media_resize_stride")
+      "media_image_dims", "media_wav_meta", "media_resize_stride",
+      "media_phash")
     val offenders = mediaQueries.filter { name =>
       SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString.contains("Exchange")
