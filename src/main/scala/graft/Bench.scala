@@ -224,9 +224,19 @@ object Bench {
         k = 10, numCentroids = 32, iters = 3, nprobe = 3))
       val pIvfTrainedCand = SimilaritySearch.ivfCandidatesFromCents(emb,
         planted, trainedCents, nprobe = 3).count()
+      // PQ family: no candidate pruning in the flat scans (fraction 1.0
+      // by construction — PQ cheapens scoring, not candidacy), IVF-PQ
+      // prunes via its 8-of-64 probes. Planted recall saturates at 1.0
+      // for all three on this corpus; the number is tracked so a
+      // codebook/fold regression shows up as a drop from 1.0.
+      val pPq = pRecall(SimilaritySearch.pqTopK(emb, planted, k = 10))
+      val pPqTrained = pRecall(SimilaritySearch.pqTopKTrained(emb, planted, k = 10))
+      val pIvfPq = pRecall(SimilaritySearch.ivfPqTopK(emb, planted, k = 10))
+      val pIvfPqCand = SimilaritySearch.ivfCandidates(emb, planted,
+        numCentroids = 64, nprobe = 8).count()
       def frac(c: Long): Double =
         if (nPlanted * corpusN == 0) -1.0 else c.toDouble / (nPlanted * corpusN)
-      s"""{"k":10,"ann_lsh_banded_topk":{"recall":${jnum(banded)},"candidates_scored":$bandedCand},"ann_ivfpq_topk":{"recall":${jnum(ivfpq)},"candidates_scored":$ivfpqCand},"planted":{"cosine":0.945,"n_queries":$nPlanted,"banded_multiprobe":{"recall":${jnum(pBandedMp)},"candidates_scored":$pBandedMpCand,"candidate_fraction":${jnum(frac(pBandedMpCand))}},"ivf_trained_32c_3probe":{"recall":${jnum(pIvfTrained)},"candidates_scored":$pIvfTrainedCand,"candidate_fraction":${jnum(frac(pIvfTrainedCand))}}}}"""
+      s"""{"k":10,"ann_lsh_banded_topk":{"recall":${jnum(banded)},"candidates_scored":$bandedCand},"ann_ivfpq_topk":{"recall":${jnum(ivfpq)},"candidates_scored":$ivfpqCand},"planted":{"cosine":0.945,"n_queries":$nPlanted,"banded_multiprobe":{"recall":${jnum(pBandedMp)},"candidates_scored":$pBandedMpCand,"candidate_fraction":${jnum(frac(pBandedMpCand))}},"ivf_trained_32c_3probe":{"recall":${jnum(pIvfTrained)},"candidates_scored":$pIvfTrainedCand,"candidate_fraction":${jnum(frac(pIvfTrainedCand))}},"pq_flat_8s16c":{"recall":${jnum(pPq)},"candidate_fraction":1.0},"pq_trained_8s16c":{"recall":${jnum(pPqTrained)},"candidate_fraction":1.0},"ivfpq_64c_8probe":{"recall":${jnum(pIvfPq)},"candidates_scored":$pIvfPqCand,"candidate_fraction":${jnum(frac(pIvfPqCand))}}}}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] ann recall FAILED — ${e.getMessage}")
       s"""{"error":${jstr(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}}"""

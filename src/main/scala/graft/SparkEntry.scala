@@ -525,6 +525,47 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Grouped per-subspace k-means replay for the TRAINED PQ codebook
+    * (mirrors [[graft.operators.SimilaritySearch.pqTrainedCodebook]]):
+    * the subspace id `s` rides every key, so all 8 codebooks train in
+    * one CTE chain. Ends with `cbt(s, code, cv8)` — the float codewords
+    * the encode/lut stages dot against.
+    */
+  private def pqKmeansSql(k: Int, iters: Int, scale: Long): String = {
+    val sb = new StringBuilder
+    sb ++= s"""pq0 AS (SELECT vec_id,
+       |  list_transform(embedding, x -> floor(x::DOUBLE * $scale)::BIGINT) AS qv
+       |  FROM embeddings),
+       |slng AS (SELECT vec_id, t.s AS s, d.d AS dim, qv[t.s*8 + d.d + 1] AS v
+       |  FROM pq0, range(0, 8) t(s), range(0, 8) d(d)),
+       |pseeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code
+       |  FROM (SELECT vec_id FROM pq0 ORDER BY vec_id LIMIT $k)),
+       |pc0 AS (SELECT l.s, se.code, l.dim, l.v AS val
+       |  FROM pseeds se JOIN slng l ON se.vec_id = l.vec_id)""".stripMargin
+    for (i <- 1 to iters - 1) {
+      sb ++= s""",
+         |pa$i AS (SELECT l.vec_id, l.s, c.code,
+         |  sum((l.v - c.val)*(l.v - c.val))::BIGINT AS dist
+         |  FROM slng l JOIN pc${i - 1} c ON l.s = c.s AND l.dim = c.dim
+         |  GROUP BY l.vec_id, l.s, c.code),
+         |pb$i AS (SELECT vec_id, s, code FROM (SELECT vec_id, s, code,
+         |  row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rn
+         |  FROM pa$i) WHERE rn = 1),
+         |pn$i AS (SELECT b.s, b.code, l.dim,
+         |  floor(sum(l.v)::DOUBLE / count(*))::BIGINT AS val
+         |  FROM pb$i b JOIN slng l ON b.vec_id = l.vec_id AND b.s = l.s
+         |  GROUP BY b.s, b.code, l.dim),
+         |pc$i AS (SELECT p.s, p.code, p.dim, COALESCE(n.val, p.val) AS val
+         |  FROM pc${i - 1} p LEFT JOIN pn$i n
+         |  ON p.s = n.s AND p.code = n.code AND p.dim = n.dim)""".stripMargin
+    }
+    sb ++= s""",
+       |cbt AS (SELECT s, code,
+       |  list((val / $scale.0)::FLOAT ORDER BY dim) AS cv8
+       |  FROM pc${iters - 1} GROUP BY s, code)""".stripMargin
+    sb.toString
+  }
+
   /** Per-column profile as UNION ALL branches (mirrors
     * [[graft.operators.Profile.profile]]; the oracle may re-scan per
     * column — the engine side must not).
@@ -1570,6 +1611,17 @@ object SparkEntry {
     // per-query lookup table with a strict left-to-right 8-term fold.
     "ann_pq_topk" -> ((s, dir) =>
       SimilaritySearch.pqTopK(Tables.embeddings(s, dir),
+          annQueries(s, dir), k = 10)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"),
+          trunc4(col("approx_score")).as("approx_score"))),
+
+    // SS5b: PQ with a K-MEANS-TRAINED codebook (8 subspaces x 16 codes
+    // x 3 integer-exact Lloyd iters; one grouped loop trains all
+    // subspaces per pass) — same query set and scoring fold as
+    // ann_pq_topk, so the two rows isolate the codebook's effect.
+    "ann_pq_trained_topk" -> ((s, dir) =>
+      SimilaritySearch.pqTopKTrained(Tables.embeddings(s, dir),
           annQueries(s, dir), k = 10)
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"),
@@ -3823,6 +3875,45 @@ object SparkEntry {
          |codes AS (SELECT id, list(code ORDER BY s) AS codes FROM enc GROUP BY id),
          |lut0 AS (SELECT q.vec_id AS query_id, c.s, c.code, $qdot AS d
          |  FROM embeddings q, cb c WHERE q.vec_id % 50 = 0),
+         |lut AS (SELECT query_id, list(d ORDER BY s, code) AS lut
+         |  FROM lut0 GROUP BY query_id),
+         |scored AS (SELECT l.query_id, cd.id AS neighbor_id, $fold AS approx
+         |  FROM codes cd, lut l WHERE cd.id <> l.query_id),
+         |ranked AS (SELECT query_id, neighbor_id, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY approx DESC, neighbor_id) AS rank,
+         |  approx FROM scored)
+         |SELECT query_id, neighbor_id, rank,
+         |floor(approx*10000)/10000 AS approx_score FROM ranked
+         |WHERE rank <= 10""".stripMargin
+    },
+
+    // Trained-codebook PQ: the grouped per-subspace Lloyd replay feeds
+    // the same encode/lut/fold machinery as ann_pq_topk, with the
+    // codeword dots taken against the 8-dim trained codewords.
+    "ann_pq_trained_topk" -> {
+      def dot8(a: String, b: String) =
+        (1 to 8).map(i => s"$a[c.s*8 + $i]::DOUBLE * $b[$i]::DOUBLE")
+          .mkString(" + ")
+      def dot8cc =
+        (1 to 8).map(i => s"c.cv8[$i]::DOUBLE * c.cv8[$i]::DOUBLE")
+          .mkString(" + ")
+      def dot8ee(a: String) =
+        (1 to 8).map(i => s"$a[c.s*8 + $i]::DOUBLE * $a[c.s*8 + $i]::DOUBLE")
+          .mkString(" + ")
+      val l2 = s"(${dot8ee("e.embedding")}) - 2.0*(${dot8("e.embedding", "c.cv8")})" +
+        s" + ($dot8cc)"
+      val qdot = dot8("q.embedding", "c.cv8")
+      val fold = (0 until 8)
+        .map(s => s"l.lut[${s * 16} + cd.codes[${s + 1}] + 1]").mkString(" + ")
+      s"""WITH ${pqKmeansSql(16, 3, Cluster.DefaultScale)},
+         |enc0 AS (SELECT e.vec_id AS id, c.s, c.code, $l2 AS l2
+         |  FROM embeddings e, cbt c),
+         |enc AS (SELECT id, s, code FROM (SELECT id, s, code,
+         |  row_number() OVER (PARTITION BY id, s ORDER BY l2, code) AS rk
+         |  FROM enc0) t WHERE rk = 1),
+         |codes AS (SELECT id, list(code ORDER BY s) AS codes FROM enc GROUP BY id),
+         |lut0 AS (SELECT q.vec_id AS query_id, c.s, c.code, $qdot AS d
+         |  FROM embeddings q, cbt c WHERE q.vec_id % 50 = 0),
          |lut AS (SELECT query_id, list(d ORDER BY s, code) AS lut
          |  FROM lut0 GROUP BY query_id),
          |scored AS (SELECT l.query_id, cd.id AS neighbor_id, $fold AS approx

@@ -374,12 +374,39 @@ object SimilaritySearch {
       subspaces: Int = 8, codebookSize: Int = 16,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cb = pqCodebook(corpus, subspaces, codebookSize, idCol, vecCol)
+    pqAnswer(corpus, queries, cb, k, subspaces, codebookSize, idCol, vecCol)
+  }
+
+  /** [[pqTopK]] with a K-MEANS-TRAINED codebook ([[pqTrainedCodebook]])
+    * instead of the hash-order sample — the production PQ shape:
+    * codewords are per-subspace cell means, so quantization error (and
+    * with it ADC ranking noise) drops vs sampled codewords. Planted
+    * recall@10 is 1.0 for EVERY PQ shape on this corpus (PQ prunes
+    * nothing — the full corpus is scored — and at cosine 0.945 the ADC
+    * error never knocks the source out of the top 10); the codebooks
+    * separate on the harsher organic metric, top-10 agreement with
+    * exact brute force at sf0.1: seeded 16 codes 0.14 → trained 16
+    * codes 0.18 → trained 64 codes 0.27 → trained 16 subspaces x 64
+    * codes 0.50, all at the identical full-scan candidate budget.
+    */
+  def pqTopKTrained(corpus: DataFrame, queries: DataFrame, k: Int,
+      subspaces: Int = 8, codebookSize: Int = 16, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cb = pqTrainedCodebook(corpus, subspaces, codebookSize, iters,
+      idCol = idCol, vecCol = vecCol)
+    pqAnswer(corpus, queries, cb, k, subspaces, codebookSize, idCol, vecCol)
+  }
+
+  /** Shared PQ answer path: encode the corpus against `cb`, build the
+    * per-query lookup tables, score by the strict left-to-right ADC
+    * fold (bit-stable across engines), rank per query.
+    */
+  private def pqAnswer(corpus: DataFrame, queries: DataFrame, cb: DataFrame,
+      k: Int, subspaces: Int, codebookSize: Int,
+      idCol: String, vecCol: String): DataFrame = {
     val encoded = pqEncode(corpus.select(col(idCol).as("id"),
       col(vecCol).as("v")), cb, subspaces)
     val lut = pqLut(queries, cb, subspaces, idCol, vecCol)
-
-    // score every corpus code list against every query lut: a strict
-    // left-to-right fold over the subspaces (bit-stable across engines)
     val scored = encoded.join(broadcast(lut),
         col("id") =!= col("query_id"))
       .withColumn("approx_score", pqFold(subspaces, codebookSize))
@@ -389,6 +416,77 @@ object SimilaritySearch {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("id").as("neighbor_id"), col("rank"),
         col("approx_score"))
+  }
+
+  /** Per-subspace k-means PQ codebook in [[pqCodebook]]'s layout
+    * `(s, code, cvec float)` — ONE grouped Lloyd loop trains all
+    * `subspaces` codebooks together: the subspace id rides every key
+    * (assignment groups by (id, s), updates by (s, code, dim)), so each
+    * iteration is a single pass over the sliced corpus instead of
+    * `subspaces` separate jobs. Integer-exact in
+    * [[Cluster]]'s quantized space (floor(x*scale) longs, floor-mean
+    * updates, ties to the lowest code) with seeds = the codebookSize
+    * smallest-id vectors' slices — every step replayable by a DuckDB
+    * oracle bit-for-bit. Driver state per iteration is
+    * subspaces*codebookSize*(Dim/subspaces) longs (= Dim*codebookSize,
+    * constant in corpus size — the bounded-collect pattern of
+    * [[Cluster.kmeansCentroids]]).
+    */
+  def pqTrainedCodebook(corpus: DataFrame, subspaces: Int = 8,
+      codebookSize: Int = 16, iters: Int = 3,
+      scale: Long = Cluster.DefaultScale,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(Dim % subspaces == 0, "subspaces must divide Dim")
+    require(iters > 0, s"iters must be positive, got $iters")
+    val sub = Dim / subspaces
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dist = graft.functions.VectorFunctions.sqDistL _
+    val qv = transform(col(vecCol),
+      x => floor(x.cast("double") * scale).cast("long"))
+    // (id, s, qv): one row per vector per subspace; recomputed from the
+    // scan each iteration (a map-side projection — caching corpus-sized
+    // slices would cost more than re-reading the columnar scan)
+    val sliced = corpus
+      .select(col(idCol).cast("long").as("id"), pqSlices(qv, subspaces).as("sl"))
+      .select(col("id"), col("sl.s").as("s"), col("sl.sv").as("qv"))
+    // seeds: slices of the codebookSize smallest-id vectors (bounded
+    // collect, ORDER BY id LIMIT k — same discipline as Cluster.lloyd)
+    val seedRows = corpus
+      .select(col(idCol).cast("long").as("id"), qv.as("q"))
+      .orderBy(col("id")).limit(codebookSize).collect()
+    var cents: Seq[(Int, Int, Array[Long])] = for {
+      (r, code) <- seedRows.sortBy(_.getLong(0)).zipWithIndex.toSeq
+      s <- 0 until subspaces
+    } yield (s, code, r.getSeq[Long](1).slice(s * sub, (s + 1) * sub).toArray)
+    for (t <- 1 to iters - 1) {
+      val cbL = cents.map { case (s, c, v) => (s, c, v.toSeq) }
+        .toDF("s", "code", "cvl")
+      val upd = sliced.join(broadcast(cbL), Seq("s"))
+        .withColumn("d", dist(col("qv"), col("cvl")))
+        .groupBy("id", "s")
+        .agg(min_by(struct(col("code"), col("qv")),
+          struct(col("d"), col("code"))).as("m"))
+        .select(col("s"), col("m.code").as("code"),
+          posexplode(col("m.qv")).as(Seq("dim", "v")))
+        .groupBy("s", "code", "dim")
+        .agg(floor(sum(col("v")).cast("double") / count(lit(1)))
+          .cast("long").as("val"))
+        .collect()
+      val byCell = upd.groupBy(r => (r.getInt(0), r.getInt(1)))
+      cents = cents.map { case (s, c, prev) =>
+        byCell.get((s, c)) match {
+          case Some(rows) =>
+            val arr = new Array[Long](sub)
+            rows.foreach(r => arr(r.getInt(2)) = r.getLong(3))
+            (s, c, arr)
+          case None => (s, c, prev) // empty cell keeps its codeword
+        }
+      }
+    }
+    cents.map { case (s, c, v) =>
+      (s, c, v.map(x => (x.toDouble / scale).toFloat).toSeq)
+    }.toDF("s", "code", "cvec")
   }
 
   /** Per-subspace slice explosion: one (s, 8-dim slice) row per vector

@@ -28,6 +28,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     "ann_corpus_isotropy",    // bounded id-range pair sample (<=2000^2/2 at any
                               // SF) + the |q| x corpus baseline + 1x1 stat join
     "ann_pq_topk",            // |q| x corpus CODE scoring (8 adds/pair by design)
+    "ann_pq_trained_topk",    // same |q| x corpus code scoring, trained codebook
     "report_metadata",        // 1-row x 1-row metadata crossJoin
     "doc_bm25_relevance",     // 1-row corpus-stats (N, avgdl) broadcast crossJoin
     "search_bm25_topk",       // same 1-row corpus-stats broadcast crossJoin;

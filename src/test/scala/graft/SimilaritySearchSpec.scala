@@ -133,6 +133,37 @@ class SimilaritySearchSpec extends AnyFunSuite with SparkTestBase {
       f"PQ recall@10 collapsed to $recall%.2f — encoding or LUT fold broken")
   }
 
+  test("pqTopKTrained: deterministic, sound codebook, no fidelity loss vs seeded") {
+    val corpus = Tables.embeddings(spark, sf)
+    val queries = corpus.filter(col("vec_id") % 50 === 0)
+    val cb = SimilaritySearch.pqTrainedCodebook(corpus)
+    val rows = cb.collect()
+    // layout: one codeword per (s, code), 8-dim float, all cells present
+    assert(rows.length == 8 * 16)
+    assert(rows.map(r => (r.getInt(0), r.getInt(1))).toSet ==
+      (for (s <- 0 until 8; c <- 0 until 16) yield (s, c)).toSet)
+    assert(rows.forall(_.getSeq[Float](2).length == 8))
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = hits(SimilaritySearch.bruteForceTopK(corpus, queries, k = 10))
+    val seeded = hits(SimilaritySearch.pqTopK(corpus, queries, k = 10))
+    val t1 = hits(SimilaritySearch.pqTopKTrained(corpus, queries, k = 10))
+    val t2 = hits(SimilaritySearch.pqTopKTrained(corpus, queries, k = 10))
+    assert(t1 === t2, "Lloyd training + encoding must be run-deterministic")
+    // cell means can only tighten quantization vs sampled codewords
+    // (measured at sf0.1: 0.18 vs 0.14 organic agreement; 1.0 planted
+    // recall both ways)
+    val seededRecall = (exact & seeded).size.toDouble / exact.size
+    val trainedRecall = (exact & t1).size.toDouble / exact.size
+    assert(trainedRecall >= seededRecall - 1e-9,
+      f"trained codebook lost fidelity: trained=$trainedRecall%.3f seeded=$seededRecall%.3f")
+    // the planted source survives ADC ranking end to end
+    val planted = SimilaritySearch.plantedQueries(corpus)
+    val pr = SimilaritySearch.pqTopKTrained(corpus, planted, k = 10)
+      .filter(col("neighbor_id") === col("query_id") - 900000L).count()
+    assert(pr == planted.count(), "planted recall through trained PQ must be 1.0")
+  }
+
   test("ivfPqTopK: IVF pruning scores a fraction of the codes at flat-PQ-level recall") {
     val corpus = Tables.embeddings(spark, sf)
     val queries = corpus.filter(col("vec_id") % 50 === 0)
