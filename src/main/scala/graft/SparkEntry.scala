@@ -440,13 +440,34 @@ object SparkEntry {
   /** The symmetrized supplier—customer co-purchase edge table shared by
     * the PageRank queries.
     */
-  private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
-    val raw = Tables.lineitem(s, dir)
-      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .select(concat(lit("s"), col("l_suppkey")).as("a"),
-        concat(lit("c"), col("o_custkey")).as("b"))
-    graft.operators.PageRank.undirect(raw, "a", "b")
-  }
+  // The three PageRank variants run the same graph; the expensive parts
+  // — the lineitem⋈orders co-purchase base and the prepared
+  // (src, dst, w, outw) superstep relation — are shared per
+  // (session, sf dir) instead of rebuilt per query (the r11 verdict's
+  // "cross-query sharing of the edge/degree materialization" item).
+  // DataFrames are session-bound, so the session identity rides the key.
+  private val graphShared =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def sharedKey(s: SparkSession, dir: String, kind: String) =
+    s"$kind|${System.identityHashCode(s)}|$dir"
+
+  /** One (a = supplier node, b = customer node) row per lineitem. */
+  private def copurchaseBase(s: SparkSession, dir: String): DataFrame =
+    graphShared.getOrElseUpdate(sharedKey(s, dir, "base"),
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("s"), col("l_suppkey")).as("a"),
+          concat(lit("c"), col("o_custkey")).as("b"))
+        .localCheckpoint(false))
+
+  private def copurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    graft.operators.PageRank.undirect(copurchaseBase(s, dir), "a", "b")
+
+  /** The prepared uniform-weight superstep relation, shared by
+    * graph_pagerank and graph_ppr_suppliers. */
+  private def copurchasePrepared(s: SparkSession, dir: String): DataFrame =
+    graphShared.getOrElseUpdate(sharedKey(s, dir, "prep"),
+      graft.operators.PageRank.prepare(copurchaseEdges(s, dir), "src", "dst"))
 
   /** Positioned-shingle aligned-span CTE chain (mirrors
     * [[graft.operators.Dedup.alignedSpanPairs]] at n=3, minTokens=10):
@@ -2045,19 +2066,18 @@ object SparkEntry {
     // oracle replays the same recurrence as an unrolled CTE chain, so
     // the full iterative propagation is hash-checked, not smoke-checked.
     "graph_pagerank" -> ((s, dir) =>
-      graft.operators.PageRank.ranks(copurchaseEdges(s, dir), "src", "dst",
+      graft.operators.PageRank.ranksPrepared(copurchasePrepared(s, dir),
         iters = 3)),
 
     // G3: WEIGHTED PageRank — outgoing mass splits by co-purchase
     // COUNT (lineitems per supplier-customer pair), the real-graph
     // case; contribution = (rank // Σw) * w, still pure LONG
     // arithmetic (unweighted is literally the w=1 special case).
+    // Shares the co-purchase base relation with the uniform variants;
+    // only the (pair-count weights, out-weight fold) differ.
     "graph_pagerank_weighted" -> ((s, dir) => {
-      val raw = Tables.lineitem(s, dir)
-        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-        .groupBy(concat(lit("s"), col("l_suppkey")).as("a"),
-          concat(lit("c"), col("o_custkey")).as("b"))
-        .agg(count(lit(1)).as("w"))
+      val raw = copurchaseBase(s, dir)
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
       graft.operators.PageRank.weightedRanks(
         graft.operators.PageRank.undirectWeighted(raw, "a", "b", "w"),
         "src", "dst", "w", iters = 3)
@@ -2066,10 +2086,11 @@ object SparkEntry {
     // G2: PERSONALIZED PageRank — restart mass only at supplier nodes,
     // so ranks measure proximity to the supply side (seeded relevance
     // propagation: expand a trusted seed set through the graph). Same
-    // recurrence, seed-conditional restart term.
+    // recurrence, seed-conditional restart term, same shared prepared
+    // relation as graph_pagerank.
     "graph_ppr_suppliers" -> ((s, dir) =>
-      graft.operators.PageRank.personalizedRanks(copurchaseEdges(s, dir),
-        "src", "dst", iters = 3, isSeed = _.startsWith("s"))),
+      graft.operators.PageRank.personalizedRanksPrepared(
+        copurchasePrepared(s, dir), iters = 3, isSeed = _.startsWith("s"))),
 
     // G4: generic connected components (distributed min-label fixpoint)
     // over the customer–order membership graph — STRING node ids, star

@@ -107,10 +107,32 @@ object PageRank {
       scale: Long = DefaultScale): DataFrame =
     propagate(edges, src, dst, iters, scale, Some(isSeed), None)
 
-  private def propagate(edges: DataFrame, src: String, dst: String,
-      iters: Int, scale: Long, seed: Option[Column => Column],
-      wCol: Option[String]): DataFrame = {
-    require(iters >= 1, s"iters must be >= 1, got $iters")
+  /** The materialized per-superstep relation `(src, dst, w, outw)` every
+    * rank variant iterates over — build it ONCE per graph and share it
+    * across uniform / weighted / personalized runs: the three
+    * recurrences differ only in their restart terms, while this relation
+    * (the edge construction, the out-weight fold, the materialization)
+    * is the expensive common part. [[ranksPrepared]] /
+    * [[personalizedRanksPrepared]] consume it.
+    *
+    * Out-weights are FOLDED INTO the edge table once before
+    * materializing, so each superstep is ONE join, not two: the
+    * pre-r11 shape re-joined the N-row deg table every round, which at
+    * test scale hides behind a broadcast (measured wall-clock neutral
+    * in an interleaved same-JVM A/B at sf0.1 — medians 4.4 s both) but
+    * at cluster scale re-ships an N-row relation per round for no
+    * reason. A repartition(src)+persist() variant that also skips the
+    * per-round e-side exchange was measured SLOWER here — the
+    * InMemoryRelation does keep its HashPartitioning visible to
+    * EnsureRequirements (a checkpoint's LogicalRDD reports
+    * UnknownPartitioning under AQE), but the columnar cache fill costs
+    * more than the avoided exchanges return at this scale. On a real
+    * cluster store the edge table BUCKETED by src instead: the scan
+    * carries the partitioning natively and the superstep join is
+    * exchange-free on the edge side.
+    */
+  def prepare(edges: DataFrame, src: String, dst: String,
+      wCol: Option[String] = None): DataFrame = {
     // materialize the edge list and out-weights ONCE: every superstep
     // (plus the node count) re-reads them, and their lineage is whatever
     // produced the edges (joins/unions/distinct) — without this each
@@ -124,23 +146,29 @@ object PageRank {
     val w = wCol.map(col).getOrElse(lit(1L)).cast("long")
     val e0 = materialized(edges.select(col(src).as("src"),
       col(dst).as("dst"), w.as("w")))
-    // out-weights are FOLDED INTO the edge table once before
-    // materializing, so each superstep is ONE join, not two: the
-    // pre-r11 shape re-joined the N-row deg table every round, which at
-    // test scale hides behind a broadcast (measured wall-clock neutral
-    // in an interleaved same-JVM A/B at sf0.1 — medians 4.4 s both) but
-    // at cluster scale re-ships an N-row relation per round for no
-    // reason. A repartition(src)+persist() variant that also skips the
-    // per-round e-side exchange was measured SLOWER here — the
-    // InMemoryRelation does keep its HashPartitioning visible to
-    // EnsureRequirements (a checkpoint's LogicalRDD reports
-    // UnknownPartitioning under AQE), but the columnar cache fill costs
-    // more than the avoided exchanges return at this scale. On a real
-    // cluster store the edge table BUCKETED by src instead: the scan
-    // carries the partitioning natively and the superstep join is
-    // exchange-free on the edge side.
-    val e = materialized(e0.join(
+    materialized(e0.join(
       e0.groupBy(col("src")).agg(sum(col("w")).as("outw")), "src"))
+  }
+
+  /** [[ranks]] over a [[prepare]]d relation (weights were folded at
+    * prepare time, so this is also the weighted entry point). */
+  def ranksPrepared(prepared: DataFrame, iters: Int,
+      scale: Long = DefaultScale): DataFrame =
+    propagatePrepared(prepared, iters, scale, None)
+
+  /** [[personalizedRanks]] over a [[prepare]]d relation. */
+  def personalizedRanksPrepared(prepared: DataFrame, iters: Int,
+      isSeed: Column => Column, scale: Long = DefaultScale): DataFrame =
+    propagatePrepared(prepared, iters, scale, Some(isSeed))
+
+  private def propagate(edges: DataFrame, src: String, dst: String,
+      iters: Int, scale: Long, seed: Option[Column => Column],
+      wCol: Option[String]): DataFrame =
+    propagatePrepared(prepare(edges, src, dst, wCol), iters, scale, seed)
+
+  private def propagatePrepared(e: DataFrame, iters: Int, scale: Long,
+      seed: Option[Column => Column]): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
     val nodes = e.select(col("src")).distinct()
     // the restart-set size is a driver-side scalar (one count job) — it
     // parameterizes the literal base term exactly as the SQL oracle's
@@ -191,21 +219,91 @@ object PageRank {
   */
 object ConnectedComponents {
 
-  /** `(node, component)` for every endpoint in `edges`, by the
-    * distributed min-label fixpoint. Self-loops are dropped; direction
-    * is ignored (the edge list is symmetrized).
+  /** HYBRID gate, the [[Dedup.nearDupClusters]] shape generalized to
+    * any id type: below this many DISTINCT edges the components come
+    * from a single driver union-find pass — exact, deterministic, free
+    * of per-round job latency (a fixpoint that costs 5 driver-
+    * synchronized rounds of shuffles to label a 150k-edge graph is
+    * protocol overhead, not distribution). Above it (web-scale graphs,
+    * where the edge list cannot sit on one driver) the distributed
+    * fixpoints below take over unchanged. 1M edges ≈ tens of MB
+    * collected — the same bound the near-dup clustering gate uses.
     */
-  def components(edges: DataFrame, src: String, dst: String): DataFrame =
-    Dedup.minLabelClusters(
-      PageRank.undirect(edges.filter(col(src) =!= col(dst)), src, dst))._1
-      .select(col("id").as("node"), col("cluster_id").as("component"))
+  val DefaultDriverMaxEdges = 1000000L
+
+  /** `(node, component)` for every endpoint in `edges`, by the
+    * distributed min-label fixpoint (driver union-find below the
+    * hybrid gate). Self-loops are dropped; direction is ignored (the
+    * edge list is symmetrized).
+    */
+  def components(edges: DataFrame, src: String, dst: String,
+      driverMaxEdges: Long = DefaultDriverMaxEdges): DataFrame = {
+    val clean = edges.filter(col(src) =!= col(dst))
+    driverComponents(clean, src, dst, driverMaxEdges).getOrElse(
+      Dedup.minLabelClusters(PageRank.undirect(clean, src, dst))._1
+        .select(col("id").as("node"), col("cluster_id").as("component")))
+  }
 
   /** Same contract as [[components]] via large-star/small-star
-    * contraction — identical output, log-of-size rounds.
+    * contraction — identical output, log-of-size rounds (same hybrid
+    * gate below `driverMaxEdges`).
     */
-  def componentsStar(edges: DataFrame, src: String, dst: String): DataFrame =
-    Dedup.starClusters(
-      edges.filter(col(src) =!= col(dst))
-        .select(col(src).as("src"), col(dst).as("dst")).distinct())._1
-      .select(col("id").as("node"), col("cluster_id").as("component"))
+  def componentsStar(edges: DataFrame, src: String, dst: String,
+      driverMaxEdges: Long = DefaultDriverMaxEdges): DataFrame = {
+    val clean = edges.filter(col(src) =!= col(dst))
+    driverComponents(clean, src, dst, driverMaxEdges).getOrElse(
+      Dedup.starClusters(
+        clean.select(col(src).as("src"), col(dst).as("dst")).distinct())._1
+        .select(col("id").as("node"), col("cluster_id").as("component")))
+  }
+
+  /** The gate's driver path: None when the id type is unsupported or
+    * the distinct edge list exceeds the gate (callers fall through to
+    * the distributed fixpoint). Labels match the fixpoints exactly:
+    * component = min id under the column's natural ordering — for
+    * strings that is Spark's BINARY (UTF-8 byte) ordering, not UTF-16
+    * `compareTo` (they disagree on supplementary characters).
+    */
+  private def driverComponents(clean: DataFrame, src: String, dst: String,
+      driverMaxEdges: Long): Option[DataFrame] = {
+    import org.apache.spark.sql.types._
+    val dt = clean.schema(src).dataType
+    require(clean.schema(dst).dataType == dt,
+      s"src/dst id types differ: $dt vs ${clean.schema(dst).dataType}")
+    val ord: Ordering[Any] = dt match {
+      case LongType    => Ordering.by(_.asInstanceOf[Long])
+      case IntegerType => Ordering.by(_.asInstanceOf[Int])
+      case StringType  => new Ordering[Any] {
+        def compare(a: Any, b: Any): Int = java.util.Arrays.compareUnsigned(
+          a.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          b.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      case _ => return None
+    }
+    val e = Dedup.iterCheckpoint(
+      clean.select(col(src).as("src"), col(dst).as("dst")).distinct())
+    if (e.count() > driverMaxEdges) return None
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    e.collect().foreach { row =>
+      val (a, b) = (row.get(0), row.get(1))
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { // union by min keeps every root its component's min
+        if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val rows = parent.keysIterator
+      .map(id => org.apache.spark.sql.Row(id, find(id))).toSeq
+    val spark = clean.sparkSession
+    Some(spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("node", dt), StructField("component", dt)))))
+  }
 }

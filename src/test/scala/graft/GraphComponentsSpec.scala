@@ -45,6 +45,24 @@ class GraphComponentsSpec extends AnyFunSuite with SparkTestBase {
     results.tail.foreach(r => assert(r === results.head))
   }
 
+  test("hybrid gate: driver union-find equals the distributed fixpoints exactly") {
+    // driverMaxEdges = 0 forces the distributed path; the default takes
+    // the union-find path on these small graphs — labels must agree
+    // row-for-row for long AND (non-ASCII) string ids
+    val longEdges = (0 until 90)
+      .map(i => ((i * 7919 % 60).toLong, (i * 104729 % 60).toLong))
+      .toDF("src", "dst")
+    val strEdges = Seq(("o5", "c10"), ("o7", "c10"), ("zz", "aa"),
+      ("éx", "az"), ("az", "aé")).toDF("src", "dst")
+    for (edges <- Seq(longEdges, strEdges)) {
+      def m(df: DataFrame) = df.collect().map(r => r.get(0) -> r.get(1)).toMap
+      assert(m(ConnectedComponents.components(edges, "src", "dst")) ===
+        m(ConnectedComponents.components(edges, "src", "dst", driverMaxEdges = 0)))
+      assert(m(ConnectedComponents.componentsStar(edges, "src", "dst")) ===
+        m(ConnectedComponents.componentsStar(edges, "src", "dst", driverMaxEdges = 0)))
+    }
+  }
+
   test("path graph: star contraction needs far fewer rounds than diameter") {
     // a 48-node path — diameter 47
     val path = (0L until 47L).map(i => (i, i + 1)).toDF("src", "dst")
