@@ -2433,6 +2433,45 @@ object SparkEntry {
           col("m.bits_per_sample").as("bits_per_sample"))
     }),
 
+    // M8: MP4/ISO-BMFF box walk — payloads carry a genuine box tree
+    // (ftyp + a free box + moov{mvhd, trak*}; mvhd version 0 or 1 by
+    // doc parity, so both layouts are exercised) and functions.Mp4Meta
+    // walks brand/timescale/duration/track-count back out of the bytes.
+    // The oracle pins the expected metadata from the construction
+    // formulas, so a walker that misreads sizes, versions, or child
+    // scoping hash-mismatches. duration_ms = durSec * 1000 exactly
+    // (duration units = durSec * timescale by construction).
+    "media_mp4_meta" -> ((s, dir) => {
+      val ts = (col("doc_id") % 5 + 1) * 600
+      val durSec = col("doc_id") % 97 + 10
+      val dur = durSec * ts
+      val nTrak = (col("doc_id") % 3 + 1).cast("int")
+      def beHex(c: org.apache.spark.sql.Column, bytes: Int) =
+        lpad(hex(c.cast("long")), bytes * 2, "0")
+      val mvhd = when(col("doc_id") % 2 === 0,
+        concat(lit("0000001C" + "6D766864" + "00000000" +
+          "00000000" + "00000000"), beHex(ts, 4), beHex(dur, 4)))
+        .otherwise(concat(lit("00000028" + "6D766864" + "01000000" +
+          "0" * 32), beHex(ts, 4), beHex(dur, 8)))
+      val mvhdLen = when(col("doc_id") % 2 === 0, 28).otherwise(40)
+      val moov = concat(beHex(lit(8) + mvhdLen + nTrak * 8, 4),
+        lit("6D6F6F76"), mvhd, expr("repeat('000000087472616B', " +
+          "CAST(doc_id % 3 + 1 AS INT))"))
+      val payload = unhex(concat(
+        lit("00000010" + "66747970" + "69736F6D" + "00000200"), // ftyp isom
+        lit("00000008" + "66726565"), // a free box the walk must skip
+        moov))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.Mp4MetaFunctions.mp4Meta(payload).as("m"))
+        .select(col("doc_id"), col("m.major_brand").as("mp4_brand"),
+          col("m.timescale").as("mp4_timescale"),
+          col("m.duration").as("mp4_duration"),
+          col("m.n_tracks").as("mp4_tracks"),
+          floor(col("m.duration") * 1000 / col("m.timescale"))
+            .cast("long").as("duration_ms"))
+    }),
+
     // M6: perceptual fingerprints — dHash-64 + aHash-64 over the 9x8
     // byte-strided "thumbnail" (byte==pixel is the codec seam; the
     // gradient/mean bit packs are the real algorithms). The oracle
@@ -4700,6 +4739,17 @@ object SparkEntry {
         |(doc_id % 2 + 1)::INT AS channels,
         |((doc_id % 5 + 1) * 8000)::INT AS sample_rate,
         |((doc_id % 3 + 1) * 8)::INT AS bits_per_sample
+        |FROM documents""".stripMargin,
+
+    // Expected MP4 metadata from the construction formulas; Spark must
+    // walk the box tree (past the free box, into moov's children, both
+    // mvhd versions) to match.
+    "media_mp4_meta" ->
+      """SELECT doc_id, 'isom' AS mp4_brand,
+        |((doc_id % 5 + 1) * 600)::INT AS mp4_timescale,
+        |((doc_id % 97 + 10) * (doc_id % 5 + 1) * 600)::BIGINT AS mp4_duration,
+        |(doc_id % 3 + 1)::INT AS mp4_tracks,
+        |((doc_id % 97 + 10) * 1000)::BIGINT AS duration_ms
         |FROM documents""".stripMargin,
 
     // Construction-formula replay of the 9x8 strided thumbnail + dHash

@@ -146,7 +146,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     val sf = "/root/testdata/sf0.001"
     val mediaQueries = Seq("media_metadata", "media_frames",
       "media_image_dims", "media_wav_meta", "media_resize_stride",
-      "media_phash")
+      "media_phash", "media_mp4_meta")
     val offenders = mediaQueries.filter { name =>
       SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString.contains("Exchange")
