@@ -451,6 +451,24 @@ object SparkEntry {
   private def sharedKey(s: SparkSession, dir: String, kind: String) =
     s"$kind|${System.identityHashCode(s)}|$dir"
 
+  /** The image near-dup test corpus: documents plus a planted
+    * "re-encode" of every 20th (one sampled byte changed — flips at
+    * most two dHash gradient bits, so each planted copy pairs with its
+    * source at hamming <= 2). Shared by media_neardup_pairs/_kept.
+    */
+  private def mediaNearDupDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val len = length(col("text"))
+    val idx0 = floor(len * 40 / 72).cast("int") // 0-based, == sample k=40
+    val planted = docs
+      .filter(col("doc_id") % 20 === 0 && len >= 72)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(col("text").substr(lit(1), idx0),
+          chr(lit(65) + pmod(col("doc_id"), lit(26))),
+          col("text").substr(idx0 + lit(2), len)).as("text"))
+    docs.unionByName(planted)
+  }
+
   /** One (a = supplier node, b = customer node) row per lineitem. */
   private def copurchaseBase(s: SparkSession, dir: String): DataFrame =
     graphShared.getOrElseUpdate(sharedKey(s, dir, "base"),
@@ -545,6 +563,35 @@ object SparkEntry {
     }
     sb.toString
   }
+
+  /** Planted-union media corpus → per-doc dHash CTE chain (mirrors
+    * [[mediaNearDupDocs]] + the PerceptualHash construction), ending in
+    * `h(doc_id, hd)`. Shared by the media near-dup pair and kept-set
+    * oracles.
+    */
+  private val phashCorpusSql: String =
+    """planted AS (SELECT doc_id + 10000000 AS doc_id,
+      |  substr(text, 1, ((40 * length(text)::BIGINT) // 72)::INT) ||
+      |  chr((65 + doc_id % 26)::INT) ||
+      |  substr(text, (((40 * length(text)::BIGINT) // 72) + 2)::INT,
+      |         length(text)::INT) AS text
+      |  FROM documents WHERE doc_id % 20 = 0 AND length(text) >= 72),
+      |corpus AS (SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id, text FROM planted),
+      |m AS (SELECT doc_id, text, length(text)::BIGINT AS len FROM corpus
+      |  WHERE length(text) >= 72),
+      |px AS (SELECT doc_id, u.k AS k,
+      |  ord(substr(text, (((u.k * len) // 72) + 1)::INT, 1))::BIGINT AS v
+      |  FROM m, unnest(range(0, 72)) AS u(k)),
+      |db AS (SELECT a.doc_id AS doc_id,
+      |  sum(CASE WHEN b.v > a.v
+      |    THEN (1::HUGEINT << ((a.k // 9) * 8 + (a.k % 9))::INT)
+      |    ELSE 0::HUGEINT END) AS s
+      |  FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.k = a.k + 1
+      |  WHERE a.k % 9 < 8 GROUP BY a.doc_id),
+      |h AS (SELECT doc_id, CASE WHEN s > 9223372036854775807
+      |  THEN (s - 18446744073709551616::HUGEINT)::BIGINT
+      |  ELSE s::BIGINT END AS hd FROM db)""".stripMargin
 
   /** Grouped per-subspace k-means replay for the TRAINED PQ codebook
     * (mirrors [[graft.operators.SimilaritySearch.pqTrainedCodebook]]):
@@ -2487,20 +2534,41 @@ object SparkEntry {
     // gradient bits), and the hamming <= 3 pairs are mined by the
     // 16-bit-block pigeonhole equi-join (never all-pairs; only
     // (id, hash) rides the shuffle, never payloads).
-    "media_neardup_pairs" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).select("doc_id", "text")
-      val len = length(col("text"))
-      val idx0 = floor(len * 40 / 72).cast("int") // 0-based, == sample k=40
-      val planted = docs
-        .filter(col("doc_id") % 20 === 0 && len >= 72)
-        .select((col("doc_id") + 10000000L).as("doc_id"),
-          concat(col("text").substr(lit(1), idx0),
-            chr(lit(65) + pmod(col("doc_id"), lit(26))),
-            col("text").substr(idx0 + lit(2), len)).as("text"))
+    "media_neardup_pairs" -> ((s, dir) =>
       MediaColumns.nearDupPairs(
-          MediaColumns.mediaFromDocuments(docs.unionByName(planted)),
+          MediaColumns.mediaFromDocuments(mediaNearDupDocs(s, dir)),
           maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long"))),
+
+    // M7c: image near-dup AT INGEST TIME — the planted re-encodes
+    // arrive as a BATCH against the existing corpus's hash store:
+    // batch fingerprints equi-join the persisted hashes by the same
+    // 16-bit-block pigeonhole; cost O(batch + collisions), never a
+    // corpus re-hash. Oracle = the full-rerun pairs restricted to those
+    // involving the batch (exact by per-doc-local hashing).
+    "media_phash_incremental" -> ((s, dir) => {
+      val all = mediaNearDupDocs(s, dir)
+      graft.operators.IncrementalPhash.incrementalPhashPairs(
+          graft.operators.IncrementalPhash.phashes(
+            MediaColumns.mediaFromDocuments(
+              all.filter(col("doc_id") >= 10000000L))),
+          graft.operators.IncrementalPhash.phashes(
+            MediaColumns.mediaFromDocuments(
+              all.filter(col("doc_id") < 10000000L))))
         .select(col("id_a"), col("id_b"), col("hamming").cast("long"))
+    }),
+
+    // M7b: the consumable end of image near-dup — pairs → connected
+    // components → one representative per cluster (the dedup_corpus_kept
+    // pattern over perceptual-hash pairs): the media corpus a curation
+    // pipeline actually ships.
+    "media_neardup_kept" -> ((s, dir) => {
+      val corpus = mediaNearDupDocs(s, dir)
+      val pairs = MediaColumns.nearDupPairs(
+        MediaColumns.mediaFromDocuments(corpus), maxHamming = 3)
+      Dedup.dropNearDups(corpus,
+          Dedup.nearDupClusters(pairs.select("id_a", "id_b")))
+        .select("doc_id")
     }),
 
     // O3: multi-key sort (notebook cell 13). Sort itself is not hashable
@@ -4793,32 +4861,39 @@ object SparkEntry {
     // bit_count(xor) <= 3 — the oracle may brute-force what the Spark
     // side must mine with the pigeonhole equi-join.
     "media_neardup_pairs" ->
-      """WITH planted AS (SELECT doc_id + 10000000 AS doc_id,
-        |  substr(text, 1, ((40 * length(text)::BIGINT) // 72)::INT)
-        |    || chr((65 + doc_id % 26)::INT)
-        |    || substr(text, (((40 * length(text)::BIGINT) // 72) + 2)::INT,
-        |         length(text)::INT) AS text
-        |  FROM documents WHERE doc_id % 20 = 0 AND length(text) >= 72),
-        |corpus AS (SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT doc_id, text FROM planted),
-        |m AS (SELECT doc_id, text, length(text)::BIGINT AS len FROM corpus
-        |  WHERE length(text) >= 72),
-        |px AS (SELECT doc_id, u.k AS k,
-        |  ord(substr(text, (((u.k * len) // 72) + 1)::INT, 1))::BIGINT AS v
-        |  FROM m, unnest(range(0, 72)) AS u(k)),
-        |db AS (SELECT a.doc_id AS doc_id,
-        |  sum(CASE WHEN b.v > a.v
-        |    THEN (1::HUGEINT << ((a.k // 9) * 8 + (a.k % 9))::INT)
-        |    ELSE 0::HUGEINT END) AS s
-        |  FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.k = a.k + 1
-        |  WHERE a.k % 9 < 8 GROUP BY a.doc_id),
-        |h AS (SELECT doc_id, CASE WHEN s > 9223372036854775807
-        |  THEN (s - 18446744073709551616::HUGEINT)::BIGINT
-        |  ELSE s::BIGINT END AS hd FROM db)
+      s"""WITH $phashCorpusSql
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  bit_count(xor(a.hd, b.hd))::BIGINT AS hamming
         |FROM h a JOIN h b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.hd, b.hd)) <= 3""".stripMargin,
+
+    // Incremental = the same all-pairs replay restricted to pairs
+    // involving a batch (planted) id.
+    "media_phash_incremental" ->
+      s"""WITH $phashCorpusSql
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  bit_count(xor(a.hd, b.hd))::BIGINT AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.hd, b.hd)) <= 3
+        |AND (a.doc_id >= 10000000 OR b.doc_id >= 10000000)""".stripMargin,
+
+    // The consumable: hamming <= 3 pairs -> reach closure -> keep each
+    // component's min id (the dedup_corpus_kept oracle shape over
+    // perceptual hashes).
+    "media_neardup_kept" ->
+      s"""WITH RECURSIVE $phashCorpusSql,
+        |jp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.hd, b.hd)) <= 3),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM jp
+        |  UNION ALL SELECT id_b, id_a FROM jp),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+        |clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT doc_id FROM corpus
+        |WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster_id)""".stripMargin,
 
     "multi_key_sort" ->
       """SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice
