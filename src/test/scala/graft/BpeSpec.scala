@@ -183,6 +183,52 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     assert(got(1L) === Vector("c d", "a b", "x"))
   }
 
+  private def encodeStreamsBatched(texts: Seq[String],
+      merges: Seq[(Long, String, String, Long)]): Map[Long, Vector[String]] =
+    TextAnalysis.bpeEncodeBatched(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+      merges.toDF("step", "left_tok", "right_tok", "n"))
+      .as[(Long, Int, String)].collect()
+      .groupBy(_._1)
+      .map { case (id, rows) => id -> rows.sortBy(_._2).map(_._3).toVector }
+
+  test("bpeEncodeBatched equals the sequential encode on real corpus text") {
+    import org.apache.spark.sql.functions.{col, length}
+    val texts = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(length(col("text")) > 0)
+      .select("text").as[String].collect().toSeq
+    val merges = seqBpe(texts, 8)
+    val got = encodeStreamsBatched(texts, merges)
+    val want = seqEncode(texts, merges.map(m => (m._2, m._3)))
+    texts.indices.foreach { i =>
+      assert(got(i.toLong) === want(i), s"doc $i stream diverged")
+    }
+  }
+
+  test("bpeEncodeBatched splits groups at chained merges (output feeds a later pattern)") {
+    // merge 2 consumes merge 1's OUTPUT; merge 3 reuses merge 1's left
+    // token; both force group boundaries — fusing them would miss the
+    // newly created instances / make the pass ambiguous
+    val chained = Seq((1L, "a", "b", 0L), (2L, "a b", "c", 0L),
+      (3L, "a", "x", 0L), (4L, "y", "z", 0L))
+    val texts = Seq("a b c a x y z", "a b c c", "a x a b", "y z a b c")
+    val got = encodeStreamsBatched(texts, chained)
+    val want = seqEncode(texts, chained.map(m => (m._2, m._3)))
+    texts.indices.foreach { i =>
+      assert(got(i.toLong) === want(i), s"chained doc $i stream diverged")
+    }
+    // the chain really exercises the split: "a b c" must become one token
+    assert(got(1L) === Vector("a b c", "c"))
+  }
+
+  test("bpeEncodeBatched equals bpeEncode under a trained table with self-pairs") {
+    val texts = Seq("a a a a b", "a a b a a", "b b b b b b", "a b a b")
+    val merges = seqBpe(texts, 4) // includes self-pair merges (a,a)/(b,b)
+    val batched = encodeStreamsBatched(texts, merges)
+    val sequential = encodeStreams(texts, merges)
+    assert(batched === sequential)
+  }
+
   test("guards: non-positive steps rejected; pairless corpus yields no merges") {
     intercept[IllegalArgumentException] {
       TextAnalysis.bpeMergeSequence(Seq((1L, "x")).toDF("doc_id", "text"), 0)
