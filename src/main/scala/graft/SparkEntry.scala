@@ -2484,6 +2484,29 @@ object SparkEntry {
           col("m.bits_per_sample").as("bits_per_sample"))
     }),
 
+    // T0: HTML → text extraction (the C4/WET curation front door) —
+    // every doc's text is wrapped in deterministic markup (style +
+    // script blocks with code-ish content, a comment, entity-escaped
+    // body, raw entities in the tail) and htmlToText must recover the
+    // rendered text: blocks dropped wholesale, tags stripped, entities
+    // decoded (&amp; last), whitespace collapsed. The oracle replays
+    // the identical RE2-safe chain.
+    "doc_html_extract" -> ((s, dir) => {
+      val esc = Seq("&" -> "&amp;", "<" -> "&lt;", ">" -> "&gt;")
+        .foldLeft(col("text")) { case (c, (f, t)) =>
+          replace(c, lit(f), lit(t)) }
+      val html = concat(
+        lit("<html><head><style>p { color: #c00; }</style>" +
+          "<script type=\"text/javascript\">if (x < 2 && y > 1) { alert(\"hi\"); }" +
+          "</script></head><body><h1>Doc "),
+        col("doc_id"),
+        lit("</h1><!-- crawl artifact --><p>"),
+        esc,
+        lit(" &amp; more &lt;raw&gt;&nbsp;tail</p></body></html>"))
+      Tables.documents(s, dir).select(col("doc_id"),
+        graft.functions.TextAnalysis.htmlToText(html).as("extracted"))
+    }),
+
     // M8: MP4/ISO-BMFF box walk — payloads carry a genuine box tree
     // (ftyp + a free box + moov{mvhd, trak*}; mvhd version 0 or 1 by
     // doc parity, so both layouts are exercised) and functions.Mp4Meta
@@ -4812,6 +4835,34 @@ object SparkEntry {
         |((doc_id % 5 + 1) * 8000)::INT AS sample_rate,
         |((doc_id % 3 + 1) * 8)::INT AS bits_per_sample
         |FROM documents""".stripMargin,
+
+    // Identical RE2-safe extraction chain replayed over the same
+    // constructed markup (script/style wholesale, comments, tag strip,
+    // entity decode with &amp; last, explicit whitespace class).
+    "doc_html_extract" ->
+      """WITH hsrc AS (SELECT doc_id,
+        |  '<html><head><style>p { color: #c00; }</style>' ||
+        |  '<script type="text/javascript">if (x < 2 && y > 1) { alert("hi"); }' ||
+        |  '</script></head><body><h1>Doc ' || doc_id ||
+        |  '</h1><!-- crawl artifact --><p>' ||
+        |  replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') ||
+        |  ' &amp; more &lt;raw&gt;&nbsp;tail</p></body></html>' AS html
+        |  FROM documents),
+        |s1 AS (SELECT doc_id,
+        |  regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t
+        |  FROM hsrc),
+        |s2 AS (SELECT doc_id,
+        |  regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id,
+        |  regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM s3),
+        |d AS (SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(replace(t,
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |    '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t FROM s4)
+        |SELECT doc_id,
+        |trim(regexp_replace(t, '[ \t\n\r\f]+', ' ', 'g')) AS extracted
+        |FROM d""".stripMargin,
 
     // Expected MP4 metadata from the construction formulas; Spark must
     // walk the box tree (past the free box, into moov's children, both

@@ -35,6 +35,39 @@ object TextAnalysis {
     when(length(trim(text)) === 0, lit(0))
       .otherwise(size(split(trim(text), "\\s+")))
 
+  /** HTML → text extraction, the C4/WET-lineage curation front door:
+    * web-crawl corpora arrive as markup, and every downstream signal
+    * (quality, lang-ID, dedup shingles) wants the rendered text. One
+    * fused map-only expression chain, deterministic and engine-portable
+    * (every regex is RE2-safe — no backreferences, no lookarounds — so
+    * a DuckDB oracle replays it):
+    *
+    *  1. drop `<script>`/`<style>` blocks wholesale (their CONTENT is
+    *     code, not text — tag-stripping alone would leak it);
+    *  2. drop `<!-- comments -->`;
+    *  3. strip remaining tags (`<[^>]+>` — the standard heuristic; an
+    *     attribute value containing a literal `>` truncates that tag
+    *     early, the documented trade every regex-based extractor makes);
+    *  4. decode the common entities, `&amp;` LAST so `&amp;lt;`
+    *     correctly yields the literal text `&lt;` rather than `<`;
+    *  5. collapse whitespace runs (explicit `[ \t\n\r\f]` class — Java
+    *     and RE2 disagree on `\s`'s vertical-tab membership) and trim.
+    */
+  def htmlToText(html: Column): Column = {
+    val noScript =
+      regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle =
+      regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ",
+      "&amp;" -> "&"
+    ).foldLeft(noTags) { case (c, (e, v)) => replace(c, lit(e), lit(v)) }
+    trim(regexp_replace(decoded, "[ \t\n\r\f]+", " "))
+  }
+
   /** The fused per-doc counters (ONE native pass — see
     * [[TextStatsKernel]]); the regexp formulation below is the spec twin.
     */

@@ -206,6 +206,28 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("htmlToText: blocks dropped, tags stripped, entities decoded, ws collapsed") {
+    import spark.implicits._
+    val cases = Seq(
+      // script/style content must vanish WHOLESALE, not leak as text
+      ("<p>keep</p><script>var x = 1 < 2 && true;</script><p>this</p>",
+        "keep this"),
+      ("<style type=\"text/css\">body { color: red }</style>ok", "ok"),
+      ("before<!-- a\nmultiline\ncomment -->after", "before after"),
+      // entity decode order: &amp;lt; is the literal text "&lt;", not "<"
+      ("AT&amp;T says &amp;lt; is &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end",
+        "AT&T says &lt; is <tag> \"q\" 's'\u00A0end".replace('\u00A0', ' ')),
+      // attributes, self-closing tags, uppercase tags
+      ("<A HREF=\"x?a=1&amp;b=2\">link</A><br/>next", "link next"),
+      ("   lots \t of \n whitespace   ", "lots of whitespace"),
+      ("no markup at all", "no markup at all"))
+    val got = cases.map(_._1).zipWithIndex.map { case (h, i) => (i, h) }
+      .toDF("i", "html")
+      .select(col("i"), TextAnalysis.htmlToText(col("html")).as("t"))
+      .as[(Int, String)].collect().sortBy(_._1).map(_._2).toSeq
+    assert(got == cases.map(_._2))
+  }
+
   test("hash60 is stable and within 60 bits") {
     val df = Seq("abc").toDF("s")
       .select(TextHash.hash60(col("s")).as("h"))
