@@ -2048,6 +2048,22 @@ object SparkEntry {
         .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
     }),
 
+    // Q7: MERGEABLE quantile sketch (HdrHistogram/DDSketch layout in
+    // pure integer arithmetic — octave by binary-string length, 16
+    // linear sub-buckets, exact integer rank ceil): p50/p90/p99 of
+    // non-negative event values per type, answered from a summary that
+    // folds across batches with EXACT equality (ProfileSpec). The
+    // oracle replays every integer op.
+    "value_hdr_quantiles" -> ((s, dir) => {
+      val P = graft.operators.Profile
+      P.hdrQuantiles(
+          P.hdrBins(Tables.events(s, dir)
+            .filter(col("value").isNotNull && !isnan(col("value"))),
+            "event_type", "value"),
+          Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L)))
+        .select(col("g").as("event_type"), col("q"), col("est"))
+    }),
+
     // Q6: equi-DEPTH histogram — 10 near-equal-count bins per event
     // type (quantile feature bucketing; the skew-proof complement of
     // the equal-width value_histogram). ntile ties broken by event_id.
@@ -4429,6 +4445,32 @@ object SparkEntry {
     "bpe_encode_tokens" ->
       s"""WITH ${bpeMergeSql(3)}
          |SELECT id AS doc_id, pos::BIGINT AS pos, tok AS token FROM t3""".stripMargin,
+
+    // Integer-exact replay of the HDR binning + rank arithmetic
+    // (explicit floor before ::BIGINT — DuckDB's cast rounds).
+    "value_hdr_quantiles" ->
+      """WITH clean AS (SELECT event_type,
+        |  floor(value)::BIGINT + 1 AS w FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(value) AND value >= 0),
+        |binned AS (SELECT event_type,
+        |  (length(bin(w)) - 1) * 16 +
+        |  ((w - (1::BIGINT << (length(bin(w)) - 1))) * 16)
+        |    // (1::BIGINT << (length(bin(w)) - 1)) AS bin_id
+        |  FROM clean),
+        |bins AS (SELECT event_type, bin_id, count(*) AS n
+        |  FROM binned GROUP BY 1, 2),
+        |cum AS (SELECT event_type, bin_id, n,
+        |  sum(n) OVER (PARTITION BY event_type ORDER BY bin_id) AS cum,
+        |  sum(n) OVER (PARTITION BY event_type) AS ntot,
+        |  (1::BIGINT << (bin_id // 16)) +
+        |    ((bin_id % 16) * (1::BIGINT << (bin_id // 16))) // 16 - 1 AS lb
+        |  FROM bins),
+        |qs AS (SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10),
+        |  ('p99', 99, 100)) t(q, num, den))
+        |SELECT cum.event_type, qs.q, min(cum.lb)::BIGINT AS est
+        |FROM cum, qs
+        |WHERE cum.cum >= (cum.ntot * qs.num + qs.den - 1) // qs.den
+        |GROUP BY 1, 2""".stripMargin,
 
     "value_equidepth_bins" ->
       """WITH base AS (SELECT event_type, event_id, value FROM events

@@ -250,4 +250,68 @@ object Profile {
       .select(col("grp"), col("p.col_x").as("col_x"),
         col("p.col_y").as("col_y"), col("p.corr_t").as("corr_t"))
   }
+
+  /** MERGEABLE quantile summary in the HdrHistogram/DDSketch layout,
+    * kept in PURE INTEGER arithmetic so two engines (and two batches)
+    * can never disagree by a ulp: non-negative values bucket by
+    * (octave e = floor(log2(v+1)) — computed as the binary-string
+    * length, an integer op, never a float log — and 16 linear
+    * sub-buckets within the octave), giving `(g, bin_id, n)` rows with
+    * a guaranteed <= 1/16 relative error per bucket. Counts merge by
+    * SUM — fold(batch summaries) EQUALS the one-shot summary exactly
+    * (not approximately: the bucketing is per-value-local), which is
+    * what exact quantiles can never do and why warehouses ship sketches
+    * for this. The summary is |octaves|*16 rows per group (~1000 for
+    * the full long range) — store it per day/batch, merge on read,
+    * answer any quantile later.
+    *
+    * Doubles are floored into the integer domain first (explicitly —
+    * DuckDB's `::BIGINT` rounds while Spark's cast truncates, so the
+    * floor is pinned in both engines); negative and null values are
+    * excluded by contract (shift by the known minimum for signed data).
+    */
+  def hdrBins(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    df.filter(col(valueCol).isNotNull && col(valueCol) >= 0)
+      .select(col(groupCol).as("g"),
+        (floor(col(valueCol)).cast("long") + 1L).as("w")) // w >= 1
+      .withColumn("e", (length(bin(col("w"))) - 1).cast("int"))
+      .withColumn("p", expr("shiftleft(CAST(1 AS BIGINT), e)"))
+      .withColumn("bin_id",
+        col("e") * 16 + expr("((w - p) * 16) div p").cast("int"))
+      .groupBy("g", "bin_id").agg(count(lit(1)).as("n"))
+
+  /** Fold two summaries — the whole point: counts sum, nothing else. */
+  def hdrMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("g", "bin_id").agg(sum("n").as("n"))
+
+  /** Quantile estimates from a summary: for each (label, num/den)
+    * quantile the LOWER BOUND of the first bucket whose cumulative
+    * count reaches rank `ceil(q*N)` — the bucket holding the true
+    * rank-r value, so `est <= v_r <= est + (est+1)/16 + 2` (the bucket
+    * width). Rank arithmetic is exact integer (q as a fraction, ceil
+    * via `(N*num + den - 1) div den`); the running sum is a window over
+    * the BINS relation (|octaves|*16 rows per group), partitioned by
+    * group — never over the data.
+    */
+  def hdrQuantiles(bins: DataFrame,
+      qs: Seq[(String, Long, Long)]): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (_, n, d) => n > 0 && n <= d },
+      "quantiles must be fractions in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("g").orderBy("bin_id")
+    val cum = bins
+      .withColumn("cum", sum(col("n")).over(w))
+      .withColumn("ntot",
+        sum(col("n")).over(Window.partitionBy("g")))
+      .withColumn("lb", expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(bin_id div 16 AS INT))" +
+          " + (((bin_id % 16) * shiftleft(CAST(1 AS BIGINT)," +
+          " CAST(bin_id div 16 AS INT))) div 16) - 1"))
+      .localCheckpoint(false) // |bins| rows, read once per quantile
+    qs.map { case (label, num, den) =>
+      cum.filter(col("cum") >= expr(s"(ntot * $num + ${den - 1}) div $den"))
+        .groupBy("g").agg(min(col("lb")).as("est"))
+        .select(col("g"), lit(label).as("q"), col("est"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -170,4 +170,50 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(psi - expected) < 1e-9)
     assert(psi > 1.0 && !psi.isInfinite)
   }
+
+  test("hdrBins/hdrQuantiles: batch folds are EXACT and estimates bound the truth") {
+    val rnd = new scala.util.Random(13)
+    val vals = (0 until 3000).map(_ => (rnd.nextInt(3) match {
+      case 0 => rnd.nextInt(50).toDouble
+      case 1 => 1000.0 + rnd.nextInt(100000)
+      case _ => math.abs(rnd.nextGaussian()) * 1e6
+    }))
+    val df = vals.zipWithIndex.map { case (v, i) => (s"g${i % 2}", v) }
+      .toDF("grp", "v")
+    // fold of 3 batch summaries == the one-shot summary EXACTLY
+    val oneShot = Profile.hdrBins(df, "grp", "v")
+    val folded = (0 until 3).map(i =>
+        Profile.hdrBins(df.filter(expr(s"abs(hash(v)) % 3 = $i")), "grp", "v"))
+      .reduce(Profile.hdrMerge)
+    def bm(b: org.apache.spark.sql.DataFrame) =
+      b.as[(String, Int, Long)].collect().toSet
+    assert(bm(folded) == bm(oneShot))
+    // every estimate lower-bounds the true rank value within bucket width
+    val qs = Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L))
+    val est = Profile.hdrQuantiles(oneShot, qs)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val byGrp = vals.zipWithIndex.groupBy { case (_, i) => s"g${i % 2}" }
+      .view.mapValues(_.map(v => math.floor(v._1).toLong).sorted).toMap
+    for ((g, sorted) <- byGrp; (label, num, den) <- qs) {
+      val n = sorted.length.toLong
+      val r = ((n * num + den - 1) / den).toInt // ceil(q*N), 1-based
+      val truth = sorted(r - 1)
+      val e = est((g, label))
+      assert(e <= truth, s"$g/$label: est $e above truth $truth")
+      assert(truth <= e + (e + 1) / 16 + 2,
+        s"$g/$label: truth $truth beyond bucket width of est $e")
+    }
+  }
+
+  test("hdrQuantiles: guards and degenerate inputs") {
+    val one = Seq(("g", 0.0)).toDF("grp", "v")
+    val est = Profile.hdrQuantiles(Profile.hdrBins(one, "grp", "v"),
+      Seq(("p50", 1L, 2L))).as[(String, String, Long)].collect()
+    assert(est.toSeq == Seq(("g", "p50", 0L))) // single zero value -> 0
+    intercept[IllegalArgumentException] {
+      Profile.hdrQuantiles(Profile.hdrBins(one, "grp", "v"),
+        Seq(("bad", 3L, 2L)))
+    }
+  }
 }
