@@ -593,6 +593,35 @@ object SparkEntry {
       |  THEN (s - 18446744073709551616::HUGEINT)::BIGINT
       |  ELSE s::BIGINT END AS hd FROM db)""".stripMargin
 
+  /** Integer-exact replay of [[graft.operators.Profile.hdrBins]] +
+    * [[graft.operators.Profile.hdrQuantiles]] over the events table —
+    * shared by the one-shot query and the 3-batch-fold query (the fold
+    * is exact, so both must match this one-shot replay).
+    */
+  private val hdrQuantilesSql: String =
+    """WITH clean AS (SELECT event_type,
+      |  floor(value)::BIGINT + 1 AS w FROM events
+      |  WHERE value IS NOT NULL AND NOT isnan(value) AND value >= 0),
+      |binned AS (SELECT event_type,
+      |  (length(bin(w)) - 1) * 16 +
+      |  ((w - (1::BIGINT << (length(bin(w)) - 1))) * 16)
+      |    // (1::BIGINT << (length(bin(w)) - 1)) AS bin_id
+      |  FROM clean),
+      |bins AS (SELECT event_type, bin_id, count(*) AS n
+      |  FROM binned GROUP BY 1, 2),
+      |cum AS (SELECT event_type, bin_id, n,
+      |  sum(n) OVER (PARTITION BY event_type ORDER BY bin_id) AS cum,
+      |  sum(n) OVER (PARTITION BY event_type) AS ntot,
+      |  (1::BIGINT << (bin_id // 16)) +
+      |    ((bin_id % 16) * (1::BIGINT << (bin_id // 16))) // 16 - 1 AS lb
+      |  FROM bins),
+      |qs AS (SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10),
+      |  ('p99', 99, 100)) t(q, num, den))
+      |SELECT cum.event_type, qs.q, min(cum.lb)::BIGINT AS est
+      |FROM cum, qs
+      |WHERE cum.cum >= (cum.ntot * qs.num + qs.den - 1) // qs.den
+      |GROUP BY 1, 2""".stripMargin
+
   /** Grouped per-subspace k-means replay for the TRAINED PQ codebook
     * (mirrors [[graft.operators.SimilaritySearch.pqTrainedCodebook]]):
     * the subspace id `s` rides every key, so all 8 codebooks train in
@@ -2060,6 +2089,23 @@ object SparkEntry {
           P.hdrBins(Tables.events(s, dir)
             .filter(col("value").isNotNull && !isnan(col("value"))),
             "event_type", "value"),
+          Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L)))
+        .select(col("g").as("event_type"), col("q"), col("est"))
+    }),
+
+    // Q7b: the same quantiles from a 3-BATCH FOLD of the summary — the
+    // continuous-ingestion path (IncrementalProfile.updateQuantileStore
+    // persists exactly this fold). The oracle is the ONE-SHOT replay,
+    // so the cross-engine row itself proves fold == one-shot.
+    "incremental_quantiles_final" -> ((s, dir) => {
+      val P = graft.operators.Profile
+      val clean = Tables.events(s, dir)
+        .filter(col("value").isNotNull && !isnan(col("value")))
+      val folded = (0 until 3)
+        .map(i => P.hdrBins(clean.filter(pmod(col("event_id"), lit(3)) === i),
+          "event_type", "value"))
+        .reduce(P.hdrMerge)
+      P.hdrQuantiles(folded,
           Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L)))
         .select(col("g").as("event_type"), col("q"), col("est"))
     }),
@@ -4448,29 +4494,12 @@ object SparkEntry {
 
     // Integer-exact replay of the HDR binning + rank arithmetic
     // (explicit floor before ::BIGINT — DuckDB's cast rounds).
-    "value_hdr_quantiles" ->
-      """WITH clean AS (SELECT event_type,
-        |  floor(value)::BIGINT + 1 AS w FROM events
-        |  WHERE value IS NOT NULL AND NOT isnan(value) AND value >= 0),
-        |binned AS (SELECT event_type,
-        |  (length(bin(w)) - 1) * 16 +
-        |  ((w - (1::BIGINT << (length(bin(w)) - 1))) * 16)
-        |    // (1::BIGINT << (length(bin(w)) - 1)) AS bin_id
-        |  FROM clean),
-        |bins AS (SELECT event_type, bin_id, count(*) AS n
-        |  FROM binned GROUP BY 1, 2),
-        |cum AS (SELECT event_type, bin_id, n,
-        |  sum(n) OVER (PARTITION BY event_type ORDER BY bin_id) AS cum,
-        |  sum(n) OVER (PARTITION BY event_type) AS ntot,
-        |  (1::BIGINT << (bin_id // 16)) +
-        |    ((bin_id % 16) * (1::BIGINT << (bin_id // 16))) // 16 - 1 AS lb
-        |  FROM bins),
-        |qs AS (SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10),
-        |  ('p99', 99, 100)) t(q, num, den))
-        |SELECT cum.event_type, qs.q, min(cum.lb)::BIGINT AS est
-        |FROM cum, qs
-        |WHERE cum.cum >= (cum.ntot * qs.num + qs.den - 1) // qs.den
-        |GROUP BY 1, 2""".stripMargin,
+    "value_hdr_quantiles" -> hdrQuantilesSql,
+
+    // IDENTICAL one-shot oracle for the 3-batch fold: the HDR fold is
+    // exact, so the folded Spark answer must hash-match the one-shot
+    // replay — the cross-engine row IS the fold==one-shot proof.
+    "incremental_quantiles_final" -> hdrQuantilesSql,
 
     "value_equidepth_bins" ->
       """WITH base AS (SELECT event_type, event_id, value FROM events

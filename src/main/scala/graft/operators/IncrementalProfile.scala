@@ -166,4 +166,42 @@ object IncrementalProfile {
       : (DataFrame, Long) => Unit = { (batch, id) =>
     updateStore(storeDir, id, summarize(batch, cols))
   }
+
+  /** QUANTILES under continuous ingestion: the [[updateStore]]
+    * discipline applied to [[Profile.hdrBins]] summaries. Because the
+    * HDR fold is EXACT (bucketing is per-value-local, counts sum), the
+    * persisted store always equals the one-shot summary of everything
+    * ingested — so `Profile.hdrQuantiles(readQuantileStore(...))`
+    * answers p50/p99-style questions over the full corpus at any moment
+    * without a corpus scan, something a stored exact-quantile result
+    * can never do (it cannot merge). Store is |groups|*|buckets| rows;
+    * same strictly-below-batchId merge base, `_SUCCESS` gate, and
+    * marker idempotence as the column-stats store.
+    */
+  def updateQuantileStore(storeDir: String, batchId: Long,
+      batchBins: DataFrame): Unit = {
+    val spark = batchBins.sparkSession
+    val marker = new Path(s"$storeDir/ingested/batch=$batchId")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(marker)) return
+    val merged = readQuantileStore(spark, storeDir,
+        maxExclusive = Some(batchId)) match {
+      case Some(cur) => Profile.hdrMerge(cur, batchBins)
+      case None      => batchBins
+    }
+    merged.coalesce(1).write.mode("overwrite")
+      .parquet(s"$storeDir/summary/batch=$batchId")
+    fs.mkdirs(marker)
+  }
+
+  /** Latest committed quantile summary `(g, bin_id, n)`, if any. */
+  def readQuantileStore(spark: SparkSession, storeDir: String,
+      maxExclusive: Option[Long] = None): Option[DataFrame] =
+    readStore(spark, storeDir, maxExclusive)
+
+  /** foreachBatch adapter for the quantile store. */
+  def quantileSink(storeDir: String, groupCol: String, valueCol: String)
+      : (DataFrame, Long) => Unit = { (batch, id) =>
+    updateQuantileStore(storeDir, id, Profile.hdrBins(batch, groupCol, valueCol))
+  }
 }

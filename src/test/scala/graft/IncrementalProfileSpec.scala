@@ -64,6 +64,33 @@ class IncrementalProfileSpec extends AnyFunSuite with SparkTestBase {
     assert(stored.toSeq == oneShot.toSeq)
   }
 
+  test("quantile store: persisted fold equals the one-shot summary exactly") {
+    val dir = Files.createTempDirectory("ipq").toString
+    val clean = Tables.events(spark, sf)
+      .filter(col("value").isNotNull && !isnan(col("value")))
+    val batchBins = (0 until 3).map(i => Profile.hdrBins(
+      clean.filter(pmod(col("event_id"), lit(3)) === i), "event_type", "value")
+      .localCheckpoint(true))
+    batchBins.zipWithIndex.foreach { case (b, i) =>
+      IP.updateQuantileStore(dir, i, b) }
+    // re-deliver: markers make every fold a no-op
+    batchBins.zipWithIndex.foreach { case (b, i) =>
+      IP.updateQuantileStore(dir, i, b) }
+    def bm(b: org.apache.spark.sql.DataFrame) =
+      b.select("g", "bin_id", "n").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val stored = bm(IP.readQuantileStore(spark, dir).get)
+    val oneShot = bm(Profile.hdrBins(clean, "event_type", "value"))
+    assert(stored == oneShot)
+    // and the quantile answers off the store match the one-shot answers
+    val qs = Seq(("p50", 1L, 2L), ("p99", 99L, 100L))
+    def qm(b: org.apache.spark.sql.DataFrame) =
+      Profile.hdrQuantiles(b, qs).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(qm(IP.readQuantileStore(spark, dir).get) ==
+      qm(Profile.hdrBins(clean, "event_type", "value")))
+  }
+
   test("re-delivery after crash between snapshot commit and marker is a no-op") {
     val dir = Files.createTempDirectory("ipcrash").toString
     val sums = batches.map(IP.summarize(_, cols).localCheckpoint(true))
