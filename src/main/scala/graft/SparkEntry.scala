@@ -2351,6 +2351,19 @@ object SparkEntry {
           when(col("lang") === "en", 10).otherwise(30))
         .select("doc_id", "lang", "bucket")),
 
+    // T7b: WEIGHTED sampling without replacement, exactly k per group —
+    // Efraimidis–Spirakis ranked by ln(u)/w with u drawn from the id
+    // hash (deterministic, reproducible, oracle-replayable): "exactly
+    // 20 docs per language, token-count-weighted". The missing corner
+    // between stratified (uniform-k) and temperature (weighted rates).
+    "corpus_weighted_sample_k" -> ((s, dir) =>
+      graft.operators.Mixture.weightedSampleK(
+          TextAnalysis.withTokenCounts(Tables.documents(s, dir))
+            .select(col("doc_id"), col("lang"),
+              col("ws_tokens").cast("long").as("ws_tokens")),
+          "lang", "doc_id", "ws_tokens", k = 20)
+        .select("doc_id", "lang", "ws_tokens")),
+
     // A6: exact group quantiles of event values (linear interpolation —
     // same definition as the oracle's quantile_cont).
     "value_quantiles_by_type" -> ((s, dir) =>
@@ -4781,6 +4794,20 @@ object SparkEntry {
          |SELECT doc_id, lang, ${hash60Sql("text")} % 100 AS bucket
          |FROM documents) t
          |WHERE bucket < CASE WHEN lang = 'en' THEN 10 ELSE 30 END""".stripMargin,
+
+    // E-S replay: same u, same ln(u)/w key, same (key DESC, id) rank.
+    "corpus_weighted_sample_k" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |  (CASE WHEN length(trim(text)) = 0 THEN 0
+         |    ELSE len(string_split_regex(trim(text), '\\s+')) END)::BIGINT
+         |    AS ws_tokens FROM documents),
+         |keyed AS (SELECT doc_id, lang, ws_tokens,
+         |  ln((${hash60Sql("doc_id::VARCHAR")} + 1) / 1152921504606846976.0)
+         |    / ws_tokens AS key
+         |  FROM t WHERE ws_tokens > 0),
+         |r AS (SELECT doc_id, lang, ws_tokens, row_number() OVER (
+         |  PARTITION BY lang ORDER BY key DESC, doc_id) AS rn FROM keyed)
+         |SELECT doc_id, lang, ws_tokens FROM r WHERE rn <= 20""".stripMargin,
 
     "value_quantiles_by_type" ->
       """SELECT event_type,

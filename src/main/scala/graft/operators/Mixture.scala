@@ -44,4 +44,38 @@ object Mixture {
     docs.join(broadcast(rates), groupCol)
       .filter(TextHash.hash60(col(textCol)) % 1000000L < col("keep_ppm"))
   }
+
+  /** WEIGHTED sampling without replacement, exactly k per group — the
+    * Efraimidis–Spirakis one-pass scheme (each item ranked by
+    * `u^(1/w)`, the k largest win; inclusion probabilities follow the
+    * weights) with the u drawn from the CONTENT HASH instead of
+    * `rand()`: `u = (hash60(id) + 1) / 2^60 ∈ (0, 1]`, so like every
+    * sampler here the pick is a deterministic function of the data —
+    * reproducible at any parallelism, stable across reruns,
+    * oracle-replayable. Ranking uses the log form
+    * `key = ln(u) / w` (monotone in u^(1/w), no pow — ln and divide
+    * are the cross-engine-stable ops the LM oracles already lean on);
+    * ties break by id.
+    *
+    * This is the missing corner of the sampling family: stratified =
+    * uniform-k per group, temperature = weighted RATES with random
+    * size, this = weighted EXACT-k — "give me exactly 1000 docs per
+    * language, quality-weighted". One |groups|-partitioned rank window
+    * over the scan; weights must be strictly positive.
+    */
+  def weightedSampleK(docs: DataFrame, groupCol: String, idCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val u = (TextHash.hash60(col(idCol).cast("string")) + 1L)
+      .cast("double") / lit(1152921504606846976.0) // 2^60
+    val key = log(u) / col(weightCol).cast("double")
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col("_es_key").desc, col(idCol))
+    docs.filter(col(weightCol) > 0)
+      .withColumn("_es_key", key)
+      .withColumn("_es_rank", row_number().over(w))
+      .filter(col("_es_rank") <= k)
+      .drop("_es_key", "_es_rank")
+  }
 }

@@ -53,4 +53,44 @@ class MixtureSpec extends AnyFunSuite with SparkTestBase {
       Mixture.temperatureSample(docs, "g", "text", 0L)
     }
   }
+
+  test("weightedSampleK: exactly k per group, weight-monotone inclusion") {
+    // two groups, heavy-tailed weights: ids 0..199 in gA with weight
+    // (id+1), ids 1000..1199 in gB with uniform weight
+    val docs = ((0L until 200L).map(i => (i, "gA", i + 1)) ++
+      (1000L until 1200L).map(i => (i, "gB", 50L))).toDF("id", "g", "w")
+    val got = Mixture.weightedSampleK(docs, "g", "id", "w", k = 25)
+      .select("g", "id").as[(String, Long)].collect()
+    assert(got.count(_._1 == "gA") == 25 && got.count(_._1 == "gB") == 25)
+    // determinism: identical sample on rerun
+    val again = Mixture.weightedSampleK(docs, "g", "id", "w", k = 25)
+      .select("g", "id").as[(String, Long)].collect()
+    assert(got.toSet == again.toSet)
+    // weight-monotone in expectation: the heavy half of gA (ids >= 100,
+    // 75% of total weight) must dominate the sample
+    val heavy = got.filter(_._1 == "gA").count(_._2 >= 100L)
+    assert(heavy > 25 / 2, s"heavy half underrepresented: $heavy/25")
+    // matches a driver-side E-S replay exactly
+    def md5hash60(x: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(15), 16)
+    }
+    val replay = (0L until 200L).map { i =>
+      val h = md5hash60(i.toString)
+      (i, math.log((h + 1).toDouble / 1152921504606846976.0) / (i + 1).toDouble)
+    }.sortBy { case (id, key) => (-key, id) }.take(25).map(_._1).toSet
+    assert(got.filter(_._1 == "gA").map(_._2).toSet == replay)
+  }
+
+  test("weightedSampleK: zero/negative weights excluded, k guard") {
+    val docs = Seq((1L, "g", 0L), (2L, "g", -3L), (3L, "g", 5L))
+      .toDF("id", "g", "w")
+    val got = Mixture.weightedSampleK(docs, "g", "id", "w", k = 10)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(3L))
+    intercept[IllegalArgumentException] {
+      Mixture.weightedSampleK(docs, "g", "id", "w", k = 0)
+    }
+  }
 }
