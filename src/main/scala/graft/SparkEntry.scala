@@ -1114,6 +1114,28 @@ object SparkEntry {
           col("avg_logprob_m"))
     }),
 
+    // V2d: TRAINED multi-class classifier — per-label unigram models
+    // (naive-Bayes shape, the fastText baseline) trained on half the
+    // corpus, classifying the other half. The corpus text is
+    // label-INDEPENDENT (the label twin of ann_corpus_isotropy), so a
+    // per-label marker token is planted — the classifier must learn it
+    // from training data and use it at eval; correct = predicted ==
+    // actual for every classifiable doc.
+    "doc_nb_classify" -> ((s, dir) => {
+      val R = graft.operators.Relevance
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          concat(col("text"), lit(" xmark"), col("lang")).as("text"))
+      val train = docs.filter(col("doc_id") % 2 === 0)
+      val evalD = docs.filter(col("doc_id") % 2 =!= 0)
+      R.classifyWithModels(evalD, R.unigramModels(train))
+        .join(evalD.select(col("doc_id").as("id"), col("lang").as("actual")),
+          "id")
+        .select(col("id").as("doc_id"), col("predicted"), col("actual"),
+          (col("predicted") === col("actual")).as("correct"),
+          col("avg_logprob_m"))
+    }),
+
     // TSEL2: per-language token budgets — 2,000 tokens of the best
     // docs from EACH language (a global budget lets the dominant
     // language starve the rest). Fully distributed two-phase rank: the
@@ -3120,6 +3142,40 @@ object SparkEntry {
     // Laplace model over the en slice; OOV floor ln(1/(N+V)) — the
     // Spark side carries it inside the model table, here it recomputes
     // from the same stats CTE (identical IEEE steps).
+    // Full multi-class replay: per-label Laplace models, every eval doc
+    // scored under every label (OOV at that label's floor), argmax with
+    // the (avg DESC, label) tie order.
+    "doc_nb_classify" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |  text || ' xmark' || lang AS text FROM documents),
+        |tr0 AS (SELECT lang AS label, text FROM d WHERE doc_id % 2 = 0),
+        |ttk AS (SELECT label,
+        |  unnest(string_split_regex(trim(text), '\s+')) AS tok FROM tr0),
+        |cnts AS (SELECT label, tok, count(*) AS c FROM ttk
+        |  WHERE tok <> '' GROUP BY 1, 2),
+        |st AS (SELECT label, sum(c) AS n, count(*) AS v FROM cnts GROUP BY 1),
+        |mdl AS (SELECT cnts.label, tok,
+        |  ln((c + 1)::DOUBLE / (n + v)::DOUBLE) AS logp
+        |  FROM cnts JOIN st ON cnts.label = st.label),
+        |oov AS (SELECT label, ln(1.0 / (n + v)::DOUBLE) AS oov_logp FROM st),
+        |ev AS (SELECT doc_id, lang, text FROM d WHERE doc_id % 2 <> 0),
+        |etk AS (SELECT doc_id, lang,
+        |  unnest(string_split_regex(trim(text), '\s+')) AS tok FROM ev),
+        |sc AS (SELECT e.doc_id, e.lang AS actual, o.label,
+        |  count(*) AS n_toks,
+        |  sum(CAST(COALESCE(m.logp, o.oov_logp) AS DECIMAL(38,12))) AS s
+        |  FROM (SELECT * FROM etk WHERE tok <> '') e
+        |  CROSS JOIN oov o
+        |  LEFT JOIN mdl m ON m.label = o.label AND m.tok = e.tok
+        |  GROUP BY 1, 2, 3),
+        |rk AS (SELECT doc_id, actual, label, s::DOUBLE / n_toks AS avg,
+        |  row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY s::DOUBLE / n_toks DESC, label) AS rn FROM sc)
+        |SELECT doc_id, label AS predicted, actual,
+        |(label = actual) AS correct,
+        |floor(avg * 10000) / 10000 AS avg_logprob_m
+        |FROM rk WHERE rn = 1""".stripMargin,
+
     "doc_lm_cross_score" ->
       """WITH tr AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
         |  FROM documents WHERE lang = 'en'),

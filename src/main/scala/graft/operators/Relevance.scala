@@ -88,6 +88,65 @@ object Relevance {
         col("novel_shingles") / col("n_shingles").cast("double"))
   }
 
+  /** PER-LABEL unigram models in one relation `(label, tok, logp,
+    * oov_logp)` — the multi-class face of [[unigramModel]] and the
+    * training half of [[classifyWithModels]]: a naive-Bayes-unigram
+    * text classifier (the fastText-baseline shape — language ID, domain
+    * tagging, quality-tier routing) trained with one pass over the
+    * labeled corpus. Per-label Laplace smoothing,
+    * `logp = ln((c+1)/(N_l+V_l))`; the per-label totals ride a
+    * |labels|-row broadcast join instead of driver literals (the
+    * single-model version inlines two scalars; with many labels the
+    * tiny stats relation IS the natural form). Persist as parquet,
+    * classify any batch forever.
+    */
+  def unigramModels(train: DataFrame, labelCol: String = "lang",
+      textCol: String = "text"): DataFrame = {
+    val toks = train.select(col(labelCol).as("label"),
+        explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val counts = toks.groupBy("label", "tok").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false) // read twice: per-label stats + projection
+    val stats = counts.groupBy("label")
+      .agg(sum(col("cnt")).as("n"), count(lit(1)).as("v"))
+    counts.join(broadcast(stats), "label")
+      .select(col("label"), col("tok"),
+        log((col("cnt") + 1L).cast("double") /
+          (col("n") + col("v")).cast("double")).as("logp"),
+        log(lit(1.0) / (col("n") + col("v")).cast("double")).as("oov_logp"))
+  }
+
+  /** Classify documents under [[unigramModels]]: score every doc under
+    * EVERY label's model (OOV tokens at that label's smoothed floor),
+    * argmax by average token log-probability, ties to the first label.
+    * The label fan-out is a |labels|-row broadcast (whitelisted — it is
+    * the classifier's k, not data); scoring joins the vocabulary-sized
+    * model relation on (label, tok); per-doc sums are DECIMAL
+    * (parallelism-reproducible). Docs with no tokens are unclassifiable
+    * and excluded. Returns (id, predicted, avg_logprob_m).
+    */
+  def classifyWithModels(docs: DataFrame, models: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val labels = models.select("label", "oov_logp").distinct()
+      .localCheckpoint(false)
+    val toks = docs.select(col(idCol).as("id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val scored = toks.crossJoin(broadcast(labels))
+      .join(models.select(col("label"), col("tok"), col("logp")),
+        Seq("label", "tok"), "left")
+      .withColumn("lp", coalesce(col("logp"), col("oov_logp")))
+      .groupBy("id", "label")
+      .agg(count(lit(1)).as("n_toks"),
+        sum(col("lp").cast("decimal(38,12)")).as("_s"))
+      .withColumn("avg", col("_s").cast("double") / col("n_toks"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("id").orderBy(col("avg").desc, col("label"))
+    scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col("id"), col("label").as("predicted"),
+        (floor(col("avg") * 1e4) / 1e4).as("avg_logprob_m"))
+  }
+
   /** The TRAINED unigram model as DATA — the train-once/score-everywhere
     * split [[unigramLogScores]] (self-scoring) doesn't have: CCNet's
     * actual setup scores CANDIDATE text under a model trained on a

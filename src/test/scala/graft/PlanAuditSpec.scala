@@ -33,6 +33,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     "doc_bm25_relevance",     // 1-row corpus-stats (N, avgdl) broadcast crossJoin
     "search_bm25_topk",       // same 1-row corpus-stats broadcast crossJoin;
                               // query-doc matching itself is term-equi
+    "doc_nb_classify",        // |labels|-row broadcast label fan-out (the
+                              // classifier's k, not data); scoring is equi
     "doc_unigram_logprob",    // 1-row token-total broadcast crossJoin
     "doc_bigram_logprob",     // same 1-row token-total broadcast crossJoin
     "doc_tfidf_topterms",     // 1-row corpus-size (N) broadcast crossJoin

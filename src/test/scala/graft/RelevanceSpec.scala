@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, concat, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Relevance
@@ -297,5 +297,46 @@ class RelevanceSpec extends AnyFunSuite with SparkTestBase {
     // seen-token doc scores the Laplace probs: cat c=5, dog c=6
     val want = (math.log(6.0 / 20.0) + math.log(7.0 / 20.0)) / 2
     assert(math.abs(out(10L)._2 - math.floor(want * 1e4) / 1e4) < 1e-12)
+  }
+
+  test("unigramModels/classifyWithModels: hand-checked two-label model and argmax") {
+    val train = Seq((1L, "cat", "meow purr meow"), (2L, "dog", "woof woof bark"))
+      .toDF("doc_id", "lang", "text")
+    val models = Relevance.unigramModels(train)
+    // cat: N=3 tokens, V=2 vocab -> logp(meow) = ln(3/5), logp(purr) = ln(2/5)
+    val m = models.collect().map(r =>
+      (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(m(("cat", "meow")) - math.log(3.0 / 5)) < 1e-12)
+    assert(math.abs(m(("cat", "purr")) - math.log(2.0 / 5)) < 1e-12)
+    assert(math.abs(m(("dog", "woof")) - math.log(3.0 / 5)) < 1e-12)
+    val got = Relevance.classifyWithModels(
+        Seq((10L, "meow meow"), (11L, "bark woof"), (12L, "")
+        ).toDF("doc_id", "text"), models)
+      .select("id", "predicted").as[(Long, String)].collect().toMap
+    assert(got == Map(10L -> "cat", 11L -> "dog")) // empty doc excluded
+  }
+
+  test("classifier retrieves a planted label marker at >= 95% accuracy") {
+    // the corpus's organic text is label-independent (the label twin of
+    // the ANN isotropy finding), so the signal is planted: one marker
+    // token per label. Misses are short docs whose organic tokens
+    // outweigh the single marker - deterministic, not flaky.
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("lang"),
+        concat(col("text"), lit(" xmark"), col("lang")).as("text"))
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val evalD = docs.filter(col("doc_id") % 2 =!= 0)
+    val pred = Relevance.classifyWithModels(evalD, Relevance.unigramModels(train))
+      .join(evalD.select(col("doc_id").as("id"), col("lang").as("actual")), "id")
+    val n = pred.count()
+    val correct = pred.filter(col("predicted") === col("actual")).count()
+    assert(n > 0 && correct.toDouble / n >= 0.95,
+      s"planted-marker accuracy $correct/$n")
+    // determinism
+    val again = Relevance.classifyWithModels(evalD, Relevance.unigramModels(train))
+      .select("id", "predicted").as[(Long, String)].collect().toSet
+    assert(again == Relevance.classifyWithModels(evalD,
+      Relevance.unigramModels(train))
+      .select("id", "predicted").as[(Long, String)].collect().toSet)
   }
 }
