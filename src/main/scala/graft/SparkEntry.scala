@@ -1400,6 +1400,19 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("inter"), col("size_a"),
           col("size_b"), trunc4(col("jaccard")).as("jaccard"))),
 
+    // DD8: C4-style corpus-wide boilerplate removal — a template
+    // sentence planted on every 5th doc must vanish from ALL of them
+    // (document frequency >= 3) while each doc's organic text (df 1)
+    // survives, rebuilt in order; a doc is never dropped, only cleaned.
+    "corpus_boilerplate_removed" -> ((s, dir) => {
+      val planted = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"),
+            lit(". Subscribe to our newsletter for free offers")))
+          .otherwise(col("text")).as("text"))
+      Dedup.dropBoilerplateUnits(planted, minDocFreq = 3)
+    }),
+
     // DD7: decontamination — eval "benchmark prompts" are injected as
     // 25-token prefixes of every 50th doc; the contamination check must
     // flag each against its source (5-gram overlap covering >=80% of the
@@ -3587,6 +3600,28 @@ object SparkEntry {
          |FROM pairs p JOIN sizes sa ON p.id_a = sa.id
          |JOIN sizes sb ON p.id_b = sb.id
          |WHERE p.inter/(sa.sz+sb.sz-p.inter)::DOUBLE >= 0.5""".stripMargin,
+
+    // Unit split / df / anti-filter / ordered rebuild replayed; the
+    // string_agg rebuild COALESCEs to '' (a fully-boilerplate doc keeps
+    // an empty row, and DuckDB's zero-row string_agg is NULL).
+    "corpus_boilerplate_removed" ->
+      """WITH d AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+        |  THEN text || '. Subscribe to our newsletter for free offers'
+        |  ELSE text END AS text FROM documents),
+        |a AS (SELECT doc_id, string_split_regex(text, '\.\s+') AS arr FROM d),
+        |u0 AS (SELECT doc_id, i - 1 AS pos, trim(arr[i::INT]) AS unit
+        |  FROM a, unnest(range(1, len(arr) + 1)) AS r(i)),
+        |u AS (SELECT * FROM u0 WHERE unit <> ''),
+        |b AS (SELECT unit FROM (SELECT unit, count(*) AS df FROM
+        |  (SELECT DISTINCT doc_id, unit FROM u) GROUP BY unit)
+        |  WHERE df >= 3),
+        |k AS (SELECT * FROM u WHERE unit NOT IN (SELECT unit FROM b)),
+        |tot AS (SELECT doc_id, count(*) AS n_units FROM u GROUP BY 1),
+        |rb AS (SELECT doc_id, string_agg(unit, '. ' ORDER BY pos) AS text_clean,
+        |  count(*) AS n_kept FROM k GROUP BY 1)
+        |SELECT tot.doc_id, COALESCE(rb.text_clean, '') AS text_clean,
+        |tot.n_units, tot.n_units - COALESCE(rb.n_kept, 0) AS n_dropped
+        |FROM tot LEFT JOIN rb ON tot.doc_id = rb.doc_id""".stripMargin,
 
     "decontaminate_docs" ->
       s"""WITH train AS (SELECT doc_id, text FROM documents),

@@ -655,6 +655,55 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** C4-style corpus-wide BOILERPLATE-UNIT removal — the famous "dedup
+    * repeated lines across the corpus" curation step (C4 dropped any
+    * three-sentence span occurring more than once; this is the
+    * unit-granular relational form): split every document into
+    * sentence/line units, count each distinct unit's DOCUMENT
+    * frequency, drop units appearing in >= `minDocFreq` docs (cookie
+    * banners, nav text, legal footers — text that is common because it
+    * is TEMPLATE, not content), and rebuild each document from its
+    * surviving units in order. Complements the doc-level families:
+    * whole-doc dedup keeps one copy of a duplicated page; this removes
+    * the duplicated FURNITURE from every page.
+    *
+    * Units are `sep`-regex splits, trimmed, empties dropped; the
+    * rebuild joins with a canonical `". "` — a normalization, not a
+    * byte round-trip (the same stance as [[Dedup.pruneSharedSpans]]'
+    * token stream). Shape: one explode + a |distinct units|-row df
+    * aggregate + one anti-join back — Σdf bounded by corpus tokens,
+    * nothing pairwise anywhere; the df relation is the only shuffle
+    * beyond the rebuild's per-doc sort.
+    */
+  def dropBoilerplateUnits(docs: DataFrame, minDocFreq: Long,
+      sepRegex: String = "\\.\\s+", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
+    val units = docs
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), sepRegex)).as(Seq("pos", "unit")))
+      .withColumn("unit", trim(col("unit")))
+      .filter(col("unit") =!= "")
+    val boiler = units.select("id", "unit").distinct()
+      .groupBy("unit").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= minDocFreq)
+      .select("unit")
+    val kept = units.join(boiler, Seq("unit"), "left_anti")
+    val total = units.groupBy("id").agg(count(lit(1)).as("n_units"))
+    kept.groupBy("id")
+      .agg(concat_ws(". ", transform(
+          sort_array(collect_list(struct(col("pos"), col("unit")))),
+          e => e.getField("unit"))).as("text_clean"),
+        count(lit(1)).as("n_kept"))
+      // right join: a doc whose every unit was boilerplate survives
+      // with empty text (dropping it silently would skew counts)
+      .join(total, Seq("id"), "right")
+      .select(col("id").as(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        col("n_units"),
+        (col("n_units") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   /** Eager lineage-truncating materialization for iterative fixpoints:
     * RELIABLE `checkpoint()` when the context has a checkpoint dir (the
     * cluster deploy — survives executor loss), executor-local

@@ -469,4 +469,37 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got === expected)
     assert(expected.nonEmpty, "3-symbol vocab must produce shared runs")
   }
+
+  test("dropBoilerplateUnits: template sentences vanish corpus-wide, content survives in order") {
+    val docs = Seq(
+      (1L, "unique alpha text. BUY NOW LIMITED OFFER. more alpha content"),
+      (2L, "different beta words. BUY NOW LIMITED OFFER. beta tail"),
+      (3L, "BUY NOW LIMITED OFFER. gamma body only"),
+      (4L, "BUY NOW LIMITED OFFER"), // fully boilerplate -> empty, not dropped
+      (5L, "no template here at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dropBoilerplateUnits(docs, minDocFreq = 3)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "unique alpha text. more alpha content", 3L, 1L),
+      (2L, "different beta words. beta tail", 3L, 1L),
+      (3L, "gamma body only", 2L, 1L),
+      (4L, "", 1L, 1L),
+      (5L, "no template here at all", 1L, 0L)))
+    // below the df threshold nothing is touched (df("BUY NOW...") = 4 >= 5? no)
+    val none = Dedup.dropBoilerplateUnits(docs, minDocFreq = 5)
+      .agg(sum(col("n_dropped"))).head().getLong(0)
+    assert(none == 0L)
+    // repetition WITHIN one doc does not make a unit boilerplate
+    val intra = Seq(
+      (1L, "same line. same line. same line"),
+      (2L, "other things entirely")).toDF("doc_id", "text")
+    val kept = Dedup.dropBoilerplateUnits(intra, minDocFreq = 2)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(kept.head == (1L, "same line. same line. same line", 3L, 0L),
+      "document frequency counts DOCS, not occurrences")
+    intercept[IllegalArgumentException] {
+      Dedup.dropBoilerplateUnits(docs, minDocFreq = 1)
+    }
+  }
 }
