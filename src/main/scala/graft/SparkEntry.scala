@@ -1413,6 +1413,17 @@ object SparkEntry {
       Dedup.dropBoilerplateUnits(planted, minDocFreq = 3)
     }),
 
+    // DD8b: INTRA-doc unit dedup — every 4th doc has its whole text
+    // repeated as a second unit (scraped-page loop text); keep-first
+    // must drop the repeat and rebuild, leaving other docs untouched.
+    "doc_dedup_units" -> ((s, dir) => {
+      val planted = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(col("text"), lit(". "), col("text")))
+          .otherwise(col("text")).as("text"))
+      Dedup.dedupUnitsWithinDocs(planted)
+    }),
+
     // DD7: decontamination — eval "benchmark prompts" are injected as
     // 25-token prefixes of every 50th doc; the contamination check must
     // flag each against its source (5-gram overlap covering >=80% of the
@@ -3600,6 +3611,24 @@ object SparkEntry {
          |FROM pairs p JOIN sizes sa ON p.id_a = sa.id
          |JOIN sizes sb ON p.id_b = sb.id
          |WHERE p.inter/(sa.sz+sb.sz-p.inter)::DOUBLE >= 0.5""".stripMargin,
+
+    // Keep-first within each doc: row_number over (doc, unit) by pos.
+    "doc_dedup_units" ->
+      """WITH d AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0
+        |  THEN text || '. ' || text ELSE text END AS text FROM documents),
+        |a AS (SELECT doc_id, string_split_regex(text, '\.\s+') AS arr FROM d),
+        |u0 AS (SELECT doc_id, i - 1 AS pos, trim(arr[i::INT]) AS unit
+        |  FROM a, unnest(range(1, len(arr) + 1)) AS r(i)),
+        |u AS (SELECT * FROM u0 WHERE unit <> ''),
+        |k AS (SELECT doc_id, pos, unit FROM (SELECT doc_id, pos, unit,
+        |  row_number() OVER (PARTITION BY doc_id, unit ORDER BY pos) AS occ
+        |  FROM u) WHERE occ = 1),
+        |tot AS (SELECT doc_id, count(*) AS n_units FROM u GROUP BY 1),
+        |rb AS (SELECT doc_id, string_agg(unit, '. ' ORDER BY pos) AS text_clean,
+        |  count(*) AS n_kept FROM k GROUP BY 1)
+        |SELECT tot.doc_id, rb.text_clean, tot.n_units,
+        |tot.n_units - rb.n_kept AS n_dropped
+        |FROM tot JOIN rb ON tot.doc_id = rb.doc_id""".stripMargin,
 
     // Unit split / df / anti-filter / ordered rebuild replayed; the
     // string_agg rebuild COALESCEs to '' (a fully-boilerplate doc keeps

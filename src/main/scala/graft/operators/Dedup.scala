@@ -704,6 +704,38 @@ object Dedup {
         (col("n_units") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
 
+  /** INTRA-document unit dedup — [[dropBoilerplateUnits]]' sibling at
+    * document scope: within each doc, repeated sentence/line units keep
+    * only their FIRST occurrence (scraped pages repeat nav blocks and
+    * truncated-loop text; token budgets should not pay for the
+    * repeats). Purely per-document — a window keyed by (doc, unit)
+    * marks first occurrences, the rebuild is the same ordered join —
+    * so it composes with the corpus-wide pass in either order.
+    */
+  def dedupUnitsWithinDocs(docs: DataFrame,
+      sepRegex: String = "\\.\\s+", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val units = docs
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), sepRegex)).as(Seq("pos", "unit")))
+      .withColumn("unit", trim(col("unit")))
+      .filter(col("unit") =!= "")
+    val kept = units
+      .withColumn("_occ", row_number().over(
+        Window.partitionBy("id", "unit").orderBy("pos")))
+      .filter(col("_occ") === 1)
+    val total = units.groupBy("id").agg(count(lit(1)).as("n_units"))
+    kept.groupBy("id")
+      .agg(concat_ws(". ", transform(
+          sort_array(collect_list(struct(col("pos"), col("unit")))),
+          e => e.getField("unit"))).as("text_clean"),
+        count(lit(1)).as("n_kept"))
+      .join(total, Seq("id"))
+      .select(col("id").as(idCol), col("text_clean"), col("n_units"),
+        (col("n_units") - col("n_kept")).as("n_dropped"))
+  }
+
   /** Eager lineage-truncating materialization for iterative fixpoints:
     * RELIABLE `checkpoint()` when the context has a checkpoint dir (the
     * cluster deploy — survives executor loss), executor-local

@@ -502,4 +502,26 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       Dedup.dropBoilerplateUnits(docs, minDocFreq = 1)
     }
   }
+
+  test("dedupUnitsWithinDocs: keep-first per doc, cross-doc repeats untouched") {
+    val docs = Seq(
+      (1L, "hello world. other text. hello world. tail"),
+      (2L, "hello world. unique here"), // repeat of doc 1's unit: NOT intra-doc
+      (3L, "a. a. a. b. a")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupUnitsWithinDocs(docs)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "hello world. other text. tail", 4L, 1L),
+      (2L, "hello world. unique here", 2L, 0L),
+      (3L, "a. b", 5L, 3L)))
+    // composes with the corpus-wide pass: intra-dedup first, then the
+    // boilerplate pass still removes cross-doc templates
+    val composed = Dedup.dropBoilerplateUnits(
+      Dedup.dedupUnitsWithinDocs(docs)
+        .select(col("doc_id"), col("text_clean").as("text")),
+      minDocFreq = 2)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(composed.map(_._2) == Seq("other text. tail", "unique here", "a. b"))
+  }
 }
