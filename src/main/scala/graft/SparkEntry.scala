@@ -601,7 +601,8 @@ object SparkEntry {
   private val hdrQuantilesSql: String =
     """WITH clean AS (SELECT event_type,
       |  floor(value)::BIGINT + 1 AS w FROM events
-      |  WHERE value IS NOT NULL AND NOT isnan(value) AND value >= 0),
+      |  WHERE value IS NOT NULL AND NOT isnan(value) AND value >= 0
+      |  AND value < 4611686018427387904),
       |binned AS (SELECT event_type,
       |  (length(bin(w)) - 1) * 16 +
       |  ((w - (1::BIGINT << (length(bin(w)) - 1))) * 16)

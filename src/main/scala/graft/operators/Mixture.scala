@@ -72,7 +72,10 @@ object Mixture {
     val key = log(u) / col(weightCol).cast("double")
     val w = Window.partitionBy(groupCol)
       .orderBy(col("_es_key").desc, col(idCol))
-    docs.filter(col(weightCol) > 0)
+    // NaN weights must be excluded EXPLICITLY: `NaN > 0` is true under
+    // Spark's ordering-style comparison, and a NaN key would sort above
+    // every real key and hijack the sample
+    docs.filter(col(weightCol) > 0 && !isnan(col(weightCol).cast("double")))
       .withColumn("_es_key", key)
       .withColumn("_es_rank", row_number().over(w))
       .filter(col("_es_rank") <= k)

@@ -267,11 +267,16 @@ object Profile {
     *
     * Doubles are floored into the integer domain first (explicitly —
     * DuckDB's `::BIGINT` rounds while Spark's cast truncates, so the
-    * floor is pinned in both engines); negative and null values are
-    * excluded by contract (shift by the known minimum for signed data).
+    * floor is pinned in both engines); negative, NaN, and null values
+    * are excluded by contract (shift by the known minimum for signed
+    * data), as are values at or above 2^62 (where double→long floors
+    * stop being exact and engines diverge on overflow — no real metric
+    * lives there).
     */
   def hdrBins(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
-    df.filter(col(valueCol).isNotNull && col(valueCol) >= 0)
+    df.filter(col(valueCol).isNotNull && col(valueCol) >= 0 &&
+        !isnan(col(valueCol).cast("double")) &&
+        col(valueCol) < lit(4611686018427387904.0)) // 2^62
       .select(col(groupCol).as("g"),
         (floor(col(valueCol)).cast("long") + 1L).as("w")) // w >= 1
       .withColumn("e", (length(bin(col("w"))) - 1).cast("int"))

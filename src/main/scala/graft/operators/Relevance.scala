@@ -129,6 +129,9 @@ object Relevance {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val labels = models.select("label", "oov_logp").distinct()
       .localCheckpoint(false)
+    require(!labels.isEmpty,
+      "classifyWithModels: model relation has no labels " +
+        "(was unigramModels trained on an empty corpus?)")
     val toks = docs.select(col(idCol).as("id"),
         explode(split(trim(col(textCol)), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
