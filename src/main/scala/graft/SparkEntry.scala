@@ -446,10 +446,25 @@ object SparkEntry {
   // (session, sf dir) instead of rebuilt per query (the r11 verdict's
   // "cross-query sharing of the edge/degree materialization" item).
   // DataFrames are session-bound, so the session identity rides the key.
+  // identityHashCode is not unique across GC generations and stopped
+  // sessions would otherwise pin their checkpointed RDDs forever, so:
+  // (a) stopped-session entries are evicted on every access, and (b) a
+  // hit is only served if the cached DataFrame's session IS the caller's
+  // (else rebuilt in place).
   private val graphShared =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private def sharedKey(s: SparkSession, dir: String, kind: String) =
     s"$kind|${System.identityHashCode(s)}|$dir"
+  private def sharedGet(s: SparkSession, dir: String, kind: String)(
+      build: => DataFrame): DataFrame = {
+    graphShared.filterInPlace((_, df) =>
+      !df.sparkSession.sparkContext.isStopped)
+    val key = sharedKey(s, dir, kind)
+    graphShared.get(key) match {
+      case Some(df) if df.sparkSession eq s => df
+      case _ => val df = build; graphShared.put(key, df); df
+    }
+  }
 
   /** The image near-dup test corpus: documents plus a planted
     * "re-encode" of every 20th (one sampled byte changed — flips at
@@ -471,7 +486,7 @@ object SparkEntry {
 
   /** One (a = supplier node, b = customer node) row per lineitem. */
   private def copurchaseBase(s: SparkSession, dir: String): DataFrame =
-    graphShared.getOrElseUpdate(sharedKey(s, dir, "base"),
+    sharedGet(s, dir, "base")(
       Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
         .select(concat(lit("s"), col("l_suppkey")).as("a"),
@@ -484,7 +499,7 @@ object SparkEntry {
   /** The prepared uniform-weight superstep relation, shared by
     * graph_pagerank and graph_ppr_suppliers. */
   private def copurchasePrepared(s: SparkSession, dir: String): DataFrame =
-    graphShared.getOrElseUpdate(sharedKey(s, dir, "prep"),
+    sharedGet(s, dir, "prep")(
       graft.operators.PageRank.prepare(copurchaseEdges(s, dir), "src", "dst"))
 
   /** Positioned-shingle aligned-span CTE chain (mirrors
@@ -605,8 +620,12 @@ object SparkEntry {
       |  AND value < 4611686018427387904),
       |binned AS (SELECT event_type,
       |  (length(bin(w)) - 1) * 16 +
-      |  ((w - (1::BIGINT << (length(bin(w)) - 1))) * 16)
-      |    // (1::BIGINT << (length(bin(w)) - 1)) AS bin_id
+      |  CASE WHEN length(bin(w)) - 1 < 4
+      |    THEN ((w - (1::BIGINT << (length(bin(w)) - 1))) * 16)
+      |      // (1::BIGINT << (length(bin(w)) - 1))
+      |    ELSE (w - (1::BIGINT << (length(bin(w)) - 1)))
+      |      // ((1::BIGINT << (length(bin(w)) - 1)) // 16)
+      |  END AS bin_id
       |  FROM clean),
       |bins AS (SELECT event_type, bin_id, count(*) AS n
       |  FROM binned GROUP BY 1, 2),
@@ -3627,9 +3646,11 @@ object SparkEntry {
         |tot AS (SELECT doc_id, count(*) AS n_units FROM u GROUP BY 1),
         |rb AS (SELECT doc_id, string_agg(unit, '. ' ORDER BY pos) AS text_clean,
         |  count(*) AS n_kept FROM k GROUP BY 1)
-        |SELECT tot.doc_id, rb.text_clean, tot.n_units,
-        |tot.n_units - rb.n_kept AS n_dropped
-        |FROM tot JOIN rb ON tot.doc_id = rb.doc_id""".stripMargin,
+        |SELECT d.doc_id, COALESCE(rb.text_clean, '') AS text_clean,
+        |COALESCE(tot.n_units, 0) AS n_units,
+        |COALESCE(tot.n_units - rb.n_kept, 0) AS n_dropped
+        |FROM d LEFT JOIN tot ON d.doc_id = tot.doc_id
+        |LEFT JOIN rb ON d.doc_id = rb.doc_id""".stripMargin,
 
     // Unit split / df / anti-filter / ordered rebuild replayed; the
     // string_agg rebuild COALESCEs to '' (a fully-boilerplate doc keeps
@@ -3649,9 +3670,11 @@ object SparkEntry {
         |tot AS (SELECT doc_id, count(*) AS n_units FROM u GROUP BY 1),
         |rb AS (SELECT doc_id, string_agg(unit, '. ' ORDER BY pos) AS text_clean,
         |  count(*) AS n_kept FROM k GROUP BY 1)
-        |SELECT tot.doc_id, COALESCE(rb.text_clean, '') AS text_clean,
-        |tot.n_units, tot.n_units - COALESCE(rb.n_kept, 0) AS n_dropped
-        |FROM tot LEFT JOIN rb ON tot.doc_id = rb.doc_id""".stripMargin,
+        |SELECT d.doc_id, COALESCE(rb.text_clean, '') AS text_clean,
+        |COALESCE(tot.n_units, 0) AS n_units,
+        |COALESCE(tot.n_units - COALESCE(rb.n_kept, 0), 0) AS n_dropped
+        |FROM d LEFT JOIN tot ON d.doc_id = tot.doc_id
+        |LEFT JOIN rb ON d.doc_id = rb.doc_id""".stripMargin,
 
     "decontaminate_docs" ->
       s"""WITH train AS (SELECT doc_id, text FROM documents),

@@ -92,6 +92,11 @@ object Mp4MetaKernel {
           } else if (cs == 0L) cs = (end - j).toLong
           if (cs < ch || cs > (end - j).toLong) return nulls
           if (tag(p, j + 4, "mvhd")) {
+            // mvhd is a FullBox: it always carries at least the 4-byte
+            // version+flags word — a header-only mvhd (cs == ch) would
+            // read past the payload (j + ch can equal p.length when the
+            // moov ends at EOF), so reject it before touching the byte
+            if (cs < ch + 4) return nulls
             val v = p(j + ch) & 0xFF
             if (v == 0) {
               if (cs < ch + 20) return nulls

@@ -695,13 +695,18 @@ object Dedup {
           sort_array(collect_list(struct(col("pos"), col("unit")))),
           e => e.getField("unit"))).as("text_clean"),
         count(lit(1)).as("n_kept"))
-      // right join: a doc whose every unit was boilerplate survives
-      // with empty text (dropping it silently would skew counts)
+      // anchor on the DOCS relation, not the derived unit counts: a doc
+      // whose every unit was boilerplate survives with empty text, and
+      // so does a doc whose text yields ZERO units (empty or
+      // whitespace/separator-only — absent from `total` entirely).
+      // "A doc is never dropped, only cleaned" has to mean every doc.
       .join(total, Seq("id"), "right")
+      .join(docs.select(col(idCol).as("id")), Seq("id"), "right")
       .select(col("id").as(idCol),
         coalesce(col("text_clean"), lit("")).as("text_clean"),
-        col("n_units"),
-        (col("n_units") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+        coalesce(col("n_units"), lit(0L)).as("n_units"),
+        coalesce(col("n_units") - coalesce(col("n_kept"), lit(0L)),
+          lit(0L)).as("n_dropped"))
   }
 
   /** INTRA-document unit dedup — [[dropBoilerplateUnits]]' sibling at
@@ -732,8 +737,13 @@ object Dedup {
           e => e.getField("unit"))).as("text_clean"),
         count(lit(1)).as("n_kept"))
       .join(total, Seq("id"))
-      .select(col("id").as(idCol), col("text_clean"), col("n_units"),
-        (col("n_units") - col("n_kept")).as("n_dropped"))
+      // same docs-relation anchor as dropBoilerplateUnits: a zero-unit
+      // doc (empty/whitespace-only text) survives as an empty row
+      .join(docs.select(col(idCol).as("id")), Seq("id"), "right")
+      .select(col("id").as(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_units"), lit(0L)).as("n_units"),
+        coalesce(col("n_units") - col("n_kept"), lit(0L)).as("n_dropped"))
   }
 
   /** Eager lineage-truncating materialization for iterative fixpoints:

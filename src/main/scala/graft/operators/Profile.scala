@@ -281,8 +281,14 @@ object Profile {
         (floor(col(valueCol)).cast("long") + 1L).as("w")) // w >= 1
       .withColumn("e", (length(bin(col("w"))) - 1).cast("int"))
       .withColumn("p", expr("shiftleft(CAST(1 AS BIGINT), e)"))
+      // sub-bucket = ((w - p) * 16) div p, but the multiply overflows
+      // Long for octaves e >= 60; for e >= 4, p is divisible by 16 so
+      // (w - p) div (p div 16) is the identical value without the
+      // overflow — keep the *16 form only for the tiny octaves
       .withColumn("bin_id",
-        col("e") * 16 + expr("((w - p) * 16) div p").cast("int"))
+        (col("e") * 16 + when(col("e") < 4,
+          expr("((w - p) * 16) div p"))
+          .otherwise(expr("(w - p) div (p div 16)"))).cast("int"))
       .groupBy("g", "bin_id").agg(count(lit(1)).as("n"))
 
   /** Fold two summaries — the whole point: counts sum, nothing else. */

@@ -56,9 +56,19 @@ object StreamingClassify {
         .localCheckpoint(false) // written AND psi-scored
       dist.coalesce(1).write.mode("overwrite")
         .parquet(s"$distDir/batch=$batchId")
-      Profile.psiFromCounts(spark.read.parquet(refDir), dist,
+      // an empty batch (restart replays, all-blank texts — classify
+      // excludes them) has no distribution to score; psiFromCounts
+      // would `require`-throw and kill the stream, the opposite of a
+      // monitor's availability contract. Land a sentinel (n_bins=0,
+      // psi null) so every batch still has a psi artifact and
+      // re-delivery stays an equal-bytes overwrite.
+      val psi =
+        if (dist.isEmpty)
+          spark.range(1).select(lit("label_mix").as("col_name"),
+            lit(0L).as("n_bins"), lit(null).cast("double").as("psi"))
+        else Profile.psiFromCounts(spark.read.parquet(refDir), dist,
           "label_mix", eps)
-        .coalesce(1).write.mode("overwrite")
+      psi.coalesce(1).write.mode("overwrite")
         .parquet(s"$psiDir/batch=$batchId")
     }
   }

@@ -503,6 +503,25 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("unit passes: zero-unit docs (empty/whitespace-only) survive as empty rows") {
+    val docs = Seq(
+      (1L, "real content. BUY NOW. more content"),
+      (2L, "other words. BUY NOW. tail here"),
+      (3L, ""), // no units at all
+      (4L, "   "), // whitespace-only
+      (5L, ". .  . ") // separator-only: every split is empty after trim
+    ).toDF("doc_id", "text")
+    val boiler = Dedup.dropBoilerplateUnits(docs, minDocFreq = 2)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(boiler.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L),
+      "a doc is never dropped — including docs with zero units")
+    assert(boiler.filter(_._1 >= 3L).forall(r => r._2 == "" && r._3 == 0L && r._4 == 0L))
+    val intra = Dedup.dedupUnitsWithinDocs(docs)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(intra.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(intra.filter(_._1 >= 3L).forall(r => r._2 == "" && r._3 == 0L && r._4 == 0L))
+  }
+
   test("dedupUnitsWithinDocs: keep-first per doc, cross-doc repeats untouched") {
     val docs = Seq(
       (1L, "hello world. other text. hello world. tail"),

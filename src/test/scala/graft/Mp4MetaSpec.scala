@@ -66,6 +66,9 @@ class Mp4MetaSpec extends AnyFunSuite {
       hx(ftyp + "00000024 6D6F6F76" +
         "0000001C 6D766864 00000000 00000000 00000000 00000000 00000BB8"),
       // ^ zero timescale
+      hx(ftyp + "00000010 6D6F6F76 00000008 6D766864"),
+      // ^ header-only mvhd (no version/flags word) with moov ending at
+      //   EOF: reading the version byte would index past the payload
       "not an mp4 at all, just some text".getBytes("UTF-8"))
     cases.foreach(p => assert(parse(p).isEmpty, p.length))
   }

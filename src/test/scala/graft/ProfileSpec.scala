@@ -206,6 +206,30 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("hdrBins: high octaves (e >= 60) bin exactly, no Long overflow") {
+    // values with octave 59..61 — the ((w-p)*16) form would wrap
+    // negative here; the div-by-(p/16) form must agree with a driver
+    // replay and stay non-negative all the way to the 2^62 cutoff
+    val vals = Seq((1L << 59).toDouble + (1L << 58).toDouble,
+      (1L << 60).toDouble, (1L << 60).toDouble + (1L << 59).toDouble,
+      (1L << 61).toDouble, (1L << 61).toDouble + (1L << 60).toDouble,
+      (1L << 62).toDouble - (1L << 52).toDouble, 3.0, 17.0)
+    val df = vals.map(("g", _)).toDF("grp", "v")
+    def replay(v: Double): Int = {
+      val w = math.floor(v).toLong + 1L
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(w)
+      val p = 1L << e
+      val sub = if (e < 4) (((w - p) * 16) / p).toInt
+                else ((w - p) / (p / 16)).toInt
+      e * 16 + sub
+    }
+    val got = Profile.hdrBins(df, "grp", "v")
+      .as[(String, Int, Long)].collect().map(r => r._2 -> r._3).toMap
+    val want = vals.groupBy(replay).view.mapValues(_.size.toLong).toMap
+    assert(got == want)
+    assert(got.keys.forall(_ >= 0), "no wrapped-negative bin ids")
+  }
+
   test("hdrQuantiles: guards and degenerate inputs") {
     val one = Seq(("g", 0.0)).toDF("grp", "v")
     val est = Profile.hdrQuantiles(Profile.hdrBins(one, "grp", "v"),

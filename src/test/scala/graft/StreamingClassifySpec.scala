@@ -79,4 +79,27 @@ class StreamingClassifySpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.parquet(s"$dir/dist/batch=0").collect().toSet == d1)
     assert(spark.read.parquet(s"$dir/psi/batch=0").collect().toSet == p1)
   }
+
+  test("empty batch lands a sentinel psi row instead of killing the stream") {
+    val dir = Files.createTempDirectory("sclass3").toString
+    setup(dir)
+    val fn = StreamingClassify.monitor(s"$dir/models", s"$dir/ref",
+      s"$dir/dist", s"$dir/psi")
+    // zero rows (restart replay) and all-blank texts (classify excludes
+    // them) both yield an empty distribution — neither may throw
+    val empty = Seq.empty[ClassifyDoc].toDF().select(col("doc_id"), col("text"))
+    fn(empty, 5L)
+    val blank = Seq(ClassifyDoc(1L, ""), ClassifyDoc(2L, "   ")).toDF()
+      .select(col("doc_id"), col("text"))
+    fn(blank, 6L)
+    for (b <- Seq(5L, 6L)) {
+      assert(spark.read.parquet(s"$dir/dist/batch=$b").count() == 0L)
+      val psi = spark.read.parquet(s"$dir/psi/batch=$b")
+        .as[(String, Long, Option[Double])].collect().toSeq
+      assert(psi == Seq(("label_mix", 0L, None)))
+    }
+    // and the sentinel is itself an idempotent overwrite
+    fn(empty, 5L)
+    assert(spark.read.parquet(s"$dir/psi/batch=5").count() == 1L)
+  }
 }
