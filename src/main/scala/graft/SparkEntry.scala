@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -163,6 +163,34 @@ object SparkEntry {
     d.unionByName(d.filter(col("doc_id") % 20 === 0)
       .select((col("doc_id") + 100000L).as("doc_id"),
         concat(col("text"), lit(" extradup token")).as("text")))
+  }
+
+  /** Deterministic "crawled page" markup for the end-to-end curation
+    * flagship: the `doc_html_extract` wrapper (script/style/comment/
+    * entity noise) extended with the planted curation signals — a
+    * period-terminated tail so units split cleanly, an intra-doc
+    * REPEATED sentence on every 4th doc (unique per doc via its id, so
+    * only the intra-doc pass may remove it), and a corpus-wide
+    * boilerplate sentence on EVERY page (df = |corpus|, so the
+    * boilerplate pass must strip it everywhere).
+    */
+  private def c4Html(id: Column, text: Column): Column = {
+    val esc = Seq("&" -> "&amp;", "<" -> "&lt;", ">" -> "&gt;")
+      .foldLeft(text) { case (c, (f, t)) => replace(c, lit(f), lit(t)) }
+    concat(
+      lit("<html><head><style>p { color: #c00; }</style>" +
+        "<script type=\"text/javascript\">if (x < 2 && y > 1) { alert(\"hi\"); }" +
+        "</script></head><body><h1>Doc "),
+      id,
+      lit("</h1><!-- crawl artifact --><p>"),
+      esc,
+      lit(" &amp; more &lt;raw&gt;&nbsp;tail.</p>"),
+      when(id % 4 === 0,
+        concat(lit("<p>Limited time offer number "), id,
+          lit(". Limited time offer number "), id, lit(".</p>")))
+        .otherwise(lit("")),
+      lit("<p>Subscribe to our newsletter for free offers.</p>" +
+        "</body></html>"))
   }
 
   /** Embedding corpus with identical copies of every 25th vector.
@@ -1351,6 +1379,22 @@ object SparkEntry {
           trunc4(col("dup_token_frac")).as("dup_token_frac"),
           trunc4(col("top_bigram_frac")).as("top_bigram_frac"))
     }),
+
+    // T8c: the END-TO-END curation flagship — the full C4 chain as ONE
+    // query over a crawled-HTML corpus with every stage's planted
+    // signal: near-dup copies (every 20th doc + ' extradup token'), a
+    // corpus-wide boilerplate sentence in every page's markup, an
+    // intra-doc repeated sentence on every 4th doc, plus script/style/
+    // comment/entity noise for the extractor. Extraction → strict gates
+    // → boilerplate-unit removal → intra-doc unit dedup → near-dup
+    // clustering + representative keep → leakage-safe split → per-split
+    // packing; the oracle replays the ENTIRE chain as chained CTEs, so
+    // the composition (ordering, handoffs, survival anchors) is
+    // cross-engine-proven end to end.
+    "c4_end_to_end" -> ((s, dir) =>
+      graft.operators.CurationPipeline.run(
+        docNearDupCorpus(s, dir).select(col("doc_id"),
+          c4Html(col("doc_id"), col("text")).as("html")))),
 
     // T9: PII redaction — email/phone scrub with deterministic injection
     // (the corpus has no natural PII).
@@ -3596,6 +3640,147 @@ object SparkEntry {
         |WHERE s.quality_score >= 0.5 AND l.lang_pred = 'en'
         |AND s.ws_tokens BETWEEN 20 AND 1000
         |AND r.dup_frac <= 0.6 AND r.top_frac <= 0.2""".stripMargin,
+
+    // The WHOLE curation chain replayed as one CTE pipeline: markup →
+    // extraction → strict gates → boilerplate-unit removal → intra-doc
+    // unit dedup → shingle-Jaccard clusters → leakage-safe split +
+    // representative keep → per-split packing. Every fragment is the
+    // proven oracle of its stage's own contract query, re-sourced to
+    // the previous stage's CTE.
+    "c4_end_to_end" ->
+      s"""WITH RECURSIVE $corpusNearSql,
+         |hsrc AS (SELECT doc_id,
+         |  '<html><head><style>p { color: #c00; }</style>' ||
+         |  '<script type="text/javascript">if (x < 2 && y > 1) { alert("hi"); }' ||
+         |  '</script></head><body><h1>Doc ' || doc_id ||
+         |  '</h1><!-- crawl artifact --><p>' ||
+         |  replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') ||
+         |  ' &amp; more &lt;raw&gt;&nbsp;tail.</p>' ||
+         |  CASE WHEN doc_id % 4 = 0 THEN '<p>Limited time offer number ' ||
+         |    doc_id || '. Limited time offer number ' || doc_id || '.</p>'
+         |    ELSE '' END ||
+         |  '<p>Subscribe to our newsletter for free offers.</p></body></html>' AS html
+         |  FROM corpus),
+         |ex1 AS (SELECT doc_id,
+         |  regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t
+         |  FROM hsrc),
+         |ex2 AS (SELECT doc_id,
+         |  regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM ex1),
+         |ex3 AS (SELECT doc_id,
+         |  regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM ex2),
+         |ex4 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM ex3),
+         |exd AS (SELECT doc_id,
+         |  replace(replace(replace(replace(replace(replace(replace(t,
+         |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+         |    '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t FROM ex4),
+         |ex AS MATERIALIZED (SELECT doc_id,
+         |  trim(regexp_replace(t, '[ \\t\\n\\r\\f]+', ' ', 'g')) AS text FROM exd),
+         |q AS (SELECT doc_id, text,
+         |  least(length(text)/500.0, 1.0) AS len_score,
+         |  len(regexp_extract_all(text, '[[:punct:]]'))
+         |    / CAST(greatest(length(text),1) AS DOUBLE) AS punct_ratio,
+         |  len(regexp_extract_all(lower(text), '\\b(the|a|an|and|of|to|in|is|it|that)\\b'))
+         |    / CAST(greatest(CASE WHEN length(trim(text))=0 THEN 0
+         |        ELSE len(string_split_regex(trim(text), '\\s+')) END, 1) AS DOUBLE) AS stopword_ratio,
+         |  CASE WHEN length(trim(text))=0 THEN 0
+         |    ELSE len(string_split_regex(trim(text), '\\s+')) END AS ws_tokens
+         |  FROM ex),
+         |sc AS (SELECT doc_id, ws_tokens, text,
+         |  0.4*len_score + 0.3*least(stopword_ratio*5.0,1.0)
+         |    + 0.3*(1.0-least(punct_ratio*10.0,1.0)) AS quality_score FROM q),
+         |h AS (SELECT doc_id,
+         |  len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is)\\b')) AS en,
+         |  len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht)\\b')) AS de,
+         |  len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est|une)\\b')) AS fr,
+         |  len(regexp_extract_all(lower(text), '\\b(el|los|las|es|una|que)\\b')) AS es,
+         |  len(regexp_extract_all(text, '\\p{Han}')) AS zh FROM ex),
+         |lang AS (SELECT doc_id, CASE WHEN zh > 0 THEN 'zh'
+         |  WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+         |  WHEN de >= fr AND de >= es THEN 'de'
+         |  WHEN fr >= es THEN 'fr' ELSE 'es' END AS lang_pred FROM h),
+         |keptx AS (SELECT min(doc_id) AS doc_id FROM ex GROUP BY md5(text)),
+         |rep0 AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM ex),
+         |repm AS (SELECT doc_id, len(toks) AS nt, len(list_distinct(toks)) AS dt,
+         |  greatest(len(toks)-1, 0) AS nb FROM rep0),
+         |repbg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
+         |  FROM rep0, unnest(range(1, len(toks))) u(i)),
+         |reptop AS (SELECT doc_id, max(c) AS topc FROM (
+         |  SELECT doc_id, g, count(*) AS c FROM repbg GROUP BY 1, 2) GROUP BY doc_id),
+         |rep AS (SELECT m.doc_id,
+         |  CASE WHEN nt = 0 THEN 0 ELSE 1 - dt/nt::DOUBLE END AS dup_frac,
+         |  CASE WHEN nb = 0 THEN 0 ELSE coalesce(topc, 0)/nb::DOUBLE END AS top_frac
+         |  FROM repm m LEFT JOIN reptop USING (doc_id)),
+         |cur AS MATERIALIZED (SELECT s.doc_id, s.text
+         |  FROM sc s JOIN lang l USING (doc_id) JOIN keptx k ON s.doc_id = k.doc_id
+         |  JOIN rep r ON s.doc_id = r.doc_id
+         |  WHERE s.quality_score >= 0.5 AND l.lang_pred = 'en'
+         |  AND s.ws_tokens BETWEEN 20 AND 1000
+         |  AND r.dup_frac <= 0.6 AND r.top_frac <= 0.2),
+         |ba AS (SELECT doc_id, string_split_regex(text, '\\.\\s+') AS arr FROM cur),
+         |bu0 AS (SELECT doc_id, i - 1 AS pos, trim(arr[i::INT]) AS unit
+         |  FROM ba, unnest(range(1, len(arr) + 1)) AS r(i)),
+         |bu AS (SELECT * FROM bu0 WHERE unit <> ''),
+         |bhot AS (SELECT unit FROM (SELECT unit, count(*) AS df FROM
+         |  (SELECT DISTINCT doc_id, unit FROM bu) GROUP BY unit)
+         |  WHERE df >= 3),
+         |bk AS (SELECT * FROM bu WHERE unit NOT IN (SELECT unit FROM bhot)),
+         |brb AS (SELECT doc_id, string_agg(unit, '. ' ORDER BY pos) AS t
+         |  FROM bk GROUP BY 1),
+         |deb AS MATERIALIZED (SELECT c.doc_id, COALESCE(brb.t, '') AS text
+         |  FROM cur c LEFT JOIN brb ON c.doc_id = brb.doc_id),
+         |ia AS (SELECT doc_id, string_split_regex(text, '\\.\\s+') AS arr FROM deb),
+         |iu0 AS (SELECT doc_id, i - 1 AS pos, trim(arr[i::INT]) AS unit
+         |  FROM ia, unnest(range(1, len(arr) + 1)) AS r(i)),
+         |iu AS (SELECT * FROM iu0 WHERE unit <> ''),
+         |ik AS (SELECT doc_id, pos, unit FROM (SELECT doc_id, pos, unit,
+         |  row_number() OVER (PARTITION BY doc_id, unit ORDER BY pos) AS occ
+         |  FROM iu) WHERE occ = 1),
+         |irb AS (SELECT doc_id, string_agg(unit, '. ' ORDER BY pos) AS t
+         |  FROM ik GROUP BY 1),
+         |intra AS MATERIALIZED (SELECT d.doc_id, COALESCE(irb.t, '') AS text
+         |  FROM deb d LEFT JOIN irb ON d.doc_id = irb.doc_id),
+         |ntok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM intra),
+         |nshs AS (SELECT doc_id, list_distinct(list_transform(
+         |  range(0, greatest(len(toks)-3,0)+1),
+         |  i -> array_to_string(toks[(i+1):(i+3)], ' '))) AS shingles FROM ntok),
+         |nsh0 AS (SELECT doc_id AS id, unnest(shingles) AS shingle FROM nshs),
+         |nhot AS (SELECT shingle FROM nsh0 GROUP BY shingle HAVING count(*) > $ShingleDfCap),
+         |nsh AS MATERIALIZED (SELECT id, shingle FROM nsh0
+         |  WHERE shingle NOT IN (SELECT shingle FROM nhot)),
+         |sizes AS (SELECT id, count(*) AS sz FROM nsh GROUP BY id),
+         |prs AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+         |  FROM nsh a JOIN nsh b ON a.shingle = b.shingle AND a.id < b.id
+         |  GROUP BY 1, 2),
+         |jp AS (SELECT p.id_a, p.id_b FROM prs p
+         |  JOIN sizes sa ON p.id_a = sa.id JOIN sizes sb ON p.id_b = sb.id
+         |  WHERE p.inter/(sa.sz+sb.sz-p.inter)::DOUBLE >= 0.5),
+         |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM jp
+         |  UNION ALL SELECT id_b, id_a FROM jp),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+         |clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |repx AS (SELECT i.doc_id, COALESCE(cl.cluster_id, i.doc_id) AS rep_id
+         |  FROM intra i LEFT JOIN clusters cl ON i.doc_id = cl.id),
+         |bkx AS (SELECT repx.doc_id, ${hash60Sql("rt.text")} % 100 AS bucket
+         |  FROM repx JOIN intra rt ON repx.rep_id = rt.doc_id),
+         |spl AS (SELECT doc_id, CASE WHEN bucket < 80 THEN 'train'
+         |  WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split FROM bkx),
+         |keptn AS (SELECT doc_id FROM intra
+         |  WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster_id)),
+         |tokc AS (SELECT i.doc_id, s.split,
+         |  CAST(CASE WHEN length(trim(i.text))=0 THEN 0
+         |    ELSE len(string_split_regex(trim(i.text), '\\s+')) END AS BIGINT) AS ws_tokens
+         |  FROM intra i JOIN spl s ON i.doc_id = s.doc_id
+         |  JOIN keptn k ON i.doc_id = k.doc_id)
+         |SELECT doc_id, split, ws_tokens,
+         |CAST(coalesce(sum(ws_tokens) OVER (PARTITION BY split ORDER BY doc_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset,
+         |CAST(floor(coalesce(sum(ws_tokens) OVER (PARTITION BY split ORDER BY doc_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0)
+         |  AS BIGINT) AS bin
+         |FROM tokc""".stripMargin,
 
     "dedup_exact" ->
       s"""WITH $corpusExactSql
