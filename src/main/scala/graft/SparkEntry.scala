@@ -512,6 +512,52 @@ object SparkEntry {
     docs.unionByName(planted)
   }
 
+  /** Audio near-dup corpus: the audio-typed documents (doc_id % 3 == 1
+    * under [[graft.sources.MediaColumns.mediaFromDocuments]]'s
+    * round-robin) plus a planted "re-encode" of every 20th audio doc —
+    * one mid-payload byte changed, which moves ONE energy frame and
+    * flips at most the two adjacent gradient bits of the fingerprint.
+    * Copy ids ride +30000000 (≡ 0 mod 3, so copies keep the audio
+    * media_type).
+    */
+  private def audioNearDupDocs(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.documents(s, dir).select("doc_id", "text")
+      .filter(col("doc_id") % 3 === 1)
+    val len = length(col("text"))
+    val idx0 = floor(len / 2).cast("int") // 0-based perturbed offset
+    val planted = a.filter(col("doc_id") % 60 === 1 && len >= 65)
+      .select((col("doc_id") + 30000000L).as("doc_id"),
+        concat(col("text").substr(lit(1), idx0),
+          chr(lit(65) + pmod(col("doc_id"), lit(26))),
+          col("text").substr(idx0 + lit(2), len)).as("text"))
+    a.unionByName(planted)
+  }
+
+  /** Video near-dup corpus: the video-typed documents (doc_id % 3 == 2)
+    * plus a planted "re-encode" of every 10th long-enough video doc —
+    * one byte changed INSIDE EACH of the four sampled frame windows
+    * (offset j*64+30, clear of the 8-byte window overlaps), so every
+    * frame's dHash flips at most 2 bits and the aligned frame sets
+    * match at hamming <= 2. len >= 264 guarantees all four frames
+    * exist on both sides.
+    */
+  private def videoNearDupDocs(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables.documents(s, dir).select("doc_id", "text")
+      .filter(col("doc_id") % 3 === 2)
+    val len = length(col("text"))
+    def seg(j: Int) =
+      chr(lit(65) + pmod(col("doc_id") + j, lit(26)))
+    val planted = v.filter(col("doc_id") % 30 === 2 && len >= 264)
+      .select((col("doc_id") + 30000000L).as("doc_id"),
+        concat(
+          col("text").substr(lit(1), lit(30)), seg(0),
+          col("text").substr(lit(32), lit(63)), seg(1),
+          col("text").substr(lit(96), lit(63)), seg(2),
+          col("text").substr(lit(160), lit(63)), seg(3),
+          col("text").substr(lit(224), len)).as("text"))
+    v.unionByName(planted)
+  }
+
   /** One (a = supplier node, b = customer node) row per lineitem. */
   private def copurchaseBase(s: SparkSession, dir: String): DataFrame =
     sharedGet(s, dir, "base")(
@@ -2782,6 +2828,37 @@ object SparkEntry {
           Dedup.nearDupClusters(pairs.select("id_a", "id_b")))
         .select("doc_id")
     }),
+
+    // M9: content-level audio fingerprint — the energy-envelope dHash:
+    // 65 near-equal byte frames, bit k = sign of the mean-energy slope
+    // between frames k and k+1 (exact cross-multiplied comparison, so
+    // DC-offset/uniform-gain shifts cancel). Payloads under 65 bytes
+    // fingerprint null.
+    "media_audio_fp" -> ((s, dir) =>
+      MediaColumns.withAudioFingerprint(
+          MediaColumns.mediaFromDocuments(Tables.documents(s, dir)))
+        .filter(col("media_type") === "audio")
+        .select("doc_id", "audio_fp")),
+
+    // M9b: audio near-dup pairs — every 20th audio doc gets a planted
+    // one-byte "re-encode" (moves one energy frame → flips <= 2
+    // adjacent gradient bits); pairs mined by the 16-bit-block
+    // pigeonhole equi-join, hamming <= 2.
+    "media_audio_neardup_pairs" -> ((s, dir) =>
+      MediaColumns.audioNearDupPairs(
+          MediaColumns.mediaFromDocuments(audioNearDupDocs(s, dir)),
+          maxHamming = 2)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long"))),
+
+    // M10: video near-dup via frame-sample phash SETS — four 72-byte
+    // frame windows per video, each dHashed; two videos pair when >= 3
+    // temporally ALIGNED frames match within hamming 2. Planted
+    // re-encodes perturb one byte per frame window, so every frame
+    // survives at <= 2 flipped bits while whole-file hashes (md5,
+    // media_frames) would all miss.
+    "media_video_neardup_pairs" -> ((s, dir) =>
+      MediaColumns.videoNearDupPairs(
+        MediaColumns.mediaFromDocuments(videoNearDupDocs(s, dir)))),
 
     // O3: multi-key sort (notebook cell 13). Sort itself is not hashable
     // output — the oracle compares the sorted-stable row set.
@@ -5376,6 +5453,99 @@ object SparkEntry {
         |clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
         |SELECT doc_id FROM corpus
         |WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster_id)""".stripMargin,
+
+    // Energy-envelope fingerprint replay: per-byte frame assignment
+    // (i*65)//len, HUGEINT-safe energy sums, exact cross-multiplied
+    // slope comparison, bit pack with the two's-complement wrap.
+    "media_audio_fp" ->
+      """WITH m AS (SELECT doc_id, text, length(text)::BIGINT AS len
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |b AS (SELECT doc_id, u.i AS i,
+        |  ord(substr(text, (u.i + 1)::INT, 1))::BIGINT AS v, len
+        |  FROM m, unnest(range(0, len)) AS u(i) WHERE len >= 65),
+        |f AS (SELECT doc_id, (i * 65) // len AS k, sum(v) AS e,
+        |  count(*) AS n FROM b GROUP BY 1, 2),
+        |g AS (SELECT a.doc_id, CASE WHEN b.e * a.n > a.e * b.n
+        |  THEN (1::HUGEINT << a.k::INT) ELSE 0::HUGEINT END AS bit
+        |  FROM f a JOIN f b ON b.doc_id = a.doc_id AND b.k = a.k + 1
+        |  WHERE a.k < 64),
+        |hh AS (SELECT doc_id, sum(bit) AS s FROM g GROUP BY 1)
+        |SELECT m.doc_id,
+        |CASE WHEN hh.s IS NULL THEN NULL
+        |  WHEN hh.s > 9223372036854775807
+        |  THEN (hh.s - 18446744073709551616::HUGEINT)::BIGINT
+        |  ELSE hh.s::BIGINT END AS audio_fp
+        |FROM m LEFT JOIN hh ON m.doc_id = hh.doc_id""".stripMargin,
+
+    // Same fingerprint over the planted-union audio corpus, then
+    // ALL-PAIRS bit_count(xor) <= 2 — the oracle may brute-force what
+    // the Spark side mines with the pigeonhole equi-join.
+    "media_audio_neardup_pairs" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 30000000 AS doc_id,
+        |    substr(text, 1, (length(text) // 2)::INT) ||
+        |    chr(65 + (doc_id % 26)::INT) ||
+        |    substr(text, (length(text) // 2 + 2)::INT) AS text
+        |  FROM documents WHERE doc_id % 60 = 1 AND length(text) >= 65),
+        |m AS (SELECT doc_id, text, length(text)::BIGINT AS len FROM corpus),
+        |b AS (SELECT doc_id, u.i AS i,
+        |  ord(substr(text, (u.i + 1)::INT, 1))::BIGINT AS v, len
+        |  FROM m, unnest(range(0, len)) AS u(i) WHERE len >= 65),
+        |f AS (SELECT doc_id, (i * 65) // len AS k, sum(v) AS e,
+        |  count(*) AS n FROM b GROUP BY 1, 2),
+        |g AS (SELECT a.doc_id, CASE WHEN b.e * a.n > a.e * b.n
+        |  THEN (1::HUGEINT << a.k::INT) ELSE 0::HUGEINT END AS bit
+        |  FROM f a JOIN f b ON b.doc_id = a.doc_id AND b.k = a.k + 1
+        |  WHERE a.k < 64),
+        |fps AS (SELECT doc_id, CASE WHEN s > 9223372036854775807
+        |  THEN (s - 18446744073709551616::HUGEINT)::BIGINT
+        |  ELSE s::BIGINT END AS fp FROM (
+        |  SELECT doc_id, sum(bit) AS s FROM g GROUP BY 1))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |bit_count(xor(a.fp, b.fp))::BIGINT AS hamming
+        |FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 2""".stripMargin,
+
+    // Frame-set replay: 72-byte windows are SAMPLE-DENSE (px(k) =
+    // frame[k] since (k*72)//72 = k), per-frame dHash, aligned
+    // all-pairs hamming <= 2, >= 3 shared frames.
+    "media_video_neardup_pairs" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2
+        |  UNION ALL
+        |  SELECT doc_id + 30000000 AS doc_id,
+        |    substr(text, 1, 30) || chr(65 + (doc_id % 26)::INT) ||
+        |    substr(text, 32, 63) || chr(65 + ((doc_id + 1) % 26)::INT) ||
+        |    substr(text, 96, 63) || chr(65 + ((doc_id + 2) % 26)::INT) ||
+        |    substr(text, 160, 63) || chr(65 + ((doc_id + 3) % 26)::INT) ||
+        |    substr(text, 224) AS text
+        |  FROM documents WHERE doc_id % 30 = 2 AND length(text) >= 264),
+        |fr AS (SELECT doc_id, j.j AS frame_idx,
+        |  substr(text, (j.j * 64 + 1)::INT, 72) AS f
+        |  FROM corpus, unnest(range(0, 4)) AS j(j)),
+        |fv AS (SELECT doc_id, frame_idx, f FROM fr WHERE length(f) >= 72),
+        |px AS (SELECT doc_id, frame_idx, u.k AS k,
+        |  ord(substr(f, (u.k + 1)::INT, 1))::BIGINT AS v
+        |  FROM fv, unnest(range(0, 72)) AS u(k)),
+        |db AS (SELECT a.doc_id, a.frame_idx,
+        |  sum(CASE WHEN b.v > a.v
+        |    THEN (1::HUGEINT << ((a.k // 9) * 8 + (a.k % 9))::INT)
+        |    ELSE 0::HUGEINT END) AS s
+        |  FROM px a JOIN px b ON b.doc_id = a.doc_id
+        |    AND b.frame_idx = a.frame_idx AND b.k = a.k + 1
+        |  WHERE a.k % 9 < 8 GROUP BY 1, 2),
+        |fh AS (SELECT doc_id, frame_idx,
+        |  CASE WHEN s > 9223372036854775807
+        |  THEN (s - 18446744073709551616::HUGEINT)::BIGINT
+        |  ELSE s::BIGINT END AS hd FROM db)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |count(*)::BIGINT AS n_frames
+        |FROM fh a JOIN fh b ON a.doc_id < b.doc_id
+        |  AND a.frame_idx = b.frame_idx
+        |WHERE bit_count(xor(a.hd, b.hd)) <= 2
+        |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
 
     "multi_key_sort" ->
       """SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice

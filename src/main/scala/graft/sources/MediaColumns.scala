@@ -174,6 +174,84 @@ object MediaColumns {
       maxHamming, idCol = "doc_id", hashCol = "phash_d",
       maxBlockFreq = maxBlockFreq)
 
+  /** Content-level audio fingerprint — the energy-envelope dHash twin
+    * via the codegen'd [[graft.functions.AudioFingerprint]] expression
+    * (map-only, like the image hashes: any shuffle here would move raw
+    * audio bytes). Payloads under 65 bytes fingerprint as null and are
+    * kept.
+    */
+  def withAudioFingerprint(media: DataFrame): DataFrame =
+    media
+      .withColumn("_afp",
+        graft.functions.AudioFingerprintFunctions.audioFingerprint(
+          col("payload")))
+      .withColumn("audio_fp", col("_afp.audio_fp"))
+      .drop("_afp")
+
+  /** Audio near-dup pairs: hamming distance between energy-envelope
+    * fingerprints <= `maxHamming`, mined by the same byte-block
+    * pigeonhole as the image pairs — a one-sample re-encode moves one
+    * frame's energy and flips at most the two adjacent gradient bits.
+    */
+  def audioNearDupPairs(media: DataFrame, maxHamming: Int = 2,
+      maxBlockFreq: Option[Long] = None): DataFrame =
+    graft.operators.Dedup.hammingPairs64(
+      withAudioFingerprint(media).select(col("doc_id"), col("audio_fp")),
+      maxHamming, idCol = "doc_id", hashCol = "audio_fp",
+      maxBlockFreq = maxBlockFreq)
+
+  /** Per-video frame-sample perceptual hashes: every `stride` bytes
+    * take a `frameLen`-byte window (the [[frameSample]] plumbing) and
+    * dHash it — the video near-dup signal is the SET of per-frame
+    * hashes, not one whole-file hash (a re-encode perturbs every frame
+    * a little; a different video shares no frames at all). Windows too
+    * short to fingerprint (past EOF) are dropped; the hash stage is
+    * map-only.
+    */
+  def frameHashes(media: DataFrame, frames: Int = 4, stride: Int = 64,
+      frameLen: Int = 72): DataFrame = {
+    require(frameLen >= graft.functions.PerceptualHashKernel.N,
+      s"frameLen must be >= ${graft.functions.PerceptualHashKernel.N}")
+    media.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(frames - 1)), j =>
+          col("payload").substr(j * stride + 1, lit(frameLen)))))
+      .withColumnRenamed("pos", "frame_idx")
+      .filter(octet_length(col("col")) >= frameLen)
+      .withColumn("_ph",
+        graft.functions.PerceptualHashFunctions.perceptualHash(col("col")))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("_ph.dhash").as("frame_dhash"))
+  }
+
+  /** Video near-dup pairs: two videos pair when >= `minSharedFrames` of
+    * their TEMPORALLY ALIGNED frame samples hash within `maxHamming`
+    * bits of each other. Candidates come from [[frameHashes]] keyed as
+    * one synthetic id per (video, frame) through the same pigeonhole
+    * block join as every other hamming family — never all-pairs, and
+    * only (id, 8-byte hash) rows ride the shuffle. The frame-index
+    * alignment means a shared STILL (logo card, black frame) in
+    * different positions cannot pair two unrelated videos; the
+    * `maxBlockFreq` cap guards the degenerate-frame mass underneath.
+    */
+  def videoNearDupPairs(media: DataFrame, frames: Int = 4,
+      stride: Int = 64, frameLen: Int = 72, maxHamming: Int = 2,
+      minSharedFrames: Int = 3,
+      maxBlockFreq: Option[Long] = None): DataFrame = {
+    val fh = frameHashes(media, frames, stride, frameLen)
+      .select((col("doc_id") * frames + col("frame_idx")).as("fid"),
+        col("frame_dhash"))
+    graft.operators.Dedup.hammingPairs64(fh, maxHamming, idCol = "fid",
+        hashCol = "frame_dhash", maxBlockFreq = maxBlockFreq)
+      // temporal alignment: same frame slot on both sides (this also
+      // rules out a video pairing with itself)
+      .filter(pmod(col("id_a"), lit(frames)) === pmod(col("id_b"), lit(frames)))
+      .select(expr(s"id_a div $frames").as("id_a"),
+        expr(s"id_b div $frames").as("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_frames"))
+      .filter(col("n_frames") >= minSharedFrames)
+  }
+
   /** Typed seam for the decode path. */
   def asMediaRecords(media: DataFrame): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._

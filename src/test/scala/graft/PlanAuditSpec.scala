@@ -124,6 +124,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       s"the perceptual_hash projection is outside codegen: $decodeLine")
   }
 
+  test("audio_fingerprint runs inside WholeStageCodegen (no interpreted fallback)") {
+    val df = SparkEntry.queries("media_audio_fp")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    val decodeLine = plan.linesIterator
+      .find(_.contains("audio_fingerprint")).getOrElse("")
+    assert(decodeLine.trim.matches("""^(\+- )?\*\(\d+\) .*"""),
+      s"the audio_fingerprint projection is outside codegen: $decodeLine")
+  }
+
   test("incremental dedup's corpus band relation shuffles ids only, no vectors/sigs") {
     // the 100 TB property: the big (corpus) side of the band join must
     // not carry signature arrays through the exchange — candidate ids
@@ -148,7 +158,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     val sf = "/root/testdata/sf0.001"
     val mediaQueries = Seq("media_metadata", "media_frames",
       "media_image_dims", "media_wav_meta", "media_resize_stride",
-      "media_phash", "media_mp4_meta")
+      "media_phash", "media_mp4_meta", "media_audio_fp")
     val offenders = mediaQueries.filter { name =>
       SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString.contains("Exchange")
