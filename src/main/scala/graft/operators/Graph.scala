@@ -161,6 +161,54 @@ object PageRank {
       isSeed: Column => Column, scale: Long = DefaultScale): DataFrame =
     propagatePrepared(prepared, iters, scale, Some(isSeed))
 
+  /** Run supersteps until the INTEGER rank vector reaches an exact
+    * fixpoint (or `maxIters`) — the production entry point when the
+    * iteration budget is "until it stops moving" rather than a fixed
+    * k. Detection is the connected-components discipline: a count+xor
+    * signature per round (one cheap aggregate over the N-row rank
+    * table), with an exact set-diff confirmation only on signature
+    * match — so a stop is NEVER a hash accident. Because the
+    * arithmetic is integer-exact, `superstep(r) == r` implies every
+    * further superstep returns `r` bit-for-bit: stopping at the
+    * fixpoint equals running all `maxIters` rounds, which keeps any
+    * unrolled-CTE replay of the full budget valid for the converged
+    * result. Returns (ranks, rounds run, converged).
+    */
+  def ranksToConvergence(prepared: DataFrame, maxIters: Int,
+      scale: Long = DefaultScale,
+      isSeed: Option[Column => Column] = None): (DataFrame, Int, Boolean) = {
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    val loop = new PropagateLoop(prepared, scale, isSeed)
+    def signature(df: DataFrame): (Long, Long) = {
+      val row = df.agg(count(lit(1)),
+        expr("cast(coalesce(bit_xor(hash(node, rank)), 0) as bigint)")).head()
+      (row.getLong(0), row.getLong(1))
+    }
+    var r = loop.init
+    var sig = signature(r)
+    var rounds = 0
+    var converged = false
+    while (rounds < maxIters && !converged) {
+      val next = loop.step(r)
+      val nsig = signature(next)
+      if (nsig == sig && next.exceptAll(r).isEmpty) converged = true
+      sig = nsig
+      r = next
+      rounds += 1
+    }
+    (r, rounds, converged)
+  }
+
+  /** Node counts up to this gate broadcast the rank table into the
+    * superstep join, making each round exchange-free on the EDGE side
+    * (the big relation): contributions partial-aggregate map-side and
+    * only ~N rows of partials shuffle. 1M nodes ≈ tens of MB — the
+    * same driver-size bound the CC hybrid gate uses. Above it, ranks
+    * flow through the plain shuffle join (a web-scale rank table
+    * cannot broadcast), same arithmetic, same results.
+    */
+  val BroadcastRanksMaxNodes = 1000000L
+
   private def propagate(edges: DataFrame, src: String, dst: String,
       iters: Int, scale: Long, seed: Option[Column => Column],
       wCol: Option[String]): DataFrame =
@@ -169,29 +217,71 @@ object PageRank {
   private def propagatePrepared(e: DataFrame, iters: Int, scale: Long,
       seed: Option[Column => Column]): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val nodes = e.select(col("src")).distinct()
+    val loop = new PropagateLoop(e, scale, seed)
+    var r = loop.init
+    for (_ <- 1 to iters) r = loop.step(r)
+    r
+  }
+
+  /** Test seam: run the fixed-k recurrence with an explicit broadcast
+    * gate (0 forces the shuffle-join path) so the spec can pin
+    * broadcast == shuffle bit-equality.
+    */
+  private[graft] def ranksPreparedGated(prepared: DataFrame, iters: Int,
+      scale: Long, broadcastGate: Long): DataFrame = {
+    val loop = new PropagateLoop(prepared, scale, None, broadcastGate)
+    var r = loop.init
+    for (_ <- 1 to iters) r = loop.step(r)
+    r
+  }
+
+  /** One superstep as a reusable closure over the prepared relation:
+    * shared by the fixed-k and run-to-convergence entry points so both
+    * iterate the IDENTICAL arithmetic. When the node count sits under
+    * [[BroadcastRanksMaxNodes]], each step materializes its (tiny)
+    * output and broadcasts it into the next join — the edge relation
+    * never shuffles and the per-round exchange carries only map-side
+    * partial sums; above the gate the original shuffle join runs
+    * unchanged. Either way the LONG arithmetic is associative, so the
+    * two paths return bit-identical tables (partitioning invariance is
+    * spec-pinned).
+    */
+  private final class PropagateLoop(e: DataFrame, scale: Long,
+      seed: Option[Column => Column],
+      broadcastGate: Long = BroadcastRanksMaxNodes) {
+    private val nodes = e.select(col("src")).distinct()
     // the restart-set size is a driver-side scalar (one count job) — it
     // parameterizes the literal base term exactly as the SQL oracle's
     // constant does
-    val n = seed.map(f => nodes.filter(f(col("src"))).count())
+    private val n = seed.map(f => nodes.filter(f(col("src"))).count())
       .getOrElse(nodes.count())
     require(n > 0, "empty node/seed set")
-    val base = (scale * 15L) / (100L * n)
-    def restart(node: Column, amount: Long) = seed match {
+    private val nNodes = nodes.count()
+    private val small = nNodes <= broadcastGate
+    private val base = (scale * 15L) / (100L * n)
+    private def restart(node: Column, amount: Long) = seed match {
       case None => lit(amount)
       case Some(f) => when(f(node), lit(amount)).otherwise(lit(0L))
     }
-    var r = nodes.select(col("src").as("node"))
-      .withColumn("rank", restart(col("node"), scale / n))
-    for (_ <- 1 to iters) {
-      r = e.join(r, e("src") === r("node"))
+    def init: DataFrame = {
+      val r0 = nodes.select(col("src").as("node"))
+        .withColumn("rank", restart(col("node"), scale / n))
+      if (small) r0.localCheckpoint(false) else r0
+    }
+    def step(r: DataFrame): DataFrame = {
+      // broadcasting a lazy multi-superstep plan would re-execute the
+      // whole chain per round — the small path checkpoints each round's
+      // N-row output first, so a broadcast only ever ships materialized
+      // rows
+      val rr = if (small) broadcast(r) else r
+      val next = e.join(rr, e("src") === rr("node"))
         .select(col("dst").as("node"),
           expr("(rank div outw) * w").as("contrib"))
         .groupBy(col("node"))
         .agg((restart(col("node"), base) +
           expr("(85 * sum(contrib)) div 100")).as("rank"))
+      if (small) next.localCheckpoint(false) else next
     }
-    r
   }
 }
 

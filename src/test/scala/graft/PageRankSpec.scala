@@ -135,4 +135,49 @@ class PageRankSpec extends AnyFunSuite with SparkTestBase {
       PageRank.ranks(e.filter(lit(false)), "x", "y", iters = 1)
     }
   }
+
+  test("broadcast superstep path == shuffle path bit for bit") {
+    val prep = PageRank.prepare(
+      PageRank.undirect(raw.toDF("x", "y"), "x", "y"), "src", "dst")
+    for (iters <- Seq(1, 3, 7)) {
+      val bcast = PageRank.ranksPreparedGated(prep, iters,
+          PageRank.DefaultScale, broadcastGate = Long.MaxValue)
+        .as[(String, Long)].collect().toMap
+      val shuffle = PageRank.ranksPreparedGated(prep, iters,
+          PageRank.DefaultScale, broadcastGate = 0L)
+        .as[(String, Long)].collect().toMap
+      assert(bcast === shuffle, s"paths diverged at iters=$iters")
+    }
+  }
+
+  test("ranksToConvergence: exact fixpoint stop equals the full budget") {
+    // a symmetric cycle: every node identical, the integer sequence
+    // contracts geometrically and LANDS on its fixpoint exactly
+    val cyc = (0 until 8).map(i => (s"n$i", s"n${(i + 1) % 8}"))
+    val prep = PageRank.prepare(
+      PageRank.undirect(cyc.toDF("x", "y"), "x", "y"), "src", "dst")
+    val (ranks, rounds, converged) = PageRank.ranksToConvergence(prep, 300)
+    assert(converged, "cycle must reach an integer fixpoint")
+    assert(rounds < 300, s"fixpoint should arrive early, took $rounds")
+    val got = ranks.as[(String, Long)].collect().toMap
+    // stopping at the fixpoint == running any larger fixed budget
+    val full = PageRank.ranksPrepared(prep, rounds + 10)
+      .as[(String, Long)].collect().toMap
+    assert(got === full)
+    // and == the fixed-k run at exactly `rounds`
+    val atRounds = PageRank.ranksPrepared(prep, rounds)
+      .as[(String, Long)].collect().toMap
+    assert(got === atRounds)
+  }
+
+  test("ranksToConvergence: budget exhaustion reports converged=false") {
+    val sym = PageRank.prepare(
+      PageRank.undirect(raw.toDF("x", "y"), "x", "y"), "src", "dst")
+    val (ranks, rounds, converged) = PageRank.ranksToConvergence(sym, 2)
+    assert(rounds == 2)
+    val fixed = PageRank.ranksPrepared(sym, 2).as[(String, Long)].collect().toMap
+    assert(ranks.as[(String, Long)].collect().toMap === fixed)
+    // tiny asymmetric graph keeps moving after 2 rounds
+    assert(!converged)
+  }
 }
