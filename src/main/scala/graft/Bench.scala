@@ -242,21 +242,34 @@ object Bench {
       s"""{"error":${jstr(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}}"""
     }
 
-    // BPE at production merge count: the batched trainer at 256 merges
-    // over the full bench corpus — merges/sec is the figure that scales
-    // to a 50k vocabulary (the contract query runs only 6 merges) —
-    // plus the batch=1 degeneracy equality vs the sequential trainer on
-    // a sampled corpus, re-proving on this data the exact contract the
-    // big batched run leans on.
+    // BPE at production merge counts: the batched trainer's SCALING
+    // CURVE — 256 merges at batch sizes 32/64/128 over the full bench
+    // corpus (batch size is the driver-round-trip divisor; the curve
+    // shows whether merges/sec keeps climbing with batch, which is
+    // what the 50k-vocabulary claim extrapolates along) plus one
+    // DEPTH point (1024 merges, batch 64, sf0.01 — merge count is the
+    // other axis) — and the batch=1 degeneracy equality vs the
+    // sequential trainer on a sampled corpus, re-proving on this data
+    // the exact contract the big batched runs lean on.
     val bpe = try {
       import graft.functions.TextAnalysis
       import org.apache.spark.sql.functions.col
       val docs = Tables.documents(spark, sfDir)
-      val t0 = System.nanoTime()
-      val merged = TextAnalysis.bpeMergeSequenceBatched(docs,
-        steps = 256, batchSize = 32)
-      val nMerges = merged.count()
-      val secs = (System.nanoTime() - t0) / 1e9
+      def timed(d: org.apache.spark.sql.DataFrame, steps: Int,
+          bs: Int): (Long, Double) = {
+        val t0 = System.nanoTime()
+        val n = TextAnalysis.bpeMergeSequenceBatched(d,
+          steps = steps, batchSize = bs).count()
+        (n, (System.nanoTime() - t0) / 1e9)
+      }
+      val curve = Seq(32, 64, 128).map { bs =>
+        val (n, secs) = timed(docs, 256, bs)
+        s"""{"batch_size":$bs,"merges":$n,"elapsed_sec":${jnum(secs)},"merges_per_sec":${jnum(n / secs)}}"""
+      }.mkString("[", ",", "]")
+      val deepDir = Seq("/root/testdata/sf0.01", sfDir)
+        .find(d => new java.io.File(d).isDirectory).getOrElse(sfDir)
+      val (dn, dsecs) = timed(Tables.documents(spark, deepDir), 1024, 64)
+      val deep = s"""{"sf":"$deepDir","batch_size":64,"merges":$dn,"elapsed_sec":${jnum(dsecs)},"merges_per_sec":${jnum(dn / dsecs)}}"""
       def table(df: org.apache.spark.sql.DataFrame) =
         df.select("step", "left_tok", "right_tok", "n").collect()
           .map(r => (r.getLong(0), r.getString(1), r.getString(2),
@@ -265,7 +278,7 @@ object Bench {
       val eq = table(TextAnalysis.bpeMergeSequenceBatched(sample,
           steps = 6, batchSize = 1)) ==
         table(TextAnalysis.bpeMergeSequence(sample, steps = 6))
-      s"""{"merges":$nMerges,"batch_size":32,"elapsed_sec":${jnum(secs)},"merges_per_sec":${jnum(nMerges / secs)},"batch1_equals_sequential_sample":$eq}"""
+      s"""{"curve":$curve,"deep":$deep,"batch1_equals_sequential_sample":$eq}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] bpe batched FAILED — ${e.getMessage}")
       s"""{"error":${jstr(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}}"""

@@ -207,7 +207,7 @@ object TextAnalysis {
       textCol: String): DataFrame =
     docs.select(col(idCol).as("id"),
         posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
-      .localCheckpoint()
+      .localCheckpoint().transform(org.apache.spark.sql.graftbridge.Bridge.severOrigin)
 
   /** One merge rewrite pass over a (id, pos, tok) stream: every
     * non-overlapping adjacent (l, r) occurrence (greedy left-to-right —
@@ -250,7 +250,7 @@ object TextAnalysis {
       .select(col("id"), col("newpos").as("pos"),
         when(col("start"), concat(col("tok"), lit(" "), col("next")))
           .otherwise(col("tok")).as("tok"))
-      .localCheckpoint()
+      .localCheckpoint().transform(org.apache.spark.sql.graftbridge.Bridge.severOrigin)
   }
 
   def bpeMergeSequence(docs: DataFrame, steps: Int,
@@ -370,7 +370,7 @@ object TextAnalysis {
         when(col("start").isNotNull,
           concat(col("tok"), lit(" "), col("next")))
           .otherwise(col("tok")).as("tok"))
-      .localCheckpoint()
+      .localCheckpoint().transform(org.apache.spark.sql.graftbridge.Bridge.severOrigin)
   }
 
   /** The batched ENCODE side: replay a learned merge table with
@@ -427,7 +427,7 @@ object TextAnalysis {
     val byId = Window.partitionBy("id").orderBy("pos")
     var toks = docs.select(col(idCol).as("id"),
         posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
-      .localCheckpoint()
+      .localCheckpoint().transform(org.apache.spark.sql.graftbridge.Bridge.severOrigin)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var exhausted = false
     while (merges.length < steps && !exhausted) {

@@ -753,8 +753,9 @@ object Dedup {
     * a lost executor would force recompute-from-nothing).
     */
   private[graft] def iterCheckpoint(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-    else df.localCheckpoint()
+    org.apache.spark.sql.graftbridge.Bridge.severOrigin(
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint())
 
   /** Near-dup CLUSTERS from a pair list: connected components,
     * cluster_id = min id reachable. Pair lists alone can't drive dedup —

@@ -263,10 +263,17 @@ object PageRank {
       case None => lit(amount)
       case Some(f) => when(f(node), lit(amount)).otherwise(lit(0L))
     }
+    // severOrigin after each checkpoint: the superstep references the
+    // rank table in a join, and checkpointed Datasets carry origin-plan
+    // baggage that NESTS per round — analysis time doubles per
+    // superstep without it (see Bridge.severOrigin)
+    private def ckpt(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graftbridge.Bridge.severOrigin(
+        df.localCheckpoint(false))
     def init: DataFrame = {
       val r0 = nodes.select(col("src").as("node"))
         .withColumn("rank", restart(col("node"), scale / n))
-      if (small) r0.localCheckpoint(false) else r0
+      if (small) ckpt(r0) else r0
     }
     def step(r: DataFrame): DataFrame = {
       // broadcasting a lazy multi-superstep plan would re-execute the
@@ -280,7 +287,7 @@ object PageRank {
         .groupBy(col("node"))
         .agg((restart(col("node"), base) +
           expr("(85 * sum(contrib)) div 100")).as("rank"))
-      if (small) next.localCheckpoint(false) else next
+      if (small) ckpt(next) else next
     }
   }
 }

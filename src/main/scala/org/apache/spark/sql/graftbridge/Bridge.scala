@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
 
@@ -14,4 +14,40 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Rebuild a DataFrame from its physical RDD + schema, dropping every
+    * piece of logical-plan provenance the Dataset carries.
+    *
+    * Why this exists: `Dataset.checkpoint`/`localCheckpoint` truncate
+    * the RDD lineage but the returned Dataset's `LogicalRDD` still
+    * carries its ORIGIN plan's statistics/constraint closures. In an
+    * iterated fixpoint whose round plan references the previous round's
+    * Dataset more than once (any self-join — the BPE rewrite, label
+    * fixpoints), that origin baggage nests one level per round and the
+    * driver's analysis work DOUBLES per round: measured on a 19k-row
+    * no-op rewrite loop, round time went 0.5 s → 344 s by round 26,
+    * entirely driver-side, while this rewrap holds it flat at 0.3 s
+    * through round 40. `queryExecution.toRdd` on a checkpointed Dataset
+    * is the already-materialized InternalRow RDD (no row conversion),
+    * and `internalCreateDataFrame` wraps it in a FRESH LogicalRDD with
+    * no origin — the plan equivalent of what checkpoint already did to
+    * the lineage.
+    */
+  def severOrigin(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    df.queryExecution.analyzed match {
+      // the common case (a just-checkpointed Dataset): copy the
+      // LogicalRDD keeping output/partitioning/ordering — losing the
+      // partitioning would re-shuffle an already-hash-partitioned round
+      // result — but with NO origin stats/constraints
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        org.apache.spark.sql.classic.Dataset.ofRows(spark,
+          new org.apache.spark.sql.execution.LogicalRDD(
+            l.output, l.rdd, l.outputPartitioning, l.outputOrdering,
+            l.isStreaming, l.stream)(spark, None, None))
+      case _ =>
+        spark.internalCreateDataFrame(df.queryExecution.toRdd, df.schema)
+    }
+  }
 }
