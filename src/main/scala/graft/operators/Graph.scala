@@ -184,12 +184,12 @@ object PageRank {
         expr("cast(coalesce(bit_xor(hash(node, rank)), 0) as bigint)")).head()
       (row.getLong(0), row.getLong(1))
     }
-    var r = loop.init
+    var r = loop.materialized(loop.init)
     var sig = signature(r)
     var rounds = 0
     var converged = false
     while (rounds < maxIters && !converged) {
-      val next = loop.step(r)
+      val next = loop.materialized(loop.step(r))
       val nsig = signature(next)
       if (nsig == sig && next.exceptAll(r).isEmpty) converged = true
       sig = nsig
@@ -250,13 +250,13 @@ object PageRank {
       seed: Option[Column => Column],
       broadcastGate: Long = BroadcastRanksMaxNodes) {
     private val nodes = e.select(col("src")).distinct()
-    // the restart-set size is a driver-side scalar (one count job) — it
-    // parameterizes the literal base term exactly as the SQL oracle's
-    // constant does
-    private val n = seed.map(f => nodes.filter(f(col("src"))).count())
-      .getOrElse(nodes.count())
-    require(n > 0, "empty node/seed set")
     private val nNodes = nodes.count()
+    // the restart-set size is a driver-side scalar — reuse the node
+    // count in the unseeded case rather than running the same
+    // distinct+count job twice per loop construction
+    private val n = seed.map(f => nodes.filter(f(col("src"))).count())
+      .getOrElse(nNodes)
+    require(n > 0, "empty node/seed set")
     private val small = nNodes <= broadcastGate
     private val base = (scale * 15L) / (100L * n)
     private def restart(node: Column, amount: Long) = seed match {
@@ -275,6 +275,15 @@ object PageRank {
         .withColumn("rank", restart(col("node"), scale / n))
       if (small) ckpt(r0) else r0
     }
+    /** For per-round-ACTION loops (convergence probes): the round
+      * result eagerly materialized on BOTH gate paths. step() already
+      * checkpoints below the broadcast gate, but on the large-graph
+      * path it returns a lazy plan — a probe that runs an action on it
+      * every round would recompute the whole superstep chain from
+      * round 0 (O(R²) supersteps, unbounded plan), the exact blowup
+      * severOrigin exists to prevent. Identity on the small path.
+      */
+    def materialized(r: DataFrame): DataFrame = if (small) r else ckpt(r)
     def step(r: DataFrame): DataFrame = {
       // broadcasting a lazy multi-superstep plan would re-execute the
       // whole chain per round — the small path checkpoints each round's

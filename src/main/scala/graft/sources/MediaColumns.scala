@@ -237,8 +237,24 @@ object MediaColumns {
       stride: Int = 64, frameLen: Int = 72, maxHamming: Int = 2,
       minSharedFrames: Int = 3,
       maxBlockFreq: Option[Long] = None): DataFrame = {
+    // the synthetic fid = doc_id*frames + frame_idx requires an
+    // integral, NON-NEGATIVE doc_id: a string id would null out
+    // silently (no pairs, no error) and a negative one breaks the
+    // pmod-alignment / div-reconstruction pair below — so reject the
+    // type at plan time and the sign at run time
+    locally {
+      import org.apache.spark.sql.types._
+      val dt = media.schema("doc_id").dataType
+      require(dt == ByteType || dt == ShortType || dt == IntegerType ||
+        dt == LongType,
+        s"videoNearDupPairs keys frames by doc_id*frames+frame_idx and " +
+          s"needs an integral doc_id; got $dt")
+    }
+    val guardedId = when(col("doc_id") >= 0, col("doc_id").cast("long"))
+      .otherwise(raise_error(
+        lit("videoNearDupPairs: doc_id must be non-negative")).cast("long"))
     val fh = frameHashes(media, frames, stride, frameLen)
-      .select((col("doc_id") * frames + col("frame_idx")).as("fid"),
+      .select((guardedId * frames + col("frame_idx")).as("fid"),
         col("frame_dhash"))
     graft.operators.Dedup.hammingPairs64(fh, maxHamming, idCol = "fid",
         hashCol = "frame_dhash", maxBlockFreq = maxBlockFreq)

@@ -40,11 +40,26 @@ object Bridge {
       // the common case (a just-checkpointed Dataset): copy the
       // LogicalRDD keeping output/partitioning/ordering — losing the
       // partitioning would re-shuffle an already-hash-partitioned round
-      // result — but with NO origin stats/constraints
+      // result — but with NO origin stats/constraints. Output attributes
+      // get FRESH exprIds (with partitioning/ordering rewritten onto
+      // them): reusing the origin's ids would make a join of the severed
+      // frame against the still-live checkpointed original a duplicate-
+      // exprId self-join, the ambiguity a genuinely new relation avoids.
       case l: org.apache.spark.sql.execution.LogicalRDD =>
+        import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeMap}
+        val fresh = l.output.map(_.newInstance())
+        val rewrite = AttributeMap(l.output.zip(fresh))
+        def rw[E <: Expression](e: E): E = e.transform {
+          case a: Attribute => rewrite.getOrElse(a, a)
+        }.asInstanceOf[E]
+        val part = l.outputPartitioning match {
+          case p: Expression =>
+            rw(p).asInstanceOf[org.apache.spark.sql.catalyst.plans.physical.Partitioning]
+          case p => p
+        }
         org.apache.spark.sql.classic.Dataset.ofRows(spark,
           new org.apache.spark.sql.execution.LogicalRDD(
-            l.output, l.rdd, l.outputPartitioning, l.outputOrdering,
+            fresh, l.rdd, part, l.outputOrdering.map(rw),
             l.isStreaming, l.stream)(spark, None, None))
       case _ =>
         spark.internalCreateDataFrame(df.queryExecution.toRdd, df.schema)
