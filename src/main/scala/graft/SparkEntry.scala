@@ -682,6 +682,33 @@ object SparkEntry {
       |  THEN (s - 18446744073709551616::HUGEINT)::BIGINT
       |  ELSE s::BIGINT END AS hd FROM db)""".stripMargin
 
+  /** One-shot replay of [[graft.operators.Dedup.dropBoilerplateUnits]]
+    * over the planted-template documents fixture — shared by the
+    * one-shot query and the 3-batch unit-df-fold query (document
+    * frequencies over disjoint batches are additive, so both must
+    * match this one-shot replay).
+    */
+  private val boilerplateRemovedSql: String =
+    """WITH d AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+      |  THEN text || '. Subscribe to our newsletter for free offers'
+      |  ELSE text END AS text FROM documents),
+      |a AS (SELECT doc_id, string_split_regex(text, '\.\s+') AS arr FROM d),
+      |u0 AS (SELECT doc_id, i - 1 AS pos, trim(arr[i::INT]) AS unit
+      |  FROM a, unnest(range(1, len(arr) + 1)) AS r(i)),
+      |u AS (SELECT * FROM u0 WHERE unit <> ''),
+      |b AS (SELECT unit FROM (SELECT unit, count(*) AS df FROM
+      |  (SELECT DISTINCT doc_id, unit FROM u) GROUP BY unit)
+      |  WHERE df >= 3),
+      |k AS (SELECT * FROM u WHERE unit NOT IN (SELECT unit FROM b)),
+      |tot AS (SELECT doc_id, count(*) AS n_units FROM u GROUP BY 1),
+      |rb AS (SELECT doc_id, string_agg(unit, '. ' ORDER BY pos) AS text_clean,
+      |  count(*) AS n_kept FROM k GROUP BY 1)
+      |SELECT d.doc_id, COALESCE(rb.text_clean, '') AS text_clean,
+      |COALESCE(tot.n_units, 0) AS n_units,
+      |COALESCE(tot.n_units - COALESCE(rb.n_kept, 0), 0) AS n_dropped
+      |FROM d LEFT JOIN tot ON d.doc_id = tot.doc_id
+      |LEFT JOIN rb ON d.doc_id = rb.doc_id""".stripMargin
+
   /** Integer-exact replay of [[graft.operators.Profile.hdrBins]] +
     * [[graft.operators.Profile.hdrQuantiles]] over the events table —
     * shared by the one-shot query and the 3-batch-fold query (the fold
@@ -1521,6 +1548,28 @@ object SparkEntry {
             lit(". Subscribe to our newsletter for free offers")))
           .otherwise(col("text")).as("text"))
       Dedup.dropBoilerplateUnits(planted, minDocFreq = 3)
+    }),
+
+    // DD8c: the same corpus-wide boilerplate removal under CONTINUOUS
+    // INGESTION — the corpus arrives as 3 disjoint batches, each
+    // contributing only its own (unit, df) delta
+    // (IncrementalBoilerplate.unitDfDelta; the persisted delta-log
+    // store folds exactly this), and the landed corpus is cleaned
+    // against the FOLDED document frequencies. The oracle is the
+    // one-shot replay, so this row IS the fold == one-shot proof:
+    // df over disjoint doc batches is additive, no rescan ever needed.
+    "incremental_boilerplate_final" -> ((s, dir) => {
+      val planted = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"),
+            lit(". Subscribe to our newsletter for free offers")))
+          .otherwise(col("text")).as("text"))
+      val folded = (0 until 3)
+        .map(i => graft.operators.IncrementalBoilerplate.unitDfDelta(
+          planted.filter(pmod(col("doc_id"), lit(3)) === i)))
+        .reduce(_ unionByName _)
+        .groupBy("unit").agg(sum("df").as("df"))
+      Dedup.dropUnitsByDf(planted, folded, minDocFreq = 3)
     }),
 
     // DD8b: INTRA-doc unit dedup — every 4th doc has its whole text
@@ -3917,26 +3966,12 @@ object SparkEntry {
     // Unit split / df / anti-filter / ordered rebuild replayed; the
     // string_agg rebuild COALESCEs to '' (a fully-boilerplate doc keeps
     // an empty row, and DuckDB's zero-row string_agg is NULL).
-    "corpus_boilerplate_removed" ->
-      """WITH d AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
-        |  THEN text || '. Subscribe to our newsletter for free offers'
-        |  ELSE text END AS text FROM documents),
-        |a AS (SELECT doc_id, string_split_regex(text, '\.\s+') AS arr FROM d),
-        |u0 AS (SELECT doc_id, i - 1 AS pos, trim(arr[i::INT]) AS unit
-        |  FROM a, unnest(range(1, len(arr) + 1)) AS r(i)),
-        |u AS (SELECT * FROM u0 WHERE unit <> ''),
-        |b AS (SELECT unit FROM (SELECT unit, count(*) AS df FROM
-        |  (SELECT DISTINCT doc_id, unit FROM u) GROUP BY unit)
-        |  WHERE df >= 3),
-        |k AS (SELECT * FROM u WHERE unit NOT IN (SELECT unit FROM b)),
-        |tot AS (SELECT doc_id, count(*) AS n_units FROM u GROUP BY 1),
-        |rb AS (SELECT doc_id, string_agg(unit, '. ' ORDER BY pos) AS text_clean,
-        |  count(*) AS n_kept FROM k GROUP BY 1)
-        |SELECT d.doc_id, COALESCE(rb.text_clean, '') AS text_clean,
-        |COALESCE(tot.n_units, 0) AS n_units,
-        |COALESCE(tot.n_units - COALESCE(rb.n_kept, 0), 0) AS n_dropped
-        |FROM d LEFT JOIN tot ON d.doc_id = tot.doc_id
-        |LEFT JOIN rb ON d.doc_id = rb.doc_id""".stripMargin,
+    "corpus_boilerplate_removed" -> boilerplateRemovedSql,
+
+    // The IDENTICAL one-shot replay: the Spark side folded per-batch
+    // (unit, df) deltas over a 3-way corpus split, so hash-matching the
+    // one-shot SQL proves fold == one-shot exactly.
+    "incremental_boilerplate_final" -> boilerplateRemovedSql,
 
     "decontaminate_docs" ->
       s"""WITH train AS (SELECT doc_id, text FROM documents),

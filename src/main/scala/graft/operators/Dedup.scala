@@ -677,17 +677,48 @@ object Dedup {
     */
   def dropBoilerplateUnits(docs: DataFrame, minDocFreq: Long,
       sepRegex: String = "\\.\\s+", idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
-    val units = docs
-      .select(col(idCol).as("id"),
+      textCol: String = "text"): DataFrame =
+    dropUnitsByDf(docs, unitDocFrequencies(docs, sepRegex, idCol, textCol),
+      minDocFreq, sepRegex, idCol, textCol)
+
+  /** Per-document sentence/line units — the shared split the
+    * boilerplate/intra-doc families operate on: `sep`-regex splits,
+    * trimmed, empties dropped, positions preserved for the rebuild.
+    */
+  private[graft] def docUnits(docs: DataFrame, sepRegex: String,
+      idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
         posexplode(split(col(textCol), sepRegex)).as(Seq("pos", "unit")))
       .withColumn("unit", trim(col("unit")))
       .filter(col("unit") =!= "")
-    val boiler = units.select("id", "unit").distinct()
-      .groupBy("unit").agg(count(lit(1)).as("_df"))
-      .filter(col("_df") >= minDocFreq)
-      .select("unit")
+
+  /** `(unit, df)` — each distinct unit's DOCUMENT frequency, the
+    * boilerplate signal as its own relation. Exposed because per-batch
+    * contributions over DISJOINT doc sets are ADDITIVE (a doc counts a
+    * unit at most once, so df(A ∪ B) = df(A) + df(B) exactly) — the
+    * mergeable-summary seam [[IncrementalBoilerplate]] folds under
+    * continuous ingestion, the same way [[IncrementalProfile]] folds
+    * column stats.
+    */
+  def unitDocFrequencies(docs: DataFrame, sepRegex: String = "\\.\\s+",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docUnits(docs, sepRegex, idCol, textCol)
+      .select("id", "unit").distinct()
+      .groupBy("unit").agg(count(lit(1)).as("df"))
+
+  /** [[dropBoilerplateUnits]] against a CALLER-SUPPLIED `(unit, df)`
+    * relation (from [[unitDocFrequencies]] or the
+    * [[IncrementalBoilerplate]] store): drop units whose df >=
+    * `minDocFreq`, rebuild each doc from its surviving units in order.
+    * `dropBoilerplateUnits(docs, k) ==
+    * dropUnitsByDf(docs, unitDocFrequencies(docs), k)` by construction.
+    */
+  def dropUnitsByDf(docs: DataFrame, unitDf: DataFrame, minDocFreq: Long,
+      sepRegex: String = "\\.\\s+", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
+    val units = docUnits(docs, sepRegex, idCol, textCol)
+    val boiler = unitDf.filter(col("df") >= minDocFreq).select("unit")
     val kept = units.join(boiler, Seq("unit"), "left_anti")
     val total = units.groupBy("id").agg(count(lit(1)).as("n_units"))
     kept.groupBy("id")
@@ -721,11 +752,7 @@ object Dedup {
       sepRegex: String = "\\.\\s+", idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val units = docs
-      .select(col(idCol).as("id"),
-        posexplode(split(col(textCol), sepRegex)).as(Seq("pos", "unit")))
-      .withColumn("unit", trim(col("unit")))
-      .filter(col("unit") =!= "")
+    val units = docUnits(docs, sepRegex, idCol, textCol)
     val kept = units
       .withColumn("_occ", row_number().over(
         Window.partitionBy("id", "unit").orderBy("pos")))

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.operators.{IncrementalDedup, IncrementalProfile}
+import graft.operators.{IncrementalBoilerplate, IncrementalDedup, IncrementalProfile}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** The COMPOSED ingestion sink a production training-data corpus runs —
@@ -16,16 +16,23 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *     batch's near-dup pairs against the PERSISTED corpus signature
   *     store and folds the batch in — O(batch + collisions), never a
   *     corpus rescan; pairs land under `pairs/batch=<id>`;
-  *  4. PROFILE AT INGEST: [[IncrementalProfile]] folds the batch's
+  *  4. BOILERPLATE STATS AT INGEST: [[IncrementalBoilerplate]] lands
+  *     the batch's additive `(unit, df)` delta, so the corpus-wide
+  *     document frequency of every sentence/line unit — what the batch
+  *     [[graft.operators.CurationPipeline]]'s C4 boilerplate stage
+  *     scans the whole corpus for — stays current at O(batch) cost;
+  *     [[boilerplateCleanedDocs]] reads the landed corpus against it
+  *     and equals the one-shot `Dedup.dropBoilerplateUnits` exactly;
+  *  5. PROFILE AT INGEST: [[IncrementalProfile]] folds the batch's
   *     mergeable column summary (counts, typed bounds, HLL distinct
   *     sketch) into the |columns|-row store — statistics stay current
   *     with zero corpus rescans, re-delivery is a marker-guarded no-op.
   *
-  * Everything downstream (drop-near-dups, budget selection, splits)
-  * reads the landed relations; nothing here ever scans more than one
-  * batch. IngestPipelineSpec proves the composed sink equals the
-  * batch-composed one-shot run part by part, and that re-delivering a
-  * batch changes nothing.
+  * Everything downstream (drop-near-dups, boilerplate cleaning, budget
+  * selection, splits) reads the landed relations; nothing here ever
+  * scans more than one batch. IngestPipelineSpec proves the composed
+  * sink equals the batch-composed one-shot run part by part, and that
+  * re-delivering a batch changes nothing.
   */
 object IngestPipeline {
 
@@ -44,10 +51,22 @@ object IngestPipeline {
       IncrementalDedup.ingestBatch(curated, s"$baseDir/sigs", batchId)
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$baseDir/pairs/batch=$batchId")
+      IncrementalBoilerplate.updateStore(s"$baseDir/unitdf", batchId, curated)
       IncrementalProfile.updateStore(s"$baseDir/profile", batchId,
         IncrementalProfile.summarize(curated, profileCols))
     }
   }
+
+  /** The landed corpus with corpus-wide boilerplate units removed —
+    * the streaming-side equal of the batch CurationPipeline's
+    * boilerplate stage, read at any moment from the unit-df store the
+    * sink keeps current (no corpus re-scan to build the df relation:
+    * only the rebuild itself touches the docs).
+    */
+  def boilerplateCleanedDocs(spark: SparkSession, baseDir: String,
+      minDocFreq: Long): DataFrame =
+    IncrementalBoilerplate.cleanAgainstStore(
+      landedDocs(spark, baseDir), s"$baseDir/unitdf", minDocFreq)
 
   /** The landed curated corpus (all batches, `batch` partition column). */
   def landedDocs(spark: SparkSession, baseDir: String): DataFrame =

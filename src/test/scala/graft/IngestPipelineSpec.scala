@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, IncrementalProfile, Profile}
+import graft.operators.{Dedup, IncrementalBoilerplate, Profile}
 import graft.streaming.IngestPipeline
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -30,10 +30,14 @@ class IngestPipelineSpec extends AnyFunSuite with SparkTestBase {
         col("ws_tokens").between(10, 10000))
       .select(col("doc_id"), col("text"), col("ws_tokens").cast("long").as("ws_tokens"))
 
-  // 3 batches: two corpus slices plus near-dup copies of every 20th doc
+  // 3 batches: two corpus slices plus near-dup copies of every 20th doc;
+  // every 10th doc carries a planted TEMPLATE unit (the boilerplate
+  // signal the unit-df store must count corpus-wide across batches)
+  private val Template = "Subscribe to our newsletter for free offers"
   private def batches: Seq[Seq[IngestDoc]] = {
     val all = Tables.documents(spark, sf).select("doc_id", "text")
-      .as[(Long, String)].collect().map { case (i, t) => IngestDoc(i, t) }
+      .as[(Long, String)].collect().map { case (i, t) =>
+        IngestDoc(i, if (i % 10 == 0) s"$t. $Template" else t) }
     val dups = all.filter(_.doc_id % 20 == 0)
       .map(d => IngestDoc(d.doc_id + 100000L, d.text + " extradup token"))
     // junk the curation chain must drop: too short / pure punctuation
@@ -82,7 +86,24 @@ class IngestPipelineSpec extends AnyFunSuite with SparkTestBase {
         r.getString(3), r.getString(4))).toSet
     assert(stored == direct)
 
-    // 4. re-delivering the last batch changes nothing anywhere
+    // 4. boilerplate stage: landed docs cleaned against the folded
+    // unit-df store == one-shot dropBoilerplateUnits over the curated
+    // corpus — the batch CurationPipeline stage, matched by the stream
+    def cleanedSet: Set[(Long, String, Long, Long)] =
+      IngestPipeline.boilerplateCleanedDocs(spark, dir, minDocFreq = 3)
+        .select("doc_id", "text_clean", "n_units", "n_dropped")
+        .as[(Long, String, Long, Long)].collect().toSet
+    val cleaned = cleanedSet
+    val oneShotClean = Dedup.dropBoilerplateUnits(curatedAll, minDocFreq = 3)
+      .select("doc_id", "text_clean", "n_units", "n_dropped")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(cleaned == oneShotClean)
+    // the planted template (df >= 3 corpus-wide, even where a batch
+    // held fewer than 3 carriers) is gone from every doc
+    assert(!cleaned.exists(_._2.contains(Template)))
+    assert(cleaned.exists(_._4 > 0), "template units must have dropped")
+
+    // 5. re-delivering the last batch changes nothing anywhere
     IngestPipeline.sink(dir, curate, profCols)(batches.last.toDF(), 2L)
     assert(IngestPipeline.landedDocs(spark, dir).count() == landedCount)
     assert(IngestPipeline.minedPairs(spark, dir)
@@ -91,5 +112,10 @@ class IngestPipelineSpec extends AnyFunSuite with SparkTestBase {
       .select("col_name", "n_non_null", "n_nulls", "min_value", "max_value")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getString(3), r.getString(4))).toSet == stored)
+    assert(cleanedSet == oneShotClean)
+
+    // 6. compacting the unit-df log changes no answers either
+    IncrementalBoilerplate.compact(spark, s"$dir/unitdf")
+    assert(cleanedSet == oneShotClean)
   }
 }
