@@ -558,6 +558,32 @@ object SparkEntry {
     v.unionByName(planted)
   }
 
+  /** Cross-modal (image, caption) paired corpus: every doc's "image"
+    * is its text bytes, its caption the first 12 words. Two plant
+    * families, each invisible to ONE modality: +400000 = the SAME
+    * image re-captioned to unrelated text (every 20th doc — only the
+    * image edge can catch it), +500000 = the SAME caption under an
+    * unrelated image (bytes reversed; every 20th doc offset 10 — only
+    * the caption edge can catch it). Shared by
+    * multimodal_neardup_pairs/_kept.
+    */
+  private def multimodalCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    val base = d.select(col("doc_id"), col("text").as("img"),
+      array_join(slice(split(trim(col("text")), "\\s+"), 1, 12), " ")
+        .as("caption"))
+    val reCaptioned = base.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 400000L).as("doc_id"), col("img"),
+        concat(lit("stock photo "), col("doc_id").cast("string"),
+          lit(" catalog asset")).as("caption"))
+    val reEncoded = base.filter(col("doc_id") % 20 === 10)
+      .select((col("doc_id") + 500000L).as("doc_id"),
+        reverse(col("img")).as("img"), col("caption"))
+    base.unionByName(reCaptioned).unionByName(reEncoded)
+      .select(col("doc_id"), encode(col("img"), "UTF-8").as("payload"),
+        col("caption"))
+  }
+
   /** One (a = supplier node, b = customer node) row per lineitem. */
   private def copurchaseBase(s: SparkSession, dir: String): DataFrame =
     sharedGet(s, dir, "base")(
@@ -658,16 +684,12 @@ object SparkEntry {
     * `h(doc_id, hd)`. Shared by the media near-dup pair and kept-set
     * oracles.
     */
-  private val phashCorpusSql: String =
-    """planted AS (SELECT doc_id + 10000000 AS doc_id,
-      |  substr(text, 1, ((40 * length(text)::BIGINT) // 72)::INT) ||
-      |  chr((65 + doc_id % 26)::INT) ||
-      |  substr(text, (((40 * length(text)::BIGINT) // 72) + 2)::INT,
-      |         length(text)::INT) AS text
-      |  FROM documents WHERE doc_id % 20 = 0 AND length(text) >= 72),
-      |corpus AS (SELECT doc_id, text FROM documents
-      |  UNION ALL SELECT doc_id, text FROM planted),
-      |m AS (SELECT doc_id, text, length(text)::BIGINT AS len FROM corpus
+  /** The dHash-64 construction over a PRECEDING `corpus(doc_id, text)`
+    * CTE, ending in `h(doc_id, hd)` — shared by the image near-dup and
+    * cross-modal oracles (plain concatenation, never re-stripMargin'd).
+    */
+  private val dhashChainSql: String =
+    """m AS (SELECT doc_id, text, length(text)::BIGINT AS len FROM corpus
       |  WHERE length(text) >= 72),
       |px AS (SELECT doc_id, u.k AS k,
       |  ord(substr(text, (((u.k * len) // 72) + 1)::INT, 1))::BIGINT AS v
@@ -681,6 +703,56 @@ object SparkEntry {
       |h AS (SELECT doc_id, CASE WHEN s > 9223372036854775807
       |  THEN (s - 18446744073709551616::HUGEINT)::BIGINT
       |  ELSE s::BIGINT END AS hd FROM db)""".stripMargin
+
+  private val phashCorpusSql: String =
+    """planted AS (SELECT doc_id + 10000000 AS doc_id,
+      |  substr(text, 1, ((40 * length(text)::BIGINT) // 72)::INT) ||
+      |  chr((65 + doc_id % 26)::INT) ||
+      |  substr(text, (((40 * length(text)::BIGINT) // 72) + 2)::INT,
+      |         length(text)::INT) AS text
+      |  FROM documents WHERE doc_id % 20 = 0 AND length(text) >= 72),
+      |corpus AS (SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id, text FROM planted),
+      |""".stripMargin + dhashChainSql
+
+  /** Cross-modal (image, caption) paired corpus + BOTH modality edge
+    * lists (mirrors [[multimodalCorpus]] + `pairedNearDupEdges`):
+    * `mm(doc_id, img, caption)`, image edges `ie` (dHash hamming <= 3
+    * over the img bytes), caption edges `ce` (exact 3-gram Jaccard >=
+    * 0.5 with the shared df cap).
+    */
+  private val mmEdgesSql: String =
+    s"""base AS (SELECT doc_id, text AS img,
+      |  array_to_string((string_split_regex(trim(text), '\\s+'))[1:12], ' ') AS caption
+      |  FROM documents),
+      |pa AS (SELECT doc_id + 400000 AS doc_id, img,
+      |  'stock photo ' || doc_id || ' catalog asset' AS caption
+      |  FROM base WHERE doc_id % 20 = 0),
+      |pb AS (SELECT doc_id + 500000 AS doc_id, reverse(img) AS img, caption
+      |  FROM base WHERE doc_id % 20 = 10),
+      |mm AS (SELECT doc_id, img, caption FROM base
+      |  UNION ALL SELECT doc_id, img, caption FROM pa
+      |  UNION ALL SELECT doc_id, img, caption FROM pb),
+      |corpus AS (SELECT doc_id, img AS text FROM mm),
+      |""".stripMargin + dhashChainSql + s""",
+      |ie AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM h a JOIN h b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.hd, b.hd)) <= 3),
+      |ctok AS (SELECT doc_id, string_split_regex(trim(caption), '\\s+') AS toks FROM mm),
+      |cshs AS (SELECT doc_id, list_distinct(list_transform(
+      |  range(0, greatest(len(toks)-3,0)+1),
+      |  i -> array_to_string(toks[(i+1):(i+3)], ' '))) AS shingles FROM ctok),
+      |csh0 AS (SELECT doc_id AS id, unnest(shingles) AS shingle FROM cshs),
+      |chot AS (SELECT shingle FROM csh0 GROUP BY shingle HAVING count(*) > $ShingleDfCap),
+      |csh AS (SELECT id, shingle FROM csh0
+      |  WHERE shingle NOT IN (SELECT shingle FROM chot)),
+      |csizes AS (SELECT id, count(*) AS sz FROM csh GROUP BY id),
+      |ce AS (SELECT p.id_a, p.id_b FROM
+      |  (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+      |   FROM csh a JOIN csh b ON a.shingle = b.shingle AND a.id < b.id
+      |   GROUP BY 1, 2) p
+      |  JOIN csizes sa ON p.id_a = sa.id JOIN csizes sb ON p.id_b = sb.id
+      |  WHERE p.inter/(sa.sz+sb.sz-p.inter)::DOUBLE >= 0.5)""".stripMargin
 
   /** One-shot replay of [[graft.operators.Dedup.dropBoilerplateUnits]]
     * over the planted-template documents fixture — shared by the
@@ -2908,6 +2980,28 @@ object SparkEntry {
     "media_video_neardup_pairs" -> ((s, dir) =>
       MediaColumns.videoNearDupPairs(
         MediaColumns.mediaFromDocuments(videoNearDupDocs(s, dir)))),
+
+    // M11: CROSS-MODAL paired near-dup edges — (image, caption) pairs
+    // match when the image matches (dHash hamming <= 3) OR the caption
+    // matches (exact 3-gram Jaccard >= 0.5), tagged by modality. The
+    // plants are each invisible to one modality: re-captioned copies
+    // (+400000) only the image edge catches, re-encoded-image copies
+    // (+500000, identical caption) only the caption edge catches — the
+    // LAION-style step neither single-modality pass can do alone.
+    "multimodal_neardup_pairs" -> ((s, dir) =>
+      MediaColumns.pairedNearDupEdges(multimodalCorpus(s, dir),
+          maxDocFreq = Some(ShingleDfCap))
+        .select("id_a", "id_b", "modality")),
+
+    // M11b: the consumable end — union both modality edge lists into
+    // ONE connected-components pass, keep one representative
+    // (image, caption) pair per cluster; transitivity across
+    // modalities (A~B by image, B~C by caption => one cluster) is why
+    // the union runs as a single CC rather than two dedup passes.
+    "multimodal_neardup_kept" -> ((s, dir) =>
+      MediaColumns.pairedNearDupKept(multimodalCorpus(s, dir),
+          maxDocFreq = Some(ShingleDfCap))
+        .select("doc_id")),
 
     // O3: multi-key sort (notebook cell 13). Sort itself is not hashable
     // output — the oracle compares the sorted-stable row set.
@@ -5581,6 +5675,29 @@ object SparkEntry {
         |  AND a.frame_idx = b.frame_idx
         |WHERE bit_count(xor(a.hd, b.hd)) <= 2
         |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
+
+    // Both modality edge lists replayed in full (dHash chain over the
+    // img bytes; capped 3-gram Jaccard over captions), tagged.
+    "multimodal_neardup_pairs" ->
+      (s"""WITH $mmEdgesSql
+        |SELECT id_a, id_b, 'image' AS modality FROM ie
+        |UNION ALL
+        |SELECT id_a, id_b, 'caption' AS modality FROM ce""".stripMargin),
+
+    // Union edges -> reach closure -> keep each component's min id (the
+    // media_neardup_kept oracle shape over the cross-modal edge union).
+    "multimodal_neardup_kept" ->
+      (s"""WITH RECURSIVE $mmEdgesSql,
+        |jp AS (SELECT id_a, id_b FROM ie UNION SELECT id_a, id_b FROM ce),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM jp
+        |  UNION ALL SELECT id_b, id_a FROM jp),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+        |clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT doc_id FROM mm
+        |WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster_id)""".stripMargin),
 
     "multi_key_sort" ->
       """SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice

@@ -268,6 +268,52 @@ object MediaColumns {
       .filter(col("n_frames") >= minSharedFrames)
   }
 
+  /** CROSS-MODAL paired near-dup edges — the LAION-style curation step
+    * that neither modality catches alone: an (image, caption) pair is a
+    * near-dup of another when its IMAGE matches (dHash within
+    * `maxHamming`, the [[nearDupPairs]] pigeonhole join) OR its CAPTION
+    * matches (exact word-n-gram Jaccard >= `threshold`, the
+    * [[graft.operators.Dedup.jaccardPairs]] inverted index). A scraped
+    * corpus duplicates both ways — the same photo re-captioned by every
+    * mirror, and the same alt-text pasted under a re-encoded thumbnail
+    * — so edges are the UNION of the two modality pair lists, tagged
+    * with which modality produced them. Rows: `(id_a, id_b, modality)`
+    * with modality in {image, caption}; a pair matching in both
+    * modalities carries both rows.
+    *
+    * Input is the paired relation `(doc_id, payload, caption)`. Plan
+    * shape: each modality's candidate generation is the same df/block-
+    * capped equi-join it is alone (never all-pairs, payloads never ride
+    * the caption join and vice versa); the union is edge-list-sized.
+    */
+  def pairedNearDupEdges(paired: DataFrame, maxHamming: Int = 3,
+      n: Int = 3, threshold: Double = 0.5,
+      maxDocFreq: Option[Long] = None,
+      maxBlockFreq: Option[Long] = None): DataFrame = {
+    val img = nearDupPairs(paired, maxHamming, maxBlockFreq)
+      .select(col("id_a"), col("id_b"), lit("image").as("modality"))
+    val cap = graft.operators.Dedup.jaccardPairs(paired, n, threshold,
+        idCol = "doc_id", textCol = "caption", maxDocFreq = maxDocFreq)
+      .select(col("id_a"), col("id_b"), lit("caption").as("modality"))
+    img.unionByName(cap)
+  }
+
+  /** The consumable end of cross-modal dedup: [[pairedNearDupEdges]]
+    * union → one connected-components pass → one representative
+    * (image, caption) pair kept per cluster. Transitivity ACROSS
+    * modalities is the point of the single CC: if pair B shares A's
+    * image and C shares B's caption, {A, B, C} collapse to one kept
+    * pair even though A and C match in no modality directly.
+    */
+  def pairedNearDupKept(paired: DataFrame, maxHamming: Int = 3,
+      n: Int = 3, threshold: Double = 0.5,
+      maxDocFreq: Option[Long] = None,
+      maxBlockFreq: Option[Long] = None): DataFrame =
+    graft.operators.Dedup.dropNearDups(paired,
+      graft.operators.Dedup.nearDupClusters(
+        pairedNearDupEdges(paired, maxHamming, n, threshold, maxDocFreq,
+          maxBlockFreq).select("id_a", "id_b").distinct()))
+
   /** Typed seam for the decode path. */
   def asMediaRecords(media: DataFrame): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
