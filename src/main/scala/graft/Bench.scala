@@ -70,6 +70,24 @@ object Bench {
           System.err.println(s"[bench] warmup $q failed: ${e.getMessage}")
         }
       }
+    // Honest graph-family accounting: the co-purchase prepared relation
+    // is shared by the PageRank family, so build+materialize it as an
+    // explicit tracked step — per-query graph numbers then measure the
+    // superstep recurrence itself, not the shared construction
+    // amortized into whichever family query happens to run first. The
+    // step rides the queries map (and total) as its own "graph_prep"
+    // entry, excluded from the rerun-slowest adjudication below (it is
+    // a cache fill — a rerun would measure nothing).
+    val graphPrep: Either[String, Double] = try {
+      val t0 = System.nanoTime()
+      SparkEntry.copurchasePrepared(spark, sfDir).count()
+      Right((System.nanoTime() - t0) / 1e9)
+    } catch { case e: Throwable =>
+      val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
+        .linesIterator.next().take(300)
+      System.err.println(s"[bench] graph_prep FAILED — $msg")
+      Left(msg)
+    }
     // deterministic name order so per-query timings are comparable
     // across rounds (Map iteration order is not stable across builds)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -85,11 +103,12 @@ object Bench {
       }
       name -> outcome
     }
-    val qs = results.collect { case (k, Right(v)) => s"${jstr(k)}:$v" }
+    val resultsAll = ("graph_prep" -> graphPrep) +: results
+    val qs = resultsAll.collect { case (k, Right(v)) => s"${jstr(k)}:$v" }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, Left(m)) => s"${jstr(k)}:${jstr(m)}" }
+    val errs = resultsAll.collect { case (k, Left(m)) => s"${jstr(k)}:${jstr(m)}" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, Right(v)) => v }.sum
+    val total = resultsAll.collect { case (_, Right(v)) => v }.sum
 
     // contention self-adjudication (three rounds, two contested bench
     // files): re-run the 3 slowest queries and report the relative drift
@@ -355,7 +374,7 @@ object Bench {
     // totals means any truncation from either end still leaves the
     // round's verdict-grade numbers, and the full map is ALSO persisted
     // to its own file below so no truncation can lose per-query data.
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":${results.count(_._2.isLeft)},"loadavg":$loadAvg,"load_at_start":${jnum(loadAtStart)},"load_wait_sec":${jnum(loadWaitSec)},"rerun_delta":$rerunDelta,"rerun_queries":$rerunNames,"ann_recall":$annRecall,"bpe_batched":$bpe,"ingest":$ingest,"c4_pipeline":$c4,"streaming":$streaming,"sf":"$sfDir","errors":$errs,"queries":$qs}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":${resultsAll.count(_._2.isLeft)},"loadavg":$loadAvg,"load_at_start":${jnum(loadAtStart)},"load_wait_sec":${jnum(loadWaitSec)},"rerun_delta":$rerunDelta,"rerun_queries":$rerunNames,"ann_recall":$annRecall,"bpe_batched":$bpe,"ingest":$ingest,"c4_pipeline":$c4,"streaming":$streaming,"sf":"$sfDir","errors":$errs,"queries":$qs}"""
     println(line)
     // belt-and-braces: the identical JSON, committed as its own file —
     // the durable copy of every per-query timing regardless of what the
@@ -371,7 +390,7 @@ object Bench {
     // rc mirrors the "failed" field: the contract line (stdout + BENCH_full)
     // is already emitted above, so a nonzero exit loses nothing — it just
     // stops a partially-failed run from being recorded as a clean one.
-    val nFailed = results.count(_._2.isLeft)
+    val nFailed = resultsAll.count(_._2.isLeft)
     if (nFailed > 0) {
       System.err.println(s"[bench] $nFailed queries failed — exiting nonzero")
       sys.exit(1)

@@ -422,7 +422,8 @@ object SparkEntry {
 
   private def pagerankSql(iters: Int, scale: Long,
       seedPred: Option[String => String] = None,
-      weighted: Boolean = false): String = {
+      weighted: Boolean = false,
+      ebaseOverride: Option[String] = None): String = {
     // restart mass: uniform over all nodes, or (personalized) only over
     // nodes matching the seed predicate — same integer recurrence.
     // weighted: mass splits by integer edge weight, contribution
@@ -440,8 +441,9 @@ object SparkEntry {
           "sum(w)::BIGINT AS outw",
           "(r.rank // d.outw) * e.w")
       else
-        ("DISTINCT 's' || l_suppkey AS a, 'c' || o_custkey AS b" +
-           " FROM lineitem JOIN orders ON l_orderkey = o_orderkey",
+        (ebaseOverride.getOrElse(
+          "DISTINCT 's' || l_suppkey AS a, 'c' || o_custkey AS b" +
+            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"),
           "",
           "count(*)::BIGINT AS outdeg",
           "r.rank // d.outdeg")
@@ -598,7 +600,7 @@ object SparkEntry {
 
   /** The prepared uniform-weight superstep relation, shared by
     * graph_pagerank and graph_ppr_suppliers. */
-  private def copurchasePrepared(s: SparkSession, dir: String): DataFrame =
+  private[graft] def copurchasePrepared(s: SparkSession, dir: String): DataFrame =
     sharedGet(s, dir, "prep")(
       graft.operators.PageRank.prepare(copurchaseEdges(s, dir), "src", "dst"))
 
@@ -2481,6 +2483,33 @@ object SparkEntry {
     "graph_ppr_suppliers" -> ((s, dir) =>
       graft.operators.PageRank.personalizedRanksPrepared(
         copurchasePrepared(s, dir), iters = 3, isSeed = _.startsWith("s"))),
+
+    // G6: RUN-TO-CONVERGENCE PageRank over a graph that actually
+    // fixpoints inside the budget — per-nation customer CYCLES
+    // (symmetric, degree <= 2), where the uniform start is already
+    // near the stationary point and the integer recurrence settles in
+    // 3-6 rounds. The contract surfaces the detector's verdict as
+    // columns (converged, rounds < budget), and the rank side is
+    // oracled as the FULL-BUDGET unrolled CTE — valid because integer
+    // exactness makes stop-at-fixpoint == run-all-rounds bit-for-bit
+    // (the theorem ranksToConvergence's early stop rests on).
+    "graph_pagerank_converged" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+      val cyc = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"))
+        .select(col("c_custkey").as("a"),
+          coalesce(lead(col("c_custkey"), 1).over(w),
+            min(col("c_custkey"))
+              .over(Window.partitionBy("c_nationkey"))).as("b"))
+      val prepared = graft.operators.PageRank.prepare(
+        graft.operators.PageRank.undirect(cyc, "a", "b"), "src", "dst")
+      val (ranks, rounds, converged) =
+        graft.operators.PageRank.ranksToConvergence(prepared, maxIters = 8)
+      ranks.select(col("node"), col("rank"),
+        lit(converged).as("converged"),
+        lit(rounds < 8).as("rounds_lt_budget"))
+    }),
 
     // G4: generic connected components (distributed min-label fixpoint)
     // over the customer–order membership graph — STRING node ids, star
@@ -5174,6 +5203,20 @@ object SparkEntry {
       s"""WITH ${pagerankSql(3, graft.operators.PageRank.DefaultScale,
              None, weighted = true)}
          |SELECT node, rank FROM r3""".stripMargin,
+
+    // The FULL-BUDGET (8-round) unrolled replay over the per-nation
+    // customer cycles: stop-at-fixpoint == run-all-rounds exactly, so
+    // the early-stopped Spark result must hash-match round 8; the
+    // detector's verdict columns are pinned TRUE.
+    "graph_pagerank_converged" ->
+      s"""WITH ${pagerankSql(8, graft.operators.PageRank.DefaultScale,
+             ebaseOverride = Some(
+               "k AS a, nx AS b FROM (SELECT c_custkey AS k, " +
+                 "COALESCE(lead(c_custkey) OVER (PARTITION BY c_nationkey " +
+                 "ORDER BY c_custkey), min(c_custkey) OVER " +
+                 "(PARTITION BY c_nationkey)) AS nx FROM customer)"))}
+         |SELECT node, rank, TRUE AS converged, TRUE AS rounds_lt_budget
+         |FROM r8""".stripMargin,
 
     // structural oracle: in the bipartite membership graph each
     // component is one customer with its orders, and the 'c' node is

@@ -176,9 +176,20 @@ object PageRank {
     */
   def ranksToConvergence(prepared: DataFrame, maxIters: Int,
       scale: Long = DefaultScale,
-      isSeed: Option[Column => Column] = None): (DataFrame, Int, Boolean) = {
+      isSeed: Option[Column => Column] = None): (DataFrame, Int, Boolean) =
+    ranksToConvergenceGated(prepared, maxIters, scale, isSeed,
+      BroadcastRanksMaxNodes)
+
+  /** Test seam: run the convergence loop with an explicit broadcast
+    * gate (0 forces the large-graph shuffle path, where each round's
+    * probe actions rely on [[PropagateLoop.materialized]] — without it
+    * the probes would recompute the whole superstep chain per round).
+    */
+  private[graft] def ranksToConvergenceGated(prepared: DataFrame,
+      maxIters: Int, scale: Long, isSeed: Option[Column => Column],
+      broadcastGate: Long): (DataFrame, Int, Boolean) = {
     require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
-    val loop = new PropagateLoop(prepared, scale, isSeed)
+    val loop = new PropagateLoop(prepared, scale, isSeed, broadcastGate)
     def signature(df: DataFrame): (Long, Long) = {
       val row = df.agg(count(lit(1)),
         expr("cast(coalesce(bit_xor(hash(node, rank)), 0) as bigint)")).head()

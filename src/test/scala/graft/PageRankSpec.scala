@@ -170,6 +170,25 @@ class PageRankSpec extends AnyFunSuite with SparkTestBase {
     assert(got === atRounds)
   }
 
+  test("ranksToConvergence on the shuffle (large-graph) path: identical stop") {
+    // gate 0 forces the path web-scale graphs take, where each round's
+    // signature/exceptAll probes depend on the loop materializing its
+    // round results — and the stop must be bit-identical to the
+    // broadcast path's
+    val cyc = (0 until 8).map(i => (s"n$i", s"n${(i + 1) % 8}"))
+    val prep = PageRank.prepare(
+      PageRank.undirect(cyc.toDF("x", "y"), "x", "y"), "src", "dst")
+    val (rSmall, roundsSmall, convSmall) =
+      PageRank.ranksToConvergence(prep, 50)
+    val (rLarge, roundsLarge, convLarge) =
+      PageRank.ranksToConvergenceGated(prep, 50, PageRank.DefaultScale,
+        None, broadcastGate = 0L)
+    assert(convSmall && convLarge)
+    assert(roundsSmall == roundsLarge)
+    assert(rLarge.as[(String, Long)].collect().toMap ===
+      rSmall.as[(String, Long)].collect().toMap)
+  }
+
   test("ranksToConvergence: budget exhaustion reports converged=false") {
     val sym = PageRank.prepare(
       PageRank.undirect(raw.toDF("x", "y"), "x", "y"), "src", "dst")
