@@ -342,15 +342,15 @@ object SparkEntry {
     * only exists for self-pairs, where starts are odd ranks within
     * runs of consecutive candidate positions).
     */
-  private def bpeMergeSql(steps: Int): String = {
+  private def bpeMergeSql(steps: Int, src: String = "documents"): String = {
     // every t/st/top CTE is referenced 2-4 times per round — DuckDB
     // inlines CTEs by default, so without MATERIALIZED the reference
     // tree expands ~4^steps scans of documents.parquet (observed as an
     // fd-exhaustion error at 6 rounds); materializing makes each round
     // O(tokens) like the Spark loop
     val tok =
-      """tk AS (SELECT doc_id AS id,
-        |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      s"""tk AS (SELECT doc_id AS id,
+        |  string_split_regex(trim(text), '\\s+') AS toks FROM $src),
         |t0 AS MATERIALIZED (SELECT id, u.pos, u.tok FROM (SELECT id,
         |  unnest(list_transform(range(1, len(toks) + 1),
         |    p -> struct_pack(pos := p - 1, tok := toks[p]))) AS u FROM tk))""".stripMargin
@@ -377,6 +377,42 @@ object SparkEntry {
          |  LEFT JOIN t$s nx ON t.id = nx.id AND nx.pos = t.pos + 1
          |  LEFT JOIN st$s st ON t.id = st.id AND t.pos = st.pos
          |  LEFT JOIN st$s sp ON t.id = sp.id AND t.pos = sp.pos + 1
+         |  WHERE sp.pos IS NULL) m)""".stripMargin
+    }
+    (tok +: rounds).mkString(",\n")
+  }
+
+  /** The ENCODE side unrolled over a FRESH corpus: apply each trained
+    * merge `top$s` (from a preceding [[bpeMergeSql]] chain) to `src`'s
+    * token stream in sequence — the same greedy odd-rank-island rewrite
+    * the trainer uses, but driven by the learned table instead of pair
+    * counts. Yields `e0 … e$steps`.
+    */
+  private def bpeEncodeSql(steps: Int, src: String): String = {
+    val tok =
+      s"""ek AS (SELECT doc_id AS id,
+        |  string_split_regex(trim(text), '\\s+') AS toks FROM $src),
+        |e0 AS MATERIALIZED (SELECT id, u.pos, u.tok FROM (SELECT id,
+        |  unnest(list_transform(range(1, len(toks) + 1),
+        |    p -> struct_pack(pos := p - 1, tok := toks[p]))) AS u FROM ek))""".stripMargin
+    val rounds = (0 until steps).map { s =>
+      s"""ecnd$s AS (SELECT a.id, a.pos FROM e$s a
+         |  JOIN e$s b ON a.id = b.id AND b.pos = a.pos + 1, top$s
+         |  WHERE a.tok = top$s.l AND b.tok = top$s.r),
+         |est$s AS MATERIALIZED (SELECT id, pos FROM (
+         |  SELECT id, pos, row_number() OVER (
+         |    PARTITION BY id, g ORDER BY pos) AS rn FROM (
+         |    SELECT id, pos, pos - row_number() OVER (
+         |      PARTITION BY id ORDER BY pos) AS g FROM ecnd$s) i) j
+         |  WHERE rn % 2 = 1),
+         |e${s + 1} AS MATERIALIZED (SELECT id, row_number() OVER (
+         |    PARTITION BY id ORDER BY pos) - 1 AS pos, tok FROM (
+         |  SELECT t.id, t.pos, CASE WHEN st.pos IS NOT NULL
+         |    THEN t.tok || ' ' || nx.tok ELSE t.tok END AS tok
+         |  FROM e$s t
+         |  LEFT JOIN e$s nx ON t.id = nx.id AND nx.pos = t.pos + 1
+         |  LEFT JOIN est$s st ON t.id = st.id AND t.pos = st.pos
+         |  LEFT JOIN est$s sp ON t.id = sp.id AND t.pos = sp.pos + 1
          |  WHERE sp.pos IS NULL) m)""".stripMargin
     }
     (tok +: rounds).mkString(",\n")
@@ -2353,6 +2389,27 @@ object SparkEntry {
       // trainer CTEs, so the equality is hash-checked here too
       graft.functions.TextAnalysis.bpeEncodeBatched(docs,
           graft.functions.TextAnalysis.bpeMergeSequence(docs, steps = 3))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
+    }),
+
+    // T4b: the PERSISTENCE round-trip a production tokenizer ships —
+    // train on half the corpus, WRITE the merge table as parquet, read
+    // it back, and encode the OTHER (fresh, disjoint) half under the
+    // re-read table. Every prior BPE row trains and encodes in one
+    // session over one corpus; this one proves the artifact boundary:
+    // the persisted table drives the identical greedy rewrite on
+    // documents the trainer never saw. Oracle = unrolled trainer CTEs
+    // over the train half + the encode rewrite unrolled over the eval
+    // half, merge by merge.
+    "bpe_persisted_encode" -> ((s, dir) => {
+      val T = graft.functions.TextAnalysis
+      val docs = Tables.documents(s, dir)
+      val tableDir =
+        java.nio.file.Files.createTempDirectory("bpe_merges").toString
+      T.bpeMergeSequence(docs.filter(col("doc_id") % 2 === 0), steps = 4)
+        .write.mode("overwrite").parquet(tableDir)
+      T.bpeEncodeBatched(docs.filter(col("doc_id") % 2 === 1),
+          s.read.parquet(tableDir))
         .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
     }),
 
@@ -5068,6 +5125,16 @@ object SparkEntry {
     "bpe_encode_tokens" ->
       s"""WITH ${bpeMergeSql(3)}
          |SELECT id AS doc_id, pos::BIGINT AS pos, tok AS token FROM t3""".stripMargin,
+
+    // train on the even half (unrolled trainer CTEs), encode the odd
+    // half merge-by-merge under the learned top$s tables — the
+    // persisted-artifact round-trip replayed end to end
+    "bpe_persisted_encode" ->
+      s"""WITH ${bpeMergeSql(4,
+             "(SELECT * FROM documents WHERE doc_id % 2 = 0)")},
+         |${bpeEncodeSql(4,
+             "(SELECT * FROM documents WHERE doc_id % 2 = 1)")}
+         |SELECT id AS doc_id, pos::BIGINT AS pos, tok AS token FROM e4""".stripMargin,
 
     // Integer-exact replay of the HDR binning + rank arithmetic
     // (explicit floor before ::BIGINT — DuckDB's cast rounds).

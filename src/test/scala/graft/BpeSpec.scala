@@ -229,6 +229,30 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     assert(batched === sequential)
   }
 
+  test("merge-table parquet round-trip: persisted table encodes fresh docs identically") {
+    val train = Seq((1L, "a b a b a b c d"), (2L, "a b c d c d"),
+      (3L, "x y a b")).toDF("doc_id", "text")
+    val fresh = Seq((10L, "a b c d a b"), (11L, "c d x y"),
+      (12L, "never seen tokens")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeMergeSequence(train, steps = 3)
+    val dir = java.nio.file.Files.createTempDirectory("bpe_rt").toString
+    merges.write.mode("overwrite").parquet(dir)
+    val persisted = spark.read.parquet(dir)
+    // parquet round-trip must not perturb the table...
+    assert(persisted.orderBy("step")
+      .select("step", "left_tok", "right_tok", "n")
+      .as[(Long, String, String, Long)].collect().toSeq ==
+      merges.orderBy("step").select("step", "left_tok", "right_tok", "n")
+        .as[(Long, String, String, Long)].collect().toSeq)
+    // ...nor the encode it drives on documents the trainer never saw
+    def stream(m: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.bpeEncodeBatched(fresh, m)
+        .orderBy("doc_id", "pos")
+        .select("doc_id", "pos", "token")
+        .as[(Long, Int, String)].collect().toSeq
+    assert(stream(persisted) == stream(merges))
+  }
+
   test("guards: non-positive steps rejected; pairless corpus yields no merges") {
     intercept[IllegalArgumentException] {
       TextAnalysis.bpeMergeSequence(Seq((1L, "x")).toDF("doc_id", "text"), 0)
