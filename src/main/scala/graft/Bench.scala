@@ -368,13 +368,25 @@ object Bench {
       s"""{"error":${jstr(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}}"""
     }
 
+    // Measured scale-up section: graft.ScaleBench times the heaviest
+    // families on a derived 10x corpus and writes SCALEUP.json; embed
+    // it verbatim when present so the round artifact carries the
+    // datapoint without re-paying the 10x run on every bench.
+    val scaleup = try {
+      val p = java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_SCALEUP_JSON", "/root/repo/SCALEUP.json"))
+      if (java.nio.file.Files.exists(p))
+        new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+      else """{"enabled":false}"""
+    } catch { case _: Throwable => """{"enabled":false}""" }
+
     // Headline numbers FIRST, the 123-entry per-query map LAST: r8's
     // committed artifact kept only the tail of this line, losing the
     // timings that happened to be serialized early. Front-loading the
     // totals means any truncation from either end still leaves the
     // round's verdict-grade numbers, and the full map is ALSO persisted
     // to its own file below so no truncation can lose per-query data.
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":${resultsAll.count(_._2.isLeft)},"loadavg":$loadAvg,"load_at_start":${jnum(loadAtStart)},"load_wait_sec":${jnum(loadWaitSec)},"rerun_delta":$rerunDelta,"rerun_queries":$rerunNames,"ann_recall":$annRecall,"bpe_batched":$bpe,"ingest":$ingest,"c4_pipeline":$c4,"streaming":$streaming,"sf":"$sfDir","errors":$errs,"queries":$qs}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":${resultsAll.count(_._2.isLeft)},"loadavg":$loadAvg,"load_at_start":${jnum(loadAtStart)},"load_wait_sec":${jnum(loadWaitSec)},"rerun_delta":$rerunDelta,"rerun_queries":$rerunNames,"ann_recall":$annRecall,"bpe_batched":$bpe,"ingest":$ingest,"c4_pipeline":$c4,"scaleup":$scaleup,"streaming":$streaming,"sf":"$sfDir","errors":$errs,"queries":$qs}"""
     println(line)
     // belt-and-braces: the identical JSON, committed as its own file —
     // the durable copy of every per-query timing regardless of what the

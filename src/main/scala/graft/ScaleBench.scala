@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The measured SCALE-UP datapoint: every bench number elsewhere is
+  * sf0.1 (~17 MB); this main builds a DERIVED 10x corpus (union sf0.1
+  * ten times under disjoint id blocks — TESTDATA.md forbids writing to
+  * /root/testdata, so it lands under the repo's own target dir), times
+  * the heaviest query families at both scales, and writes the
+  * sf0.1 → sf1 wall-time ratios to SCALEUP.json, which [[Bench]]
+  * embeds into BENCH_full.json as the "scaleup" section.
+  *
+  * Replica construction keeps the scaling HONEST:
+  *  - ids shift by replica * 10^7, far above every in-query plant
+  *    offset (+100000/+400000/...), so plants never collide with a
+  *    replica's real ids;
+  *  - document TEXT is Caesar-shifted per replica (letter rotation —
+  *    an isomorphism: token lengths, df distributions, and unit
+  *    structure are preserved exactly, while replicas share no words).
+  *    Without this, every shingle's df would grow 10x and the
+  *    inverted-index joins would measure a 100x Σdf² corpus, not a
+  *    10x one — the quadratic artifact of cloning, not of scale;
+  *  - the co-purchase graph becomes 10 disjoint copies (order/supplier/
+  *    customer keys shift per replica): 10x nodes, 10x edges;
+  *  - embeddings replicate under shifted ids (the ANN families'
+  *    cost is row-count-driven; vector content is irrelevant to cost).
+  *
+  * Expected readings: the inverted-index dedup families, the C4 chain,
+  * BPE encode, and PageRank should scale NEAR-LINEARLY (their shuffles
+  * are Σdf-/edge-/token-proportional). `ann_incremental_topk` is the
+  * BRUTE-FORCE baseline — batch x corpus scoring is quadratic BY
+  * DESIGN (both sides grow 10x => ~100x work); it is included to price
+  * that honestly, with the banded-LSH path alongside as the sublinear
+  * production shape.
+  */
+object ScaleBench {
+
+  private def jnum(d: Double): String =
+    if (d.isNaN || d.isInfinite) "-1" else d.toString
+
+  val Factor = 10
+  private val Block = 10000000L // replica id stride, above every plant offset
+
+  private val Lower = "abcdefghijklmnopqrstuvwxyz"
+  private val Upper = Lower.toUpperCase
+
+  /** Letter-rotation isomorphism for replica `i` (identity at i=0). */
+  private def shifted(s: String, i: Int): String =
+    s.map {
+      case c if c >= 'a' && c <= 'z' => (((c - 'a') + i) % 26 + 'a').toChar
+      case c if c >= 'A' && c <= 'Z' => (((c - 'A') + i) % 26 + 'A').toChar
+      case c => c
+    }
+
+  /** Ten disjoint-id (and for text, letter-rotated) replicas. */
+  private def replicate(src: DataFrame, factor: Int,
+      idCols: Seq[String], textCols: Seq[String]): DataFrame =
+    (0 until factor).map { i =>
+      val withIds = idCols.foldLeft(src)((df, c) =>
+        df.withColumn(c, col(c) + lit(i * Block)))
+      textCols.foldLeft(withIds)((df, c) =>
+        df.withColumn(c, translate(col(c),
+          Lower + Upper, shifted(Lower, i) + shifted(Upper, i))))
+    }.reduce(_ unionByName _)
+
+  private def buildDerived(spark: SparkSession, srcDir: String,
+      outDir: String): Unit = {
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    write(replicate(Tables.documents(spark, srcDir), Factor,
+      Seq("doc_id"), Seq("text")), "documents")
+    write(replicate(Tables.embeddings(spark, srcDir), Factor,
+      Seq("vec_id"), Seq.empty), "embeddings")
+    // the graph families read only the join/node keys — keep the
+    // derived lineitem narrow rather than clone TPC-H's widest table
+    write(replicate(Tables.lineitem(spark, srcDir)
+      .select("l_orderkey", "l_suppkey"), Factor,
+      Seq("l_orderkey", "l_suppkey"), Seq.empty), "lineitem")
+    write(replicate(Tables.orders(spark, srcDir)
+      .select("o_orderkey", "o_custkey"), Factor,
+      Seq("o_orderkey", "o_custkey"), Seq.empty), "orders")
+  }
+
+  /** The families measured, mirroring the r13 verdict's list, plus the
+    * banded-LSH contrast for the quadratic brute-force baseline.
+    */
+  private val Families = Seq("c4_end_to_end", "dedup_prefix_jaccard",
+    "dedup_ngram_jaccard", "graph_pagerank", "bpe_encode_tokens",
+    "ann_incremental_topk", "ann_lsh_banded_topk")
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outDir = args.lift(1)
+      .getOrElse("/root/repo/target/scaleup/sf1_derived")
+    val jsonPath = args.lift(2).getOrElse("/root/repo/SCALEUP.json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    Tables.configure(spark)
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!new java.io.File(s"$outDir/documents.parquet/_SUCCESS").exists()) {
+      System.err.println(s"[scale] building ${Factor}x derived corpus at $outDir")
+      buildDerived(spark, srcDir, outDir)
+    }
+    val rows = Seq("documents", "embeddings", "lineitem", "orders")
+      .map(t => t -> spark.read.parquet(s"$outDir/$t.parquet").count()).toMap
+
+    // one small warm pass so neither scale's first family absorbs
+    // codegen init (the Bench warmup discipline)
+    val warmDir = "/root/testdata/sf0.001"
+    Seq("dedup_ngram_jaccard", "graph_pagerank", "ann_lsh_banded_topk")
+      .foreach(q => try SparkEntry.queries(q)(spark, warmDir).count()
+        catch { case _: Throwable => () })
+
+    def time(thunk: => Unit): Double = {
+      val t0 = System.nanoTime()
+      thunk
+      (System.nanoTime() - t0) / 1e9
+    }
+    // graph prep tracked separately at each scale (the Bench
+    // accounting), so graph_pagerank measures the recurrence both times
+    val prep01 = time(SparkEntry.copurchasePrepared(spark, srcDir).count())
+    val prep1 = time(SparkEntry.copurchasePrepared(spark, outDir).count())
+
+    val fams = Families.map { name =>
+      val q = SparkEntry.queries(name)
+      val s01 = time(q(spark, srcDir).count())
+      val s1 = time(q(spark, outDir).count())
+      System.err.println(f"[scale] $name: sf0.1 $s01%.2f s -> 10x $s1%.2f s" +
+        f" (ratio ${s1 / s01}%.2f)")
+      s""""$name":{"sf01_sec":${jnum(s01)},"sf1_sec":${jnum(s1)},"ratio":${jnum(s1 / s01)}}"""
+    }
+    val line =
+      s"""{"factor":$Factor,"src":"$srcDir","derived":"$outDir","derived_rows":{${
+        rows.toSeq.sortBy(_._1).map { case (t, n) => s""""$t":$n""" }.mkString(",")
+      }},"graph_prep":{"sf01_sec":${jnum(prep01)},"sf1_sec":${jnum(prep1)},"ratio":${jnum(prep1 / prep01)}},"families":{${fams.mkString(",")}}}"""
+    println(line)
+    java.nio.file.Files.write(java.nio.file.Paths.get(jsonPath),
+      (line + "\n").getBytes("UTF-8"))
+    spark.stop()
+  }
+}
