@@ -112,26 +112,38 @@ object CurationPipeline {
     // representative's bucket), then keep only representatives
     val split = CorpusSelect.leakageSafeSplit(unitDeduped, clusters, idCol)
       .select(col(idCol), col("rep_id"), col("split"), col("bucket"))
+    val packed = splitAndPack(unitDeduped, clusters, idCol, binSize)
+
+    Stages(extracted, curated, deboilered, unitDeduped, clusters, split,
+      packed)
+  }
+
+  /** Stages S6+S7 as a reusable tail — leakage-safe split, near-dup
+    * representative keep, token counts once, per-split packing. Shared
+    * with [[graft.streaming.IngestPipeline]]'s read-side C4 chain so
+    * the streamed corpus is packed by the IDENTICAL code path.
+    */
+  private[graft] def splitAndPack(unitDeduped: DataFrame,
+      clusters: DataFrame, idCol: String, binSize: Long): DataFrame = {
+    val split = CorpusSelect.leakageSafeSplit(unitDeduped, clusters, idCol)
+      .select(col(idCol), col("split"))
     val kept = Dedup.dropNearDups(unitDeduped, clusters, idCol)
 
     // S7: token counts once, then pack each split independently (the
     // per-split packOffsets calls share the checkpointed token relation;
     // each collects ≤`buckets` prefix rows)
     val withTok = TextAnalysis.withTokenCounts(kept)
-      .join(split.select(col(idCol), col("split")), Seq(idCol))
+      .join(split, Seq(idCol))
       .select(col(idCol), col("split"),
         col("ws_tokens").cast("long").as("ws_tokens"))
       .localCheckpoint(false)
-    val packed = Seq("train", "val", "test").map { sp =>
+    Seq("train", "val", "test").map { sp =>
       SequencePack.packOffsets(withTok.filter(col("split") === sp),
           idCol, binSize = binSize)
         .withColumn("split", lit(sp))
     }.reduce(_ unionByName _)
       .select(col(idCol), col("split"), col("ws_tokens"), col("offset"),
         col("bin"))
-
-    Stages(extracted, curated, deboilered, unitDeduped, clusters, split,
-      packed)
   }
 
   /** The one-call product face of [[stages]]. */

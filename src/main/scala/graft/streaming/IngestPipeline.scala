@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.operators.{IncrementalBoilerplate, IncrementalDedup, IncrementalProfile}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** The COMPOSED ingestion sink a production training-data corpus runs —
   * the end-to-end shape every piece of this library exists for, wired
@@ -67,6 +68,32 @@ object IngestPipeline {
       minDocFreq: Long): DataFrame =
     IncrementalBoilerplate.cleanAgainstStore(
       landedDocs(spark, baseDir), s"$baseDir/unitdf", minDocFreq)
+
+  /** The landed corpus read out as the FULL C4-equivalent product —
+    * every remaining batch-only stage of
+    * [[graft.operators.CurationPipeline]] composed over the relations
+    * the sink keeps current, with zero corpus-wide recomputation of
+    * anything the stores already hold: boilerplate cleaning against
+    * the folded unit-df store, per-doc intra-document unit dedup,
+    * near-dup clusters from the incrementally-mined pair log, then the
+    * IDENTICAL leakage-safe split + per-split packing code path the
+    * batch pipeline runs (`CurationPipeline.splitAndPack`). Output:
+    * `(doc_id, split, ws_tokens, offset, bin)` — the packed training
+    * sequences. IngestPipelineSpec proves this equals the one-shot
+    * batch twin of the same chain over the same raw corpus.
+    */
+  def c4Corpus(spark: SparkSession, baseDir: String, minDocFreq: Long = 3L,
+      binSize: Long = 2048L): DataFrame = {
+    val cleaned = boilerplateCleanedDocs(spark, baseDir, minDocFreq)
+      .select(col("doc_id"), col("text_clean").as("text"))
+    val unitDeduped = graft.operators.Dedup.dedupUnitsWithinDocs(cleaned)
+      .select(col("doc_id"), col("text_clean").as("text"))
+      .localCheckpoint(false)
+    val clusters = graft.operators.Dedup.nearDupClusters(
+      minedPairs(spark, baseDir).select("id_a", "id_b"))
+    graft.operators.CurationPipeline.splitAndPack(unitDeduped, clusters,
+      "doc_id", binSize)
+  }
 
   /** The landed curated corpus (all batches, `batch` partition column). */
   def landedDocs(spark: SparkSession, baseDir: String): DataFrame =

@@ -117,5 +117,25 @@ class IngestPipelineSpec extends AnyFunSuite with SparkTestBase {
     // 6. compacting the unit-df log changes no answers either
     IncrementalBoilerplate.compact(spark, s"$dir/unitdf")
     assert(cleanedSet == oneShotClean)
+
+    // 7. the FULL read-side C4 chain (boilerplate clean -> intra-doc
+    // unit dedup -> near-dup keep from the mined pair log -> leakage-
+    // safe split -> per-split packing) == its one-shot batch twin over
+    // the same raw corpus, stage generators aligned (LSH pairs over the
+    // curated text on both sides)
+    val streamedPacked = IngestPipeline.c4Corpus(spark, dir, minDocFreq = 3)
+      .select("doc_id", "split", "ws_tokens", "offset", "bin")
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    val twinUnitDeduped = Dedup.dedupUnitsWithinDocs(
+        Dedup.dropBoilerplateUnits(curatedAll, minDocFreq = 3)
+          .select(col("doc_id"), col("text_clean").as("text")))
+      .select(col("doc_id"), col("text_clean").as("text"))
+    val twinClusters = Dedup.nearDupClusters(
+      Dedup.minHashLshPairs(curatedAll).select("id_a", "id_b"))
+    val twinPacked = graft.operators.CurationPipeline.splitAndPack(
+        twinUnitDeduped, twinClusters, "doc_id", binSize = 2048L)
+      .select("doc_id", "split", "ws_tokens", "offset", "bin")
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    assert(streamedPacked == twinPacked && streamedPacked.nonEmpty)
   }
 }
