@@ -617,7 +617,15 @@ object SparkEntry {
     val reEncoded = base.filter(col("doc_id") % 20 === 10)
       .select((col("doc_id") + 500000L).as("doc_id"),
         reverse(col("img")).as("img"), col("caption"))
+    // genuinely NEW pairs (unrelated image bytes, unrelated caption):
+    // the survivors the incremental kept-set must NOT drop
+    val genuinelyNew = base.filter(col("doc_id") % 20 === 5)
+      .select((col("doc_id") + 600000L).as("doc_id"),
+        reverse(col("img")).as("img"),
+        concat(lit("exclusive artwork "), col("doc_id").cast("string"),
+          lit(" limited edition")).as("caption"))
     base.unionByName(reCaptioned).unionByName(reEncoded)
+      .unionByName(genuinelyNew)
       .select(col("doc_id"), encode(col("img"), "UTF-8").as("payload"),
         col("caption"))
   }
@@ -759,7 +767,11 @@ object SparkEntry {
     * over the img bytes), caption edges `ce` (exact 3-gram Jaccard >=
     * 0.5 with the shared df cap).
     */
-  private val mmEdgesSql: String =
+  /** The cross-modal paired corpus CTEs alone (mirrors
+    * [[multimodalCorpus]]), ending in `mm(doc_id, img, caption)` —
+    * shared by the batch edge oracle and the incremental one.
+    */
+  private val mmCorpusSql: String =
     s"""base AS (SELECT doc_id, text AS img,
       |  array_to_string((string_split_regex(trim(text), '\\s+'))[1:12], ' ') AS caption
       |  FROM documents),
@@ -768,10 +780,17 @@ object SparkEntry {
       |  FROM base WHERE doc_id % 20 = 0),
       |pb AS (SELECT doc_id + 500000 AS doc_id, reverse(img) AS img, caption
       |  FROM base WHERE doc_id % 20 = 10),
+      |pc AS (SELECT doc_id + 600000 AS doc_id, reverse(img) AS img,
+      |  'exclusive artwork ' || doc_id || ' limited edition' AS caption
+      |  FROM base WHERE doc_id % 20 = 5),
       |mm AS (SELECT doc_id, img, caption FROM base
       |  UNION ALL SELECT doc_id, img, caption FROM pa
-      |  UNION ALL SELECT doc_id, img, caption FROM pb),
-      |corpus AS (SELECT doc_id, img AS text FROM mm),
+      |  UNION ALL SELECT doc_id, img, caption FROM pb
+      |  UNION ALL SELECT doc_id, img, caption FROM pc)""".stripMargin
+
+  private val mmEdgesSql: String =
+    mmCorpusSql + ",\n" +
+    """corpus AS (SELECT doc_id, img AS text FROM mm),
       |""".stripMargin + dhashChainSql + s""",
       |ie AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM h a JOIN h b ON a.doc_id < b.doc_id
@@ -3088,6 +3107,51 @@ object SparkEntry {
       MediaColumns.pairedNearDupKept(multimodalCorpus(s, dir),
           maxDocFreq = Some(ShingleDfCap))
         .select("doc_id")),
+
+    // M12: cross-modal near-dup AT INGEST — the plants arrive as a
+    // BATCH against the existing paired corpus: image side dHash-mined
+    // against the corpus hashes (IncrementalPhash pigeonhole), caption
+    // side MinHash-LSH-mined against the corpus caption signatures
+    // (IncrementalDedup cross-corpus bands — the persistable sketch;
+    // exact Jaccard is the batch operator's generator, LSH the ingest
+    // one, the same seam as dedup_ngram_jaccard vs dedup_incremental).
+    // Cost O(batch + collisions); oracle = full-rerun of both
+    // generators restricted to pairs involving the batch (exact by
+    // per-doc-local hashing).
+    "multimodal_incremental_pairs" -> ((s, dir) => {
+      val all = multimodalCorpus(s, dir)
+      val base = all.filter(col("doc_id") < 400000L)
+      val batch = all.filter(col("doc_id") >= 400000L)
+      val P = graft.operators.IncrementalPhash
+      val img = P.incrementalPhashPairs(P.phashes(batch), P.phashes(base),
+          maxHamming = 3)
+        .select(col("id_a"), col("id_b"), lit("image").as("modality"))
+      val cap = graft.operators.IncrementalDedup.incrementalLshPairs(
+          Dedup.minHashSignatures(batch, textCol = "caption"),
+          Dedup.minHashSignatures(base, textCol = "caption"))
+        .select(col("id_a"), col("id_b"), lit("caption").as("modality"))
+      img.unionByName(cap)
+    }),
+
+    // M12b: the consumable end — which batch pairs survive? Union both
+    // modality edge lists into one CC; a batch pair dies when it is a
+    // non-representative member of any cross-modal cluster (both plant
+    // families die against their sources; genuinely new pairs live).
+    "multimodal_incremental_kept" -> ((s, dir) => {
+      val all = multimodalCorpus(s, dir)
+      val base = all.filter(col("doc_id") < 400000L)
+      val batch = all.filter(col("doc_id") >= 400000L)
+      val P = graft.operators.IncrementalPhash
+      val img = P.incrementalPhashPairs(P.phashes(batch), P.phashes(base),
+        maxHamming = 3).select("id_a", "id_b")
+      val cap = graft.operators.IncrementalDedup.incrementalLshPairs(
+          Dedup.minHashSignatures(batch, textCol = "caption"),
+          Dedup.minHashSignatures(base, textCol = "caption"))
+        .select("id_a", "id_b")
+      Dedup.dropNearDups(batch,
+          Dedup.nearDupClusters(img.unionByName(cap).distinct()))
+        .select("doc_id")
+    }),
 
     // O3: multi-key sort (notebook cell 13). Sort itself is not hashable
     // output — the oracle compares the sorted-stable row set.
@@ -5808,6 +5872,77 @@ object SparkEntry {
         |clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
         |SELECT doc_id FROM mm
         |WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster_id)""".stripMargin),
+
+    // Full-rerun replay of BOTH incremental generators, restricted to
+    // pairs involving the batch (ids >= 400000): dHash chain over every
+    // img + hamming <= 3, caption MinHash signatures + 4-band LSH
+    // candidates + agreement >= 0.5.
+    "multimodal_incremental_pairs" ->
+      (s"""WITH $mmCorpusSql,
+        |corpus AS (SELECT doc_id, img AS text FROM mm),
+        |""".stripMargin + dhashChainSql + s""",
+        |ipairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.hd, b.hd)) <= 3 AND b.doc_id >= 400000),
+        |ctok AS (SELECT doc_id, string_split_regex(trim(caption), '\\s+') AS toks FROM mm),
+        |cshs AS (SELECT doc_id, list_distinct(list_transform(
+        |  range(0, greatest(len(toks)-3,0)+1),
+        |  i -> array_to_string(toks[(i+1):(i+3)], ' '))) AS shingles FROM ctok),
+        |chss AS (SELECT doc_id, list_transform(shingles,
+        |  s -> ${hash60Sql("s")}) AS hs FROM cshs),
+        |csig AS (SELECT doc_id AS id, $minhashSigSql AS sig FROM chss),
+        |cbanded AS (SELECT id, sig, t.b AS band,
+        |  array_to_string(sig[(t.b*4+1):(t.b*4+4)], ':') AS key
+        |  FROM csig, range(0,4) t(b)),
+        |ccand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM cbanded a
+        |  JOIN cbanded b ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+        |cagr AS (SELECT c.id_a, c.id_b,
+        |  list_sum(list_transform(range(1,17),
+        |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))/16.0 AS a
+        |  FROM ccand c JOIN csig sa ON c.id_a = sa.id JOIN csig sb ON c.id_b = sb.id),
+        |cpairs AS (SELECT id_a, id_b FROM cagr
+        |  WHERE a >= 0.5 AND id_b >= 400000)
+        |SELECT id_a, id_b, 'image' AS modality FROM ipairs
+        |UNION ALL
+        |SELECT id_a, id_b, 'caption' AS modality FROM cpairs""".stripMargin),
+
+    // Incremental union edges -> reach closure -> kept batch ids (the
+    // dedup_incremental_kept shape over the cross-modal union).
+    "multimodal_incremental_kept" ->
+      (s"""WITH RECURSIVE $mmCorpusSql,
+        |corpus AS (SELECT doc_id, img AS text FROM mm),
+        |""".stripMargin + dhashChainSql + s""",
+        |ipairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.hd, b.hd)) <= 3 AND b.doc_id >= 400000),
+        |ctok AS (SELECT doc_id, string_split_regex(trim(caption), '\\s+') AS toks FROM mm),
+        |cshs AS (SELECT doc_id, list_distinct(list_transform(
+        |  range(0, greatest(len(toks)-3,0)+1),
+        |  i -> array_to_string(toks[(i+1):(i+3)], ' '))) AS shingles FROM ctok),
+        |chss AS (SELECT doc_id, list_transform(shingles,
+        |  s -> ${hash60Sql("s")}) AS hs FROM cshs),
+        |csig AS (SELECT doc_id AS id, $minhashSigSql AS sig FROM chss),
+        |cbanded AS (SELECT id, sig, t.b AS band,
+        |  array_to_string(sig[(t.b*4+1):(t.b*4+4)], ':') AS key
+        |  FROM csig, range(0,4) t(b)),
+        |ccand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM cbanded a
+        |  JOIN cbanded b ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+        |cagr AS (SELECT c.id_a, c.id_b,
+        |  list_sum(list_transform(range(1,17),
+        |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))/16.0 AS a
+        |  FROM ccand c JOIN csig sa ON c.id_a = sa.id JOIN csig sb ON c.id_b = sb.id),
+        |cpairs AS (SELECT id_a, id_b FROM cagr
+        |  WHERE a >= 0.5 AND id_b >= 400000),
+        |jp AS (SELECT id_a, id_b FROM ipairs UNION SELECT id_a, id_b FROM cpairs),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM jp
+        |  UNION ALL SELECT id_b, id_a FROM jp),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+        |clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT doc_id FROM mm WHERE doc_id >= 400000
+        |AND doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster_id)""".stripMargin),
 
     "multi_key_sort" ->
       """SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice
