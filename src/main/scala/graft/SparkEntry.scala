@@ -1701,6 +1701,62 @@ object SparkEntry {
       Dedup.dropUnitsByDf(planted, folded, minDocFreq = 3)
     }),
 
+    // IS1: incremental weighted exact-k sampling — three disjoint
+    // batches land only their own per-group top-k ([[IncrementalSample]]
+    // deltas); the read-side fold re-ranks the ≤ 3k surviving rows per
+    // group and must equal the one-shot sample over the whole corpus
+    // (the E-S key is deterministic per row, so rank selection is
+    // mergeable: topK(A∪B) = topK(topK(A)∪topK(B))).
+    "incremental_sample_final" -> ((s, dir) => {
+      val docs = TextAnalysis.withTokenCounts(Tables.documents(s, dir))
+        .select(col("doc_id"), col("lang"),
+          col("ws_tokens").cast("long").as("ws_tokens"))
+      val folded = (0 until 3)
+        .map(i => graft.operators.IncrementalSample.sampleDelta(
+          docs.filter(pmod(col("doc_id"), lit(3)) === i),
+          "lang", "doc_id", "ws_tokens", k = 12))
+        .reduce(_ unionByName _)
+      graft.operators.Mixture.weightedSampleK(folded,
+          "lang", "doc_id", "ws_tokens", k = 12)
+        .select("doc_id", "lang", "ws_tokens")
+    }),
+
+    // HL1: relational HyperLogLog registers — unlike
+    // approx_distinct_users_daily (engine-private sketch, bounds-only
+    // oracle), the register STATE here is an integer relation the
+    // oracle hash-compares bit-for-bit.
+    "hll_registers_daily" -> ((s, dir) =>
+      graft.operators.DistinctSketch.registers(
+          Tables.events(s, dir).select(to_date(col("ts")).as("event_date"),
+            col("user_id")),
+          Seq("event_date"), "user_id")
+        .select(col("event_date"), col("bucket"),
+          col("r").cast("long").as("r"))),
+
+    // HL2: the incremental fold — three OVERLAPPING batches (max-merge
+    // is idempotent, so unlike the additive stores no batch
+    // disjointness is needed) folded and estimated; the oracle replays
+    // the ONE-SHOT sketch + estimate arithmetic, so a green row proves
+    // fold == one-shot AND the integer-exact harmonic sum.
+    "incremental_distinct_final" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        to_date(col("ts")).as("event_date"), col("event_id"), col("user_id"))
+      val folded = (0 until 3)
+        .map(i => graft.operators.DistinctSketch.registers(
+          ev.filter(pmod(col("event_id"), lit(2)) === i % 2 ||
+            pmod(col("event_id"), lit(3)) === i),
+          Seq("event_date"), "user_id"))
+        .reduce(_ unionByName _)
+        .groupBy("event_date", "bucket")
+        .agg(max("r").cast("int").as("r"))
+      graft.operators.DistinctSketch.estimate(folded, Seq("event_date"))
+        .join(ev.groupBy("event_date")
+          .agg(count_distinct(col("user_id")).as("exact_users")), "event_date")
+        .select(col("event_date"),
+          trunc4(col("approx_distinct")).as("approx_users"),
+          col("exact_users"))
+    }),
+
     // DD8b: INTRA-doc unit dedup — every 4th doc has its whole text
     // repeated as a second unit (scraped-page loop text); keep-first
     // must drop the repeat and rebuild, leaving other docs untouched.
@@ -4216,6 +4272,61 @@ object SparkEntry {
     // (unit, df) deltas over a 3-way corpus split, so hash-matching the
     // one-shot SQL proves fold == one-shot exactly.
     "incremental_boilerplate_final" -> boilerplateRemovedSql,
+
+    // One-shot E-S sample at k=12: the Spark side folded three
+    // per-batch top-12 deltas, so equality proves the rank-selection
+    // merge theorem on real data.
+    "incremental_sample_final" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |  (CASE WHEN length(trim(text)) = 0 THEN 0
+         |    ELSE len(string_split_regex(trim(text), '\\s+')) END)::BIGINT
+         |    AS ws_tokens FROM documents),
+         |keyed AS (SELECT doc_id, lang, ws_tokens,
+         |  ln((${hash60Sql("doc_id::VARCHAR")} + 1) / 1152921504606846976.0)
+         |    / ws_tokens AS key
+         |  FROM t WHERE ws_tokens > 0),
+         |r AS (SELECT doc_id, lang, ws_tokens, row_number() OVER (
+         |  PARTITION BY lang ORDER BY key DESC, doc_id) AS rn FROM keyed)
+         |SELECT doc_id, lang, ws_tokens FROM r WHERE rn <= 12""".stripMargin,
+
+    // The register relation replayed value-for-value: same md5-hex
+    // 60-bit hash, same bucket/tail split, same integer rank.
+    "hll_registers_daily" ->
+      s"""WITH h AS (SELECT CAST(ts AS DATE) AS event_date,
+         |  ${hash60Sql("user_id::VARCHAR")} AS h
+         |  FROM events WHERE user_id IS NOT NULL)
+         |SELECT event_date, (h % 256) AS bucket,
+         |  max(CASE WHEN (h // 256) = 0 THEN 53
+         |      ELSE 53 - length(bin(h // 256)) END)::BIGINT AS r
+         |FROM h GROUP BY 1, 2""".stripMargin,
+
+    // ONE-SHOT sketch + estimate: harmonic sum scaled to an exact
+    // BIGINT (1 << (53 - r)), one deterministic BIGINT→DOUBLE cast,
+    // same α literal arithmetic, same linear-counting branch.
+    "incremental_distinct_final" ->
+      s"""WITH h AS (SELECT CAST(ts AS DATE) AS event_date,
+         |  ${hash60Sql("user_id::VARCHAR")} AS h
+         |  FROM events WHERE user_id IS NOT NULL),
+         |regs AS (SELECT event_date, (h % 256) AS bucket,
+         |  max(CASE WHEN (h // 256) = 0 THEN 53
+         |      ELSE 53 - length(bin(h // 256)) END) AS r
+         |  FROM h GROUP BY 1, 2),
+         |agg AS (SELECT event_date,
+         |  sum((1::BIGINT << (53 - r)))::BIGINT AS hsum,
+         |  count(*)::BIGINT AS nz FROM regs GROUP BY 1),
+         |est AS (SELECT event_date, (256 - nz) AS v,
+         |  ((0.7213/(1.0 + 1.079/256.0))*256.0*256.0*9007199254740992.0)
+         |    / ((256 - nz) * 9007199254740992 + hsum)::DOUBLE AS raw
+         |  FROM agg),
+         |fin AS (SELECT event_date,
+         |  CASE WHEN raw <= 640.0 AND v > 0
+         |    THEN 256.0 * ln(256.0 / v) ELSE raw END AS approx FROM est),
+         |ex AS (SELECT CAST(ts AS DATE) AS event_date,
+         |  count(DISTINCT user_id)::BIGINT AS exact_users
+         |  FROM events GROUP BY 1)
+         |SELECT f.event_date, floor(approx*10000)/10000 AS approx_users,
+         |  exact_users
+         |FROM fin f JOIN ex ON f.event_date = ex.event_date""".stripMargin,
 
     "decontaminate_docs" ->
       s"""WITH train AS (SELECT doc_id, text FROM documents),

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** The shared LSM-style delta-log layout of the incremental stores
+  * ([[IncrementalBoilerplate]], [[IncrementalSample]],
+  * [[DistinctSketch.IncrementalDistinct]]): each ingested batch lands
+  * its own MERGEABLE delta under `delta/batch=<id>` (idempotent
+  * Overwrite — Structured Streaming re-runs a failed micro-batch under
+  * the SAME id, so re-delivery rewrites equal bytes and no crash
+  * ordering double-counts), readers fold `newest base + newer deltas`
+  * with the store's own merge aggregate, and a periodic [[compact]]
+  * folds the log into a fresh `base/upto=<id>` snapshot. All dirs are
+  * `_SUCCESS`-gated on read, so a torn write never reads. Single-writer
+  * by design (the foreachBatch model).
+  *
+  * What varies per store is only the MERGE: boilerplate df folds by
+  * sum, the weighted sample by rank re-selection, HLL registers by max
+  * — each a commutative fold the store passes in as `merge`.
+  */
+private[operators] object DeltaLog {
+
+  /** Land one batch's delta under its own id. Overwrite IS the
+    * idempotence story.
+    */
+  def writeDelta(delta: DataFrame, storeDir: String, batchId: Long): Unit =
+    delta.write.mode(SaveMode.Overwrite)
+      .parquet(s"$storeDir/delta/batch=$batchId")
+
+  /** The folded state as of the last committed batch: newest committed
+    * base snapshot + every committed delta above it, merged by the
+    * store's own aggregate. None before the first ingest.
+    */
+  def readFolded(spark: SparkSession, storeDir: String,
+      merge: DataFrame => DataFrame): Option[DataFrame] = {
+    val base = newestCommitted(spark, s"$storeDir/base", "upto=")
+    val deltas = committedIds(spark, s"$storeDir/delta", "batch=")
+      .filter { case (id, _) => base.forall(id > _._1) }
+      .map { case (id, _) => s"$storeDir/delta/batch=$id" }
+    val parts = base.map(_._2).toSeq ++ deltas
+    if (parts.isEmpty) None
+    else Some(merge(spark.read.parquet(parts: _*)))
+  }
+
+  /** Fold the whole log into one fresh base snapshot. Grace discipline
+    * (the [[KeyedUpsertSink]] one-generation window): deletes only what
+    * the PREVIOUS compact had already superseded, so a reader's lazy
+    * frame resolved just before this flip still finds its files for one
+    * more compaction round. No-op on an empty store or when nothing is
+    * newer than the current base (folding again would Overwrite the
+    * very snapshot a lazy fold is reading from).
+    */
+  def compact(spark: SparkSession, storeDir: String,
+      merge: DataFrame => DataFrame): Unit = {
+    val prev = newestCommitted(spark, s"$storeDir/base", "upto=")
+    val deltaIds = committedIds(spark, s"$storeDir/delta", "batch=")
+    val newestDelta = deltaIds.map(_._1).maxOption
+    val upto = (prev.map(_._1).toSeq ++ newestDelta).maxOption match {
+      case None => return
+      case Some(u) if prev.exists(_._1 == u) => return
+      case Some(u) => u
+    }
+    readFolded(spark, storeDir, merge).get
+      .write.mode(SaveMode.Overwrite).parquet(s"$storeDir/base/upto=$upto")
+    prev.foreach { case (prevUpto, _) =>
+      val fs = new Path(storeDir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      deltaIds.filter(_._1 <= prevUpto)
+        .foreach { case (id, _) =>
+          fs.delete(new Path(s"$storeDir/delta/batch=$id"), true) }
+      committedIds(spark, s"$storeDir/base", "upto=")
+        .filter(_._1 < prevUpto)
+        .foreach { case (_, p) => fs.delete(new Path(p), true) }
+    }
+  }
+
+  /** `_SUCCESS`-committed `(id, path)` children of `dir` named
+    * `<prefix><long>`.
+    */
+  def committedIds(spark: SparkSession, dir: String,
+      prefix: String): Seq[(Long, String)] = {
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(base)) return Seq.empty
+    fs.listStatus(base).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .flatMap { st =>
+        st.getPath.getName.stripPrefix(prefix).toLongOption
+          .filter(_ => fs.exists(new Path(st.getPath, "_SUCCESS")))
+          .map(_ -> st.getPath.toString)
+      }
+  }
+
+  def newestCommitted(spark: SparkSession, dir: String,
+      prefix: String): Option[(Long, String)] =
+    committedIds(spark, dir, prefix).maxByOption(_._1)
+}
