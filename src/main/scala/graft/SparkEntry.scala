@@ -1638,6 +1638,23 @@ object SparkEntry {
         TextAnalysis.withTokenCounts(Tables.documents(s, dir))
           .select(col("doc_id"), col("ws_tokens")))),
 
+    // T10c: deterministic training shards — the packed corpus dealt
+    // into 8 fixed-count shards in hash60(doc_id) order (the
+    // corpus_split no-rand() discipline: assignment and intra-shard
+    // order are pure functions of the row, so the oracle replays them
+    // exactly and a re-run writes equal bytes). The global rank is the
+    // two-phase bucketed formulation, not a partitionless window
+    // (TrainShards.shardAssign); TrainShardsSpec covers the
+    // exactly-once per-shard-dir writer.
+    "corpus_shards" -> ((s, dir) =>
+      graft.operators.TrainShards.shardAssign(
+        SequencePack.packOffsets(
+          TextAnalysis.withTokenCounts(Tables.documents(s, dir))
+            .select(col("doc_id"), col("ws_tokens"))),
+        numShards = 8)
+        .select(col("doc_id"), col("ws_tokens").cast("long").as("ws_tokens"),
+          col("offset"), col("bin"), col("shard"), col("shard_pos"))),
+
     // ---- deduplication suite over injected-duplicate corpora -------------
 
     // DD1: exact dedup — hash-groupBy on md5(text), keep smallest id.
@@ -1741,10 +1758,15 @@ object SparkEntry {
     "incremental_distinct_final" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select(
         to_date(col("ts")).as("event_date"), col("event_id"), col("user_id"))
+      // null-safe slicing: pmod(null) is null (row in NO slice), so the
+      // fold would silently miss null-event_id rows the one-shot oracle
+      // sees. Fixtures carry none today; coalesce guarantees coverage of
+      // the union regardless of fixture nullability (ADVICE r14).
+      val sliceKey = coalesce(col("event_id"), lit(0L))
       val folded = (0 until 3)
         .map(i => graft.operators.DistinctSketch.registers(
-          ev.filter(pmod(col("event_id"), lit(2)) === i % 2 ||
-            pmod(col("event_id"), lit(3)) === i),
+          ev.filter(pmod(sliceKey, lit(2)) === i % 2 ||
+            pmod(sliceKey, lit(3)) === i),
           Seq("event_date"), "user_id"))
         .reduce(_ unionByName _)
         .groupBy("event_date", "bucket")
@@ -3960,6 +3982,29 @@ object SparkEntry {
         |  AS BIGINT) AS bin
         |FROM t""".stripMargin,
 
+    // the shard deal replayed exactly: global rank over
+    // (hash60(doc_id), doc_id) order — a window here, where the two-phase
+    // bucketed rank runs on the Spark side — then modulo/div dealing
+    "corpus_shards" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  CAST(CASE WHEN length(trim(text))=0 THEN 0
+         |    ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+         |    AS ws_tokens
+         |  FROM documents),
+         |p AS (SELECT doc_id, ws_tokens,
+         |  CAST(coalesce(sum(ws_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS "offset"
+         |  FROM t),
+         |r AS (SELECT doc_id, ws_tokens, "offset",
+         |  CAST("offset" // 2048 AS BIGINT) AS bin,
+         |  row_number() OVER (ORDER BY
+         |    ${hash60Sql("doc_id::VARCHAR")}, doc_id) - 1 AS rank
+         |  FROM p)
+         |SELECT doc_id, ws_tokens, "offset", bin,
+         |CAST(rank % 8 AS BIGINT) AS shard,
+         |CAST(rank // 8 AS BIGINT) AS shard_pos FROM r""".stripMargin,
+
     // The recursive CTE folds the same greedy first-fit step the Scala
     // operator applies per group: `loads` is the open-bin load list,
     // idx the first bin with room (list_position = 0 when none — DuckDB
@@ -4616,7 +4661,7 @@ object SparkEntry {
 
     "dedup_embedding_lsh_banded" ->
       s"""WITH $embCorpusSql,
-         |e AS (SELECT vec_id, embedding,
+         |e AS MATERIALIZED (SELECT vec_id, embedding,
          |  [${(0 until 4).map(t => bandBucketSql("embedding", t, 16)).mkString(", ")}] AS tbl
          |  FROM corpus),
          |x AS (SELECT vec_id, t.t AS t, tbl[t.t+1] AS bucket FROM e, range(0,4) t(t)),
@@ -4697,7 +4742,7 @@ object SparkEntry {
 
     "ann_lsh_banded_topk" ->
       s"""WITH $embCorpusSql,
-         |e AS (SELECT vec_id, embedding,
+         |e AS MATERIALIZED (SELECT vec_id, embedding,
          |  [${(0 until 4).map(t => bandBucketSql("embedding", t, 16)).mkString(", ")}] AS tbl
          |  FROM corpus),
          |x AS (SELECT vec_id, t.t AS t, tbl[t.t+1] AS bucket FROM e, range(0,4) t(t)),
@@ -4719,7 +4764,7 @@ object SparkEntry {
     // band bucket expands to itself + its 16 one-bit-flip neighbors.
     "ann_banded_multiprobe_topk" ->
       s"""WITH $embCorpusSql,
-         |e AS (SELECT vec_id, embedding,
+         |e AS MATERIALIZED (SELECT vec_id, embedding,
          |  [${(0 until 4).map(t => bandBucketSql("embedding", t, 16)).mkString(", ")}] AS tbl
          |  FROM corpus),
          |x AS (SELECT vec_id, t.t AS t, tbl[t.t+1] AS bucket FROM e, range(0,4) t(t)),
@@ -4775,7 +4820,7 @@ object SparkEntry {
     // batch's band rows; exact-cosine rank (copies inherit their
     // source's band row in `e`, so tbl is computed once).
     "ann_incremental_topk" ->
-      s"""WITH e AS (SELECT vec_id, embedding,
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding,
          |  [${(0 until 4).map(t => bandBucketSql("embedding", t, 16)).mkString(", ")}] AS tbl
          |  FROM embeddings),
          |bq AS (SELECT vec_id + 100000 AS vec_id, embedding, tbl

@@ -46,6 +46,12 @@ object DistinctSketch {
   def registers(df: DataFrame, groupCols: Seq[String], valueCol: String,
       p: Int = DefaultP): DataFrame = {
     require(p >= 4 && p <= 16, s"p must be in [4, 16], got $p")
+    // the output introduces these names unconditionally; a group column
+    // with one of them would collide or be silently shadowed (ADVICE r14)
+    val reserved = Set("bucket", "r", "_tail")
+    require(!groupCols.exists(reserved),
+      s"groupCols ${groupCols.mkString(",")} must not use reserved " +
+        s"register-relation names ${reserved.mkString(",")}")
     val m = 1L << p
     val w = 60 - p
     val h = TextHash.hash60(col(valueCol))
@@ -78,7 +84,8 @@ object DistinctSketch {
     */
   def estimate(regs: DataFrame, groupCols: Seq[String],
       p: Int = DefaultP): DataFrame = {
-    val m = (1L << p).toDouble
+    val mL = 1L << p
+    val m = mL.toDouble
     val alpha = 0.7213 / (1.0 + 1.079 / m)
     val scaleBits = 60 - p + 1 // w + 1, the max register rank
     regs
@@ -86,7 +93,18 @@ object DistinctSketch {
       .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), $scaleBits - r)"))
           .as("_hsum"),
         count(lit(1)).as("_nz"))
-      .withColumn("_v", (lit(m.toLong) - col("_nz")).cast("long"))
+      // p-consistency guard (ADVICE r14): nothing ties the caller's p to
+      // the p registers() was built with, and a smaller p here would give
+      // negative _v and NaN/garbage estimates silently. More non-empty
+      // buckets than 2^p is impossible under a consistent p — fail loudly.
+      .withColumn("_nz", when(col("_nz") > lit(mL),
+        raise_error(concat(
+          lit(s"DistinctSketch.estimate: p=$p allows $mL buckets but a " +
+            "group has "), col("_nz"),
+          lit(" non-empty registers — estimate() called with a smaller " +
+            "p than registers() used"))))
+        .otherwise(col("_nz")))
+      .withColumn("_v", (lit(mL) - col("_nz")).cast("long"))
       .withColumn("_denom",
         (col("_v") * lit(1L << scaleBits) + col("_hsum")).cast("double"))
       .withColumn("_raw",

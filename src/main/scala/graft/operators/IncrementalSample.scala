@@ -40,7 +40,15 @@ object IncrementalSample {
 
   private def merge(groupCol: String, idCol: String, weightCol: String,
       k: Int): DataFrame => DataFrame =
-    folded => Mixture.weightedSampleK(folded, groupCol, idCol, weightCol, k)
+    // dropDuplicates first: if the disjoint-batch contract is ever
+    // violated (one id delivered under two batch ids), the duplicate
+    // rows share one deterministic E-S key and would otherwise occupy
+    // two top-k slots. The folded set is only k·|groups|·|segments|
+    // rows, so the dedup is cheap — and it makes the merge IDEMPOTENT
+    // like the HLL max, removing the disjointness contract entirely
+    // (ADVICE r14).
+    folded => Mixture.weightedSampleK(
+      folded.dropDuplicates(groupCol, idCol), groupCol, idCol, weightCol, k)
 
   /** Land a batch's top-k delta under its own id. */
   def updateStore(storeDir: String, batchId: Long, batch: DataFrame,
