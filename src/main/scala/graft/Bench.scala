@@ -24,6 +24,40 @@ object Bench {
   private def load1m: Double = java.lang.management.ManagementFactory
     .getOperatingSystemMXBean.getSystemLoadAverage
 
+  /** (busy jiffies across all cpus, this process's jiffies). Their
+    * DELTAS separate our own load from EXTERNAL load — loadavg alone
+    * cannot: the bench keeps cores busy by design, so "loadavg rose
+    * mid-run" does not distinguish a neighbor process from ourselves
+    * (r14's committed bench was ~30% inflated by exactly such a
+    * neighbor that arrived AFTER the start gate passed).
+    */
+  private def cpuJiffies(): (Long, Long) = {
+    val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+      .find(_.startsWith("cpu ")).get.trim.split("\\s+").drop(1).map(_.toLong)
+    val idle = cpu(3) + (if (cpu.length > 4) cpu(4) else 0L) // idle+iowait
+    val busy = cpu.sum - idle
+    val stat = scala.io.Source.fromFile("/proc/self/stat").mkString
+    // fields after the parenthesized comm: state=0 ... utime=11 stime=12
+    val f = stat.substring(stat.lastIndexOf(')') + 2).split(" ")
+    (busy, f(11).toLong + f(12).toLong)
+  }
+
+  private val JiffiesPerSec = 100.0 // Linux USER_HZ
+
+  /** Time `thunk`, returning (seconds, avg EXTERNAL cpu cores busy
+    * during the window) — external = system busy minus this process.
+    */
+  private def timedExt(thunk: => Unit): (Double, Double) = {
+    val (b0, s0) = cpuJiffies()
+    val t0 = System.nanoTime()
+    thunk
+    val secs = (System.nanoTime() - t0) / 1e9
+    val (b1, s1) = cpuJiffies()
+    val ext = if (secs <= 0.0) 0.0
+      else math.max(0L, (b1 - b0) - (s1 - s0)) / JiffiesPerSec / secs
+    (secs, ext)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -90,11 +124,12 @@ object Bench {
     }
     // deterministic name order so per-query timings are comparable
     // across rounds (Map iteration order is not stable across builds)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
+    val extGate = sys.env.getOrElse("SPARK_GRAFT_EXT_CPU_GATE", "0.75").toDouble
+    val (runB0, runS0) = cpuJiffies()
+    val runT0 = System.nanoTime()
+    val results0 = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val outcome = try {
-        fn(spark, sfDir).count()
-        Right((System.nanoTime() - t0) / 1e9)
+        Right(timedExt { fn(spark, sfDir).count() })
       } catch { case e: Throwable =>
         val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
           .linesIterator.next().take(300)
@@ -103,6 +138,30 @@ object Bench {
       }
       name -> outcome
     }
+    // SELF-HEALING retime: the start gate can't stop a neighbor that
+    // arrives mid-run (r14's artifact). Any query whose window averaged
+    // more than `extGate` external cpu cores is re-timed once here, and
+    // the quieter (min) figure is recorded, with the retimed names in
+    // the artifact so a contaminated-then-healed run is visible.
+    val retimed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val results: Seq[(String, Either[String, Double])] = results0.map {
+      case (name, Right((secs, ext))) if ext > extGate =>
+        System.err.println(
+          f"[bench] $name saw $ext%.2f external cores — retiming")
+        val best = try {
+          val (s2, _) = timedExt { SparkEntry.queries(name)(spark, sfDir).count() }
+          math.min(secs, s2)
+        } catch { case _: Throwable => secs }
+        retimed += name
+        name -> Right(best)
+      case (name, Right((secs, _))) => name -> Right(secs)
+      case (name, Left(msg)) => name -> Left(msg)
+    }
+    val runSecs = (System.nanoTime() - runT0) / 1e9
+    val (runB1, runS1) = cpuJiffies()
+    val runExtCores = if (runSecs <= 0.0) 0.0
+      else math.max(0L, (runB1 - runB0) - (runS1 - runS0)) /
+        JiffiesPerSec / runSecs
     val resultsAll = ("graph_prep" -> graphPrep) +: results
     val qs = resultsAll.collect { case (k, Right(v)) => s"${jstr(k)}:$v" }
       .mkString("{", ",", "}")
@@ -177,9 +236,18 @@ object Bench {
           (rows, (System.nanoTime() - t1) / 1e9)
         } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
       }
-      val (batchedRows, secs2) = batchedReplay("batched", cpus.toInt)
+      // "batched" is now what a user gets FOLLOWING THE BUILDER — the
+      // batch-volume rule applied by MicroBatchTuning (r14 verdict ask:
+      // the 148-vs-802 ev/s cliff was a footnote the user had to know;
+      // now it's the default). "cores" keeps the old anti-pattern as
+      // the measured contrast; "tuned" keeps the hand-picked 4 so the
+      // default's distance from the optimum stays tracked.
+      val defaultParts = graft.streaming.MicroBatchTuning
+        .shufflePartitionsFor(1000, cpus.toInt)
+      val (batchedRows, secs2) = batchedReplay("batched", defaultParts)
+      val (coresRows, secsC) = batchedReplay("cores", cpus.toInt)
       val (tunedRows, secs3) = batchedReplay("tuned", 4)
-      s"""{"events":${feed.length},"completed_rows":$completedRows,"elapsed_sec":${jnum(secs)},"events_per_sec":${jnum(feed.length / secs)},"batched_completed_rows":$batchedRows,"batched_elapsed_sec":${jnum(secs2)},"batched_events_per_sec":${jnum(feed.length / secs2)},"batched_tuned_partitions":4,"batched_tuned_completed_rows":$tunedRows,"batched_tuned_elapsed_sec":${jnum(secs3)},"batched_tuned_events_per_sec":${jnum(feed.length / secs3)}}"""
+      s"""{"events":${feed.length},"completed_rows":$completedRows,"elapsed_sec":${jnum(secs)},"events_per_sec":${jnum(feed.length / secs)},"batched_partitions":$defaultParts,"batched_completed_rows":$batchedRows,"batched_elapsed_sec":${jnum(secs2)},"batched_events_per_sec":${jnum(feed.length / secs2)},"batched_cores_partitions":${cpus.toInt},"batched_cores_completed_rows":$coresRows,"batched_cores_elapsed_sec":${jnum(secsC)},"batched_cores_events_per_sec":${jnum(feed.length / secsC)},"batched_tuned_partitions":4,"batched_tuned_completed_rows":$tunedRows,"batched_tuned_elapsed_sec":${jnum(secs3)},"batched_tuned_events_per_sec":${jnum(feed.length / secs3)}}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] streaming replay FAILED — ${e.getMessage}")
       s"""{"events":-1,"error":${jstr(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}}"""
@@ -386,7 +454,8 @@ object Bench {
     // totals means any truncation from either end still leaves the
     // round's verdict-grade numbers, and the full map is ALSO persisted
     // to its own file below so no truncation can lose per-query data.
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":${resultsAll.count(_._2.isLeft)},"loadavg":$loadAvg,"load_at_start":${jnum(loadAtStart)},"load_wait_sec":${jnum(loadWaitSec)},"rerun_delta":$rerunDelta,"rerun_queries":$rerunNames,"ann_recall":$annRecall,"bpe_batched":$bpe,"ingest":$ingest,"c4_pipeline":$c4,"scaleup":$scaleup,"streaming":$streaming,"sf":"$sfDir","errors":$errs,"queries":$qs}"""
+    val retimedNames = retimed.map(jstr).mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":${resultsAll.count(_._2.isLeft)},"loadavg":$loadAvg,"load_at_start":${jnum(loadAtStart)},"load_wait_sec":${jnum(loadWaitSec)},"external_cpu_cores":${jnum(runExtCores)},"retimed_queries":$retimedNames,"rerun_delta":$rerunDelta,"rerun_queries":$rerunNames,"ann_recall":$annRecall,"bpe_batched":$bpe,"ingest":$ingest,"c4_pipeline":$c4,"scaleup":$scaleup,"streaming":$streaming,"sf":"$sfDir","errors":$errs,"queries":$qs}"""
     println(line)
     // belt-and-braces: the identical JSON, committed as its own file —
     // the durable copy of every per-query timing regardless of what the

@@ -89,6 +89,57 @@ object ScaleBench {
     "dedup_ngram_jaccard", "graph_pagerank", "bpe_encode_tokens",
     "ann_incremental_topk", "ann_lsh_banded_topk")
 
+  /** The INGEST-PATH scale-up datapoint (r14 verdict ask #4): the
+    * relational families above measure query cost vs corpus size; this
+    * measures what a CONTINUOUS-INGESTION deployment cares about — the
+    * cost of ONE fixed-size batch against a store built from a 1x vs a
+    * 10x corpus. The O(batch + collisions) claim predicts near-flat
+    * probe cost; [[DeltaLog.compact]] is corpus-proportional BY DESIGN
+    * (it rewrites the folded base) and is reported as such — its cost
+    * amortizes over the grace window, not per batch.
+    *
+    * The probe batch is the same 500 documents at both scales (fresh
+    * ids far above both corpora): its text exists ONCE in each store
+    * (the 10x replicas are letter-rotated, sharing no shingles), so
+    * collision volume is held constant and the measurement isolates
+    * store-size dependence.
+    */
+  private def ingestProbe(spark: SparkSession, docs: DataFrame,
+      probe: DataFrame, base: String): Map[String, Double] = {
+    import graft.operators.{IncrementalBoilerplate, IncrementalDedup}
+    def time(thunk: => Unit): Double = {
+      val t0 = System.nanoTime(); thunk; (System.nanoTime() - t0) / 1e9
+    }
+    val d = docs.localCheckpoint(false)
+    val n = d.count()
+    val setupBatches = math.max(1L, (n + 2499) / 2500).toInt
+    var setupSec = 0.0
+    (0 until setupBatches).foreach { i =>
+      val b = d.filter(pmod(col("doc_id"), lit(setupBatches)) === i)
+      setupSec += time {
+        IncrementalDedup.ingestBatch(b, s"$base/sigs", i.toLong).count()
+        IncrementalBoilerplate.updateStore(s"$base/unitdf", i.toLong, b)
+      }
+    }
+    val probeIngest = time {
+      IncrementalDedup.ingestBatch(probe, s"$base/sigs", 900L).count()
+    }
+    val probeBoiler = time {
+      IncrementalBoilerplate.updateStore(s"$base/unitdf", 900L, probe)
+    }
+    val foldRead = time {
+      IncrementalBoilerplate.readUnitDf(spark, s"$base/unitdf").get.count()
+    }
+    val compactSec = time {
+      IncrementalBoilerplate.compact(spark, s"$base/unitdf")
+    }
+    Map("docs" -> n.toDouble, "setup_batches" -> setupBatches.toDouble,
+      "setup_sec" -> setupSec, "setup_sec_per_batch" -> setupSec / setupBatches,
+      "probe_ingest_sec" -> probeIngest,
+      "probe_boilerplate_sec" -> probeBoiler,
+      "fold_read_sec" -> foldRead, "compact_sec" -> compactSec)
+  }
+
   def main(args: Array[String]): Unit = {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outDir = args.lift(1)
@@ -135,10 +186,40 @@ object ScaleBench {
         f" (ratio ${s1 / s01}%.2f)")
       s""""$name":{"sf01_sec":${jnum(s01)},"sf1_sec":${jnum(s1)},"ratio":${jnum(s1 / s01)}}"""
     }
+
+    // ingest-path stores: one fixed 500-doc probe batch against a store
+    // built from the 1x vs the 10x corpus (same probe text both times)
+    val ingest = try {
+      val probe = Tables.documents(spark, srcDir)
+        .filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 9 * Block).as("doc_id"), col("text"))
+        .localCheckpoint(false)
+      val tmp = java.nio.file.Files.createTempDirectory("scale_ingest").toString
+      val one = ingestProbe(spark, Tables.documents(spark, srcDir)
+        .select("doc_id", "text"), probe, s"$tmp/x1")
+      val ten = ingestProbe(spark, Tables.documents(spark, outDir)
+        .select("doc_id", "text"), probe, s"$tmp/x10")
+      def sec(m: Map[String, Double], k: String) = m.getOrElse(k, -1.0)
+      def obj(m: Map[String, Double]) = m.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":${jnum(v)}""" }.mkString("{", ",", "}")
+      val keys = Seq("probe_ingest_sec", "probe_boilerplate_sec",
+        "fold_read_sec", "compact_sec", "setup_sec_per_batch")
+      val ratios = keys.map(k =>
+        s""""$k":${jnum(sec(ten, k) / sec(one, k))}""").mkString("{", ",", "}")
+      keys.foreach { k =>
+        System.err.println(f"[scale] ingest $k: 1x ${sec(one, k)}%.2f s -> " +
+          f"10x ${sec(ten, k)}%.2f s (ratio ${sec(ten, k) / sec(one, k)}%.2f)")
+      }
+      s"""{"probe_docs":500,"x1":${obj(one)},"x10":${obj(ten)},"ratio_10x_over_1x":$ratios}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[scale] ingest probe FAILED — ${e.getMessage}")
+      s"""{"error":"${Option(e.getMessage).getOrElse(e.getClass.getName).take(200).replace("\"", "'")}"}"""
+    }
+
     val line =
       s"""{"factor":$Factor,"src":"$srcDir","derived":"$outDir","derived_rows":{${
         rows.toSeq.sortBy(_._1).map { case (t, n) => s""""$t":$n""" }.mkString(",")
-      }},"graph_prep":{"sf01_sec":${jnum(prep01)},"sf1_sec":${jnum(prep1)},"ratio":${jnum(prep1 / prep01)}},"families":{${fams.mkString(",")}}}"""
+      }},"graph_prep":{"sf01_sec":${jnum(prep01)},"sf1_sec":${jnum(prep1)},"ratio":${jnum(prep1 / prep01)}},"ingest":$ingest,"families":{${fams.mkString(",")}}}"""
     println(line)
     java.nio.file.Files.write(java.nio.file.Paths.get(jsonPath),
       (line + "\n").getBytes("UTF-8"))

@@ -36,6 +36,24 @@ object KpiReportSink {
     report.coalesce(1).write.mode(SaveMode.Overwrite).text(s"$baseDir/latest")
   }
 
+  /** S7 with the reference's completion signal (SNS publish + Step
+    * Functions success, reference step_functions.json:5-23): the hook
+    * fires AFTER both report writes land, with a small completion
+    * record (paths + report row count). The reference hard-wires SNS;
+    * an engine library takes a callback — wire it to whatever notifier
+    * the deployment has (the record is driver-side and tiny). A hook
+    * failure propagates: a lost completion signal should fail the job,
+    * matching the state machine's error semantics.
+    */
+  def writeJsonReportNotified(report: DataFrame, baseDir: String,
+      datePath: String, onComplete: Map[String, String] => Unit): Unit = {
+    writeJsonReport(report, baseDir, datePath)
+    onComplete(Map(
+      "report_path" -> s"$baseDir/$datePath",
+      "latest_path" -> s"$baseDir/latest",
+      "rows" -> report.count().toString))
+  }
+
   /** S8: CSV KPI sink (golden data/24-daily_trip_kpis.csv shape). */
   def writeCsvKpis(kpis: DataFrame, path: String): Unit =
     kpis.coalesce(1).write.mode(SaveMode.Overwrite)

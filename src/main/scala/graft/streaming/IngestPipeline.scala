@@ -47,14 +47,22 @@ object IngestPipeline {
       profileCols: Seq[String]): (DataFrame, Long) => Unit = {
     (batch: DataFrame, batchId: Long) => {
       val curated = curate(batch).localCheckpoint(false)
-      curated.write.mode(SaveMode.Overwrite)
-        .parquet(s"$baseDir/docs/batch=$batchId")
-      IncrementalDedup.ingestBatch(curated, s"$baseDir/sigs", batchId)
-        .write.mode(SaveMode.Overwrite)
-        .parquet(s"$baseDir/pairs/batch=$batchId")
-      IncrementalBoilerplate.updateStore(s"$baseDir/unitdf", batchId, curated)
-      IncrementalProfile.updateStore(s"$baseDir/profile", batchId,
-        IncrementalProfile.summarize(curated, profileCols))
+      // size this batch's shuffles to its VOLUME, not the session
+      // default (cores-sized partitions pay per-partition fixed costs
+      // that dominate small batches — the measured MicroBatchTuning
+      // rule). Safe per-batch here: foreachBatch is stateless, so no
+      // checkpoint pins the partition count. The count is a cheap
+      // post-checkpoint scan.
+      MicroBatchTuning.withBatchVolume(batch.sparkSession, curated.count()) {
+        curated.write.mode(SaveMode.Overwrite)
+          .parquet(s"$baseDir/docs/batch=$batchId")
+        IncrementalDedup.ingestBatch(curated, s"$baseDir/sigs", batchId)
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$baseDir/pairs/batch=$batchId")
+        IncrementalBoilerplate.updateStore(s"$baseDir/unitdf", batchId, curated)
+        IncrementalProfile.updateStore(s"$baseDir/profile", batchId,
+          IncrementalProfile.summarize(curated, profileCols))
+      }
     }
   }
 

@@ -41,6 +41,30 @@ class SinkSpec extends AnyFunSuite with SparkTestBase {
     assert(parsed.getSeq[org.apache.spark.sql.Row](1).length === 1)
   }
 
+  test("S7b: completion hook fires after both writes with the record") {
+    val kpis = Seq(("2024-05-25", 1.0, 1L))
+      .toDF("pickup_date", "total_fare", "trip_count")
+    val meta = Seq((1L, "2024-05-25")).toDF("record_count", "start_date")
+    val report = KpiReportSink.reportJson(kpis, meta)
+    val base = tmp()
+    var record: Map[String, String] = Map.empty
+    KpiReportSink.writeJsonReportNotified(report, base, "2024/05/25/report",
+      r => {
+        // both writes must already be readable when the hook fires
+        assert(spark.read.text(s"$base/2024/05/25/report").count() === 1)
+        assert(spark.read.text(s"$base/latest").count() === 1)
+        record = r
+      })
+    assert(record("report_path") === s"$base/2024/05/25/report")
+    assert(record("latest_path") === s"$base/latest")
+    assert(record("rows") === "1")
+    // a failing hook propagates (lost completion signal fails the job)
+    intercept[RuntimeException] {
+      KpiReportSink.writeJsonReportNotified(report, base, "2024/05/25/report",
+        _ => throw new RuntimeException("notifier down"))
+    }
+  }
+
   test("S8: CSV KPI sink round-trips with header") {
     val kpis = Seq(("2024-05-25", 100.0, 2L)).toDF("pickup_date", "total_fare", "trip_count")
     val dir = tmp() + "/kpis"
