@@ -219,6 +219,147 @@ object SparkEntry {
     """corpus AS (SELECT vec_id, embedding FROM embeddings UNION ALL
       |SELECT vec_id+100000 AS vec_id, embedding FROM embeddings WHERE vec_id%25=0)""".stripMargin
 
+  /** The full c4_end_to_end CTE chain through the packed relation
+    * `pk` — shared by the c4_end_to_end oracle and the c4_shards
+    * oracle (which deals `pk` into per-split fixed-count training
+    * shards). Callers prepend `WITH RECURSIVE ` (the reach CTE).
+    */
+  private def c4ChainSql: String =
+    s"""$corpusNearSql,
+         |hsrc AS (SELECT doc_id,
+         |  '<html><head><style>p { color: #c00; }</style>' ||
+         |  '<script type="text/javascript">if (x < 2 && y > 1) { alert("hi"); }' ||
+         |  '</script></head><body><h1>Doc ' || doc_id ||
+         |  '</h1><!-- crawl artifact --><p>' ||
+         |  replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') ||
+         |  ' &amp; more &lt;raw&gt;&nbsp;tail.</p>' ||
+         |  CASE WHEN doc_id % 4 = 0 THEN '<p>Limited time offer number ' ||
+         |    doc_id || '. Limited time offer number ' || doc_id || '.</p>'
+         |    ELSE '' END ||
+         |  '<p>Subscribe to our newsletter for free offers.</p></body></html>' AS html
+         |  FROM corpus),
+         |ex1 AS (SELECT doc_id,
+         |  regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t
+         |  FROM hsrc),
+         |ex2 AS (SELECT doc_id,
+         |  regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM ex1),
+         |ex3 AS (SELECT doc_id,
+         |  regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM ex2),
+         |ex4 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM ex3),
+         |exd AS (SELECT doc_id,
+         |  replace(replace(replace(replace(replace(replace(replace(t,
+         |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+         |    '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t FROM ex4),
+         |ex AS MATERIALIZED (SELECT doc_id,
+         |  trim(regexp_replace(t, '[ \\t\\n\\r\\f]+', ' ', 'g')) AS text FROM exd),
+         |q AS (SELECT doc_id, text,
+         |  least(length(text)/500.0, 1.0) AS len_score,
+         |  len(regexp_extract_all(text, '[[:punct:]]'))
+         |    / CAST(greatest(length(text),1) AS DOUBLE) AS punct_ratio,
+         |  len(regexp_extract_all(lower(text), '\\b(the|a|an|and|of|to|in|is|it|that)\\b'))
+         |    / CAST(greatest(CASE WHEN length(trim(text))=0 THEN 0
+         |        ELSE len(string_split_regex(trim(text), '\\s+')) END, 1) AS DOUBLE) AS stopword_ratio,
+         |  CASE WHEN length(trim(text))=0 THEN 0
+         |    ELSE len(string_split_regex(trim(text), '\\s+')) END AS ws_tokens
+         |  FROM ex),
+         |sc AS (SELECT doc_id, ws_tokens, text,
+         |  0.4*len_score + 0.3*least(stopword_ratio*5.0,1.0)
+         |    + 0.3*(1.0-least(punct_ratio*10.0,1.0)) AS quality_score FROM q),
+         |h AS (SELECT doc_id,
+         |  len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is)\\b')) AS en,
+         |  len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht)\\b')) AS de,
+         |  len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est|une)\\b')) AS fr,
+         |  len(regexp_extract_all(lower(text), '\\b(el|los|las|es|una|que)\\b')) AS es,
+         |  len(regexp_extract_all(text, '\\p{Han}')) AS zh FROM ex),
+         |lang AS (SELECT doc_id, CASE WHEN zh > 0 THEN 'zh'
+         |  WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+         |  WHEN de >= fr AND de >= es THEN 'de'
+         |  WHEN fr >= es THEN 'fr' ELSE 'es' END AS lang_pred FROM h),
+         |keptx AS (SELECT min(doc_id) AS doc_id FROM ex GROUP BY md5(text)),
+         |rep0 AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM ex),
+         |repm AS (SELECT doc_id, len(toks) AS nt, len(list_distinct(toks)) AS dt,
+         |  greatest(len(toks)-1, 0) AS nb FROM rep0),
+         |repbg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
+         |  FROM rep0, unnest(range(1, len(toks))) u(i)),
+         |reptop AS (SELECT doc_id, max(c) AS topc FROM (
+         |  SELECT doc_id, g, count(*) AS c FROM repbg GROUP BY 1, 2) GROUP BY doc_id),
+         |rep AS (SELECT m.doc_id,
+         |  CASE WHEN nt = 0 THEN 0 ELSE 1 - dt/nt::DOUBLE END AS dup_frac,
+         |  CASE WHEN nb = 0 THEN 0 ELSE coalesce(topc, 0)/nb::DOUBLE END AS top_frac
+         |  FROM repm m LEFT JOIN reptop USING (doc_id)),
+         |cur AS MATERIALIZED (SELECT s.doc_id, s.text
+         |  FROM sc s JOIN lang l USING (doc_id) JOIN keptx k ON s.doc_id = k.doc_id
+         |  JOIN rep r ON s.doc_id = r.doc_id
+         |  WHERE s.quality_score >= 0.5 AND l.lang_pred = 'en'
+         |  AND s.ws_tokens BETWEEN 20 AND 1000
+         |  AND r.dup_frac <= 0.6 AND r.top_frac <= 0.2),
+         |ba AS (SELECT doc_id, string_split_regex(text, '\\.\\s+') AS arr FROM cur),
+         |bu0 AS (SELECT doc_id, i - 1 AS pos, trim(arr[i::INT]) AS unit
+         |  FROM ba, unnest(range(1, len(arr) + 1)) AS r(i)),
+         |bu AS (SELECT * FROM bu0 WHERE unit <> ''),
+         |bhot AS (SELECT unit FROM (SELECT unit, count(*) AS df FROM
+         |  (SELECT DISTINCT doc_id, unit FROM bu) GROUP BY unit)
+         |  WHERE df >= 3),
+         |bk AS (SELECT * FROM bu WHERE unit NOT IN (SELECT unit FROM bhot)),
+         |brb AS (SELECT doc_id, string_agg(unit, '. ' ORDER BY pos) AS t
+         |  FROM bk GROUP BY 1),
+         |deb AS MATERIALIZED (SELECT c.doc_id, COALESCE(brb.t, '') AS text
+         |  FROM cur c LEFT JOIN brb ON c.doc_id = brb.doc_id),
+         |ia AS (SELECT doc_id, string_split_regex(text, '\\.\\s+') AS arr FROM deb),
+         |iu0 AS (SELECT doc_id, i - 1 AS pos, trim(arr[i::INT]) AS unit
+         |  FROM ia, unnest(range(1, len(arr) + 1)) AS r(i)),
+         |iu AS (SELECT * FROM iu0 WHERE unit <> ''),
+         |ik AS (SELECT doc_id, pos, unit FROM (SELECT doc_id, pos, unit,
+         |  row_number() OVER (PARTITION BY doc_id, unit ORDER BY pos) AS occ
+         |  FROM iu) WHERE occ = 1),
+         |irb AS (SELECT doc_id, string_agg(unit, '. ' ORDER BY pos) AS t
+         |  FROM ik GROUP BY 1),
+         |intra AS MATERIALIZED (SELECT d.doc_id, COALESCE(irb.t, '') AS text
+         |  FROM deb d LEFT JOIN irb ON d.doc_id = irb.doc_id),
+         |ntok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM intra),
+         |nshs AS (SELECT doc_id, list_distinct(list_transform(
+         |  range(0, greatest(len(toks)-3,0)+1),
+         |  i -> array_to_string(toks[(i+1):(i+3)], ' '))) AS shingles FROM ntok),
+         |nsh0 AS (SELECT doc_id AS id, unnest(shingles) AS shingle FROM nshs),
+         |nhot AS (SELECT shingle FROM nsh0 GROUP BY shingle HAVING count(*) > $ShingleDfCap),
+         |nsh AS MATERIALIZED (SELECT id, shingle FROM nsh0
+         |  WHERE shingle NOT IN (SELECT shingle FROM nhot)),
+         |sizes AS (SELECT id, count(*) AS sz FROM nsh GROUP BY id),
+         |prs AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+         |  FROM nsh a JOIN nsh b ON a.shingle = b.shingle AND a.id < b.id
+         |  GROUP BY 1, 2),
+         |jp AS (SELECT p.id_a, p.id_b FROM prs p
+         |  JOIN sizes sa ON p.id_a = sa.id JOIN sizes sb ON p.id_b = sb.id
+         |  WHERE p.inter/(sa.sz+sb.sz-p.inter)::DOUBLE >= 0.5),
+         |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM jp
+         |  UNION ALL SELECT id_b, id_a FROM jp),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+         |clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |repx AS (SELECT i.doc_id, COALESCE(cl.cluster_id, i.doc_id) AS rep_id
+         |  FROM intra i LEFT JOIN clusters cl ON i.doc_id = cl.id),
+         |bkx AS (SELECT repx.doc_id, ${hash60Sql("rt.text")} % 100 AS bucket
+         |  FROM repx JOIN intra rt ON repx.rep_id = rt.doc_id),
+         |spl AS (SELECT doc_id, CASE WHEN bucket < 80 THEN 'train'
+         |  WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split FROM bkx),
+         |keptn AS (SELECT doc_id FROM intra
+         |  WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster_id)),
+         |tokc AS (SELECT i.doc_id, s.split,
+         |  CAST(CASE WHEN length(trim(i.text))=0 THEN 0
+         |    ELSE len(string_split_regex(trim(i.text), '\\s+')) END AS BIGINT) AS ws_tokens
+         |  FROM intra i JOIN spl s ON i.doc_id = s.doc_id
+         |  JOIN keptn k ON i.doc_id = k.doc_id),
+         |pk AS (SELECT doc_id, split, ws_tokens,
+         |CAST(coalesce(sum(ws_tokens) OVER (PARTITION BY split ORDER BY doc_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset",
+         |CAST(floor(coalesce(sum(ws_tokens) OVER (PARTITION BY split ORDER BY doc_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0)
+         |  AS BIGINT) AS bin
+         |FROM tokc)""".stripMargin
+
+
   /** Shingle CTEs over `corpus` for word n-grams (mirrors TextHash.wordShingles
     * + array_distinct).
     */
@@ -1597,6 +1738,25 @@ object SparkEntry {
       graft.operators.CurationPipeline.run(
         docNearDupCorpus(s, dir).select(col("doc_id"),
           c4Html(col("doc_id"), col("text")).as("html")))),
+
+    // T8d: the pipeline's LAST MILE on the full-chain product — the c4
+    // packed sequences dealt into per-split fixed-count training shards
+    // (TrainShards within each split, 4 shards), so shard assignment is
+    // cross-engine-proven against the composed corpus, not only the
+    // flat documents table (corpus_shards). The oracle re-runs the
+    // whole c4 CTE chain and deals its packed relation identically.
+    "c4_shards" -> ((s, dir) => {
+      val packed = graft.operators.CurationPipeline.run(
+        docNearDupCorpus(s, dir).select(col("doc_id"),
+          c4Html(col("doc_id"), col("text")).as("html")))
+        .localCheckpoint(false)
+      Seq("train", "val", "test").map { sp =>
+        graft.operators.TrainShards.shardAssign(
+          packed.filter(col("split") === sp), numShards = 4)
+      }.reduce(_ unionByName _)
+        .select(col("doc_id"), col("split"), col("ws_tokens"),
+          col("offset"), col("bin"), col("shard"), col("shard_pos"))
+    }),
 
     // T9: PII redaction — email/phone scrub with deterministic injection
     // (the corpus has no natural PII).
@@ -4119,139 +4279,22 @@ object SparkEntry {
     // proven oracle of its stage's own contract query, re-sourced to
     // the previous stage's CTE.
     "c4_end_to_end" ->
-      s"""WITH RECURSIVE $corpusNearSql,
-         |hsrc AS (SELECT doc_id,
-         |  '<html><head><style>p { color: #c00; }</style>' ||
-         |  '<script type="text/javascript">if (x < 2 && y > 1) { alert("hi"); }' ||
-         |  '</script></head><body><h1>Doc ' || doc_id ||
-         |  '</h1><!-- crawl artifact --><p>' ||
-         |  replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') ||
-         |  ' &amp; more &lt;raw&gt;&nbsp;tail.</p>' ||
-         |  CASE WHEN doc_id % 4 = 0 THEN '<p>Limited time offer number ' ||
-         |    doc_id || '. Limited time offer number ' || doc_id || '.</p>'
-         |    ELSE '' END ||
-         |  '<p>Subscribe to our newsletter for free offers.</p></body></html>' AS html
-         |  FROM corpus),
-         |ex1 AS (SELECT doc_id,
-         |  regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t
-         |  FROM hsrc),
-         |ex2 AS (SELECT doc_id,
-         |  regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM ex1),
-         |ex3 AS (SELECT doc_id,
-         |  regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM ex2),
-         |ex4 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM ex3),
-         |exd AS (SELECT doc_id,
-         |  replace(replace(replace(replace(replace(replace(replace(t,
-         |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
-         |    '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t FROM ex4),
-         |ex AS MATERIALIZED (SELECT doc_id,
-         |  trim(regexp_replace(t, '[ \\t\\n\\r\\f]+', ' ', 'g')) AS text FROM exd),
-         |q AS (SELECT doc_id, text,
-         |  least(length(text)/500.0, 1.0) AS len_score,
-         |  len(regexp_extract_all(text, '[[:punct:]]'))
-         |    / CAST(greatest(length(text),1) AS DOUBLE) AS punct_ratio,
-         |  len(regexp_extract_all(lower(text), '\\b(the|a|an|and|of|to|in|is|it|that)\\b'))
-         |    / CAST(greatest(CASE WHEN length(trim(text))=0 THEN 0
-         |        ELSE len(string_split_regex(trim(text), '\\s+')) END, 1) AS DOUBLE) AS stopword_ratio,
-         |  CASE WHEN length(trim(text))=0 THEN 0
-         |    ELSE len(string_split_regex(trim(text), '\\s+')) END AS ws_tokens
-         |  FROM ex),
-         |sc AS (SELECT doc_id, ws_tokens, text,
-         |  0.4*len_score + 0.3*least(stopword_ratio*5.0,1.0)
-         |    + 0.3*(1.0-least(punct_ratio*10.0,1.0)) AS quality_score FROM q),
-         |h AS (SELECT doc_id,
-         |  len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is)\\b')) AS en,
-         |  len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht)\\b')) AS de,
-         |  len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est|une)\\b')) AS fr,
-         |  len(regexp_extract_all(lower(text), '\\b(el|los|las|es|una|que)\\b')) AS es,
-         |  len(regexp_extract_all(text, '\\p{Han}')) AS zh FROM ex),
-         |lang AS (SELECT doc_id, CASE WHEN zh > 0 THEN 'zh'
-         |  WHEN en >= de AND en >= fr AND en >= es THEN 'en'
-         |  WHEN de >= fr AND de >= es THEN 'de'
-         |  WHEN fr >= es THEN 'fr' ELSE 'es' END AS lang_pred FROM h),
-         |keptx AS (SELECT min(doc_id) AS doc_id FROM ex GROUP BY md5(text)),
-         |rep0 AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM ex),
-         |repm AS (SELECT doc_id, len(toks) AS nt, len(list_distinct(toks)) AS dt,
-         |  greatest(len(toks)-1, 0) AS nb FROM rep0),
-         |repbg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
-         |  FROM rep0, unnest(range(1, len(toks))) u(i)),
-         |reptop AS (SELECT doc_id, max(c) AS topc FROM (
-         |  SELECT doc_id, g, count(*) AS c FROM repbg GROUP BY 1, 2) GROUP BY doc_id),
-         |rep AS (SELECT m.doc_id,
-         |  CASE WHEN nt = 0 THEN 0 ELSE 1 - dt/nt::DOUBLE END AS dup_frac,
-         |  CASE WHEN nb = 0 THEN 0 ELSE coalesce(topc, 0)/nb::DOUBLE END AS top_frac
-         |  FROM repm m LEFT JOIN reptop USING (doc_id)),
-         |cur AS MATERIALIZED (SELECT s.doc_id, s.text
-         |  FROM sc s JOIN lang l USING (doc_id) JOIN keptx k ON s.doc_id = k.doc_id
-         |  JOIN rep r ON s.doc_id = r.doc_id
-         |  WHERE s.quality_score >= 0.5 AND l.lang_pred = 'en'
-         |  AND s.ws_tokens BETWEEN 20 AND 1000
-         |  AND r.dup_frac <= 0.6 AND r.top_frac <= 0.2),
-         |ba AS (SELECT doc_id, string_split_regex(text, '\\.\\s+') AS arr FROM cur),
-         |bu0 AS (SELECT doc_id, i - 1 AS pos, trim(arr[i::INT]) AS unit
-         |  FROM ba, unnest(range(1, len(arr) + 1)) AS r(i)),
-         |bu AS (SELECT * FROM bu0 WHERE unit <> ''),
-         |bhot AS (SELECT unit FROM (SELECT unit, count(*) AS df FROM
-         |  (SELECT DISTINCT doc_id, unit FROM bu) GROUP BY unit)
-         |  WHERE df >= 3),
-         |bk AS (SELECT * FROM bu WHERE unit NOT IN (SELECT unit FROM bhot)),
-         |brb AS (SELECT doc_id, string_agg(unit, '. ' ORDER BY pos) AS t
-         |  FROM bk GROUP BY 1),
-         |deb AS MATERIALIZED (SELECT c.doc_id, COALESCE(brb.t, '') AS text
-         |  FROM cur c LEFT JOIN brb ON c.doc_id = brb.doc_id),
-         |ia AS (SELECT doc_id, string_split_regex(text, '\\.\\s+') AS arr FROM deb),
-         |iu0 AS (SELECT doc_id, i - 1 AS pos, trim(arr[i::INT]) AS unit
-         |  FROM ia, unnest(range(1, len(arr) + 1)) AS r(i)),
-         |iu AS (SELECT * FROM iu0 WHERE unit <> ''),
-         |ik AS (SELECT doc_id, pos, unit FROM (SELECT doc_id, pos, unit,
-         |  row_number() OVER (PARTITION BY doc_id, unit ORDER BY pos) AS occ
-         |  FROM iu) WHERE occ = 1),
-         |irb AS (SELECT doc_id, string_agg(unit, '. ' ORDER BY pos) AS t
-         |  FROM ik GROUP BY 1),
-         |intra AS MATERIALIZED (SELECT d.doc_id, COALESCE(irb.t, '') AS text
-         |  FROM deb d LEFT JOIN irb ON d.doc_id = irb.doc_id),
-         |ntok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM intra),
-         |nshs AS (SELECT doc_id, list_distinct(list_transform(
-         |  range(0, greatest(len(toks)-3,0)+1),
-         |  i -> array_to_string(toks[(i+1):(i+3)], ' '))) AS shingles FROM ntok),
-         |nsh0 AS (SELECT doc_id AS id, unnest(shingles) AS shingle FROM nshs),
-         |nhot AS (SELECT shingle FROM nsh0 GROUP BY shingle HAVING count(*) > $ShingleDfCap),
-         |nsh AS MATERIALIZED (SELECT id, shingle FROM nsh0
-         |  WHERE shingle NOT IN (SELECT shingle FROM nhot)),
-         |sizes AS (SELECT id, count(*) AS sz FROM nsh GROUP BY id),
-         |prs AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
-         |  FROM nsh a JOIN nsh b ON a.shingle = b.shingle AND a.id < b.id
-         |  GROUP BY 1, 2),
-         |jp AS (SELECT p.id_a, p.id_b FROM prs p
-         |  JOIN sizes sa ON p.id_a = sa.id JOIN sizes sb ON p.id_b = sb.id
-         |  WHERE p.inter/(sa.sz+sb.sz-p.inter)::DOUBLE >= 0.5),
-         |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM jp
-         |  UNION ALL SELECT id_b, id_a FROM jp),
-         |reach(id, r) AS (
-         |  SELECT src, src FROM e
-         |  UNION
-         |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
-         |clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
-         |repx AS (SELECT i.doc_id, COALESCE(cl.cluster_id, i.doc_id) AS rep_id
-         |  FROM intra i LEFT JOIN clusters cl ON i.doc_id = cl.id),
-         |bkx AS (SELECT repx.doc_id, ${hash60Sql("rt.text")} % 100 AS bucket
-         |  FROM repx JOIN intra rt ON repx.rep_id = rt.doc_id),
-         |spl AS (SELECT doc_id, CASE WHEN bucket < 80 THEN 'train'
-         |  WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split FROM bkx),
-         |keptn AS (SELECT doc_id FROM intra
-         |  WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster_id)),
-         |tokc AS (SELECT i.doc_id, s.split,
-         |  CAST(CASE WHEN length(trim(i.text))=0 THEN 0
-         |    ELSE len(string_split_regex(trim(i.text), '\\s+')) END AS BIGINT) AS ws_tokens
-         |  FROM intra i JOIN spl s ON i.doc_id = s.doc_id
-         |  JOIN keptn k ON i.doc_id = k.doc_id)
-         |SELECT doc_id, split, ws_tokens,
-         |CAST(coalesce(sum(ws_tokens) OVER (PARTITION BY split ORDER BY doc_id
-         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset,
-         |CAST(floor(coalesce(sum(ws_tokens) OVER (PARTITION BY split ORDER BY doc_id
-         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0)
-         |  AS BIGINT) AS bin
-         |FROM tokc""".stripMargin,
+      s"""WITH RECURSIVE $c4ChainSql
+         |SELECT doc_id, split, ws_tokens, "offset", bin FROM pk""".stripMargin,
+
+    // the packed c4 product dealt into PER-SPLIT fixed-count training
+    // shards (the TrainShards deal within each split, numShards=4):
+    // rank over (hash60(doc_id), doc_id) within split, shard = rank % 4,
+    // shard_pos = rank // 4 — the pipeline's last mile cross-proven on
+    // the full-chain product, not just the flat documents table
+    "c4_shards" ->
+      s"""WITH RECURSIVE $c4ChainSql,
+         |shr AS (SELECT doc_id, split, ws_tokens, "offset", bin,
+         |  row_number() OVER (PARTITION BY split ORDER BY
+         |    ${hash60Sql("doc_id::VARCHAR")}, doc_id) - 1 AS rank FROM pk)
+         |SELECT doc_id, split, ws_tokens, "offset", bin,
+         |CAST(rank % 4 AS BIGINT) AS shard,
+         |CAST(rank // 4 AS BIGINT) AS shard_pos FROM shr""".stripMargin,
 
     "dedup_exact" ->
       s"""WITH $corpusExactSql
