@@ -389,6 +389,49 @@ object SparkEntry {
   private def hash60Sql(e: String): String =
     s"('0x'||substr(md5($e),1,15))::BIGINT"
 
+  /** DuckDB cell column for CMS seed `i` over pre-hashed `h`
+    * ([[graft.functions.TextHash.mixSeeded]] twin — the same affine
+    * constants the minhash oracle inlines, reduced mod `width`; every
+    * intermediate stays inside signed-64 exactly as the Spark side).
+    */
+  private def cmsColSql(h: String, i: Int, width: Int): String = {
+    val (a, b, c) = graft.functions.TextHash
+      .mixConstants(graft.operators.FreqSketch.DefaultDepth)(i)
+    s"(($a*($h & 1073741823) + $b*($h >> 30) + $c) % " +
+      s"${graft.functions.TextHash.Mersenne61}) % $width"
+  }
+
+  /** The shared CMS oracle prefix: corpus tokens -> hashed relation `t`
+    * -> per-seed cell rows `x` -> register relation `regs`.
+    */
+  private def cmsRegsSql: String = {
+    val seeds = (0 until graft.operators.FreqSketch.DefaultDepth)
+      .map(i => s"SELECT $i AS r, ${cmsColSql("h", i, 256)} AS c FROM t")
+      .mkString("\n|  UNION ALL ")
+    s"""tk AS (SELECT doc_id,
+       |  unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |  FROM documents),
+       |t AS (SELECT doc_id, tok, ${hash60Sql("tok")} AS h FROM tk
+       |  WHERE tok <> ''),
+       |x AS ($seeds),
+       |regs AS (SELECT r, c, count(*)::BIGINT AS cnt FROM x GROUP BY r, c)""".stripMargin
+  }
+
+  /** The CMS estimate CTEs over `regs` for the distinct tokens of every
+    * 100th doc: per-seed query cells `qx` -> min-cell estimate `est`.
+    */
+  private def cmsEstSql: String = {
+    val seeds = (0 until graft.operators.FreqSketch.DefaultDepth)
+      .map(i => s"SELECT tok, $i AS r, ${cmsColSql("h", i, 256)} AS c FROM q")
+      .mkString("\n|  UNION ALL ")
+    s"""q AS (SELECT DISTINCT tok, h FROM t WHERE doc_id % 100 = 0),
+       |qx AS ($seeds),
+       |est AS (SELECT qx.tok,
+       |  CAST(min(coalesce(regs.cnt, 0)) AS BIGINT) AS cms_count
+       |  FROM qx LEFT JOIN regs ON qx.r = regs.r AND qx.c = regs.c
+       |  GROUP BY qx.tok)""".stripMargin
+  }
+
   /** DSIR weight CTE chain `w` (mirrors [[Relevance.dsirLogWeights]]
     * with target = lang 'en', 256 buckets): hashed-bucket conditional
     * counts → Laplace-smoothed log-ratio per token → per-doc DECIMAL
@@ -1937,6 +1980,58 @@ object SparkEntry {
         .select(col("event_date"),
           trunc4(col("approx_distinct")).as("approx_users"),
           col("exact_users"))
+    }),
+
+    // HL3: relational Count-Min registers — the FREQUENCY sibling of
+    // hll_registers_daily: token-occurrence counts in depth x width
+    // fixed space, register state an integer relation the oracle
+    // hash-compares bit-for-bit (same md5 hash60 + the minhash
+    // signatures' affine mix family).
+    "cms_registers" -> ((s, dir) =>
+      graft.operators.FreqSketch.registers(
+          Tables.documents(s, dir)
+            .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+            .filter(col("tok") =!= ""),
+          Seq.empty, "tok")
+        .select(col("r").cast("long").as("r"), col("c"), col("cnt"))),
+
+    // HL3b: CMS estimates vs exact counts — every distinct token of
+    // every 100th doc estimated from the registers and joined to its
+    // exact corpus count; integer-exact both sides, so the oracle
+    // replays the estimate (and the CMS >= exact overcount guarantee
+    // is visible in the row data itself).
+    "cms_token_freq" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+      val regs = graft.operators.FreqSketch.registers(toks, Seq.empty, "tok")
+      val queries = toks.filter(col("doc_id") % 100 === 0)
+        .select("tok").distinct()
+      graft.operators.FreqSketch.estimate(regs, queries, Seq.empty, "tok")
+        .join(toks.groupBy("tok").agg(count(lit(1)).as("exact_count")), "tok")
+        .select(col("tok"), col("cms_count"), col("exact_count"))
+    }),
+
+    // HL3c: the incremental fold — three DISJOINT doc slices' register
+    // deltas folded by the additive per-cell sum, then estimated; the
+    // oracle replays the ONE-SHOT sketch, so a green row proves
+    // fold == one-shot for the additive merge (the boilerplate-df
+    // contract, here on the sketch family).
+    "cms_incremental_final" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+      val folded = (0 until 3)
+        .map(i => graft.operators.FreqSketch.registers(
+          toks.filter(pmod(col("doc_id"), lit(3)) === i), Seq.empty, "tok"))
+        .reduce(_ unionByName _)
+        .groupBy("r", "c").agg(sum("cnt").as("cnt"))
+      val queries = toks.filter(col("doc_id") % 100 === 0)
+        .select("tok").distinct()
+      graft.operators.FreqSketch.estimate(folded, queries, Seq.empty, "tok")
+        .select(col("tok"), col("cms_count"))
     }),
 
     // DD8b: INTRA-doc unit dedup — every 4th doc has its whole text
@@ -4164,6 +4259,25 @@ object SparkEntry {
          |SELECT doc_id, ws_tokens, "offset", bin,
          |CAST(rank % 8 AS BIGINT) AS shard,
          |CAST(rank // 8 AS BIGINT) AS shard_pos FROM r""".stripMargin,
+
+    "cms_registers" ->
+      s"""WITH $cmsRegsSql
+         |SELECT CAST(r AS BIGINT) AS r, c, cnt FROM regs""".stripMargin,
+
+    "cms_token_freq" ->
+      s"""WITH $cmsRegsSql,
+         |$cmsEstSql,
+         |exact AS (SELECT tok, count(*)::BIGINT AS exact_count
+         |  FROM t GROUP BY tok)
+         |SELECT e.tok, e.cms_count, x2.exact_count
+         |FROM est e JOIN exact x2 USING (tok)""".stripMargin,
+
+    // the one-shot replay IS the fold oracle: additive per-cell sums
+    // over disjoint slices equal the single-pass registers
+    "cms_incremental_final" ->
+      s"""WITH $cmsRegsSql,
+         |$cmsEstSql
+         |SELECT tok, cms_count FROM est""".stripMargin,
 
     // The recursive CTE folds the same greedy first-fit step the Scala
     // operator applies per group: `loads` is the open-bin load list,
