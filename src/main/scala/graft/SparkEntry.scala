@@ -417,6 +417,28 @@ object SparkEntry {
        |regs AS (SELECT r, c, count(*)::BIGINT AS cnt FROM x GROUP BY r, c)""".stripMargin
   }
 
+  /** The bloom eval-filter CTE chain: injected 25-token eval prefixes
+    * -> per-doc-distinct 5-gram shingles `esh` -> distinct bit relation
+    * `ebit` (k=4, m=65536 — the same affine constants as the CMS cells,
+    * reduced mod numBits).
+    */
+  private def bloomEvalBitsSql: String = {
+    val seeds = (0 until graft.operators.BloomSet.DefaultHashes)
+      .map(i => s"SELECT ${cmsColSql("h", i, graft.operators.BloomSet.DefaultBits)} AS bit FROM ehh")
+      .mkString("\n|  UNION ALL ")
+    s"""ev AS (SELECT doc_id+500000 AS doc_id,
+       |  array_to_string((string_split_regex(trim(text), '\\s+'))[1:25], ' ') AS text
+       |  FROM documents WHERE doc_id%50=0),
+       |etok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM ev),
+       |eshs AS (SELECT doc_id, list_distinct(list_transform(
+       |  range(0, greatest(len(toks)-5,0)+1),
+       |  i -> array_to_string(toks[(i+1):(i+5)], ' '))) AS shingles FROM etok),
+       |esh AS (SELECT doc_id AS id, unnest(shingles) AS shingle FROM eshs),
+       |ehh AS (SELECT ${hash60Sql("shingle")} AS h
+       |  FROM (SELECT DISTINCT shingle FROM esh)),
+       |ebit AS (SELECT DISTINCT bit FROM ($seeds))""".stripMargin
+  }
+
   /** The CMS estimate CTEs over `regs` for the distinct tokens of every
     * 100th doc: per-seed query cells `qx` -> min-cell estimate `est`.
     */
@@ -2072,6 +2094,41 @@ object SparkEntry {
           minOverlapFrac = 0.8, maxDocFreq = Some(ShingleDfCap))
         .select(col("train_id").as("doc_id")).distinct()
       d.join(flagged, Seq("doc_id"), "left_anti").select("doc_id")
+    }),
+
+    // DD7c: the eval set as a FIXED-SIZE bloom bit relation (k=4,
+    // m=65536 — ≤ m rows whatever the benchmark count): the
+    // decontamination state that broadcasts for free at 100 TB instead
+    // of shipping every eval shingle set. Integer bit addresses over
+    // hash60 + the minhash mix family; the oracle replays them
+    // bit-for-bit.
+    "bloom_eval_bits" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val eval = d.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 500000L).as("doc_id"),
+          array_join(slice(split(trim(col("text")), "\\s+"), 1, 25), " ").as("text"))
+      graft.operators.BloomSet.bits(
+        Dedup.shingles(eval, n = 5).select("shingle"), "shingle")
+    }),
+
+    // DD7d: ingest-time decontamination VIA the bloom — per train doc,
+    // the count/fraction of its df-capped 5-gram shingles possibly in
+    // the eval filter, flagged at frac >= 0.3 OR n_hits >= 17 (= 0.8 x
+    // the 21-shingle planted prompts — the absolute-hits flag is what
+    // carries the no-false-negative guarantee vs the exact pair join;
+    // BloomSetSpec pins hits >= exact overlap per pair and the flagged
+    // superset at matching thresholds).
+    "decontaminate_bloom" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val eval = d.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 500000L).as("doc_id"),
+          array_join(slice(split(trim(col("text")), "\\s+"), 1, 25), " ").as("text"))
+      val ebits = graft.operators.BloomSet.bits(
+        Dedup.shingles(eval, n = 5).select("shingle"), "shingle")
+      graft.operators.BloomSet.contaminatedDocs(d, ebits, n = 5,
+          minFrac = 0.3, minHits = Some(17L), maxDocFreq = Some(ShingleDfCap))
+        .select(col("doc_id"), col("n_shingles"), col("n_hits"),
+          trunc4(col("hit_frac")).as("hit_frac"), col("flagged"))
     }),
 
     // T7b: QUALITY-WEIGHTED deterministic sampling — longer docs keep a
@@ -4556,6 +4613,43 @@ object SparkEntry {
          |JOIN esz z ON e.id = z.id
          |GROUP BY t.id, e.id
          |HAVING count(*)/min(z.sz)::DOUBLE >= 0.8""".stripMargin,
+
+    "bloom_eval_bits" ->
+      s"""WITH $bloomEvalBitsSql
+         |SELECT bit FROM ebit""".stripMargin,
+
+    // per-seed probe rows LEFT JOIN the bit relation; a shingle is
+    // possibly-in-eval iff all 4 seed rows hit (two seeds on the same
+    // bit contribute two identically-present rows — same count on the
+    // Spark side)
+    "decontaminate_bloom" -> {
+      val seeds = (0 until graft.operators.BloomSet.DefaultHashes)
+        .map(i => s"SELECT id, shingle, ${cmsColSql("h", i, graft.operators.BloomSet.DefaultBits)} AS bit FROM tq")
+        .mkString("\n|  UNION ALL ")
+      s"""WITH train AS (SELECT doc_id, text FROM documents),
+         |$bloomEvalBitsSql,
+         |ttok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM train),
+         |tshs AS (SELECT doc_id, list_distinct(list_transform(
+         |  range(0, greatest(len(toks)-5,0)+1),
+         |  i -> array_to_string(toks[(i+1):(i+5)], ' '))) AS shingles FROM ttok),
+         |tsh0 AS (SELECT doc_id AS id, unnest(shingles) AS shingle FROM tshs),
+         |hot AS (SELECT shingle FROM tsh0 GROUP BY shingle HAVING count(*) > $ShingleDfCap),
+         |tsh AS (SELECT id, shingle FROM tsh0
+         |  WHERE shingle NOT IN (SELECT shingle FROM hot)),
+         |tq AS (SELECT id, shingle, ${hash60Sql("shingle")} AS h FROM tsh),
+         |tqx AS ($seeds),
+         |mv AS (SELECT t.id, t.shingle,
+         |  CASE WHEN count(e.bit) = ${graft.operators.BloomSet.DefaultHashes}
+         |    THEN 1 ELSE 0 END AS hit
+         |  FROM tqx t LEFT JOIN ebit e ON t.bit = e.bit
+         |  GROUP BY t.id, t.shingle)
+         |SELECT id AS doc_id, count(*)::BIGINT AS n_shingles,
+         |sum(hit)::BIGINT AS n_hits,
+         |floor(sum(hit)::BIGINT/count(*)::DOUBLE*10000)/10000 AS hit_frac,
+         |(sum(hit)::BIGINT/count(*)::DOUBLE >= 0.3
+         |  OR sum(hit)::BIGINT >= 17) AS flagged
+         |FROM mv GROUP BY id""".stripMargin
+    },
 
     "decontaminated_corpus" ->
       s"""WITH train AS (SELECT doc_id, text FROM documents),

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextHash
+import graft.operators.{BloomSet, Dedup}
+import graft.operators.BloomSet.IncrementalBloom
+
+class BloomSetSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def vals = spark.range(400)
+    .select(concat(lit("w"), col("id")).as("v")).localCheckpoint(false)
+
+  test("bit relation matches the driver-side reference bit-for-bit") {
+    val got = BloomSet.bits(vals, "v", numBits = 1 << 12, numHashes = 3)
+      .as[Long].collect().sorted.toSeq
+    val consts = TextHash.mixConstants(3)
+    val m = TextHash.Mersenne61
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.substring(0, 15), 16)
+    }
+    val want = vals.as[String].collect().flatMap { v =>
+      val h = h60(v)
+      (0 until 3).map { i =>
+        val (a, b, c) = consts(i)
+        Math.floorMod((a * (h & 0x3FFFFFFFL) + b * (h >> 30) + c) % m,
+          (1L << 12))
+      }
+    }.distinct.sorted.toSeq
+    assert(got === want)
+  }
+
+  test("no false negatives: every true member tests positive") {
+    val bits = BloomSet.bits(vals, "v")
+    val verdicts = BloomSet.possiblyContains(bits,
+      vals.withColumn("k", lit(1)), Seq("k"), "v")
+    assert(verdicts.filter(!col("possibly_in_set")).count() === 0)
+    assert(verdicts.count() === 400)
+  }
+
+  test("false positives exist at a tight filter but never at a wide one") {
+    val others = spark.range(400, 5000)
+      .select(concat(lit("w"), col("id")).as("v"))
+    // 400 members × 4 hashes into 512 bits: filter nearly full — some
+    // non-member must collide on all 4
+    val tight = BloomSet.bits(vals, "v", numBits = 512)
+    val fpTight = BloomSet.possiblyContains(tight,
+      others.withColumn("k", lit(1)), Seq("k"), "v", numBits = 512)
+      .filter(col("possibly_in_set")).count()
+    assert(fpTight > 0, "a near-full filter must show false positives")
+    // 400 members into 2^20 bits: collision chance negligible
+    val wide = BloomSet.bits(vals, "v", numBits = 1 << 20)
+    val fpWide = BloomSet.possiblyContains(wide,
+      others.withColumn("k", lit(1)), Seq("k"), "v", numBits = 1 << 20)
+      .filter(col("possibly_in_set")).count()
+    assert(fpWide === 0)
+  }
+
+  test("no false negatives vs the exact join: hits >= overlap, " +
+      "flagged superset at matching thresholds") {
+    val d = Tables.documents(spark, sf).select("doc_id", "text")
+    val eval = d.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 500000L).as("doc_id"),
+        array_join(slice(split(trim(col("text")), "\\s+"), 1, 25), " ")
+          .as("text"))
+    // exact per-pair overlaps (threshold 0 = every overlapping pair)
+    val exactPairs = Dedup.contaminationPairs(d, eval, n = 5,
+        minOverlapFrac = 0.0, maxDocFreq = Some(100L))
+      .select(col("train_id"), col("overlap"))
+      .as[(Long, Long)].collect()
+    assert(exactPairs.nonEmpty, "the planted prefixes must contaminate")
+    val ebits = BloomSet.bits(
+      Dedup.shingles(eval, n = 5).select("shingle"), "shingle")
+    val bloom = BloomSet.contaminatedDocs(d, ebits, n = 5,
+        minFrac = 0.3, minHits = Some(17L), maxDocFreq = Some(100L))
+      .select(col("doc_id"), col("n_hits"), col("flagged"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    // per-shingle no-false-negatives => a doc's bloom hit count bounds
+    // its exact overlap with EVERY prompt from below
+    exactPairs.foreach { case (id, overlap) =>
+      assert(bloom(id)._1 >= overlap,
+        s"doc $id: bloom hits ${bloom(id)._1} < exact overlap $overlap")
+    }
+    // and therefore: every exact pair at overlap >= minHits is flagged
+    val mustFlag = exactPairs.filter(_._2 >= 17L).map(_._1).toSet
+    assert(mustFlag.nonEmpty)
+    mustFlag.foreach { id =>
+      assert(bloom(id)._2, s"doc $id with exact overlap >= 17 not flagged")
+    }
+  }
+
+  test("store fold is idempotent: overlap and re-delivery change nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("bloom").toString
+    // OVERLAPPING batches on purpose — distinct-union needs no contract
+    IncrementalBloom.updateStore(dir, 0L,
+      vals.filter(expr("v like 'w1%' or v like 'w2%'")), "v")
+    IncrementalBloom.updateStore(dir, 1L, vals, "v")
+    IncrementalBloom.updateStore(dir, 1L, vals, "v") // re-delivery
+    val oneShot = BloomSet.bits(vals, "v")
+    val folded = IncrementalBloom.readBits(spark, dir).get
+    assert(folded.exceptAll(oneShot).isEmpty &&
+      oneShot.exceptAll(folded).isEmpty)
+    IncrementalBloom.compact(spark, dir)
+    val compacted = IncrementalBloom.readBits(spark, dir).get
+    assert(compacted.exceptAll(oneShot).isEmpty &&
+      oneShot.exceptAll(compacted).isEmpty)
+  }
+
+  test("parameter guards") {
+    intercept[IllegalArgumentException] { BloomSet.bits(vals, "v", numBits = 1) }
+    intercept[IllegalArgumentException] {
+      BloomSet.bits(vals, "v", numHashes = 17)
+    }
+  }
+}
