@@ -154,5 +154,21 @@ object BloomSet {
         numHashes: Int = DefaultHashes): (DataFrame, Long) => Unit =
       (batch, id) => updateStore(storeDir, id, batch, valueCol, numBits,
         numHashes)
+
+    /** [[BloomSet.contaminatedDocs]] against the folded store — the
+      * ingest-time read side: eval benchmarks land as bit deltas (new
+      * batches as new benchmarks publish), arriving doc batches check
+      * against the CURRENT filter with zero eval re-shingling. None
+      * before the first benchmark lands.
+      */
+    def contaminatedAgainstStore(spark: SparkSession, storeDir: String,
+        docs: DataFrame, n: Int = 5, minFrac: Double = 0.3,
+        minHits: Option[Long] = None, maxDocFreq: Option[Long] = None,
+        idCol: String = "doc_id", textCol: String = "text",
+        numBits: Int = DefaultBits,
+        numHashes: Int = DefaultHashes): Option[DataFrame] =
+      readBits(spark, storeDir).map(b =>
+        contaminatedDocs(docs, b, n, minFrac, minHits, maxDocFreq, idCol,
+          textCol, numBits, numHashes))
   }
 }

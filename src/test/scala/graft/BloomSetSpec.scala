@@ -113,6 +113,43 @@ class BloomSetSpec extends AnyFunSuite with SparkTestBase {
       oneShot.exceptAll(compacted).isEmpty)
   }
 
+  test("store-backed decontamination: benchmarks fold in as they publish") {
+    val dir = java.nio.file.Files.createTempDirectory("bloomstore").toString
+    val d = Tables.documents(spark, sf).select("doc_id", "text")
+    def prompts(mod: Long) = d.filter(col("doc_id") % 100 === mod)
+      .select(col("doc_id"),
+        array_join(slice(split(trim(col("text")), "\\s+"), 1, 25), " ")
+          .as("text"))
+    def promptShingles(mod: Long) =
+      Dedup.shingles(prompts(mod), n = 5).select("shingle")
+    def report(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_hits").as[(Long, Long)].collect().toMap
+    assert(IncrementalBloom.contaminatedAgainstStore(spark, dir, d).isEmpty)
+    // benchmark 1 lands: the store read-side equals the direct operator
+    // against exactly that benchmark's filter
+    IncrementalBloom.updateStore(dir, 0L, promptShingles(0), "shingle")
+    val after1 = report(IncrementalBloom.contaminatedAgainstStore(spark, dir,
+      d, minHits = Some(17L), maxDocFreq = Some(100L)).get)
+    val direct1 = report(BloomSet.contaminatedDocs(d,
+      BloomSet.bits(promptShingles(0), "shingle"), n = 5,
+      minHits = Some(17L), maxDocFreq = Some(100L)))
+    assert(after1 === direct1)
+    assert(after1.values.max >= 17L, "benchmark sources must score hits")
+    // benchmark 2 publishes later as its own batch: read side now equals
+    // the one-shot filter over BOTH prompt sets, and no doc's hit count
+    // ever decreases (the filter only grows)
+    IncrementalBloom.updateStore(dir, 1L, promptShingles(50), "shingle")
+    val after2 = report(IncrementalBloom.contaminatedAgainstStore(spark, dir,
+      d, minHits = Some(17L), maxDocFreq = Some(100L)).get)
+    val direct2 = report(BloomSet.contaminatedDocs(d,
+      BloomSet.bits(promptShingles(0).unionByName(promptShingles(50)),
+        "shingle"), n = 5, minHits = Some(17L), maxDocFreq = Some(100L)))
+    assert(after2 === direct2)
+    after1.foreach { case (id, h) => assert(after2(id) >= h) }
+    assert(after2.values.sum > after1.values.sum,
+      "the second benchmark must add hits somewhere")
+  }
+
   test("parameter guards") {
     intercept[IllegalArgumentException] { BloomSet.bits(vals, "v", numBits = 1) }
     intercept[IllegalArgumentException] {

@@ -64,6 +64,23 @@ class DistinctSketchSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(est - 12) <= 2.0, s"linear counting off: $est vs 12")
   }
 
+  test("estimate with a smaller p than registers() used fails loudly") {
+    // 2000 distincts at p=10 fill far more than 2^6 buckets; estimating
+    // those registers at p=6 used to yield negative _v and NaN silently
+    // (ADVICE r14) — now the _nz > 2^p guard raises
+    val df = (1 to 2000).map(i => ("a", s"id-$i")).toDF("g", "v")
+    val regs = DistinctSketch.registers(df, Seq("g"), "v", p = 10)
+    val ex = intercept[Exception] {
+      DistinctSketch.estimate(regs, Seq("g"), p = 6).collect()
+    }
+    assert(ex.getMessage != null)
+    // and a group column named like a register column is rejected
+    intercept[IllegalArgumentException] {
+      DistinctSketch.registers(df.withColumnRenamed("g", "bucket"),
+        Seq("bucket"), "v")
+    }
+  }
+
   test("nulls contribute nothing") {
     val df = Seq(("a", "x"), ("a", null), ("a", "y")).toDF("g", "v")
     val regs = DistinctSketch.registers(df, Seq("g"), "v", P)

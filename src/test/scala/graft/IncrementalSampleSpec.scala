@@ -39,6 +39,22 @@ class IncrementalSampleSpec extends AnyFunSuite with SparkTestBase {
     assert(folded.groupBy(_._2).forall(_._2.size == K), "exactly k per group")
   }
 
+  test("overlapping batches fold to the one-shot sample (idempotent merge)") {
+    // violate the disjointness contract on purpose: batch 3 re-delivers
+    // half of batch 0's rows UNDER A NEW BATCH ID. The merge dedups ids
+    // per group before re-ranking (ADVICE r14), so duplicates can never
+    // occupy two top-k slots and the fold still equals the one-shot.
+    val dir = Files.createTempDirectory("ism").toString
+    batches.zipWithIndex.foreach { case (b, i) =>
+      IS.updateStore(dir, i.toLong, b, "grp", "doc_id", "w", K) }
+    IS.updateStore(dir, 3L, batches.head.filter($"doc_id" % 2 === 0),
+      "grp", "doc_id", "w", K)
+    val folded = rows(IS.readSample(spark, dir, "grp", "doc_id", "w", K).get)
+    val oneShot = rows(Mixture.weightedSampleK(corpus, "grp", "doc_id", "w", K))
+    assert(folded == oneShot)
+    assert(folded.groupBy(_._2).forall(_._2.size == K), "exactly k per group")
+  }
+
   test("each delta is bounded at k rows per group, whatever the batch size") {
     val delta = IS.sampleDelta(corpus, "grp", "doc_id", "w", K)
     val byGroup = delta.groupBy("grp").count().as[(String, Long)]
