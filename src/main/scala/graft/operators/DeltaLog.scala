@@ -23,10 +23,29 @@ private[operators] object DeltaLog {
 
   /** Land one batch's delta under its own id. Overwrite IS the
     * idempotence story.
+    *
+    * Misuse guard (r14 verdict note): the layout is single-writer by
+    * contract, and the realistic accident is pointing a DIFFERENT
+    * store (a different relation shape) at an existing dir — the fold
+    * would then merge garbage or fail obscurely deep in a reader. A
+    * committed part's schema must match the incoming delta's (names +
+    * types; one parquet-footer read per batch).
     */
-  def writeDelta(delta: DataFrame, storeDir: String, batchId: Long): Unit =
+  def writeDelta(delta: DataFrame, storeDir: String, batchId: Long): Unit = {
+    val spark = delta.sparkSession
+    val existing = newestCommitted(spark, s"$storeDir/delta", "batch=")
+      .orElse(newestCommitted(spark, s"$storeDir/base", "upto="))
+    existing.foreach { case (_, p) =>
+      val have = spark.read.parquet(p).schema
+        .map(f => f.name -> f.dataType).toMap
+      val incoming = delta.schema.map(f => f.name -> f.dataType).toMap
+      require(have == incoming,
+        s"DeltaLog at $storeDir holds schema $have but this delta carries " +
+          s"$incoming — two different stores pointed at one dir?")
+    }
     delta.write.mode(SaveMode.Overwrite)
       .parquet(s"$storeDir/delta/batch=$batchId")
+  }
 
   /** The folded state as of the last committed batch: newest committed
     * base snapshot + every committed delta above it, merged by the

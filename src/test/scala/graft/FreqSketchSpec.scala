@@ -102,6 +102,20 @@ class FreqSketchSpec extends AnyFunSuite with SparkTestBase {
     regsEqual()
   }
 
+  test("a different store pointed at the same dir is rejected") {
+    val dir = java.nio.file.Files.createTempDirectory("cmsdir").toString
+    IncrementalFreq.updateStore(dir, 0L, values, Seq.empty, "v")
+    // a bloom store writing into the CMS dir would fold garbage — the
+    // DeltaLog schema guard refuses the mismatched delta
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.BloomSet.IncrementalBloom.updateStore(dir, 1L,
+        values, "v")
+    }
+    assert(ex.getMessage.contains("two different stores"))
+    // the SAME store shape keeps writing fine
+    IncrementalFreq.updateStore(dir, 1L, values.limit(10), Seq.empty, "v")
+  }
+
   test("parameter-mismatch and reserved-name guards fail loudly") {
     intercept[IllegalArgumentException] {
       FreqSketch.registers(values.withColumnRenamed("grp", "r"),
