@@ -87,7 +87,10 @@ object ScaleBench {
     */
   private val Families = Seq("c4_end_to_end", "dedup_prefix_jaccard",
     "dedup_ngram_jaccard", "graph_pagerank", "bpe_encode_tokens",
-    "ann_incremental_topk", "ann_lsh_banded_topk")
+    "ann_incremental_topk", "ann_lsh_banded_topk",
+    // r15 families: the bloom decontamination chain over the 10x corpus
+    // and the fixed-count shard deal (the two-phase bucketed rank)
+    "decontaminate_bloom", "corpus_shards")
 
   /** The INGEST-PATH scale-up datapoint (r14 verdict ask #4): the
     * relational families above measure query cost vs corpus size; this
@@ -187,6 +190,24 @@ object ScaleBench {
       s""""$name":{"sf01_sec":${jnum(s01)},"sf1_sec":${jnum(s1)},"ratio":${jnum(s1 / s01)}}"""
     }
 
+    // the shard deal at REAL row volume (the contract query's documents
+    // table is only 50k rows at 10x — orders gives the two-phase rank
+    // 150k -> 1.5M unique ids to deal into 64 shards)
+    val shardDeal = try {
+      def deal(dir: String): Double = time {
+        graft.operators.TrainShards.shardAssign(
+          Tables.orders(spark, dir).select(col("o_orderkey")),
+          idCol = "o_orderkey", numShards = 64).count()
+      }
+      val s01 = deal(srcDir)
+      val s1 = deal(outDir)
+      System.err.println(f"[scale] shard_deal_orders: sf0.1 $s01%.2f s -> " +
+        f"10x $s1%.2f s (ratio ${s1 / s01}%.2f)")
+      s"""{"sf01_sec":${jnum(s01)},"sf1_sec":${jnum(s1)},"ratio":${jnum(s1 / s01)}}"""
+    } catch { case e: Throwable =>
+      s"""{"error":"${Option(e.getMessage).getOrElse(e.getClass.getName).take(200).replace("\"", "'")}"}"""
+    }
+
     // ingest-path stores: one fixed 500-doc probe batch against a store
     // built from the 1x vs the 10x corpus (same probe text both times)
     val ingest = try {
@@ -219,7 +240,7 @@ object ScaleBench {
     val line =
       s"""{"factor":$Factor,"src":"$srcDir","derived":"$outDir","derived_rows":{${
         rows.toSeq.sortBy(_._1).map { case (t, n) => s""""$t":$n""" }.mkString(",")
-      }},"graph_prep":{"sf01_sec":${jnum(prep01)},"sf1_sec":${jnum(prep1)},"ratio":${jnum(prep1 / prep01)}},"ingest":$ingest,"families":{${fams.mkString(",")}}}"""
+      }},"graph_prep":{"sf01_sec":${jnum(prep01)},"sf1_sec":${jnum(prep1)},"ratio":${jnum(prep1 / prep01)}},"shard_deal_orders":$shardDeal,"ingest":$ingest,"families":{${fams.mkString(",")}}}"""
     println(line)
     java.nio.file.Files.write(java.nio.file.Paths.get(jsonPath),
       (line + "\n").getBytes("UTF-8"))
