@@ -29,6 +29,31 @@ object TripStreams {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .text(dir)
 
+  /** S5, the LITERAL analogue (SURVEY par.2.1): a CHANGE FEED over a
+    * parquet table directory — every newly-landed file's rows appear as
+    * INSERT events on a stream, the DynamoDB-Streams NewImage trigger
+    * shape (reference lambda2.py:183-201) without a vendor stream.
+    * Spark's file source tracks per-file progress in the query
+    * checkpoint, so each insert is delivered exactly once across
+    * restarts; the reference's INSERT filter / unmarshal / key-prefix
+    * steps are ordinary transforms downstream of this frame. The
+    * pipeline consumes the validated stream directly by design (the
+    * by-design substitution documented in SURVEY par.2.1); this feed is
+    * for consumers of an already-LANDED table — react-to-what-was-
+    * written, decoupled from the writer.
+    *
+    * At 100 TB: the file source lists only NEW files per trigger (the
+    * checkpoint holds the seen-set), so feed cost tracks the write
+    * rate, not the table size.
+    */
+  def tableChangeFeed(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      maxFilesPerTrigger: Int = 10): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
   /** Production stream source: Kafka topic, `value` = JSON event bytes.
     * Requires the spark-sql-kafka connector on the classpath (not in
     * this container).
