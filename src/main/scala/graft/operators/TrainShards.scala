@@ -113,7 +113,14 @@ object TrainShards {
     }
   }
 
-  /** Read back the sharded corpus with the `shard` partition column. */
+  /** Read back the sharded corpus with the `shard` partition column.
+    * [[writeShards]] stores each shard's rows in `shard_pos` order and
+    * (with hash-distinct shard keys) one file per shard dir, so a
+    * single-shard scan streams in training order; a reader that cannot
+    * rely on file order (multi-file shards after a re-partitioned
+    * rewrite) should sort by `shard_pos` — the order is IN the data,
+    * not only in the layout.
+    */
   def readShards(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(outDir)
 }
