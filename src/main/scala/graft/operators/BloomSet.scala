@@ -76,6 +76,14 @@ object BloomSet {
       keyCols: Seq[String], valueCol: String, numBits: Int = DefaultBits,
       numHashes: Int = DefaultHashes): DataFrame = {
     checkArgs(numHashes, numBits)
+    // same reserved-name guard as FreqSketch/DistinctSketch (ADVICE r15):
+    // the probe introduces these columns unconditionally; a user column
+    // with one of them would fail as an obscure ambiguous-column error
+    // deep in the join instead of here
+    val reserved = Set("bit", "_set")
+    require(!(keyCols :+ valueCol).exists(reserved),
+      s"columns ${(keyCols :+ valueCol).mkString(",")} must not use " +
+        s"reserved probe names ${reserved.mkString(",")}")
     val out = (keyCols :+ valueCol).map(col)
     queries.filter(col(valueCol).isNotNull)
       .dropDuplicates(keyCols :+ valueCol)
@@ -138,9 +146,15 @@ object BloomSet {
 
     def updateStore(storeDir: String, batchId: Long, batch: DataFrame,
         valueCol: String, numBits: Int = DefaultBits,
-        numHashes: Int = DefaultHashes): Unit =
+        numHashes: Int = DefaultHashes): Unit = {
+      // pin (bits, hashes) at first write: a read with different
+      // parameters addresses different cells and silently breaks the
+      // no-false-negative contract — undetectable from the bit relation
+      DeltaLog.pinParams(batch.sparkSession, storeDir,
+        Map("numBits" -> numBits.toString, "numHashes" -> numHashes.toString))
       DeltaLog.writeDelta(bits(batch, valueCol, numBits, numHashes),
         storeDir, batchId)
+    }
 
     def readBits(spark: SparkSession, storeDir: String): Option[DataFrame] =
       DeltaLog.readFolded(spark, storeDir, mergeBits)
@@ -166,9 +180,12 @@ object BloomSet {
         minHits: Option[Long] = None, maxDocFreq: Option[Long] = None,
         idCol: String = "doc_id", textCol: String = "text",
         numBits: Int = DefaultBits,
-        numHashes: Int = DefaultHashes): Option[DataFrame] =
+        numHashes: Int = DefaultHashes): Option[DataFrame] = {
+      DeltaLog.checkParams(spark, storeDir,
+        Map("numBits" -> numBits.toString, "numHashes" -> numHashes.toString))
       readBits(spark, storeDir).map(b =>
         contaminatedDocs(docs, b, n, minFrac, minHits, maxDocFreq, idCol,
           textCol, numBits, numHashes))
+    }
   }
 }

@@ -94,6 +94,67 @@ private[operators] object DeltaLog {
     }
   }
 
+  /** Write-once parameter pin (ADVICE r15): stores whose READ-side math
+    * must match the WRITE-side's (CMS depth/width, HLL p, Bloom
+    * bits/hashes) record those parameters in a `_PARAMS` file at first
+    * write; every later write and parameterized read requires equality.
+    * Without the pin, a mismatched read silently mis-addresses cells —
+    * the in-relation guards catch a SMALLER read-side parameter (ranks /
+    * rows out of range) but can never see a LARGER one (all addresses in
+    * range, estimates silently wrong: cms_count 0 for seen values,
+    * violating the one-sided error contracts).
+    */
+  def pinParams(spark: SparkSession, storeDir: String,
+      params: Map[String, String]): Unit = {
+    readParams(spark, storeDir) match {
+      case Some(have) =>
+        require(have == params,
+          s"store at $storeDir was built with parameters $have but this " +
+            s"call carries $params — sketch addresses would not line up")
+      case None =>
+        val fs = new Path(storeDir)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val body = params.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+          .mkString("\n")
+        // temp + rename so a crash mid-write never leaves a torn pin
+        val tmp = new Path(storeDir, "_PARAMS.tmp")
+        val out = fs.create(tmp, true)
+        try out.write(body.getBytes("UTF-8")) finally out.close()
+        fs.rename(tmp, new Path(storeDir, "_PARAMS"))
+    }
+  }
+
+  /** The pinned parameters, or None for a store that predates the pin
+    * (or has no parameterized math).
+    */
+  def readParams(spark: SparkSession,
+      storeDir: String): Option[Map[String, String]] = {
+    val p = new Path(storeDir, "_PARAMS")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      Some(lines.filter(_.nonEmpty).map { l =>
+        val Array(k, v) = l.split("=", 2); k -> v
+      }.toMap)
+    }
+  }
+
+  /** Read-side validation against the pin: a pinned store must match; an
+    * unpinned store (pre-pin layout) passes — the in-relation guards
+    * still cover the smaller-parameter direction there.
+    */
+  def checkParams(spark: SparkSession, storeDir: String,
+      params: Map[String, String]): Unit =
+    readParams(spark, storeDir).foreach { have =>
+      require(have == params,
+        s"store at $storeDir was built with parameters $have but this " +
+          s"read carries $params — sketch addresses would not line up")
+    }
+
   /** `_SUCCESS`-committed `(id, path)` children of `dir` named
     * `<prefix><long>`.
     */

@@ -127,9 +127,15 @@ object DistinctSketch {
 
     def updateStore(storeDir: String, batchId: Long, batch: DataFrame,
         groupCols: Seq[String], valueCol: String,
-        p: Int = DefaultP): Unit =
+        p: Int = DefaultP): Unit = {
+      // pin p at first write: the in-relation _nz guard catches a
+      // SMALLER estimate-side p, but a LARGER one passes it and silently
+      // underestimates — only metadata can catch that direction
+      // (ADVICE r15, the FreqSketch asymmetry's HLL twin)
+      DeltaLog.pinParams(batch.sparkSession, storeDir, Map("p" -> p.toString))
       DeltaLog.writeDelta(registers(batch, groupCols, valueCol, p),
         storeDir, batchId)
+    }
 
     /** The folded register relation as of the last committed batch —
       * equal to a one-shot [[registers]] over everything ingested.
@@ -139,9 +145,11 @@ object DistinctSketch {
       DeltaLog.readFolded(spark, storeDir, mergeRegs(groupCols))
 
     def readEstimate(spark: SparkSession, storeDir: String,
-        groupCols: Seq[String], p: Int = DefaultP): Option[DataFrame] =
+        groupCols: Seq[String], p: Int = DefaultP): Option[DataFrame] = {
+      DeltaLog.checkParams(spark, storeDir, Map("p" -> p.toString))
       readRegisters(spark, storeDir, groupCols)
         .map(estimate(_, groupCols, p))
+    }
 
     def compact(spark: SparkSession, storeDir: String,
         groupCols: Seq[String]): Unit =

@@ -85,14 +85,37 @@ object FreqSketch {
     * 0 for a value whose cells are all empty. `depth`/`width` MUST
     * match what [[registers]] used — a mismatch changes the cell
     * addresses and silently misestimates, so the register relation is
-    * sanity-checked (no r ≥ depth, no c ≥ width) on the broadcast side.
+    * validated on the broadcast side BOTH ways (ADVICE r15: the
+    * range-only check passed a LARGER estimate-side depth/width and
+    * silently returned cms_count 0 for seen values, violating the
+    * only-ever-OVERCOUNT contract):
+    *   - range: no register may sit at r ≥ depth or c ≥ width (catches
+    *     a smaller estimate-side parameter);
+    *   - cardinality: a non-empty register relation built with depth d'
+    *     has EXACTLY d' distinct r values (every value lands once in
+    *     every row), so countDistinct(r) ≠ depth catches a depth
+    *     mismatch in EITHER direction deterministically.
+    * A larger estimate-side WIDTH alone is not detectable from the
+    * relation (all addresses in range, all rows present) — that is what
+    * the [[IncrementalFreq]] store's `_PARAMS` pin is for; raw-relational
+    * callers own the width contract.
     * Estimates only ever OVERCOUNT (collisions add).
     */
   def estimate(regs: DataFrame, queries: DataFrame, groupCols: Seq[String],
       valueCol: String, depth: Int = DefaultDepth,
       width: Int = DefaultWidth): DataFrame = {
     checkArgs(groupCols, depth, width)
+    val rCard = regs.agg(countDistinct(col("r")).as("_rcard"))
     val guarded = regs
+      // 1-row scalar broadcast, the usual pattern for whole-relation guards
+      .crossJoin(broadcast(rCard))
+      .withColumn("r", when(col("_rcard") =!= depth,
+        raise_error(concat(lit("FreqSketch.estimate: registers carry "),
+          col("_rcard"),
+          lit(s" distinct hash rows but estimate() was called with " +
+            s"depth=$depth — registers() used a different depth"))))
+        .otherwise(col("r")))
+      .drop("_rcard")
       .withColumn("r", when(col("r") >= depth || col("c") >= width,
         raise_error(concat(lit(s"FreqSketch.estimate: register (r,c)=("),
           col("r"), lit(","), col("c"),
@@ -123,9 +146,14 @@ object FreqSketch {
 
     def updateStore(storeDir: String, batchId: Long, batch: DataFrame,
         groupCols: Seq[String], valueCol: String,
-        depth: Int = DefaultDepth, width: Int = DefaultWidth): Unit =
+        depth: Int = DefaultDepth, width: Int = DefaultWidth): Unit = {
+      // pin (depth, width) at first write: width mismatches are not
+      // detectable from the register relation alone (ADVICE r15)
+      DeltaLog.pinParams(batch.sparkSession, storeDir,
+        Map("depth" -> depth.toString, "width" -> width.toString))
       DeltaLog.writeDelta(registers(batch, groupCols, valueCol, depth, width),
         storeDir, batchId)
+    }
 
     /** The folded register relation — equal to a one-shot [[registers]]
       * over everything ingested (disjoint batches).
@@ -137,9 +165,12 @@ object FreqSketch {
     def readEstimate(spark: SparkSession, storeDir: String,
         queries: DataFrame, groupCols: Seq[String], valueCol: String,
         depth: Int = DefaultDepth,
-        width: Int = DefaultWidth): Option[DataFrame] =
+        width: Int = DefaultWidth): Option[DataFrame] = {
+      DeltaLog.checkParams(spark, storeDir,
+        Map("depth" -> depth.toString, "width" -> width.toString))
       readRegisters(spark, storeDir, groupCols)
         .map(estimate(_, queries, groupCols, valueCol, depth, width))
+    }
 
     def compact(spark: SparkSession, storeDir: String,
         groupCols: Seq[String]): Unit =

@@ -25,15 +25,37 @@ object KpiReportSink {
     val kpiArray = kpis.orderBy(col("pickup_date"))
       .agg(collect_list(struct(kpis.columns.map(col): _*)).as("daily_kpis"))
     metadata.crossJoin(kpiArray)
+      // an empty KPI frame yields NO report row, not a degenerate
+      // `"daily_kpis": []` object — the reference refuses to publish
+      // anything when the scan comes back empty (test/test.py:211-221:
+      // SystemExit before put_object)
+      .where(size(col("daily_kpis")) > 0)
       .select(to_json(struct(
         struct(metadata.columns.map(col): _*).as("metadata"),
         col("daily_kpis"))).as("report"))
   }
 
-  /** S7: dated path + `latest` alias, both overwrite-idempotent. */
-  def writeJsonReport(report: DataFrame, baseDir: String, datePath: String): Unit = {
-    report.coalesce(1).write.mode(SaveMode.Overwrite).text(s"$baseDir/$datePath")
-    report.coalesce(1).write.mode(SaveMode.Overwrite).text(s"$baseDir/latest")
+  /** S7: dated path + `latest` alias, both overwrite-idempotent. Returns
+    * the row count actually written. The report materializes ONCE
+    * (localCheckpoint) so its full upstream lineage runs a single time —
+    * not once per write plus once per count — and the count can never
+    * disagree with the written bytes if the source moves underneath.
+    *
+    * EMPTY-INPUT ABORT: an empty report frame throws BEFORE either write
+    * — in particular `latest/` is never overwritten with a degenerate
+    * report — matching the reference's SystemExit-before-put_object
+    * golden behavior (test/test.py:211-221).
+    */
+  def writeJsonReport(report: DataFrame, baseDir: String, datePath: String): Long = {
+    val mat = report.localCheckpoint()
+    val rows = mat.count()
+    if (rows == 0L)
+      throw new IllegalStateException(
+        s"refusing to write an EMPTY KPI report to $baseDir/$datePath " +
+          "(reference aborts before any put_object on an empty scan)")
+    mat.coalesce(1).write.mode(SaveMode.Overwrite).text(s"$baseDir/$datePath")
+    mat.coalesce(1).write.mode(SaveMode.Overwrite).text(s"$baseDir/latest")
+    rows
   }
 
   /** S7 with the reference's completion signal (SNS publish + Step
@@ -47,11 +69,15 @@ object KpiReportSink {
     */
   def writeJsonReportNotified(report: DataFrame, baseDir: String,
       datePath: String, onComplete: Map[String, String] => Unit): Unit = {
-    writeJsonReport(report, baseDir, datePath)
+    // the completion record's row count is the count of what was WRITTEN
+    // (writeJsonReport materializes once and returns it) — not a fresh
+    // recomputation of the report lineage that could disagree if the
+    // upstream source changed between write and count (ADVICE r15)
+    val rows = writeJsonReport(report, baseDir, datePath)
     onComplete(Map(
       "report_path" -> s"$baseDir/$datePath",
       "latest_path" -> s"$baseDir/latest",
-      "rows" -> report.count().toString))
+      "rows" -> rows.toString))
   }
 
   /** S8: CSV KPI sink (golden data/24-daily_trip_kpis.csv shape). */

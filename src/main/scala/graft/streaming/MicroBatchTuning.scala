@@ -60,9 +60,20 @@ object MicroBatchTuning {
   /** Run `thunk` with the rule applied for one batch's actual volume,
     * restoring the previous setting after — the per-batch variant for
     * STATELESS foreachBatch sinks, where no checkpoint pins the count.
+    *
+    * Scope caveat (ADVICE r15): `spark.sql.shuffle.partitions` is
+    * SESSION-global — any OTHER query planned against the same session
+    * while `thunk` runs sees the temporary value. The model this serves
+    * is one foreachBatch writer per session (the single-writer sink
+    * contract every store here already assumes); a deployment running
+    * unrelated concurrent queries should hand the sink its own
+    * `spark.newSession()`. Two concurrent withBatchVolume calls on ONE
+    * session additionally serialize on the session's conf object below,
+    * so the save/restore pair can never interleave and strand the wrong
+    * value.
     */
   def withBatchVolume[T](spark: SparkSession, batchRows: Long)(
-      thunk: => T): T = {
+      thunk: => T): T = spark.conf.synchronized {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions",
       shufflePartitionsFor(batchRows,

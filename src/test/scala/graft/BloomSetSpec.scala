@@ -155,5 +155,34 @@ class BloomSetSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException] {
       BloomSet.bits(vals, "v", numHashes = 17)
     }
+    // reserved probe names fail at the API boundary, not deep in the join
+    // (ADVICE r15: the sibling sketches had this guard, the bloom did not)
+    val exN = intercept[IllegalArgumentException] {
+      BloomSet.possiblyContains(BloomSet.bits(vals, "v"),
+        vals.withColumnRenamed("v", "bit"), Seq.empty, "bit")
+    }
+    assert(exN.getMessage.contains("reserved"))
+  }
+
+  test("store pins (numBits, numHashes); a mismatched read or write refuses") {
+    val dir = java.nio.file.Files.createTempDirectory("bloompin").toString
+    IncrementalBloom.updateStore(dir, 0L, vals, "v",
+      numBits = 1 << 16, numHashes = 4)
+    // different bits on the read side address different cells — silent
+    // false negatives without the pin, a loud refusal with it
+    val exR = intercept[IllegalArgumentException] {
+      IncrementalBloom.contaminatedAgainstStore(spark, dir,
+        Tables.documents(spark, sf).select("doc_id", "text").limit(1),
+        numBits = 1 << 15)
+    }
+    assert(exR.getMessage.contains("parameters"))
+    val exW = intercept[IllegalArgumentException] {
+      IncrementalBloom.updateStore(dir, 1L, vals, "v",
+        numBits = 1 << 16, numHashes = 3)
+    }
+    assert(exW.getMessage.contains("parameters"))
+    // matching params keep working
+    IncrementalBloom.updateStore(dir, 1L, vals, "v",
+      numBits = 1 << 16, numHashes = 4)
   }
 }

@@ -118,4 +118,24 @@ class DistinctSketchSpec extends AnyFunSuite with SparkTestBase {
       .select("approx_distinct").as[Double].head()
     assert(math.abs(est - 300) <= 3 * 1.04 / math.sqrt(256.0) * 300)
   }
+
+  test("store pins p; a mismatched read or write refuses (ADVICE r15)") {
+    val dir = Files.createTempDirectory("idspin").toString
+    val all = (1 to 300).map(i => ("a", s"id-$i")).toDF("g", "v")
+    IncrementalDistinct.updateStore(dir, 0L, all, Seq("g"), "v", p = 8)
+    // a LARGER read-side p passes the in-relation _nz guard (fewer
+    // non-empty buckets than 2^p) and would silently underestimate —
+    // only the pin catches that direction
+    val exR = intercept[IllegalArgumentException] {
+      IncrementalDistinct.readEstimate(spark, dir, Seq("g"), p = 12)
+    }
+    assert(exR.getMessage.contains("parameters"))
+    val exW = intercept[IllegalArgumentException] {
+      IncrementalDistinct.updateStore(dir, 1L, all, Seq("g"), "v", p = 12)
+    }
+    assert(exW.getMessage.contains("parameters"))
+    // matching p keeps working
+    assert(IncrementalDistinct.readEstimate(spark, dir, Seq("g"), p = 8)
+      .get.count() === 1)
+  }
 }

@@ -106,12 +106,14 @@ class FreqSketchSpec extends AnyFunSuite with SparkTestBase {
     val dir = java.nio.file.Files.createTempDirectory("cmsdir").toString
     IncrementalFreq.updateStore(dir, 0L, values, Seq.empty, "v")
     // a bloom store writing into the CMS dir would fold garbage — the
-    // DeltaLog schema guard refuses the mismatched delta
+    // _PARAMS pin (different parameter names) or the DeltaLog schema
+    // guard refuses the mismatched write, whichever fires first
     val ex = intercept[IllegalArgumentException] {
       graft.operators.BloomSet.IncrementalBloom.updateStore(dir, 1L,
         values, "v")
     }
-    assert(ex.getMessage.contains("two different stores"))
+    assert(ex.getMessage.contains("two different stores") ||
+      ex.getMessage.contains("built with parameters"))
     // the SAME store shape keeps writing fine
     IncrementalFreq.updateStore(dir, 1L, values.limit(10), Seq.empty, "v")
   }
@@ -127,5 +129,43 @@ class FreqSketchSpec extends AnyFunSuite with SparkTestBase {
         width = 16).collect()
     }
     assert(ex.getMessage != null)
+  }
+
+  test("LARGER estimate-side depth is caught too (ADVICE r15 asymmetry)") {
+    // registers at depth 2; estimate at the default depth 4 used to pass
+    // the range-only guard (all r < 4) and return cms_count 0 for seen
+    // values — an UNDERestimate violating the one-sided error contract.
+    // The r-cardinality guard makes the mismatch loud in both directions.
+    val regs = FreqSketch.registers(values, Seq.empty, "v", depth = 2,
+      width = 256)
+    val ex = intercept[Exception] {
+      FreqSketch.estimate(regs, values.select("v").limit(1), Seq.empty, "v",
+        depth = 4, width = 256).collect()
+    }
+    assert(ex.getMessage.contains("distinct hash rows"),
+      s"expected the depth-cardinality guard, got: ${ex.getMessage}")
+  }
+
+  test("store pins (depth, width); a mismatched read or write refuses") {
+    val dir = java.nio.file.Files.createTempDirectory("cmspin").toString
+    IncrementalFreq.updateStore(dir, 0L, values, Seq.empty, "v",
+      depth = 4, width = 256)
+    // LARGER width on read: undetectable from the relation (every address
+    // in range, every row present) — only the pin can catch it
+    val exR = intercept[IllegalArgumentException] {
+      IncrementalFreq.readEstimate(spark, dir, values.select("v").limit(1),
+        Seq.empty, "v", depth = 4, width = 512)
+    }
+    assert(exR.getMessage.contains("parameters"))
+    // a writer with different params refuses before landing a delta
+    val exW = intercept[IllegalArgumentException] {
+      IncrementalFreq.updateStore(dir, 1L, values, Seq.empty, "v",
+        depth = 8, width = 256)
+    }
+    assert(exW.getMessage.contains("parameters"))
+    // matching params keep working
+    assert(IncrementalFreq.readEstimate(spark, dir,
+      values.select("v").limit(1), Seq.empty, "v",
+      depth = 4, width = 256).get.count() === 1)
   }
 }

@@ -65,6 +65,42 @@ class SinkSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("S7 empty-input abort: no report files written for an empty KPI frame") {
+    // the reference refuses to publish anything when the scan comes back
+    // empty (test/test.py:211-221: SystemExit before put_object) — in
+    // particular `latest/` must never be clobbered by a degenerate report
+    val meta = Seq((0L, "2024-05-25")).toDF("record_count", "start_date")
+    val emptyKpis = Seq.empty[(String, Double, Long)]
+      .toDF("pickup_date", "total_fare", "trip_count")
+    val report = KpiReportSink.reportJson(emptyKpis, meta)
+    assert(report.isEmpty, "empty KPI frame must produce no report row")
+
+    val base = tmp()
+    // seed latest/ with a previous good report
+    val good = KpiReportSink.reportJson(
+      Seq(("2024-05-24", 1.0, 1L)).toDF("pickup_date", "total_fare", "trip_count"),
+      meta)
+    assert(KpiReportSink.writeJsonReport(good, base, "2024/05/24/report") === 1L)
+    val before = spark.read.text(s"$base/latest").as[String].head()
+
+    intercept[IllegalStateException] {
+      KpiReportSink.writeJsonReport(report, base, "2024/05/25/report")
+    }
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/2024/05/25")),
+      "the dated path must not be written on an empty report")
+    assert(spark.read.text(s"$base/latest").as[String].head() === before,
+      "latest must keep the previous good report")
+    // the notified variant aborts before the hook fires
+    var fired = false
+    intercept[IllegalStateException] {
+      KpiReportSink.writeJsonReportNotified(report, base, "2024/05/25/report",
+        _ => fired = true)
+    }
+    assert(!fired, "completion signal must not fire for an aborted report")
+  }
+
   test("S8: CSV KPI sink round-trips with header") {
     val kpis = Seq(("2024-05-25", 100.0, 2L)).toDF("pickup_date", "total_fare", "trip_count")
     val dir = tmp() + "/kpis"
