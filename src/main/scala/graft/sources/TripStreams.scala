@@ -48,10 +48,12 @@ object TripStreams {
     */
   def tableChangeFeed(spark: SparkSession, dir: String,
       schema: org.apache.spark.sql.types.StructType,
-      maxFilesPerTrigger: Int = 10): DataFrame =
+      maxFilesPerTrigger: Int = 10,
+      options: Map[String, String] = Map.empty): DataFrame =
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .options(options)
       .parquet(dir)
 
   /** Production stream source: Kafka topic, `value` = JSON event bytes.
