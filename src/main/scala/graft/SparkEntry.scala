@@ -2131,6 +2131,37 @@ object SparkEntry {
           trunc4(col("hit_frac")).as("hit_frac"), col("flagged"))
     }),
 
+    // DD7c (r16): the COMPOSED ingest-time decontamination product,
+    // IngestPipeline step 6's batch twin — benchmarks publish as TWO
+    // bloom bit deltas (folded by IncrementalBloom's distinct-union
+    // merge), docs ingest as THREE disjoint batches each checked
+    // against the folded filter, and the decontaminated corpus is the
+    // union of per-batch keeps. Per-doc verdicts have no cross-doc
+    // coupling (no df-cap here), so the one-shot bloom check over the
+    // whole corpus IS the oracle: a green row proves streamed ==
+    // one-shot for the composed read side
+    // (IngestPipeline.decontaminatedDocs).
+    "ingest_decontaminated_final" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val eval = d.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 500000L).as("doc_id"),
+          array_join(slice(split(trim(col("text")), "\\s+"), 1, 25), " ").as("text"))
+      // multiples of 50 split by %100 into the two benchmark batches
+      val ebits = Seq(0L, 50L).map(m =>
+          graft.operators.BloomSet.bits(
+            Dedup.shingles(eval.filter(pmod(col("doc_id"), lit(100L)) === m),
+              n = 5).select("shingle"), "shingle"))
+        .reduce(_ unionByName _).distinct()
+      val report = (0 until 3).map(i =>
+          graft.operators.BloomSet.contaminatedDocs(
+            d.filter(pmod(col("doc_id"), lit(3)) === i), ebits, n = 5,
+            minFrac = 0.3, minHits = Some(17L)))
+        .reduce(_ unionByName _)
+      d.join(report.filter(!col("flagged")).select("doc_id", "n_hits"),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("n_hits"))
+    }),
+
     // T7b: QUALITY-WEIGHTED deterministic sampling — longer docs keep a
     // higher rate (5/20/40% by token-count tier), selection by content
     // hash (no rand(): reproducible across runs, engines, and cluster
@@ -4649,6 +4680,33 @@ object SparkEntry {
          |(sum(hit)::BIGINT/count(*)::DOUBLE >= 0.3
          |  OR sum(hit)::BIGINT >= 17) AS flagged
          |FROM mv GROUP BY id""".stripMargin
+    },
+
+    // the one-shot bloom check, kept docs only, no df-cap — per-doc
+    // verdicts decompose over any partition of the corpus into batches,
+    // which is exactly what the Spark side's 3-batch fold exercises
+    "ingest_decontaminated_final" -> {
+      val seeds = (0 until graft.operators.BloomSet.DefaultHashes)
+        .map(i => s"SELECT id, shingle, ${cmsColSql("h", i, graft.operators.BloomSet.DefaultBits)} AS bit FROM tq")
+        .mkString("\n|  UNION ALL ")
+      s"""WITH train AS (SELECT doc_id, text FROM documents),
+         |$bloomEvalBitsSql,
+         |ttok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM train),
+         |tshs AS (SELECT doc_id, list_distinct(list_transform(
+         |  range(0, greatest(len(toks)-5,0)+1),
+         |  i -> array_to_string(toks[(i+1):(i+5)], ' '))) AS shingles FROM ttok),
+         |tsh AS (SELECT doc_id AS id, unnest(shingles) AS shingle FROM tshs),
+         |tq AS (SELECT id, shingle, ${hash60Sql("shingle")} AS h FROM tsh),
+         |tqx AS ($seeds),
+         |mv AS (SELECT t.id, t.shingle,
+         |  CASE WHEN count(e.bit) = ${graft.operators.BloomSet.DefaultHashes}
+         |    THEN 1 ELSE 0 END AS hit
+         |  FROM tqx t LEFT JOIN ebit e ON t.bit = e.bit
+         |  GROUP BY t.id, t.shingle),
+         |agg AS (SELECT id AS doc_id, count(*)::BIGINT AS n_shingles,
+         |  sum(hit)::BIGINT AS n_hits FROM mv GROUP BY id)
+         |SELECT doc_id, n_hits FROM agg
+         |WHERE NOT (n_hits/n_shingles::DOUBLE >= 0.3 OR n_hits >= 17)""".stripMargin
     },
 
     "decontaminated_corpus" ->

@@ -3,7 +3,8 @@ package graft
 import java.nio.file.Files
 
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, IncrementalBoilerplate, Profile}
+import graft.operators.{BloomSet, Dedup, FreqSketch, IncrementalBoilerplate, Profile}
+import graft.operators.BloomSet.IncrementalBloom
 import graft.streaming.IngestPipeline
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -137,5 +138,93 @@ class IngestPipelineSpec extends AnyFunSuite with SparkTestBase {
       .select("doc_id", "split", "ws_tokens", "offset", "bin")
       .as[(Long, String, Long, Long, Long)].collect().toSet
     assert(streamedPacked == twinPacked && streamedPacked.nonEmpty)
+  }
+
+  test("ingest-time decontamination + token-frequency folds equal their one-shot twins") {
+    val dir = Files.createTempDirectory("ingest-sketch").toString
+    val bloomDir = s"$dir/evalbloom"
+    implicit val ctx = spark.sqlContext
+
+    // eval benchmarks: 25-token prefixes of every 50th doc, published as
+    // TWO bloom bit deltas BEFORE ingest (fixed set → streamed == one-shot)
+    val allDocs = Tables.documents(spark, sf).select("doc_id", "text")
+    def prompts(m: Long) = allDocs.filter(col("doc_id") % 50 === m)
+      .select(col("doc_id"),
+        array_join(slice(split(trim(col("text")), "\\s+"), 1, 25), " ")
+          .as("text"))
+    def promptShingles(m: Long) =
+      Dedup.shingles(prompts(m), n = 5).select("shingle")
+    IncrementalBloom.updateStore(bloomDir, 0L, promptShingles(0), "shingle")
+    IncrementalBloom.updateStore(bloomDir, 1L, promptShingles(25), "shingle")
+
+    val dc = IngestPipeline.DecontamConfig(bloomDir, minHits = Some(17L))
+    val mkSink = () => IngestPipeline.sink(dir, curate, profCols,
+      decontam = Some(dc), tokenFreq = true)
+    val input = MemoryStream[IngestDoc]
+    val q = input.toDF().writeStream.foreachBatch(mkSink())
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    finally q.stop()
+
+    val curatedAll = curate(batches.flatten.toDF()).localCheckpoint(false)
+    def repSet(df: DataFrame): Set[(Long, Long, Long, Boolean)] =
+      df.select("doc_id", "n_shingles", "n_hits", "flagged")
+        .as[(Long, Long, Long, Boolean)].collect().toSet
+
+    // 1. union of per-batch verdicts == one-shot contaminatedDocs over
+    // the folded filter and the whole curated corpus
+    val bits = IncrementalBloom.readBits(spark, bloomDir).get
+    val streamedRep = repSet(IngestPipeline.contaminationReport(spark, dir).get)
+    val oneShotRep = repSet(BloomSet.contaminatedDocs(curatedAll, bits,
+      n = 5, minFrac = 0.3, minHits = Some(17L)))
+    assert(streamedRep == oneShotRep)
+    assert(streamedRep.exists(_._4), "planted prompt sources must be flagged")
+
+    // 2. the decontaminated read-side == curated minus flagged
+    val kept = IngestPipeline.decontaminatedDocs(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    val flaggedIds = oneShotRep.filter(_._4).map(_._1)
+    assert(flaggedIds.nonEmpty)
+    assert(kept ==
+      curatedAll.select("doc_id").as[Long].collect().toSet -- flaggedIds)
+
+    // 3. token-frequency store estimates == the one-shot sketch over the
+    // curated corpus tokens (deterministic query set, exact equality —
+    // register folds are additive over disjoint batches)
+    def toks(df: DataFrame) = df.select(
+      explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val queries = toks(curatedAll.filter(col("doc_id") % 37 === 0)).distinct()
+    def estSet(df: DataFrame): Set[(String, Long)] =
+      df.select("tok", "cms_count").as[(String, Long)].collect().toSet
+    val streamedEst = estSet(
+      IngestPipeline.tokenFreqEstimate(spark, dir, queries).get)
+    val oneShotEst = estSet(FreqSketch.estimate(
+      FreqSketch.registers(toks(curatedAll), Seq.empty, "tok"),
+      queries, Seq.empty, "tok"))
+    assert(streamedEst == oneShotEst && streamedEst.nonEmpty)
+
+    // 4. re-delivering the last batch (same filter) changes nothing
+    mkSink()(batches.last.toDF(), 2L)
+    assert(repSet(IngestPipeline.contaminationReport(spark, dir).get)
+      == streamedRep)
+    assert(estSet(IngestPipeline.tokenFreqEstimate(spark, dir, queries).get)
+      == streamedEst)
+
+    // 5. at-ingest semantics: a benchmark publishing AFTER ingest never
+    // retro-flags landed batches, but a batch arriving NOW is checked
+    // against the grown filter
+    IncrementalBloom.updateStore(bloomDir, 2L, promptShingles(10), "shingle")
+    assert(repSet(IngestPipeline.contaminationReport(spark, dir).get)
+      == streamedRep,
+      "later benchmarks must not retro-flag already-landed batches")
+    val late = allDocs.filter(col("doc_id") % 50 === 10)
+      .select((col("doc_id") + 300000L).as("doc_id"), col("text"))
+      .as[IngestDoc].collect().toSeq
+    mkSink()(late.toDF(), 3L)
+    val lateRep = repSet(IngestPipeline.contaminationReport(spark, dir).get)
+      .filter(_._1 >= 300000L)
+    assert(lateRep.exists(_._4),
+      "a batch ingested after the benchmark published must flag its sources")
   }
 }
