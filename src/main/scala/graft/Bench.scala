@@ -58,9 +58,48 @@ object Bench {
     (secs, ext)
   }
 
+  /** GC time (ms) summed across all collectors — deltas attribute a
+    * query's inflation to collection pressure (r15 verdict: a 3x-inflated
+    * row shipped with no way to tell GC contamination from a plan
+    * regression).
+    */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
+  /** Prior round's per-query timings from the committed BENCH_full.json
+    * (read BEFORE this run overwrites it) — the reference for the
+    * round-over-round retime rule. Empty when absent/unparseable.
+    */
+  private def priorQueryTimes(path: String): Map[String, Double] =
+    try {
+      val p = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = mapper.readTree(java.nio.file.Files.readAllBytes(p))
+        val qs = root.get("queries")
+        if (qs == null || !qs.isObject) Map.empty
+        else {
+          val it = qs.fields()
+          val b = Map.newBuilder[String, Double]
+          while (it.hasNext) {
+            val e = it.next()
+            if (e.getValue.isNumber) b += e.getKey -> e.getValue.asDouble()
+          }
+          b.result()
+        }
+      }
+    } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // pinned to the driver's local[32] so the committed artifact and the
+    // driver's run are the SAME experiment (r15 verdict: the 4-cpu
+    // builder default and the 32-cpu driver run disagreed by round)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Quiet-load gate: four consecutive rounds recorded their bench at
     // loadavg 2-6, making per-query history untrustworthy. Wait (capped)
     // for the 1-min loadavg to settle below the gate before measuring,
@@ -122,14 +161,21 @@ object Bench {
       System.err.println(s"[bench] graph_prep FAILED — $msg")
       Left(msg)
     }
+    // prior-round reference read BEFORE this run overwrites the file
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      "/root/repo/BENCH_full.json")
+    val prior = priorQueryTimes(fullPath)
     // deterministic name order so per-query timings are comparable
     // across rounds (Map iteration order is not stable across builds)
     val extGate = sys.env.getOrElse("SPARK_GRAFT_EXT_CPU_GATE", "0.75").toDouble
+    val priorGate = sys.env.getOrElse("SPARK_GRAFT_PRIOR_GATE", "2.0").toDouble
     val (runB0, runS0) = cpuJiffies()
     val runT0 = System.nanoTime()
     val results0 = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val outcome = try {
-        Right(timedExt { fn(spark, sfDir).count() })
+        val g0 = gcMillis()
+        val (secs, ext) = timedExt { fn(spark, sfDir).count() }
+        Right((secs, ext, (gcMillis() - g0) / 1000.0))
       } catch { case e: Throwable =>
         val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
           .linesIterator.next().take(300)
@@ -138,24 +184,34 @@ object Bench {
       }
       name -> outcome
     }
-    // SELF-HEALING retime: the start gate can't stop a neighbor that
-    // arrives mid-run (r14's artifact). Any query whose window averaged
-    // more than `extGate` external cpu cores is re-timed once here, and
-    // the quieter (min) figure is recorded, with the retimed names in
-    // the artifact so a contaminated-then-healed run is visible.
-    val retimed = scala.collection.mutable.ArrayBuffer.empty[String]
+    // SELF-HEALING retime, two triggers (r15 verdict: the ext-cores gate
+    // alone shipped a 3x-inflated row it never saw):
+    //  (a) the query's window averaged > extGate external cpu cores;
+    //  (b) the query ran > priorGate x its OWN prior-round figure —
+    //      contamination the /proc counters can miss (GC pressure, page
+    //      cache churn) still shows up against the query's own history.
+    // BOTH timings are recorded per retimed query (first, retime) so the
+    // contamination delta is visible instead of collapsed away (ADVICE
+    // r15); the headline map takes the min, biased fast on purpose and
+    // attributably so. Per-query GC seconds ride their own map.
+    val retimed = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     val results: Seq[(String, Either[String, Double])] = results0.map {
-      case (name, Right((secs, ext))) if ext > extGate =>
-        System.err.println(
-          f"[bench] $name saw $ext%.2f external cores — retiming")
+      case (name, Right((secs, ext, _))) if ext > extGate ||
+          prior.get(name).exists(p => p > 0 && secs > priorGate * p) =>
+        val why = if (ext > extGate) f"$ext%.2f external cores"
+          else f"${secs / prior(name)}%.1fx its prior-round ${prior(name)}%.2fs"
+        System.err.println(f"[bench] $name at $secs%.2fs saw $why — retiming")
         val best = try {
           val (s2, _) = timedExt { SparkEntry.queries(name)(spark, sfDir).count() }
+          retimed += name -> (secs, s2)
           math.min(secs, s2)
-        } catch { case _: Throwable => secs }
-        retimed += name
+        } catch { case _: Throwable => retimed += name -> (secs, -1.0); secs }
         name -> Right(best)
-      case (name, Right((secs, _))) => name -> Right(secs)
+      case (name, Right((secs, _, _))) => name -> Right(secs)
       case (name, Left(msg)) => name -> Left(msg)
+    }
+    val gcByQuery: Seq[(String, Double)] = results0.collect {
+      case (name, Right((_, _, gc))) => name -> gc
     }
     val runSecs = (System.nanoTime() - runT0) / 1e9
     val (runB1, runS1) = cpuJiffies()
@@ -454,14 +510,17 @@ object Bench {
     // totals means any truncation from either end still leaves the
     // round's verdict-grade numbers, and the full map is ALSO persisted
     // to its own file below so no truncation can lose per-query data.
-    val retimedNames = retimed.map(jstr).mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":${resultsAll.count(_._2.isLeft)},"loadavg":$loadAvg,"load_at_start":${jnum(loadAtStart)},"load_wait_sec":${jnum(loadWaitSec)},"external_cpu_cores":${jnum(runExtCores)},"retimed_queries":$retimedNames,"rerun_delta":$rerunDelta,"rerun_queries":$rerunNames,"ann_recall":$annRecall,"bpe_batched":$bpe,"ingest":$ingest,"c4_pipeline":$c4,"scaleup":$scaleup,"streaming":$streaming,"sf":"$sfDir","errors":$errs,"queries":$qs}"""
+    // {name: [first_sec, retime_sec]} — both timings, the delta IS the
+    // contamination evidence (-1 retime = the retry itself failed)
+    val retimedObj = retimed.map { case (n, (a, b)) =>
+      s"${jstr(n)}:[${jnum(a)},${jnum(b)}]" }.mkString("{", ",", "}")
+    val gcObj = gcByQuery.map { case (n, g) => s"${jstr(n)}:${jnum(g)}" }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":${resultsAll.count(_._2.isLeft)},"loadavg":$loadAvg,"load_at_start":${jnum(loadAtStart)},"load_wait_sec":${jnum(loadWaitSec)},"external_cpu_cores":${jnum(runExtCores)},"cpus":$cpus,"retimed_queries":$retimedObj,"rerun_delta":$rerunDelta,"rerun_queries":$rerunNames,"ann_recall":$annRecall,"bpe_batched":$bpe,"ingest":$ingest,"c4_pipeline":$c4,"scaleup":$scaleup,"streaming":$streaming,"sf":"$sfDir","errors":$errs,"gc_sec":$gcObj,"queries":$qs}"""
     println(line)
     // belt-and-braces: the identical JSON, committed as its own file —
     // the durable copy of every per-query timing regardless of what the
     // driver preserves of stdout
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
-      "/root/repo/BENCH_full.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>

@@ -237,10 +237,102 @@ object ScaleBench {
       s"""{"error":"${Option(e.getMessage).getOrElse(e.getClass.getName).take(200).replace("\"", "'")}"}"""
     }
 
+    // AUTO-SIZED BANDED ANN (r16, verdict item 3): the two families
+    // SCALEUP r15 marked `weak` re-measured across THREE scales (1x =
+    // the 2,000-vector bench corpus, 10x, 100x — embeddings replicate
+    // under disjoint id blocks; vector content is irrelevant to cost)
+    // with the corpus-sized rule bits = autoBandBits(n) (occupancy-
+    // constant) and tables = autoBandTables(bits) (recall-constant),
+    // against the fixed 4x16 default. The bench corpus is SMALL: at 2k
+    // vectors the fixed default already sits at occupancy 0.03, so
+    // wall-seconds at 1x/10x are query-count- and overhead-dominated
+    // and the quadratic term only starts to bite at 100x (fixed
+    // occupancy ~3). CANDIDATES PER QUERY is therefore reported
+    // alongside seconds and planted recall: under fixed bits it grows
+    // ~10x per decade (the n^2/2^b term); under the auto rule it stays
+    // ~flat — the direct, deterministic evidence of the restored-linear
+    // claim, with recall alongside so the restoration is visibly not
+    // bought with retrieval quality. The incremental family is probed
+    // with a FIXED 500-vector batch against prebuilt 1x/10x/100x
+    // stores — the per-batch cost a continuous-ingestion deployment
+    // pays, which the auto rule must hold ~flat.
+    val annAuto = try {
+      import graft.operators.{IncrementalAnn, SimilaritySearch}
+      import org.apache.spark.sql.DataFrame
+      // 100x embeddings-only derived corpus (same replica discipline)
+      val emb100Dir = new java.io.File(outDir).getParent + "/emb100"
+      if (!new java.io.File(s"$emb100Dir/embeddings.parquet/_SUCCESS").exists()) {
+        System.err.println(s"[scale] building 100x embeddings at $emb100Dir")
+        replicate(Tables.embeddings(spark, srcDir), 100,
+          Seq("vec_id"), Seq.empty)
+          .write.mode("overwrite").parquet(s"$emb100Dir/embeddings.parquet")
+      }
+      val scales = Seq("x1" -> srcDir, "x10" -> outDir, "x100" -> emb100Dir)
+      // "retrieved ANY exact copy of the source": replicas carry the
+      // SAME vectors under block-shifted ids, so at 10x/100x the
+      // source's 9/99 identical copies tie it at equal cosine and
+      // source-id-exact recall degenerates into a tie-break lottery
+      // (measured: 0.093 ~ 10 of 100 tied copies at 100x). Any copy is
+      // equally a true nearest neighbor; match modulo the replica
+      // block (reduces to the exact test at 1x).
+      def recallOf(df: DataFrame, nq: Long): Double =
+        if (nq == 0) -1.0
+        else df.filter(pmod(col("neighbor_id"), lit(Block)) ===
+            pmod(col("query_id") - 900000L, lit(Block)))
+          .select("query_id").distinct()
+          .count().toDouble / nq
+      // fixed probe batch: 500 fresh-id vectors far above every replica
+      val probe = Tables.embeddings(spark, srcDir)
+        .filter(col("vec_id") % 4 === 0)
+        .select((col("vec_id") + 10000000000L).as("vec_id"), col("embedding"))
+        .localCheckpoint(false)
+      val nProbe = probe.count()
+
+      val perScale = scales.map { case (tag, dir) =>
+        val emb = Tables.embeddings(spark, dir).localCheckpoint(false)
+        val n = emb.count()
+        val planted = SimilaritySearch.plantedQueries(emb)
+          .localCheckpoint(false)
+        val nq = planted.count()
+        val autoBits = SimilaritySearch.autoBandBits(n)
+        val autoTabs = SimilaritySearch.autoBandTables(autoBits)
+        def cfgJson(cfgTag: String, tables: Int, bits: Int): String = {
+          val cand = SimilaritySearch.lshBandedCandidates(emb, planted,
+            tables = tables, bitsPerTable = bits, multiProbe = true).count()
+          var rec = -1.0
+          val sec = time {
+            rec = recallOf(SimilaritySearch.lshBandedTopK(emb, planted,
+              k = 10, tables = tables, bitsPerTable = bits,
+              multiProbe = true), nq)
+          }
+          // incremental: the fixed probe batch vs a store of this corpus
+          val store = java.nio.file.Files
+            .createTempDirectory(s"annstore_${tag}_$cfgTag").toString
+          IncrementalAnn.upsertIndex(IncrementalAnn.indexRows(emb,
+            tables = tables, bitsPerTable = bits), store, 0L)
+          val incSec = time { IncrementalAnn.ingestBatch(probe, store, 1L,
+            k = 10, tables = tables, bitsPerTable = bits,
+            multiProbe = true).count() }
+          System.err.println(f"[scale] ann $tag $cfgTag (${tables}x$bits): " +
+            f"banded $sec%.2f s, recall $rec%.3f, " +
+            f"cand/query ${cand.toDouble / math.max(1, nq)}%.1f, " +
+            f"incr probe $incSec%.2f s")
+          s""""$cfgTag":{"tables":$tables,"bits":$bits,"banded_sec":${jnum(sec)},"recall":${jnum(rec)},"candidates":$cand,"cand_per_query":${jnum(cand.toDouble / math.max(1, nq))},"incremental_probe_sec":${jnum(incSec)}}"""
+        }
+        val fixedJ = cfgJson("fixed", 4, 16)
+        val autoJ = cfgJson("auto", autoTabs, autoBits)
+        s""""$tag":{"n":$n,"queries":$nq,$fixedJ,$autoJ}"""
+      }
+      s"""{"probe_docs":$nProbe,${perScale.mkString(",")}}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[scale] ann auto-sizing FAILED — ${e.getMessage}")
+      s"""{"error":"${Option(e.getMessage).getOrElse(e.getClass.getName).take(200).replace("\"", "'")}"}"""
+    }
+
     val line =
       s"""{"factor":$Factor,"src":"$srcDir","derived":"$outDir","derived_rows":{${
         rows.toSeq.sortBy(_._1).map { case (t, n) => s""""$t":$n""" }.mkString(",")
-      }},"graph_prep":{"sf01_sec":${jnum(prep01)},"sf1_sec":${jnum(prep1)},"ratio":${jnum(prep1 / prep01)}},"shard_deal_orders":$shardDeal,"ingest":$ingest,"families":{${fams.mkString(",")}}}"""
+      }},"graph_prep":{"sf01_sec":${jnum(prep01)},"sf1_sec":${jnum(prep1)},"ratio":${jnum(prep1 / prep01)}},"shard_deal_orders":$shardDeal,"ingest":$ingest,"ann_auto":$annAuto,"families":{${fams.mkString(",")}}}"""
     println(line)
     java.nio.file.Files.write(java.nio.file.Paths.get(jsonPath),
       (line + "\n").getBytes("UTF-8"))

@@ -152,6 +152,41 @@ case class SqDistLong(left: Expression, right: Expression)
   * codegen.
   */
 object VectorKernels {
+  /** All `tables` band buckets of a float vector in one pass over a flat
+    * (tables·bits·dim) plane matrix: bucket[t] gets bit j iff
+    * dot(v, plane[t·bits+j]) > 0. Arithmetic is element-for-element the
+    * [[DotProductFloat]] fold (double accumulation, left-to-right, null
+    * elements contribute 0), so buckets are bit-identical to the
+    * per-plane expression formulation and to the DuckDB oracle.
+    */
+  def bandBuckets(a: ArrayData, planes: Array[Float], tables: Int,
+      bits: Int): ArrayData = {
+    val dim = planes.length / (tables * bits)
+    val n = math.min(a.numElements(), dim)
+    val out = new Array[Any](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var j = 0
+      while (j < bits) {
+        val base = (t * bits + j) * dim
+        var s = 0.0
+        var i = 0
+        while (i < n) {
+          if (!a.isNullAt(i)) {
+            s += a.getFloat(i).toDouble * planes(base + i).toDouble
+          }
+          i += 1
+        }
+        if (s > 0) bucket |= (1L << j)
+        j += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Unit-L2 copy of a float vector. Norm accumulates left-to-right in
     * double (the [[DotProductFloat]] fold order) and each element is
     * DIVIDED by it — not multiplied by a reciprocal, which rounds
@@ -181,6 +216,68 @@ object VectorKernels {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+}
+
+/** All band-LSH buckets of a float vector as one array<long> — the
+  * code-size-safe form of the banded hash at AUTO-SIZED code lengths.
+  * The per-plane formulation (sum of `when(dot > 0, 1<<j)` over one
+  * [[DotProductFloat]] per plane) builds tables·bits separate expression
+  * trees: generated code grows linearly with the code length, and at
+  * b ~ log2(n) (5×19 = 95 plane trees at a 200k corpus, ~31 bits at
+  * 10^9) the projection bloats, JIT quality degrades, and a whole-stage
+  * method can overflow into interpreted fallback. This expression is ONE
+  * kernel call whatever (tables, bits): the vector loads once, the flat
+  * plane matrix rides the codegen references array, code size is
+  * constant. Bucket values are bit-identical to the per-plane form
+  * (same fold order — spec-pinned), so every oracle stays valid.
+  *
+  * The plane matrix is the same fixed seeded-LCG Rademacher stream as
+  * `SimilaritySearch.hyperplanes` (regenerated here: a prefix of the
+  * same deterministic stream, so row t·bits+j is the identical plane
+  * the per-plane form used).
+  */
+case class BandBucketsFloat(child: Expression, tables: Int, bitsPerTable: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(tables >= 1 && bitsPerTable >= 1 && bitsPerTable <= 62,
+    s"band shape out of range: ${tables}x$bitsPerTable")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"band_buckets_float expects array<float>, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "band_buckets_float"
+
+  /** Vector dimensionality of the corpus family (SimilaritySearch.Dim). */
+  private val Dim = 64
+
+  // the SimilaritySearch.hyperplanes MMIX-LCG stream, flattened: row
+  // t*bits+j is plane j of table t — identical to what lshBandBucket
+  // indexes out of its own prefix of the same stream
+  @transient private lazy val planesFlat: Array[Float] = {
+    var state = 0x5DEECE66DL
+    def next(): Long = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      state
+    }
+    Array.fill(tables * bitsPerTable * Dim)(
+      if ((next() >>> 32 & 1) == 1L) 1.0f else -1.0f)
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.bandBuckets(a.asInstanceOf[ArrayData], planesFlat,
+      tables, bitsPerTable)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("bandPlanes", planesFlat, "float[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernels.bandBuckets($c, $planesRef, " +
+        s"$tables, $bitsPerTable)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Unit-L2 normalization of an array<float> column — the embedding-prep
@@ -220,4 +317,7 @@ object VectorFunctions {
   /** Codegen'd unit-L2 float vector normalization. */
   def l2normF(a: Column): Column =
     Bridge.column(L2NormalizeFloat(Bridge.expression(a)))
+  /** All banded-LSH buckets in one constant-code-size kernel call. */
+  def bandBucketsF(a: Column, tables: Int, bitsPerTable: Int): Column =
+    Bridge.column(BandBucketsFloat(Bridge.expression(a), tables, bitsPerTable))
 }

@@ -1093,9 +1093,10 @@ object Dedup {
     val dot = graft.functions.VectorFunctions.dotF _
     val e = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
       sqrt(dot(col(vecCol), col(vecCol))).as("nrm"),
-      array((0 until tables).map(t =>
-        SimilaritySearch.lshBandBucket(col(vecCol), t, bitsPerTable)): _*)
-        .as("tbl"))
+      // one constant-code-size kernel call for all tables' buckets
+      // (bit-identical to the per-plane form — see BandBucketsFloat)
+      graft.functions.VectorFunctions.bandBucketsF(col(vecCol),
+        tables, bitsPerTable).as("tbl"))
       .localCheckpoint(false) // hyperplane projections compute once, not per side
     val x = e.select(col("id"), posexplode(col("tbl")).as(Seq("t", "bucket")))
     val pairs = x.as("a").join(x.as("b"),

@@ -40,9 +40,10 @@ object IncrementalAnn {
     val dot = graft.functions.VectorFunctions.dotF _
     vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
       sqrt(dot(col(vecCol), col(vecCol))).as("nrm"),
-      array((0 until tables).map(t =>
-        SimilaritySearch.lshBandBucket(col(vecCol), t, bitsPerTable)): _*)
-        .as("bands"))
+      // one constant-code-size kernel call for all tables' buckets
+      // (bit-identical to the per-plane form — see BandBucketsFloat)
+      graft.functions.VectorFunctions.bandBucketsF(col(vecCol),
+        tables, bitsPerTable).as("bands"))
   }
 
   /** Top-k per batch vector against the indexed corpus plus the batch
@@ -114,6 +115,17 @@ object IncrementalAnn {
       multiProbe: Boolean = false,
       idCol: String = "vec_id", vecCol: String = "embedding",
       numBuckets: Int = KeyedUpsertSink.DefaultNumBuckets): DataFrame = {
+    // the stored bands are a function of (tables, bitsPerTable): a later
+    // ingest with different parameters would probe buckets the stored
+    // rows never hashed into — silently empty candidates, not an error.
+    // Pin at first write, refuse mismatches (the sketch-store rule).
+    // SIZE bitsPerTable TO THE PLANNED CORPUS at store creation
+    // ([[SimilaritySearch.autoBandBits]]): band width cannot grow in
+    // place — outgrowing the pin means a rebuild (read vectors, re-band
+    // wider, write a fresh store), the standard ANN re-index.
+    DeltaLog.pinParams(batch.sparkSession, storeDir,
+      Map("tables" -> tables.toString,
+        "bitsPerTable" -> bitsPerTable.toString))
     val idx = Dedup.sharedRelation(
       indexRows(batch, tables, bitsPerTable, idCol, vecCol))
     val topk = readIndex(batch.sparkSession, storeDir) match {

@@ -101,6 +101,62 @@ object SimilaritySearch {
     }.reduce(_ + _)
   }
 
+  /** Band width SIZED TO THE CORPUS — the scale rule the fixed default
+    * cannot honor (SCALEUP r15: `ann_lsh_banded_topk` and
+    * `ann_incremental_topk` ran 4.65×/4.96× at 10× data because expected
+    * candidates per query per table, n/2^b, grows with n when b is
+    * pinned). Holding the expected band-bucket OCCUPANCY constant
+    * requires b = log2(n / occupancy): candidate volume per query then
+    * stays ~T·occupancy whatever the corpus, and total banded-join work
+    * grows linearly with n instead of quadratically.
+    *
+    * The default occupancy 0.5 meets the long-standing b=16 default at
+    * n = 32k (log2(32000/0.5) = 16.0) — the bench corpus itself is only
+    * 2k vectors, where b=16 sits at occupancy 0.03: over-provisioned
+    * precision the rule trades back for recall at small n, and the
+    * same rule that keeps candidates bounded at large n. Recall
+    * at a GIVEN cosine falls as p^b with growing b — compensate with
+    * multiProbe (hamming-1 probes recover near-boundary pairs at
+    * (b+1)× probe rows, nothing against the corpus side) and/or more
+    * tables; ScaleBench measures planted recall alongside cost at each
+    * scale so the trade stays visible. Clamped to [minBits, maxBits]
+    * (bucket ids are summed bit flags in one long; 48 bits ≈ 2.8e14
+    * buckets covers any practical corpus).
+    */
+  def autoBandBits(corpusSize: Long, targetOccupancy: Double = 0.5,
+      minBits: Int = 8, maxBits: Int = 48): Int = {
+    require(corpusSize >= 0, s"corpusSize must be >= 0, got $corpusSize")
+    require(targetOccupancy > 0.0 && minBits >= 1 && maxBits >= minBits)
+    val ratio = math.max(1.0, corpusSize.toDouble / targetOccupancy)
+    val bits = math.ceil(math.log(ratio) / math.log(2.0) - 1e-9).toInt
+    math.min(maxBits, math.max(minBits, bits))
+  }
+
+  /** Table count holding ANY-TABLE collision (recall at the operating
+    * point) constant as [[autoBandBits]] lengthens codes: per-table
+    * collision for a pair with per-plane agreement p is p^b (exact) or
+    * p^b + b(1−p)p^(b−1) (with hamming-1 multiprobe); T tables give
+    * 1−(1−per)^T ≥ target. Longer codes for occupancy, more tables for
+    * recall — the OR-side of the banding trade, grown with log(n) so
+    * per-query candidate work stays ~T·occupancy while recall holds.
+    * Default p = 0.894 is the planted-neighbor operating point (cosine
+    * 0.945, p = 1 − θ/π); the default target 0.9 reproduces the
+    * long-standing T=4 at b=16.
+    */
+  def autoBandTables(bitsPerTable: Int, targetRecall: Double = 0.9,
+      planeAgreement: Double = 0.894, multiProbe: Boolean = true): Int = {
+    require(bitsPerTable >= 1 && targetRecall > 0.0 && targetRecall < 1.0)
+    require(planeAgreement > 0.0 && planeAgreement < 1.0)
+    val b = bitsPerTable
+    val pb = math.pow(planeAgreement, b)
+    val per0 = if (multiProbe)
+      pb + b * (1 - planeAgreement) * math.pow(planeAgreement, b - 1)
+    else pb
+    val per = math.min(0.999999, math.max(1e-9, per0))
+    math.max(1, math.ceil(
+      math.log(1 - targetRecall) / math.log(1 - per) - 1e-9).toInt)
+  }
+
   /** Deterministic planted-neighbor query set — the recall instrument
     * for an ISOTROPIC corpus. Measured on the testdata embeddings
     * (sf0.1, 2000 x 64): pairwise cosine mean 0.000, std 0.125 = 1/sqrt(64)
@@ -698,9 +754,13 @@ object SimilaritySearch {
   def lshBandedCandidates(corpus: DataFrame, queries: DataFrame,
       tables: Int = 4, bitsPerTable: Int = 16, multiProbe: Boolean = false,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // one constant-code-size kernel call for ALL tables' buckets
+    // (bit-identical to the per-plane lshBandBucket form, spec-pinned):
+    // at auto-sized code lengths the per-plane expression tree bloats
+    // the generated projection with tables*bits dot-product bodies
     def sides(df: DataFrame, id: String) = df.select(col(idCol).as(id),
-      posexplode(array((0 until tables).map(t =>
-        lshBandBucket(col(vecCol), t, bitsPerTable)): _*)).as(Seq("t", "bucket")))
+      posexplode(graft.functions.VectorFunctions.bandBucketsF(col(vecCol),
+        tables, bitsPerTable)).as(Seq("t", "bucket")))
     // multiProbe: the QUERY side also probes each band bucket's
     // bitsPerTable hamming-1 neighbors (one sign bit flipped). At planted
     // cosine ~0.945 (per-plane p ~0.894) a 16-bit band collides exactly

@@ -72,6 +72,23 @@ class IncrementalAnnSpec extends AnyFunSuite with SparkTestBase {
     assert(stored === corpus.count() + batch.count())
   }
 
+  test("store pins (tables, bitsPerTable); a mismatched ingest refuses") {
+    // the stored bands are a function of the band parameters — probing
+    // them with different ones returns silently-empty candidates, so
+    // the pin makes the mismatch loud (the sketch-store rule, r16)
+    val storeDir = java.nio.file.Files.createTempDirectory("annpin").toString
+    IncrementalAnn.ingestBatch(corpus, storeDir, batchId = 0L, k = 5,
+      tables = 4, bitsPerTable = 16).count()
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalAnn.ingestBatch(batch, storeDir, batchId = 1L, k = 5,
+        tables = 4, bitsPerTable = 20)
+    }
+    assert(ex.getMessage.contains("parameters"))
+    // matching parameters keep working
+    IncrementalAnn.ingestBatch(batch, storeDir, batchId = 1L, k = 5,
+      tables = 4, bitsPerTable = 16).count()
+  }
+
   test("planted near-copies retrieve their sources through the ingest path") {
     val storeDir = java.nio.file.Files.createTempDirectory("annstore2").toString
     IncrementalAnn.ingestBatch(corpus, storeDir, batchId = 0L, k = 5).count()

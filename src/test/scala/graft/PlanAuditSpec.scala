@@ -38,7 +38,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     "doc_unigram_logprob",    // 1-row token-total broadcast crossJoin
     "doc_bigram_logprob",     // same 1-row token-total broadcast crossJoin
     "doc_tfidf_topterms",     // 1-row corpus-size (N) broadcast crossJoin
-    "dedup_tfidf_cosine"      // same 1-row N broadcast; pair join is term-equi
+    "dedup_tfidf_cosine",     // same 1-row N broadcast; pair join is term-equi
+    "cms_token_freq",         // 1-row r-cardinality guard broadcast crossJoin
+                              // (FreqSketch.estimate depth validation, r16)
+    "cms_incremental_final"   // same 1-row guard crossJoin
   )
 
   test("no unintentional cartesian/nested-loop joins across the contract") {

@@ -279,6 +279,50 @@ class SimilaritySearchSpec extends AnyFunSuite with SparkTestBase {
       iters = 2).count() === 8L)
   }
 
+  test("bandBucketsF == per-plane lshBandBucket bit-for-bit at several shapes") {
+    // the one-kernel form replaces tables x bits separate expression
+    // trees at auto-sized code lengths; every stored band and every
+    // banded oracle relies on the buckets being IDENTICAL
+    val emb = Tables.embeddings(spark, sf)
+    Seq((4, 16), (3, 12), (5, 19), (1, 8)).foreach { case (tables, bits) =>
+      val kernel = emb.select(col("vec_id"),
+        graft.functions.VectorFunctions.bandBucketsF(col("embedding"),
+          tables, bits).as("b"))
+      val perPlane = emb.select(col("vec_id"),
+        array((0 until tables).map(t =>
+          SimilaritySearch.lshBandBucket(col("embedding"), t, bits)): _*)
+          .as("b"))
+      assert(kernel.exceptAll(perPlane).isEmpty &&
+        perPlane.exceptAll(kernel).isEmpty,
+        s"bucket mismatch at ${tables}x$bits")
+    }
+  }
+
+  test("autoBandBits/autoBandTables: the corpus-sized banding rule") {
+    import graft.operators.SimilaritySearch.{autoBandBits, autoBandTables}
+    // meets the long-standing 16-bit default at n = 32k
+    assert(autoBandBits(32000) === 16)
+    assert(autoBandTables(16) === 4)
+    // 10x corpus -> 4 more bits (occupancy held), 2 more tables (recall held)
+    assert(autoBandBits(320000) === 20)
+    assert(autoBandTables(20) === 6)
+    // occupancy invariant: n / 2^bits stays within [occ/2, occ] off-clamp
+    Seq(100000L, 1000000L, 100000000L, 10000000000L).foreach { n =>
+      val b = autoBandBits(n)
+      val occ = n.toDouble / math.pow(2.0, b)
+      assert(occ <= 0.5 + 1e-9 && occ > 0.25 - 1e-9,
+        s"occupancy $occ out of band at n=$n (bits=$b)")
+    }
+    // monotone in n; clamped at the edges
+    assert(autoBandBits(0) === 8 && autoBandBits(10) === 8)
+    assert(autoBandBits(Long.MaxValue) === 48)
+    val bitsSeq = Seq(1L, 1000L, 100000L, 10000000L).map(autoBandBits(_))
+    assert(bitsSeq === bitsSeq.sorted)
+    // more bits never needs fewer tables at the same target
+    val tabSeq = Seq(12, 16, 20, 24).map(autoBandTables(_))
+    assert(tabSeq === tabSeq.sorted)
+  }
+
   test("lshBucket is deterministic and within bit range") {
     val corpus = Tables.embeddings(spark, sf).limit(50)
     val b1 = corpus.select(SimilaritySearch.lshBucket(col("embedding"), 8).as("b"))
