@@ -129,6 +129,17 @@ object Dedup {
       df.checkpoint(false)
     else df.localCheckpoint(false)
 
+  /** The [[shingles]] relation WITHOUT the per-doc `sz` window — for
+    * consumers that aggregate their own per-doc totals
+    * ([[Relevance.noveltyScores]]): the window's shuffle+sort by id is
+    * pure waste when `sz` goes unread. Always shared (checkpointed)
+    * because such consumers read it more than once.
+    */
+  private[graft] def noveltyRows(docs: DataFrame, n: Int, idCol: String,
+      textCol: String, maxDocFreq: Option[Long]): DataFrame =
+    dfCap(sharedRelation(shingleRows(docs, idCol, textCol, n)), "s",
+      maxDocFreq).withColumnRenamed("s", "shingle")
+
   def shingles(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
       textCol: String = "text", maxDocFreq: Option[Long] = None,
       materialize: Boolean = false): DataFrame = {

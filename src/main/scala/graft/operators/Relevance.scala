@@ -69,21 +69,27 @@ object Relevance {
     * novelty = templated/syndicated text a diversity-weighted curation
     * pass down-samples.
     *
-    * Shape: the [[Dedup.shingles]] relation (distinct per doc, df-cap
-    * guard available) → a shingle-keyed df hash aggregate → one
-    * shingle-equi join back + per-doc aggregate. Vocabulary-sized
-    * intermediates only; the same plan class as tf·idf.
+    * Shape: the distinct-per-doc shingle relation → ONE shingle-keyed
+    * hash aggregate carrying `(df, min(id))` → per-doc re-aggregate.
+    * A df==1 shingle occurs in exactly one document, so `min(id)` IS
+    * its owning doc — the full-relation join back to the df table
+    * (which re-shuffled every (id, shingle) row a second time) carries
+    * no information the aggregate didn't already have. Per-doc totals
+    * are a separate tiny partial-aggregated pass over the shared
+    * relation; everything after the shingle aggregate is
+    * vocabulary-sized or doc-count-sized.
     */
   def noveltyScores(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
       textCol: String = "text",
       maxDocFreq: Option[Long] = None): DataFrame = {
-    val sh = Dedup.shingles(docs, n, idCol, textCol, maxDocFreq,
-      materialize = true)
-    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    sh.join(dfreq, Seq("shingle"))
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("novel_shingles"))
+    val sh = Dedup.noveltyRows(docs, n, idCol, textCol, maxDocFreq)
+    val novel = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"), min(col("id")).as("id"))
+      .filter(col("df") === 1L)
+      .groupBy(col("id")).agg(count(lit(1)).as("novel_shingles"))
+    sh.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
+      .join(novel, Seq("id"), "left")
+      .withColumn("novel_shingles", coalesce(col("novel_shingles"), lit(0L)))
       .withColumn("novelty",
         col("novel_shingles") / col("n_shingles").cast("double"))
   }
