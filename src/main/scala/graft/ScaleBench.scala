@@ -53,6 +53,27 @@ object ScaleBench {
       case c => c
     }
 
+  /** Document replicas beyond the letter rotation's 26: replica `i`
+    * composes rotation (i % 26) with a per-GROUP token suffix `~g`
+    * (g = i / 26; group 0 is bare, so replicas 0..9 are exactly the
+    * 10x corpus's own). The suffix preserves whitespace token counts
+    * and within-replica n-gram structure while making cross-group
+    * shingles disjoint (no bare token equals a suffixed one), so the
+    * global df relation stays exactly `factor` disjoint copies of the
+    * source's — the same honesty discipline as the first decade
+    * (rotation alone would repeat at i = 26 and square the dfs).
+    */
+  private def replicateDocs(src: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { i =>
+      val rot = src
+        .withColumn("doc_id", col("doc_id") + lit(i * Block))
+        .withColumn("text", translate(col("text"),
+          Lower + Upper, shifted(Lower, i % 26) + shifted(Upper, i % 26)))
+      if (i < 26) rot
+      else rot.withColumn("text",
+        regexp_replace(col("text"), "(\\S+)", "$1~" + (i / 26)))
+    }.reduce(_ unionByName _)
+
   /** Ten disjoint-id (and for text, letter-rotated) replicas. */
   private def replicate(src: DataFrame, factor: Int,
       idCols: Seq[String], textCols: Seq[String]): DataFrame =
@@ -329,10 +350,46 @@ object ScaleBench {
       s"""{"error":"${Option(e.getMessage).getOrElse(e.getClass.getName).take(200).replace("\"", "'")}"}"""
     }
 
+    // SECOND-DECADE DOCUMENT DATAPOINT (r16): the inverted-index
+    // dedup families and the novelty scorer at 10x AND 100x documents
+    // (500k docs), both measured in THIS run so the ratio is
+    // same-machine/same-warmth. [[replicateDocs]] keeps the workload
+    // an exact 100 disjoint copies (rotation x group suffix), so
+    // ratio_100_over_10 ~ 10 is the linear reading; well under 10
+    // means fixed overhead still amortizing, well over means a
+    // superlinear term the first decade was too small to expose.
+    val docsDecade = try {
+      val docs100Dir = new java.io.File(outDir).getParent + "/docs100"
+      if (!new java.io.File(s"$docs100Dir/documents.parquet/_SUCCESS")
+          .exists()) {
+        System.err.println(s"[scale] building 100x documents at $docs100Dir")
+        replicateDocs(Tables.documents(spark, srcDir), 100)
+          .write.mode("overwrite").parquet(s"$docs100Dir/documents.parquet")
+      }
+      val parts = Seq("dedup_ngram_jaccard", "dedup_prefix_jaccard",
+        "doc_ngram_novelty").map { name =>
+        val q = SparkEntry.queries(name)
+        val s10 = time(q(spark, outDir).count())
+        val s100 = time(q(spark, docs100Dir).count())
+        System.err.println(f"[scale] $name: 10x $s10%.2f s -> 100x " +
+          f"$s100%.2f s (ratio ${s100 / s10}%.2f)")
+        s""""$name":{"x10_sec":${jnum(s10)},"x100_sec":${jnum(s100)},"ratio_100_over_10":${jnum(s100 / s10)}}"""
+      }
+      // record the JVM heap: 100x in ONE JVM needs cluster-normal
+      // per-core memory (the default 8g over 32 threads is 0.25g/core
+      // — the 55M-row checkpointed shingle relation OOMs the harness,
+      // not the plan)
+      val heapGb = Runtime.getRuntime.maxMemory() / (1L << 30)
+      s"""{"heap_gb":$heapGb,${parts.mkString(",")}}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[scale] docs second decade FAILED — ${e.getMessage}")
+      s"""{"error":"${Option(e.getMessage).getOrElse(e.getClass.getName).take(200).replace("\"", "'")}"}"""
+    }
+
     val line =
       s"""{"factor":$Factor,"src":"$srcDir","derived":"$outDir","derived_rows":{${
         rows.toSeq.sortBy(_._1).map { case (t, n) => s""""$t":$n""" }.mkString(",")
-      }},"graph_prep":{"sf01_sec":${jnum(prep01)},"sf1_sec":${jnum(prep1)},"ratio":${jnum(prep1 / prep01)}},"shard_deal_orders":$shardDeal,"ingest":$ingest,"ann_auto":$annAuto,"families":{${fams.mkString(",")}}}"""
+      }},"graph_prep":{"sf01_sec":${jnum(prep01)},"sf1_sec":${jnum(prep1)},"ratio":${jnum(prep1 / prep01)}},"shard_deal_orders":$shardDeal,"ingest":$ingest,"ann_auto":$annAuto,"docs_second_decade":$docsDecade,"families":{${fams.mkString(",")}}}"""
     println(line)
     java.nio.file.Files.write(java.nio.file.Paths.get(jsonPath),
       (line + "\n").getBytes("UTF-8"))
