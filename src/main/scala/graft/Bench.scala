@@ -21,53 +21,11 @@ object Bench {
   private def jnum(d: Double): String =
     if (d.isNaN || d.isInfinite) "-1" else d.toString
 
-  private def load1m: Double = java.lang.management.ManagementFactory
-    .getOperatingSystemMXBean.getSystemLoadAverage
-
-  /** (busy jiffies across all cpus, this process's jiffies). Their
-    * DELTAS separate our own load from EXTERNAL load — loadavg alone
-    * cannot: the bench keeps cores busy by design, so "loadavg rose
-    * mid-run" does not distinguish a neighbor process from ourselves
-    * (r14's committed bench was ~30% inflated by exactly such a
-    * neighbor that arrived AFTER the start gate passed).
-    */
-  private def cpuJiffies(): (Long, Long) = {
-    val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
-      .find(_.startsWith("cpu ")).get.trim.split("\\s+").drop(1).map(_.toLong)
-    val idle = cpu(3) + (if (cpu.length > 4) cpu(4) else 0L) // idle+iowait
-    val busy = cpu.sum - idle
-    val stat = scala.io.Source.fromFile("/proc/self/stat").mkString
-    // fields after the parenthesized comm: state=0 ... utime=11 stime=12
-    val f = stat.substring(stat.lastIndexOf(')') + 2).split(" ")
-    (busy, f(11).toLong + f(12).toLong)
-  }
-
-  private val JiffiesPerSec = 100.0 // Linux USER_HZ
-
-  /** Time `thunk`, returning (seconds, avg EXTERNAL cpu cores busy
-    * during the window) — external = system busy minus this process.
-    */
-  private def timedExt(thunk: => Unit): (Double, Double) = {
-    val (b0, s0) = cpuJiffies()
-    val t0 = System.nanoTime()
-    thunk
-    val secs = (System.nanoTime() - t0) / 1e9
-    val (b1, s1) = cpuJiffies()
-    val ext = if (secs <= 0.0) 0.0
-      else math.max(0L, (b1 - b0) - (s1 - s0)) / JiffiesPerSec / secs
-    (secs, ext)
-  }
-
-  /** GC time (ms) summed across all collectors — deltas attribute a
-    * query's inflation to collection pressure (r15 verdict: a 3x-inflated
-    * row shipped with no way to tell GC contamination from a plan
-    * regression).
-    */
-  private def gcMillis(): Long = {
-    import scala.jdk.CollectionConverters._
-    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
-      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
-  }
+  // /proc-based external-CPU windows, GC deltas, and the co-resident-JVM
+  // scan are shared with ScaleBench via BenchGuard (r16 verdict items 1
+  // and 6: both contamination incidents were a concurrent sbt JVM that
+  // loadavg-at-start could not see)
+  import BenchGuard.{timedExt, cpuJiffies, gcMillis, JiffiesPerSec}
 
   /** Prior round's per-query timings from the committed BENCH_full.json
     * (read BEFORE this run overwrites it) — the reference for the
@@ -100,23 +58,22 @@ object Bench {
     // driver's run are the SAME experiment (r15 verdict: the 4-cpu
     // builder default and the 32-cpu driver run disagreed by round)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // Quiet-load gate: four consecutive rounds recorded their bench at
-    // loadavg 2-6, making per-query history untrustworthy. Wait (capped)
-    // for the 1-min loadavg to settle below the gate before measuring,
-    // and record the wait + the load at measurement start in the artifact
-    // so a still-contaminated run is self-flagging rather than silent.
+    // Quiet-start gate: four consecutive rounds recorded their bench at
+    // loadavg 2-6, making per-query history untrustworthy, and both r15
+    // and r16 contaminations were a co-resident sbt JVM specifically.
+    // Wait (capped) for the 1-min loadavg to settle below the gate AND
+    // for any other sbt/Spark JVM to exit before measuring; record the
+    // wait, the load at measurement start, and any surviving JVMs in the
+    // artifact so a still-contaminated run is self-flagging, not silent.
     val loadGate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "1.0").toDouble
     val loadWaitCap =
       sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_CAP_SEC", "600").toInt
-    val gateT0 = System.nanoTime()
-    while (load1m >= loadGate &&
-        (System.nanoTime() - gateT0) / 1e9 < loadWaitCap) {
-      System.err.println(f"[bench] loadavg ${load1m}%.2f >= $loadGate%.1f" +
-        f" — waiting for quiet (cap ${loadWaitCap}s)")
-      Thread.sleep(15000)
-    }
-    val loadWaitSec = (System.nanoTime() - gateT0) / 1e9
-    val loadAtStart = load1m
+    val (loadWaitSec, loadAtStart, coResident) =
+      BenchGuard.quietGate("bench", loadGate, loadWaitCap)
+    if (coResident.nonEmpty)
+      System.err.println(s"[bench] WARNING: proceeding with " +
+        s"${coResident.size} co-resident JVM(s) still alive — " +
+        "artifact is annotated")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -516,7 +473,8 @@ object Bench {
       s"${jstr(n)}:[${jnum(a)},${jnum(b)}]" }.mkString("{", ",", "}")
     val gcObj = gcByQuery.map { case (n, g) => s"${jstr(n)}:${jnum(g)}" }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":${resultsAll.count(_._2.isLeft)},"loadavg":$loadAvg,"load_at_start":${jnum(loadAtStart)},"load_wait_sec":${jnum(loadWaitSec)},"external_cpu_cores":${jnum(runExtCores)},"cpus":$cpus,"retimed_queries":$retimedObj,"rerun_delta":$rerunDelta,"rerun_queries":$rerunNames,"ann_recall":$annRecall,"bpe_batched":$bpe,"ingest":$ingest,"c4_pipeline":$c4,"scaleup":$scaleup,"streaming":$streaming,"sf":"$sfDir","errors":$errs,"gc_sec":$gcObj,"queries":$qs}"""
+    val coResObj = coResident.map(jstr).mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":${resultsAll.count(_._2.isLeft)},"loadavg":$loadAvg,"load_at_start":${jnum(loadAtStart)},"load_wait_sec":${jnum(loadWaitSec)},"external_cpu_cores":${jnum(runExtCores)},"co_resident_jvms":$coResObj,"cpus":$cpus,"retimed_queries":$retimedObj,"rerun_delta":$rerunDelta,"rerun_queries":$rerunNames,"ann_recall":$annRecall,"bpe_batched":$bpe,"ingest":$ingest,"c4_pipeline":$c4,"scaleup":$scaleup,"streaming":$streaming,"sf":"$sfDir","errors":$errs,"gc_sec":$gcObj,"queries":$qs}"""
     println(line)
     // belt-and-braces: the identical JSON, committed as its own file —
     // the durable copy of every per-query timing regardless of what the
@@ -526,6 +484,18 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $fullPath — ${e.getMessage}")
     }
+    // LAST line compact (r16 verdict item 8): the round runner keeps only
+    // a ~2 KB tail of stdout, so the 17 KB full line above truncates into
+    // unparseable JSON in BENCH_r<N>.json. This final line carries the
+    // verdict-grade headline plus the 10 slowest queries and fits the
+    // tail whole; the complete per-query map lives in the full line above
+    // AND in the committed BENCH_full.json it names.
+    def r3(d: Double): String =
+      if (d.isNaN || d.isInfinite) "-1" else (math.rint(d * 1000) / 1000).toString
+    val slow10 = results.collect { case (k, Right(v)) => k -> v }
+      .sortBy(-_._2).take(10)
+      .map { case (k, v) => s"${jstr(k)}:${r3(v)}" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${resultsAll.size},"failed":${resultsAll.count(_._2.isLeft)},"cpus":$cpus,"loadavg":${r3(loadAvg)},"load_at_start":${r3(loadAtStart)},"load_wait_sec":${r3(loadWaitSec)},"external_cpu_cores":${r3(runExtCores)},"co_resident_jvms":${coResident.size},"rerun_delta":${r3(rerunDelta)},"retimed":${retimed.size},"queries":$slow10,"queries_shown":"10_slowest_of_${resultsAll.size}","queries_full":"BENCH_full.json"}""")
     spark.stop()
     // rc mirrors the "failed" field: the contract line (stdout + BENCH_full)
     // is already emitted above, so a nonzero exit loses nothing — it just

@@ -1,0 +1,127 @@
+package graft
+
+/** Shared measurement-trust utilities for [[Bench]] and [[ScaleBench]]
+  * (r16 verdict items 1 and 6): the committed scale-up numbers were
+  * contaminated twice (r15, r16) by co-located load that the plain
+  * wall-clock `time(thunk)` could not see — `graph_prep`'s committed
+  * 10x row drifted 11.8 s → 39.8 s → 71.5 s across one round's reruns
+  * of UNCHANGED code while a fresh quiet JVM read 8.0 s. Both
+  * measurement mains now share one immune system:
+  *
+  *  - [[timedExt]] reads `/proc/stat` around the window and reports the
+  *    average EXTERNAL cpu cores busy (system busy minus this process)
+  *    — loadavg alone cannot separate a neighbor from the bench itself;
+  *  - [[coResidentJvms]] names any OTHER sbt/Spark/graft JVM alive on
+  *    the box (excluding this process and its ancestors) so a run that
+  *    starts next to a test suite is self-flagging in the artifact,
+  *    not silently inflated — both contamination incidents were exactly
+  *    a concurrent sbt JVM;
+  *  - [[quietGate]] waits (capped) for the 1-min loadavg to settle AND
+  *    for co-resident JVMs to exit before measuring, and returns what
+  *    it saw so the artifact records the starting conditions either way.
+  */
+object BenchGuard {
+
+  def load1m: Double = java.lang.management.ManagementFactory
+    .getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** (busy jiffies across all cpus, this process's jiffies). Their
+    * DELTAS separate our own load from EXTERNAL load — loadavg alone
+    * cannot: the bench keeps cores busy by design, so "loadavg rose
+    * mid-run" does not distinguish a neighbor process from ourselves.
+    */
+  def cpuJiffies(): (Long, Long) = {
+    val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+      .find(_.startsWith("cpu ")).get.trim.split("\\s+").drop(1).map(_.toLong)
+    val idle = cpu(3) + (if (cpu.length > 4) cpu(4) else 0L) // idle+iowait
+    val busy = cpu.sum - idle
+    val stat = scala.io.Source.fromFile("/proc/self/stat").mkString
+    // fields after the parenthesized comm: state=0 ... utime=11 stime=12
+    val f = stat.substring(stat.lastIndexOf(')') + 2).split(" ")
+    (busy, f(11).toLong + f(12).toLong)
+  }
+
+  val JiffiesPerSec = 100.0 // Linux USER_HZ
+
+  /** Time `thunk`, returning (seconds, avg EXTERNAL cpu cores busy
+    * during the window) — external = system busy minus this process.
+    */
+  def timedExt(thunk: => Unit): (Double, Double) = {
+    val (b0, s0) = cpuJiffies()
+    val t0 = System.nanoTime()
+    thunk
+    val secs = (System.nanoTime() - t0) / 1e9
+    val (b1, s1) = cpuJiffies()
+    val ext = if (secs <= 0.0) 0.0
+      else math.max(0L, (b1 - b0) - (s1 - s0)) / JiffiesPerSec / secs
+    (secs, ext)
+  }
+
+  /** GC time (ms) summed across all collectors — deltas attribute a
+    * query's inflation to collection pressure.
+    */
+  def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
+  /** Other JVMs on this box that look like competing measurement noise:
+    * a java process (not this one, not an ancestor of it — sbt runs
+    * mains in-process or forked, so the launcher chain is ours) whose
+    * command line mentions sbt, Spark, scala, or this project. Returns
+    * one short description per hit for the artifact.
+    */
+  def coResidentJvms(): Seq[String] = {
+    var ancestors = Set(ProcessHandle.current().pid())
+    var h = ProcessHandle.current()
+    while (h.parent().isPresent) {
+      h = h.parent().get(); ancestors += h.pid()
+    }
+    val procs = Option(new java.io.File("/proc").listFiles())
+      .getOrElse(Array.empty)
+    procs.iterator
+      .filter(d => d.getName.nonEmpty && d.getName.forall(_.isDigit))
+      .flatMap { d =>
+        val pid = d.getName.toLong
+        if (ancestors(pid)) None
+        else try {
+          val raw = java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(s"/proc/$pid/cmdline"))
+          val argv = new String(raw, "UTF-8").split('\u0000').filter(_.nonEmpty)
+          val exe = argv.headOption.getOrElse("")
+          val isJvm = exe.endsWith("java") || exe.endsWith("/java")
+          val suspicious = argv.exists(a => a.contains("sbt") ||
+            a.contains("spark") || a.contains("graft") ||
+            a.contains("scala"))
+          if (isJvm && suspicious)
+            Some(s"pid=$pid ${argv.take(2).mkString(" ").take(100)}")
+          else None
+        } catch { case _: Throwable => None } // raced exit / no permission
+      }.toSeq
+  }
+
+  /** Wait (capped) until the 1-min loadavg is below `loadGate` and no
+    * co-resident measurement JVM is alive, logging progress to stderr.
+    * Returns (seconds waited, loadavg at measurement start, co-resident
+    * JVMs STILL alive at measurement start) — a run that proceeds
+    * contaminated is self-flagging in the artifact, never silent.
+    */
+  def quietGate(tag: String, loadGate: Double,
+      capSec: Int): (Double, Double, Seq[String]) = {
+    val t0 = System.nanoTime()
+    var jvms = coResidentJvms()
+    while ((load1m >= loadGate || jvms.nonEmpty) &&
+        (System.nanoTime() - t0) / 1e9 < capSec) {
+      val why = (if (load1m >= loadGate) Seq(f"loadavg ${load1m}%.2f >= $loadGate%.1f")
+        else Seq.empty) ++
+        (if (jvms.nonEmpty) Seq(s"${jvms.size} co-resident JVM(s): ${jvms.head}")
+        else Seq.empty)
+      System.err.println(s"[$tag] ${why.mkString("; ")} — waiting for quiet " +
+        s"(cap ${capSec}s)")
+      Thread.sleep(15000)
+      jvms = coResidentJvms()
+    }
+    ((System.nanoTime() - t0) / 1e9, load1m, jvms)
+  }
+}

@@ -11,6 +11,18 @@ import org.apache.spark.sql.functions._
   * sf0.1 → sf1 wall-time ratios to SCALEUP.json, which [[Bench]]
   * embeds into BENCH_full.json as the "scaleup" section.
   *
+  * MEASUREMENT TRUST (r16 verdict item 1): the r16-committed
+  * `graph_prep` 10x row was ~9x inflated by co-located load (71.5 s
+  * committed vs 8.0 s on a quiet JVM — the artifact's own history
+  * showed 11.8 → 39.8 → 71.5 s for unchanged code as reruns piled onto
+  * the box). Every probe here now runs through [[GuardedTimer]]:
+  * per-probe external-CPU windows ([[BenchGuard.timedExt]]), a
+  * prior-value retime against the previous SCALEUP.json, and the
+  * quiet-start gate (loadavg + co-resident sbt/Spark JVM scan) that
+  * [[Bench]] already had — with the per-probe external-CPU and every
+  * (first, retime) pair recorded in the artifact, so a contaminated
+  * number is visible or corrected, never silent.
+  *
   * Replica construction keeps the scaling HONEST:
   *  - ids shift by replica * 10^7, far above every in-query plant
   *    offset (+100000/+400000/...), so plants never collide with a
@@ -39,6 +51,13 @@ object ScaleBench {
   private def jnum(d: Double): String =
     if (d.isNaN || d.isInfinite) "-1" else d.toString
 
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   val Factor = 10
   private val Block = 10000000L // replica id stride, above every plant offset
 
@@ -62,6 +81,12 @@ object ScaleBench {
     * global df relation stays exactly `factor` disjoint copies of the
     * source's — the same honesty discipline as the first decade
     * (rotation alone would repeat at i = 26 and square the dfs).
+    *
+    * PRECONDITION (ADVICE r16): every source token must contain a
+    * letter (a letterless token is rotation-invariant and would repeat
+    * across the 26 rotations of a group) and no token may contain '~'
+    * (it would collide with the group suffix). [[replicaInvariantViolations]]
+    * counts offenders on the source so the artifact carries the check.
     */
   private def replicateDocs(src: DataFrame, factor: Int): DataFrame =
     (0 until factor).map { i =>
@@ -74,7 +99,17 @@ object ScaleBench {
         regexp_replace(col("text"), "(\\S+)", "$1~" + (i / 26)))
     }.reduce(_ unionByName _)
 
-  /** Ten disjoint-id (and for text, letter-rotated) replicas. */
+  /** Docs whose text breaks [[replicateDocs]]'s disjoint-copies df
+    * invariant: a whitespace token with no letter (rotation-invariant)
+    * or containing '~' (group-suffix collision). Zero on the bundled
+    * sf0.1 corpus; counted into the artifact so a future corpus that
+    * violates it is self-flagging instead of silently inflating dfs.
+    */
+  private def replicaInvariantViolations(src: DataFrame): Long =
+    src.filter(col("text").rlike("(^|\\s)[^A-Za-z\\s]+(\\s|$)") ||
+      col("text").contains("~")).count()
+
+  /** `factor` disjoint-id (and for text, letter-rotated) replicas. */
   private def replicate(src: DataFrame, factor: Int,
       idCols: Seq[String], textCols: Seq[String]): DataFrame =
     (0 until factor).map { i =>
@@ -103,10 +138,90 @@ object ScaleBench {
       Seq("o_orderkey", "o_custkey"), Seq.empty), "orders")
   }
 
+  /** Prior run's numbers from the committed SCALEUP.json, flattened to
+    * dotted paths ("families.graph_pagerank.sf1_sec" -> 6.1) — the
+    * reference for the prior-value retime rule. Empty when
+    * absent/unparseable.
+    */
+  private def flattenPrior(path: String): Map[String, Double] =
+    try {
+      val p = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = mapper.readTree(java.nio.file.Files.readAllBytes(p))
+        val b = Map.newBuilder[String, Double]
+        def walk(prefix: String,
+            n: com.fasterxml.jackson.databind.JsonNode): Unit =
+          if (n.isObject) {
+            val it = n.fields()
+            while (it.hasNext) {
+              val e = it.next()
+              walk(if (prefix.isEmpty) e.getKey
+                else prefix + "." + e.getKey, e.getValue)
+            }
+          } else if (n.isNumber) b += prefix -> n.asDouble()
+        walk("", root)
+        b.result()
+      }
+    } catch { case _: Throwable => Map.empty }
+
+  /** [[Bench]]'s immune system, per ScaleBench probe: every window
+    * records its external-CPU cores; a RE-RUNNABLE probe that saw
+    * > `extGate` external cores OR ran > `priorGate` x its own
+    * prior-run figure (and > 0.5 s above it — sub-second probes
+    * otherwise retime on noise) is re-run once, both timings recorded,
+    * headline = min. Cache fills and store-mutating probes use
+    * [[timeNoRetime]] — a rerun would measure the cache or corrupt the
+    * store — and carry the external-CPU annotation only.
+    */
+  private final class GuardedTimer(prior: Map[String, Double],
+      extGate: Double, priorGate: Double) {
+    val retimed =
+      scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    val extCpu = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+    def timeNoRetime(key: String)(thunk: => Unit): Double = {
+      val (s, ext) = BenchGuard.timedExt(thunk)
+      extCpu(key) = ext
+      if (ext > extGate)
+        System.err.println(f"[scale] $key at $s%.2fs saw $ext%.2f external" +
+          " cores (probe not re-runnable — annotated, not retimed)")
+      s
+    }
+
+    def time(key: String)(thunk: => Unit): Double = {
+      val (s, ext) = BenchGuard.timedExt(thunk)
+      extCpu(key) = ext
+      val priorBad = prior.get(key)
+        .exists(p => p > 0 && s > priorGate * p && s - p > 0.5)
+      if (ext > extGate || priorBad) {
+        val why = if (ext > extGate) f"$ext%.2f external cores"
+          else f"${s / prior(key)}%.1fx its prior ${prior(key)}%.2fs"
+        System.err.println(f"[scale] $key at $s%.2fs saw $why — retiming")
+        val (s2, _) = BenchGuard.timedExt(thunk)
+        retimed(key) = (s, s2)
+        math.min(s, s2)
+      } else s
+    }
+
+    def extJson: String = extCpu
+      .map { case (k, v) => s"${jstr(k)}:${jnum(v)}" }.mkString("{", ",", "}")
+    def retimedJson: String = retimed
+      .map { case (k, (a, b)) => s"${jstr(k)}:[${jnum(a)},${jnum(b)}]" }
+      .mkString("{", ",", "}")
+  }
+
   /** The families measured, mirroring the r13 verdict's list, plus the
     * banded-LSH contrast for the quadratic brute-force baseline.
+    * `dedup_prefix_jaccard` (t=0.5) now exercises the THRESHOLD GATE
+    * (r16 verdict item 2: it dispatches to the plain inverted join
+    * below the crossover — its ratio should match dedup_ngram_jaccard's
+    * now); `dedup_prefix_jaccard_hi` (t=0.8) measures the prefix plan
+    * in its own regime.
     */
   private val Families = Seq("c4_end_to_end", "dedup_prefix_jaccard",
+    "dedup_prefix_jaccard_hi",
     "dedup_ngram_jaccard", "graph_pagerank", "bpe_encode_tokens",
     "ann_incremental_topk", "ann_lsh_banded_topk",
     // r15 families: the bloom decontamination chain over the 10x corpus
@@ -117,44 +232,51 @@ object ScaleBench {
     * relational families above measure query cost vs corpus size; this
     * measures what a CONTINUOUS-INGESTION deployment cares about — the
     * cost of ONE fixed-size batch against a store built from a 1x vs a
-    * 10x corpus. The O(batch + collisions) claim predicts near-flat
-    * probe cost; [[DeltaLog.compact]] is corpus-proportional BY DESIGN
-    * (it rewrites the folded base) and is reported as such — its cost
-    * amortizes over the grace window, not per batch.
+    * 10x (and, in the second-decade section, 100x) corpus. The
+    * O(batch + collisions) claim predicts near-flat probe cost;
+    * [[graft.operators.IncrementalBoilerplate.compact]] is
+    * corpus-proportional BY DESIGN (it rewrites the folded base) and is
+    * reported as such — its cost amortizes over the grace window, not
+    * per batch.
     *
-    * The probe batch is the same 500 documents at both scales (fresh
-    * ids far above both corpora): its text exists ONCE in each store
-    * (the 10x replicas are letter-rotated, sharing no shingles), so
-    * collision volume is held constant and the measurement isolates
-    * store-size dependence.
+    * The probe batch is the same 500 documents at every scale (fresh
+    * ids far above every replica block): its text exists ONCE in each
+    * store (the replicas are letter-rotated/suffixed, sharing no
+    * shingles), so collision volume is held constant and the
+    * measurement isolates store-size dependence. Probes mutate the
+    * store, so they ride [[GuardedTimer.timeNoRetime]] (external-CPU
+    * annotated, not re-run).
     */
   private def ingestProbe(spark: SparkSession, docs: DataFrame,
-      probe: DataFrame, base: String): Map[String, Double] = {
+      probe: DataFrame, base: String, timer: GuardedTimer,
+      keyPrefix: String, batchRows: Int = 2500): Map[String, Double] = {
     import graft.operators.{IncrementalBoilerplate, IncrementalDedup}
-    def time(thunk: => Unit): Double = {
-      val t0 = System.nanoTime(); thunk; (System.nanoTime() - t0) / 1e9
-    }
     val d = docs.localCheckpoint(false)
     val n = d.count()
-    val setupBatches = math.max(1L, (n + 2499) / 2500).toInt
+    val setupBatches = math.max(1L, (n + batchRows - 1) / batchRows).toInt
     var setupSec = 0.0
     (0 until setupBatches).foreach { i =>
       val b = d.filter(pmod(col("doc_id"), lit(setupBatches)) === i)
-      setupSec += time {
+      setupSec += timer.timeNoRetime(s"$keyPrefix.setup_batch_$i") {
         IncrementalDedup.ingestBatch(b, s"$base/sigs", i.toLong).count()
         IncrementalBoilerplate.updateStore(s"$base/unitdf", i.toLong, b)
       }
     }
-    val probeIngest = time {
+    // setup batches are store construction, not the datapoint — drop
+    // their per-batch ext entries, keep one aggregate for the artifact
+    val setupExt = (0 until setupBatches).map(i =>
+      timer.extCpu.remove(s"$keyPrefix.setup_batch_$i").getOrElse(0.0)).max
+    timer.extCpu(s"$keyPrefix.setup_sec") = setupExt
+    val probeIngest = timer.timeNoRetime(s"$keyPrefix.probe_ingest_sec") {
       IncrementalDedup.ingestBatch(probe, s"$base/sigs", 900L).count()
     }
-    val probeBoiler = time {
+    val probeBoiler = timer.timeNoRetime(s"$keyPrefix.probe_boilerplate_sec") {
       IncrementalBoilerplate.updateStore(s"$base/unitdf", 900L, probe)
     }
-    val foldRead = time {
+    val foldRead = timer.time(s"$keyPrefix.fold_read_sec") {
       IncrementalBoilerplate.readUnitDf(spark, s"$base/unitdf").get.count()
     }
-    val compactSec = time {
+    val compactSec = timer.timeNoRetime(s"$keyPrefix.compact_sec") {
       IncrementalBoilerplate.compact(spark, s"$base/unitdf")
     }
     Map("docs" -> n.toDouble, "setup_batches" -> setupBatches.toDouble,
@@ -170,6 +292,23 @@ object ScaleBench {
       .getOrElse("/root/repo/target/scaleup/sf1_derived")
     val jsonPath = args.lift(2).getOrElse("/root/repo/SCALEUP.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+    // quiet-start gate + co-resident JVM scan (r16 verdict item 6: both
+    // contamination incidents were a concurrent sbt JVM); survivors are
+    // recorded in the artifact, never silent
+    val loadGate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "1.0").toDouble
+    val loadWaitCap =
+      sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_CAP_SEC", "600").toInt
+    val (loadWaitSec, loadAtStart, coResident) =
+      BenchGuard.quietGate("scale", loadGate, loadWaitCap)
+    if (coResident.nonEmpty)
+      System.err.println(s"[scale] WARNING: proceeding with " +
+        s"${coResident.size} co-resident JVM(s) alive — artifact annotated")
+
+    val extGate = sys.env.getOrElse("SPARK_GRAFT_EXT_CPU_GATE", "0.75").toDouble
+    val priorGate = sys.env.getOrElse("SPARK_GRAFT_PRIOR_GATE", "2.0").toDouble
+    val timer = new GuardedTimer(flattenPrior(jsonPath), extGate, priorGate)
+
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -192,20 +331,25 @@ object ScaleBench {
       .foreach(q => try SparkEntry.queries(q)(spark, warmDir).count()
         catch { case _: Throwable => () })
 
-    def time(thunk: => Unit): Double = {
-      val t0 = System.nanoTime()
-      thunk
-      (System.nanoTime() - t0) / 1e9
-    }
     // graph prep tracked separately at each scale (the Bench
-    // accounting), so graph_pagerank measures the recurrence both times
-    val prep01 = time(SparkEntry.copurchasePrepared(spark, srcDir).count())
-    val prep1 = time(SparkEntry.copurchasePrepared(spark, outDir).count())
+    // accounting), so graph_pagerank measures the recurrence both
+    // times. The thunk EVICTS the shared co-purchase cache first, so a
+    // retime rebuilds for real instead of measuring the cache — the
+    // r16-contaminated row had no honest retime path for exactly this
+    // reason.
+    def prepThunk(dir: String): Unit = {
+      SparkEntry.copurchaseEvict(spark, dir)
+      SparkEntry.copurchasePrepared(spark, dir).count()
+    }
+    val prep01 = timer.time("graph_prep.sf01_sec")(prepThunk(srcDir))
+    val prep1 = timer.time("graph_prep.sf1_sec")(prepThunk(outDir))
 
     val fams = Families.map { name =>
       val q = SparkEntry.queries(name)
-      val s01 = time(q(spark, srcDir).count())
-      val s1 = time(q(spark, outDir).count())
+      val s01 = timer.time(s"families.$name.sf01_sec")(
+        q(spark, srcDir).count())
+      val s1 = timer.time(s"families.$name.sf1_sec")(
+        q(spark, outDir).count())
       System.err.println(f"[scale] $name: sf0.1 $s01%.2f s -> 10x $s1%.2f s" +
         f" (ratio ${s1 / s01}%.2f)")
       s""""$name":{"sf01_sec":${jnum(s01)},"sf1_sec":${jnum(s1)},"ratio":${jnum(s1 / s01)}}"""
@@ -215,13 +359,12 @@ object ScaleBench {
     // table is only 50k rows at 10x — orders gives the two-phase rank
     // 150k -> 1.5M unique ids to deal into 64 shards)
     val shardDeal = try {
-      def deal(dir: String): Double = time {
+      def deal(dir: String): Unit =
         graft.operators.TrainShards.shardAssign(
           Tables.orders(spark, dir).select(col("o_orderkey")),
           idCol = "o_orderkey", numShards = 64).count()
-      }
-      val s01 = deal(srcDir)
-      val s1 = deal(outDir)
+      val s01 = timer.time("shard_deal_orders.sf01_sec")(deal(srcDir))
+      val s1 = timer.time("shard_deal_orders.sf1_sec")(deal(outDir))
       System.err.println(f"[scale] shard_deal_orders: sf0.1 $s01%.2f s -> " +
         f"10x $s1%.2f s (ratio ${s1 / s01}%.2f)")
       s"""{"sf01_sec":${jnum(s01)},"sf1_sec":${jnum(s1)},"ratio":${jnum(s1 / s01)}}"""
@@ -230,17 +373,22 @@ object ScaleBench {
     }
 
     // ingest-path stores: one fixed 500-doc probe batch against a store
-    // built from the 1x vs the 10x corpus (same probe text both times)
+    // built from the 1x vs the 10x corpus (same probe text both times).
+    // Probe ids sit at +100*Block — ABOVE every replica block of both
+    // the 10x (blocks 0..9) and 100x (blocks 0..99) corpora; the
+    // previous +9*Block collided with the 10x corpus's replica 9
+    // (block [90M, 90M+105k]), making ~500 probe ids look like
+    // re-ingests of existing keys rather than fresh docs.
+    val probeDocs = Tables.documents(spark, srcDir)
+      .filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100 * Block).as("doc_id"), col("text"))
+      .localCheckpoint(false)
     val ingest = try {
-      val probe = Tables.documents(spark, srcDir)
-        .filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 9 * Block).as("doc_id"), col("text"))
-        .localCheckpoint(false)
       val tmp = java.nio.file.Files.createTempDirectory("scale_ingest").toString
       val one = ingestProbe(spark, Tables.documents(spark, srcDir)
-        .select("doc_id", "text"), probe, s"$tmp/x1")
+        .select("doc_id", "text"), probeDocs, s"$tmp/x1", timer, "ingest.x1")
       val ten = ingestProbe(spark, Tables.documents(spark, outDir)
-        .select("doc_id", "text"), probe, s"$tmp/x10")
+        .select("doc_id", "text"), probeDocs, s"$tmp/x10", timer, "ingest.x10")
       def sec(m: Map[String, Double], k: String) = m.getOrElse(k, -1.0)
       def obj(m: Map[String, Double]) = m.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""$k":${jnum(v)}""" }.mkString("{", ",", "}")
@@ -279,7 +427,6 @@ object ScaleBench {
     // pays, which the auto rule must hold ~flat.
     val annAuto = try {
       import graft.operators.{IncrementalAnn, SimilaritySearch}
-      import org.apache.spark.sql.DataFrame
       // 100x embeddings-only derived corpus (same replica discipline)
       val emb100Dir = new java.io.File(outDir).getParent + "/emb100"
       if (!new java.io.File(s"$emb100Dir/embeddings.parquet/_SUCCESS").exists()) {
@@ -321,19 +468,23 @@ object ScaleBench {
           val cand = SimilaritySearch.lshBandedCandidates(emb, planted,
             tables = tables, bitsPerTable = bits, multiProbe = true).count()
           var rec = -1.0
-          val sec = time {
+          val sec = timer.time(s"ann_auto.$tag.$cfgTag.banded_sec") {
             rec = recallOf(SimilaritySearch.lshBandedTopK(emb, planted,
               k = 10, tables = tables, bitsPerTable = bits,
               multiProbe = true), nq)
           }
-          // incremental: the fixed probe batch vs a store of this corpus
+          // incremental: the fixed probe batch vs a store of this
+          // corpus (store-mutating, so annotated-not-retimed)
           val store = java.nio.file.Files
             .createTempDirectory(s"annstore_${tag}_$cfgTag").toString
           IncrementalAnn.upsertIndex(IncrementalAnn.indexRows(emb,
             tables = tables, bitsPerTable = bits), store, 0L)
-          val incSec = time { IncrementalAnn.ingestBatch(probe, store, 1L,
-            k = 10, tables = tables, bitsPerTable = bits,
-            multiProbe = true).count() }
+          val incSec = timer.timeNoRetime(
+              s"ann_auto.$tag.$cfgTag.incremental_probe_sec") {
+            IncrementalAnn.ingestBatch(probe, store, 1L,
+              k = 10, tables = tables, bitsPerTable = bits,
+              multiProbe = true).count()
+          }
           System.err.println(f"[scale] ann $tag $cfgTag (${tables}x$bits): " +
             f"banded $sec%.2f s, recall $rec%.3f, " +
             f"cand/query ${cand.toDouble / math.max(1, nq)}%.1f, " +
@@ -350,46 +501,122 @@ object ScaleBench {
       s"""{"error":"${Option(e.getMessage).getOrElse(e.getClass.getName).take(200).replace("\"", "'")}"}"""
     }
 
-    // SECOND-DECADE DOCUMENT DATAPOINT (r16): the inverted-index
-    // dedup families and the novelty scorer at 10x AND 100x documents
-    // (500k docs), both measured in THIS run so the ratio is
-    // same-machine/same-warmth. [[replicateDocs]] keeps the workload
-    // an exact 100 disjoint copies (rotation x group suffix), so
-    // ratio_100_over_10 ~ 10 is the linear reading; well under 10
-    // means fixed overhead still amortizing, well over means a
-    // superlinear term the first decade was too small to expose.
-    val docsDecade = try {
-      val docs100Dir = new java.io.File(outDir).getParent + "/docs100"
+    // SECOND-DECADE DATAPOINT (r16, extended r17 per verdict item 4):
+    // 10x AND 100x measured in THIS run so each ratio is same-machine/
+    // same-warmth, across FIVE families plus the graph prep:
+    //   - the inverted-index dedup families and the novelty scorer over
+    //     100x documents (500k docs; replicateDocs keeps the workload
+    //     exactly 100 disjoint copies — rotation x group suffix — so
+    //     ratio_100_over_10 ~ 10 is the linear reading);
+    //   - dedup_prefix_jaccard through the new threshold gate (dispatch
+    //     to the plain plan) and dedup_prefix_jaccard_hi (the prefix
+    //     plan at t=0.8, its own regime);
+    //   - graph_pagerank over 100x edges (6M lineitem rows -> 60M);
+    //   - the fixed 500-doc ingest probe vs a store built from the 10x
+    //     vs the 100x corpus (setup batches sized up so construction
+    //     stays bounded; the PROBE is the datapoint).
+    val secondDecade = try {
+      val parent = new java.io.File(outDir).getParent
+      val docs100Dir = parent + "/docs100"
+      val graph100Dir = parent + "/graph100"
+      val srcDocs = Tables.documents(spark, srcDir)
+      val invariantViolations = replicaInvariantViolations(srcDocs)
+      if (invariantViolations > 0)
+        System.err.println(s"[scale] WARNING: $invariantViolations docs " +
+          "violate the replica df invariant (letterless or '~' tokens) — " +
+          "100x dfs are partially cloning artifacts")
       if (!new java.io.File(s"$docs100Dir/documents.parquet/_SUCCESS")
           .exists()) {
         System.err.println(s"[scale] building 100x documents at $docs100Dir")
-        replicateDocs(Tables.documents(spark, srcDir), 100)
+        replicateDocs(srcDocs, 100)
           .write.mode("overwrite").parquet(s"$docs100Dir/documents.parquet")
       }
-      val parts = Seq("dedup_ngram_jaccard", "dedup_prefix_jaccard",
-        "doc_ngram_novelty").map { name =>
+      if (!new java.io.File(s"$graph100Dir/orders.parquet/_SUCCESS")
+          .exists()) {
+        System.err.println(s"[scale] building 100x graph at $graph100Dir")
+        replicate(Tables.lineitem(spark, srcDir)
+          .select("l_orderkey", "l_suppkey"), 100,
+          Seq("l_orderkey", "l_suppkey"), Seq.empty)
+          .write.mode("overwrite").parquet(s"$graph100Dir/lineitem.parquet")
+        replicate(Tables.orders(spark, srcDir)
+          .select("o_orderkey", "o_custkey"), 100,
+          Seq("o_orderkey", "o_custkey"), Seq.empty)
+          .write.mode("overwrite").parquet(s"$graph100Dir/orders.parquet")
+      }
+      val docFams = Seq("dedup_ngram_jaccard", "dedup_prefix_jaccard",
+        "dedup_prefix_jaccard_hi", "doc_ngram_novelty").map { name =>
         val q = SparkEntry.queries(name)
-        val s10 = time(q(spark, outDir).count())
-        val s100 = time(q(spark, docs100Dir).count())
+        val s10 = timer.time(s"second_decade.$name.x10_sec")(
+          q(spark, outDir).count())
+        val s100 = timer.time(s"second_decade.$name.x100_sec")(
+          q(spark, docs100Dir).count())
         System.err.println(f"[scale] $name: 10x $s10%.2f s -> 100x " +
           f"$s100%.2f s (ratio ${s100 / s10}%.2f)")
         s""""$name":{"x10_sec":${jnum(s10)},"x100_sec":${jnum(s100)},"ratio_100_over_10":${jnum(s100 / s10)}}"""
       }
+      // graph: prep (cache fill, evict-first so it's re-runnable) and
+      // the pagerank recurrence, 10x vs 100x edges
+      val gp10 = timer.time("second_decade.graph_prep.x10_sec")(
+        prepThunk(outDir))
+      val gr10 = timer.time("second_decade.graph_pagerank.x10_sec")(
+        SparkEntry.queries("graph_pagerank")(spark, outDir).count())
+      val gp100 = timer.time("second_decade.graph_prep.x100_sec")(
+        prepThunk(graph100Dir))
+      val gr100 = timer.time("second_decade.graph_pagerank.x100_sec")(
+        SparkEntry.queries("graph_pagerank")(spark, graph100Dir).count())
+      System.err.println(f"[scale] graph_prep: 10x $gp10%.2f s -> 100x " +
+        f"$gp100%.2f s (ratio ${gp100 / gp10}%.2f); pagerank 10x " +
+        f"$gr10%.2f s -> 100x $gr100%.2f s (ratio ${gr100 / gr10}%.2f)")
+      val graphJ =
+        s""""graph_prep":{"x10_sec":${jnum(gp10)},"x100_sec":${jnum(gp100)},"ratio_100_over_10":${jnum(gp100 / gp10)}},"graph_pagerank":{"x10_sec":${jnum(gr10)},"x100_sec":${jnum(gr100)},"ratio_100_over_10":${jnum(gr100 / gr10)}}"""
+      // ingest probe vs a 10x and a 100x store, same 500-doc probe
+      // (ids above block 99), setup batches sized to keep construction
+      // bounded (12,500 docs/batch: 4 setup batches at 10x, 40 at 100x)
+      val ingestJ = try {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("scale_ingest_decade").toString
+        val ten = ingestProbe(spark, Tables.documents(spark, outDir)
+          .select("doc_id", "text"), probeDocs, s"$tmp/x10", timer,
+          "second_decade.ingest.x10", batchRows = 12500)
+        val hundred = ingestProbe(spark,
+          spark.read.parquet(s"$docs100Dir/documents.parquet")
+            .select("doc_id", "text"), probeDocs, s"$tmp/x100", timer,
+          "second_decade.ingest.x100", batchRows = 12500)
+        def sec(m: Map[String, Double], k: String) = m.getOrElse(k, -1.0)
+        def obj(m: Map[String, Double]) = m.toSeq.sortBy(_._1)
+          .map { case (k, v) => s""""$k":${jnum(v)}""" }.mkString("{", ",", "}")
+        val keys = Seq("probe_ingest_sec", "probe_boilerplate_sec",
+          "fold_read_sec", "compact_sec")
+        val ratios = keys.map(k =>
+          s""""$k":${jnum(sec(hundred, k) / sec(ten, k))}""")
+          .mkString("{", ",", "}")
+        keys.foreach { k =>
+          System.err.println(f"[scale] decade ingest $k: 10x " +
+            f"${sec(ten, k)}%.2f s -> 100x ${sec(hundred, k)}%.2f s " +
+            f"(ratio ${sec(hundred, k) / sec(ten, k)}%.2f)")
+        }
+        s""""ingest":{"probe_docs":500,"x10":${obj(ten)},"x100":${obj(hundred)},"ratio_100_over_10":$ratios}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[scale] decade ingest FAILED — ${e.getMessage}")
+        s""""ingest":{"error":"${Option(e.getMessage).getOrElse(e.getClass.getName).take(200).replace("\"", "'")}"}"""
+      }
       // record the JVM heap: 100x in ONE JVM needs cluster-normal
       // per-core memory (the default 8g over 32 threads is 0.25g/core
       // — the 55M-row checkpointed shingle relation OOMs the harness,
-      // not the plan)
-      val heapGb = Runtime.getRuntime.maxMemory() / (1L << 30)
-      s"""{"heap_gb":$heapGb,${parts.mkString(",")}}"""
+      // not the plan). Rounded, not floored (ADVICE r16: maxMemory
+      // reports slightly under -Xmx, so flooring records 48g as 47).
+      val heapGb = (Runtime.getRuntime.maxMemory() + (1L << 29)) >> 30
+      s"""{"heap_gb":$heapGb,"replica_invariant_violations":$invariantViolations,${docFams.mkString(",")},$graphJ,$ingestJ}"""
     } catch { case e: Throwable =>
-      System.err.println(s"[scale] docs second decade FAILED — ${e.getMessage}")
+      System.err.println(s"[scale] second decade FAILED — ${e.getMessage}")
       s"""{"error":"${Option(e.getMessage).getOrElse(e.getClass.getName).take(200).replace("\"", "'")}"}"""
     }
 
+    val coResObj = coResident.map(jstr).mkString("[", ",", "]")
     val line =
-      s"""{"factor":$Factor,"src":"$srcDir","derived":"$outDir","derived_rows":{${
+      s"""{"factor":$Factor,"src":"$srcDir","derived":"$outDir","load_at_start":${jnum(loadAtStart)},"load_wait_sec":${jnum(loadWaitSec)},"co_resident_jvms":$coResObj,"derived_rows":{${
         rows.toSeq.sortBy(_._1).map { case (t, n) => s""""$t":$n""" }.mkString(",")
-      }},"graph_prep":{"sf01_sec":${jnum(prep01)},"sf1_sec":${jnum(prep1)},"ratio":${jnum(prep1 / prep01)}},"shard_deal_orders":$shardDeal,"ingest":$ingest,"ann_auto":$annAuto,"docs_second_decade":$docsDecade,"families":{${fams.mkString(",")}}}"""
+      }},"graph_prep":{"sf01_sec":${jnum(prep01)},"sf1_sec":${jnum(prep1)},"ratio":${jnum(prep1 / prep01)}},"shard_deal_orders":$shardDeal,"ingest":$ingest,"ann_auto":$annAuto,"second_decade":$secondDecade,"families":{${fams.mkString(",")}},"retimed":${timer.retimedJson},"ext_cpu":${timer.extJson}}"""
     println(line)
     java.nio.file.Files.write(java.nio.file.Paths.get(jsonPath),
       (line + "\n").getBytes("UTF-8"))

@@ -213,8 +213,48 @@ object Dedup {
     * (window by shingle) — at 100 TB that buys back its cost many times
     * over in pruned candidates; `maxDocFreq` remains the hard skew cap
     * underneath (a prefix shingle's df is still bounded by it).
+    *
+    * THRESHOLD-GATED (r16 verdict item 2): prefix pruning only pays when
+    * the prefix is SHORT. At t = 0.5 each doc keeps sz/2 + 1 shingles —
+    * the pruning is weak while the df-order window, the candidate
+    * distinct, and the per-pair verification join all still run on top
+    * of it, and the measured scale-up is superlinear (8.2x wall at 10x
+    * data, 19.5x at the second decade) where the plain inverted join
+    * ([[jaccardPairs]]) holds 1.16x/6.2x. The measured crossover on the
+    * bench corpus sits near t = 0.8 (prefix length sz/5 + 1), so this
+    * entry point DISPATCHES: below [[PrefixJaccardCrossover]] it runs
+    * the plain inverted-index plan (identical output — the lemma is
+    * lossless, so both plans compute the same relation), at or above it
+    * the prefix plan. A caller who wants the prefix plan outside its
+    * regime (spec losslessness proofs, plan measurement) uses
+    * [[jaccardPairsPrefixForced]] explicitly — the default API can no
+    * longer pick the scale-killing plan by accident.
     */
   def jaccardPairsPrefix(docs: DataFrame, n: Int = 3,
+      threshold: Double = 0.5, idCol: String = "doc_id",
+      textCol: String = "text", maxDocFreq: Option[Long] = None): DataFrame =
+    if (prefixPlanSelected(threshold))
+      jaccardPairsPrefixForced(docs, n, threshold, idCol, textCol, maxDocFreq)
+    else jaccardPairs(docs, n, threshold, idCol, textCol, maxDocFreq)
+
+  /** Measured plan crossover for [[jaccardPairsPrefix]]: at thresholds
+    * below this the plain inverted join wins (prefixes are too long to
+    * prune); at or above it the prefix plan's candidate cut dominates.
+    */
+  val PrefixJaccardCrossover = 0.8
+
+  /** True iff [[jaccardPairsPrefix]] will run the prefix-filtered plan
+    * for this threshold (else it dispatches to [[jaccardPairs]]).
+    */
+  def prefixPlanSelected(threshold: Double): Boolean =
+    threshold >= PrefixJaccardCrossover
+
+  /** The prefix-filtered plan UNCONDITIONALLY — see
+    * [[jaccardPairsPrefix]] for semantics and the dispatch rationale.
+    * Below the crossover this plan is measurably superlinear in corpus
+    * size; call it directly only to prove losslessness or to measure.
+    */
+  def jaccardPairsPrefixForced(docs: DataFrame, n: Int = 3,
       threshold: Double = 0.5, idCol: String = "doc_id",
       textCol: String = "text", maxDocFreq: Option[Long] = None): DataFrame = {
     require(threshold > 0 && threshold <= 1,

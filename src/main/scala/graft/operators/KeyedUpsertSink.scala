@@ -39,8 +39,26 @@ import org.apache.spark.sql.functions._
   * grace window PER BUCKET: a bucket's superseded files are deleted
   * only once a later upsert supersedes them again, so a reader's lazy
   * DataFrame stays valid across one subsequent upsert — readers holding
-  * a frame longer than that must materialize it. Single-writer by
-  * design — exactly the streaming foreachBatch model.
+  * a frame longer than that must materialize it.
+  *
+  * CONCURRENT WRITERS (r16 verdict item 3): the reference's DynamoDB
+  * serializes Lambda1 and Lambda2 writing the same table in parallel
+  * (lambda1.py:104-205 + lambda2.py:145-166); this store serializes
+  * writers the same way with a LEASE on the whole
+  * read-merge-write-flip-prune critical section: writers in one JVM
+  * (the two-hop topology's streaming queries under local[*]) take a
+  * per-store monitor, and a `_LOCK` lease file extends the exclusion
+  * across processes — acquired by exclusive create (atomic on HDFS;
+  * on a local fs the JVM monitor is the primary guard and the lease
+  * file is crash-recovery), expiring after `GRAFT_STORE_LEASE_MS`
+  * (default 5 min) so a crashed writer's lock is taken over rather
+  * than deadlocking the table. Each writer names its generations with
+  * its own `writerId`, so two writers' equal micro-batch ids can never
+  * collide on a generation directory. Lost-update safety comes from
+  * the lease (the pointer read and flip happen inside it); ROW-level
+  * convergence under interleaving comes from the merge itself
+  * (versionWins: a monotonic rank, so writer order cannot regress a
+  * row) — the same division of labor as DynamoDB's conditional writes.
   *
   * 100 TB posture: bucketing caps the per-batch rewrite at the touched
   * buckets' data; size `numBuckets` so a bucket ≈ a few GB and a
@@ -53,6 +71,77 @@ import org.apache.spark.sql.functions._
 object KeyedUpsertSink {
 
   private val Pointer = "_CURRENT"
+  private val LockFile = "_LOCK"
+
+  /** Per-store JVM monitors: two writers in one JVM (the composed
+    * topology's two streaming queries under local[*]) serialize here
+    * without filesystem round-trips; the `_LOCK` lease extends the same
+    * exclusion across processes.
+    */
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Run `body` as the store's exclusive writer: JVM monitor first,
+    * then the `_LOCK` lease file (exclusive create; content = a random
+    * token + `who` + wall-clock millis). A lock older than
+    * `GRAFT_STORE_LEASE_MS` (default 300,000) is presumed crashed and
+    * taken over; acquisition gives up after `GRAFT_STORE_LOCK_WAIT_MS`
+    * (default 120,000) so a wedged peer surfaces as an error rather
+    * than a silent hang. Release deletes the lock only if it still
+    * carries OUR token — after a lease takeover the new owner's lock
+    * must survive our cleanup.
+    */
+  private def withStoreLock[T](spark: SparkSession, storeDir: String,
+      who: String)(body: => T): T = {
+    val fs = fileSystem(spark, storeDir)
+    val canonical = fs.makeQualified(new Path(storeDir)).toString
+    val monitor = jvmLocks.computeIfAbsent(canonical, _ => new Object)
+    monitor.synchronized {
+      fs.mkdirs(new Path(storeDir))
+      val lock = new Path(storeDir, LockFile)
+      val token = java.util.UUID.randomUUID().toString
+      val leaseMs =
+        sys.env.getOrElse("GRAFT_STORE_LEASE_MS", "300000").toLong
+      val waitCapMs =
+        sys.env.getOrElse("GRAFT_STORE_LOCK_WAIT_MS", "120000").toLong
+      val t0 = System.nanoTime()
+      var acquired = false
+      while (!acquired) {
+        try {
+          val out = fs.create(lock, false) // exclusive: fails if held
+          try out.write(s"$token\n$who\n${System.currentTimeMillis()}"
+            .getBytes("UTF-8"))
+          finally out.close()
+          acquired = true
+        } catch {
+          case _: java.io.IOException =>
+            val stale = try {
+              val st = fs.getFileStatus(lock)
+              System.currentTimeMillis() - st.getModificationTime > leaseMs
+            } catch { case _: Throwable => false } // raced release — retry
+            if (stale) {
+              System.err.println(s"[store] taking over expired lease at $lock")
+              fs.delete(lock, false)
+            } else if ((System.nanoTime() - t0) / 1e6 > waitCapMs)
+              throw new IllegalStateException(
+                s"could not acquire store lock $lock within ${waitCapMs}ms" +
+                  " — is a peer writer wedged? (lease expires after" +
+                  s" ${leaseMs}ms)")
+            else Thread.sleep(50)
+        }
+      }
+      try body finally {
+        try {
+          val in = fs.open(lock)
+          val owner =
+            try scala.io.Source.fromInputStream(in, "UTF-8")
+              .getLines().nextOption()
+            finally in.close()
+          if (owner.contains(token)) fs.delete(lock, false)
+        } catch { case _: Throwable => () } // lock already taken over
+      }
+    }
+  }
 
   /** Default bucket count for new stores; pinned into `_CURRENT` at
     * creation so later upserts can't silently re-bucket.
@@ -135,11 +224,25 @@ object KeyedUpsertSink {
     * suffix instead — Overwrite on a directory the merge is lazily
     * reading would delete its own input (the crash-after-flip restart
     * shape). `numBuckets` only takes effect on store CREATION; an
-    * existing store's pinned count always wins.
+    * existing store's pinned count always wins. `writerId` namespaces
+    * this writer's generation dirs — REQUIRED (any distinct non-empty
+    * string per writer) when two writers share the store, since their
+    * independent micro-batch ids would otherwise collide on `gen-<id>`.
+    * The whole read-merge-write-flip-prune section runs under the
+    * store's writer lease (see class doc).
     */
   def upsertBatch(batch: DataFrame, storeDir: String, keys: Seq[String],
       orderCol: String, batchId: Long, versionWins: Boolean = false,
-      numBuckets: Int = DefaultNumBuckets): Unit = {
+      numBuckets: Int = DefaultNumBuckets, writerId: String = ""): Unit =
+    withStoreLock(batch.sparkSession, storeDir,
+      s"upsert:$writerId:$batchId") {
+      upsertBatchLocked(batch, storeDir, keys, orderCol, batchId,
+        versionWins, numBuckets, writerId)
+    }
+
+  private def upsertBatchLocked(batch: DataFrame, storeDir: String,
+      keys: Seq[String], orderCol: String, batchId: Long,
+      versionWins: Boolean, numBuckets: Int, writerId: String): Unit = {
     val spark = batch.sparkSession
     val fs = fileSystem(spark, storeDir)
     val state = readState(spark, storeDir)
@@ -179,7 +282,8 @@ object KeyedUpsertSink {
     // checkpoint, the re-run batch id equals a current generation, and
     // Overwrite would delete the very files the merge is reading from.
     // Alternating a suffix keeps the write target always distinct.
-    val base = s"gen-$batchId"
+    val base = if (writerId.isEmpty) s"gen-$batchId"
+      else s"gen-$writerId-$batchId"
     val gen = if (gens.values.exists(_ == base)) base + "r" else base
     // deterministic layout (bucket-partitioned, key-sorted within) so a
     // re-delivered batch reproduces the touched buckets' content exactly
@@ -237,7 +341,13 @@ object KeyedUpsertSink {
     * land back in their original buckets and the layout matches what an
     * upsert would have written.
     */
-  def compact(spark: SparkSession, storeDir: String, keys: Seq[String]): Unit = {
+  def compact(spark: SparkSession, storeDir: String, keys: Seq[String]): Unit =
+    withStoreLock(spark, storeDir, "compact") {
+      compactLocked(spark, storeDir, keys)
+    }
+
+  private def compactLocked(spark: SparkSession, storeDir: String,
+      keys: Seq[String]): Unit = {
     val state = readState(spark, storeDir) match {
       case None => return
       case Some(st) if st.gens.isEmpty => return
@@ -273,7 +383,9 @@ object KeyedUpsertSink {
     */
   def upserter(storeDir: String, keys: Seq[String], orderCol: String,
       versionWins: Boolean = false,
-      numBuckets: Int = DefaultNumBuckets): (DataFrame, Long) => Unit =
+      numBuckets: Int = DefaultNumBuckets,
+      writerId: String = ""): (DataFrame, Long) => Unit =
     (batch, id) =>
-      upsertBatch(batch, storeDir, keys, orderCol, id, versionWins, numBuckets)
+      upsertBatch(batch, storeDir, keys, orderCol, id, versionWins,
+        numBuckets, writerId)
 }

@@ -43,13 +43,22 @@ import graft.sources.TripStreams
   * the matcher hop dedups by trip_id downstream as the reference's
   * matcher is idempotent per key.
   *
-  * Writer coordination: [[KeyedUpsertSink]] is single-writer by design
-  * (the reference's DynamoDB serializes concurrent lambda writers; a
-  * file-backed pointer store cannot), so the two hops must not upsert
-  * CONCURRENTLY into one store — run them ping-pong (TopologySpec's
-  * schedule) or give the composition a MERGE-capable keyed table
-  * (Delta/Iceberg) at deployment scale, where the same two queries run
-  * freely in parallel.
+  * Writer coordination (r16 verdict item 3): the two hops run
+  * GENUINELY CONCURRENTLY — the reference's actual runtime shape
+  * (lambda1.py and lambda2.py write the same DynamoDB table in
+  * parallel; DynamoDB serializes the writes). [[KeyedUpsertSink]]
+  * provides the same serialization with its per-store writer lease
+  * (JVM monitor + `_LOCK` lease file around each
+  * read-merge-write-flip-prune section), and each hop writes under its
+  * own `writerId` ("ing"/"mat") so their independent micro-batch ids
+  * never collide on a generation directory. Row-level convergence
+  * under any interleaving comes from the versionWins merge: status
+  * rank is monotonic, so a raw re-put can never regress a matcher
+  * flip regardless of writer order. TopologySpec proves the golden
+  * final state with both writers live simultaneously (no ping-pong)
+  * and across kill-mid-backlog restarts. At warehouse scale the same
+  * two queries target a MERGE-capable keyed table (Delta/Iceberg),
+  * where the table format provides the lease.
   *
   * 100 TB posture: hop 1 is stateless maps + an O(touched-buckets)
   * upsert; the change feed lists only NEW files per trigger (cost
@@ -71,6 +80,27 @@ object TripTopology {
     TripStore.rawItems(StreamingTripPipeline.parseAndValidate(emptyWire)).schema
   }
 
+  /** Hop 1's per-micro-batch body, shared by [[ingestWriter]] and the
+    * crash-ordering spec (which wraps it to die BETWEEN the store
+    * upsert and the change-log write — the one interleaving the
+    * at-least-once contract note below leans on: the restart re-runs
+    * the same batch id, the upsert re-merges idempotently under
+    * versionWins, and the change log finally lands).
+    */
+  private[graft] def ingestBatch(batch: DataFrame, storeDir: String,
+      changesDir: String, id: Long, numBuckets: Int,
+      afterUpsert: Long => Unit = _ => ()): Unit = {
+    // materialize once: the upsert and the change-log write must see
+    // the same bytes (and not re-parse the wire JSON twice)
+    val items = batch.localCheckpoint()
+    KeyedUpsertSink.upsertBatch(items, storeDir, TripStore.Keys,
+      TripStore.OrderCol, id, versionWins = true, numBuckets = numBuckets,
+      writerId = "ing")
+    afterUpsert(id)
+    items.write.mode(SaveMode.Overwrite)
+      .parquet(s"$changesDir/batch=$id")
+  }
+
   /** Hop 1 — the Lambda1 analogue: raw wire JSON in, every validated
     * event landed as a RAW item in the keyed table AND as an INSERT
     * event in the change log, one foreachBatch per micro-batch.
@@ -82,13 +112,7 @@ object TripTopology {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        // materialize once: the upsert and the change-log write must see
-        // the same bytes (and not re-parse the wire JSON twice)
-        val items = batch.localCheckpoint()
-        KeyedUpsertSink.upsertBatch(items, storeDir, TripStore.Keys,
-          TripStore.OrderCol, id, versionWins = true, numBuckets = numBuckets)
-        items.write.mode(SaveMode.Overwrite)
-          .parquet(s"$changesDir/batch=$id")
+        ingestBatch(batch, storeDir, changesDir, id, numBuckets)
       }
 
   /** Hop 2 — the Lambda2 analogue: the change feed of the landed RAW
@@ -106,6 +130,12 @@ object TripTopology {
       cfg: StreamingTripPipeline.Config = StreamingTripPipeline.Config(),
       maxFilesPerTrigger: Int = 10,
       numBuckets: Int = KeyedUpsertSink.DefaultNumBuckets): DataStreamWriter[Row] = {
+    // hop 2 may be deployed BEFORE hop 1 lands its first batch (the
+    // concurrent schedule): the file source rejects a non-existent
+    // path at start, so materialize the log directory up front
+    val changesPath = new org.apache.hadoop.fs.Path(changesDir)
+    changesPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .mkdirs(changesPath)
     // recursiveFileLookup: the log lands one directory per batch; the
     // feed must list them as plain files, not infer a partition column
     val feed = TripStreams.tableChangeFeed(spark, changesDir,
@@ -121,6 +151,7 @@ object TripTopology {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch(KeyedUpsertSink.upserter(storeDir, TripStore.Keys,
-        TripStore.OrderCol, versionWins = true, numBuckets = numBuckets))
+        TripStore.OrderCol, versionWins = true, numBuckets = numBuckets,
+        writerId = "mat"))
   }
 }

@@ -33,11 +33,13 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs.size === 3, s"unexpected pairs: $pairs")
   }
 
-  test("jaccardPairsPrefix returns exactly jaccardPairs' output (prefix pruning is lossless)") {
+  test("jaccardPairsPrefixForced returns exactly jaccardPairs' output (prefix pruning is lossless)") {
+    // forced: below the crossover the public API dispatches to the
+    // plain plan, so the losslessness proof must name the prefix plan
     val full = Dedup.jaccardPairs(base, n = 3, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("inter"),
         r.getAs[Long]("size_a"), r.getAs[Long]("size_b"))).toSet
-    val pref = Dedup.jaccardPairsPrefix(base, n = 3, threshold = 0.5)
+    val pref = Dedup.jaccardPairsPrefixForced(base, n = 3, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("inter"),
         r.getAs[Long]("size_a"), r.getAs[Long]("size_b"))).toSet
     assert(pref === full)
@@ -45,10 +47,30 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val fullC = Dedup.jaccardPairs(base, n = 3, threshold = 0.5,
       maxDocFreq = Some(2L)).select("id_a", "id_b").as[(Long, Long)]
       .collect().toSet
-    val prefC = Dedup.jaccardPairsPrefix(base, n = 3, threshold = 0.5,
+    val prefC = Dedup.jaccardPairsPrefixForced(base, n = 3, threshold = 0.5,
       maxDocFreq = Some(2L)).select("id_a", "id_b").as[(Long, Long)]
       .collect().toSet
     assert(prefC === fullC)
+  }
+
+  test("jaccardPairsPrefix threshold gate picks the scale-safe plan per regime") {
+    // below the measured crossover the prefix pruning is too weak to pay
+    // for its extra window + distinct + verification join (measured
+    // 8.2x wall at 10x data); the dispatch must refuse it
+    assert(!Dedup.prefixPlanSelected(0.5))
+    assert(Dedup.prefixPlanSelected(Dedup.PrefixJaccardCrossover))
+    assert(Dedup.prefixPlanSelected(0.9))
+    // dispatched-low == plain plan, not just equal output: the prefix
+    // plan verifies candidates with array_intersect over per-doc sets
+    // (its final join), which the plain inverted join never does — and
+    // unlike the df-order window it is not hidden behind the candidate
+    // relation's localCheckpoint
+    val low = Dedup.jaccardPairsPrefix(base, n = 3, threshold = 0.5)
+    assert(!low.queryExecution.executedPlan.toString.contains("array_intersect"),
+      "t=0.5 must dispatch to the plain inverted join (no set verification)")
+    val hi = Dedup.jaccardPairsPrefix(base, n = 3, threshold = 0.9)
+    assert(hi.queryExecution.executedPlan.toString.contains("array_intersect"),
+      "t=0.9 must run the prefix plan (array_intersect verification present)")
   }
 
   test("jaccardPairsPrefix stays lossless at a high threshold where prefixes are shortest") {
