@@ -836,14 +836,33 @@ object SparkEntry {
         col("caption"))
   }
 
-  /** One (a = supplier node, b = customer node) row per lineitem. */
+  /** One (a = supplier node, b = customer node) row per lineitem.
+    *
+    * Node ids are LONGS (supplier k -> 2k, customer k -> 2k+1), not the
+    * "s<k>"/"c<k>" strings the contract outputs: the edge relation is
+    * what every superstep shuffles and what [[graft.operators.PageRank
+    * .prepare]] materializes — string keys tripled its memory footprint
+    * and, at the 100x scale probe, pushed the checkpointed edge blocks
+    * past the block manager's storage fraction (eviction + recompute
+    * showed up as 2x-above-linear prep cost and high variance). The
+    * contract queries decode ids back to the exact same strings at
+    * their FINAL projection ([[copurchaseNodeName]]), so the oracles
+    * are untouched and only N output rows pay the decode.
+    */
   private def copurchaseBase(s: SparkSession, dir: String): DataFrame =
     sharedGet(s, dir, "base")(
       Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("s"), col("l_suppkey")).as("a"),
-          concat(lit("c"), col("o_custkey")).as("b"))
+        .select((col("l_suppkey").cast("long") * 2).as("a"),
+          (col("o_custkey").cast("long") * 2 + 1).as("b"))
         .localCheckpoint(false))
+
+  /** Decode a long co-purchase node id back to the contract's string
+    * form: even 2k -> "s<k>" (supplier), odd 2k+1 -> "c<k>" (customer).
+    */
+  private def copurchaseNodeName(c: Column): Column =
+    when(pmod(c, lit(2)) === 0, concat(lit("s"), shiftright(c, 1)))
+      .otherwise(concat(lit("c"), shiftright(c, 1)))
 
   private def copurchaseEdges(s: SparkSession, dir: String): DataFrame =
     graft.operators.PageRank.undirect(copurchaseBase(s, dir), "a", "b")
@@ -2978,7 +2997,8 @@ object SparkEntry {
     // the full iterative propagation is hash-checked, not smoke-checked.
     "graph_pagerank" -> ((s, dir) =>
       graft.operators.PageRank.ranksPrepared(copurchasePrepared(s, dir),
-        iters = 3)),
+          iters = 3)
+        .select(copurchaseNodeName(col("node")).as("node"), col("rank"))),
 
     // G3: WEIGHTED PageRank — outgoing mass splits by co-purchase
     // COUNT (lineitems per supplier-customer pair), the real-graph
@@ -2990,8 +3010,9 @@ object SparkEntry {
       val raw = copurchaseBase(s, dir)
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
       graft.operators.PageRank.weightedRanks(
-        graft.operators.PageRank.undirectWeighted(raw, "a", "b", "w"),
-        "src", "dst", "w", iters = 3)
+          graft.operators.PageRank.undirectWeighted(raw, "a", "b", "w"),
+          "src", "dst", "w", iters = 3)
+        .select(copurchaseNodeName(col("node")).as("node"), col("rank"))
     }),
 
     // G2: PERSONALIZED PageRank — restart mass only at supplier nodes,
@@ -3001,7 +3022,9 @@ object SparkEntry {
     // relation as graph_pagerank.
     "graph_ppr_suppliers" -> ((s, dir) =>
       graft.operators.PageRank.personalizedRanksPrepared(
-        copurchasePrepared(s, dir), iters = 3, isSeed = _.startsWith("s"))),
+          copurchasePrepared(s, dir), iters = 3,
+          isSeed = n => pmod(n, lit(2)) === 0) // even id = supplier node
+        .select(copurchaseNodeName(col("node")).as("node"), col("rank"))),
 
     // G6: RUN-TO-CONVERGENCE PageRank over a graph that actually
     // fixpoints inside the budget — per-nation customer CYCLES

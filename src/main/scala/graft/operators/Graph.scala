@@ -144,17 +144,23 @@ object PageRank {
       else df.localCheckpoint(false)
     // uniform = the all-weights-1 special case of the same arithmetic
     val w = wCol.map(col).getOrElse(lit(1L)).cast("long")
-    val e0 = materialized(edges.select(col(src).as("src"),
-      col(dst).as("dst"), w.as("w")))
-    // out-weights via a whole-partition window, NOT groupBy+join: the
-    // checkpointed e0 reports no size statistics, so the join planned
-    // as a sort-merge that shuffled the edge list TWICE (once for the
-    // aggregate, once for the probe side) and merged. The window needs
-    // exactly one hash exchange on src plus the partition-local sort
-    // both plans pay anyway — measured 1.9x faster on the 12M-edge 10x
-    // co-purchase graph (16.5 s -> 8.9 s; equal at 1x), identical
-    // integer sums. Skew shape is unchanged: either plan gathers a hub
-    // node's edges into one partition.
+    val e0 = edges.select(col(src).as("src"), col(dst).as("dst"), w.as("w"))
+    // out-weights via a whole-partition window, NOT groupBy+join: a
+    // stats-free edge input plans the join as a sort-merge that
+    // shuffles the edge list TWICE (once for the aggregate, once for
+    // the probe side) and merges. The window needs exactly one hash
+    // exchange on src plus the partition-local sort both plans pay
+    // anyway — measured 1.9x faster on the 12M-edge 10x co-purchase
+    // graph (16.5 s -> 8.9 s; equal at 1x), identical integer sums.
+    // Skew shape is unchanged: either plan gathers a hub node's edges
+    // into one partition.
+    //
+    // Only the FINAL (src, dst, w, outw) relation is checkpointed: it
+    // is the one the supersteps re-read. An intermediate checkpoint of
+    // e0 (the pre-r17 shape) paid a full extra write+read of the edge
+    // list for a single-pass consumer — at the 100x scale probe the
+    // doubled block footprint overflowed the block manager's storage
+    // fraction and eviction/recompute made prep 2x-above-linear.
     val bySrc = org.apache.spark.sql.expressions.Window.partitionBy("src")
     materialized(e0.withColumn("outw", sum(col("w")).over(bySrc)))
   }
