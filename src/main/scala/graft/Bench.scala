@@ -68,7 +68,7 @@ object Bench {
     val loadGate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "1.0").toDouble
     val loadWaitCap =
       sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_CAP_SEC", "600").toInt
-    val (loadWaitSec, loadAtStart, coResident) =
+    val (loadWaitSec, loadAtStart, coResident, dirtyAtStart) =
       BenchGuard.quietGate("bench", loadGate, loadWaitCap)
     if (coResident.nonEmpty)
       System.err.println(s"[bench] WARNING: proceeding with " +
@@ -126,13 +126,14 @@ object Bench {
     // across rounds (Map iteration order is not stable across builds)
     val extGate = sys.env.getOrElse("SPARK_GRAFT_EXT_CPU_GATE", "0.75").toDouble
     val priorGate = sys.env.getOrElse("SPARK_GRAFT_PRIOR_GATE", "2.0").toDouble
-    val (runB0, runS0) = cpuJiffies()
+    val ioGate = sys.env.getOrElse("SPARK_GRAFT_IOWAIT_GATE", "4.0").toDouble
+    val (runB0, runS0, _) = cpuJiffies()
     val runT0 = System.nanoTime()
     val results0 = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val outcome = try {
         val g0 = gcMillis()
-        val (secs, ext) = timedExt { fn(spark, sfDir).count() }
-        Right((secs, ext, (gcMillis() - g0) / 1000.0))
+        val (secs, ext, iow) = timedExt { fn(spark, sfDir).count() }
+        Right((secs, ext, iow, (gcMillis() - g0) / 1000.0))
       } catch { case e: Throwable =>
         val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
           .linesIterator.next().take(300)
@@ -141,10 +142,15 @@ object Bench {
       }
       name -> outcome
     }
-    // SELF-HEALING retime, two triggers (r15 verdict: the ext-cores gate
-    // alone shipped a 3x-inflated row it never saw):
+    // SELF-HEALING retime, three triggers (r15 verdict: the ext-cores
+    // gate alone shipped a 3x-inflated row it never saw; r17: a quiet
+    // run's early probes were 3-4x inflated by DISK writeback, which
+    // neither loadavg nor external-CPU sees):
     //  (a) the query's window averaged > extGate external cpu cores;
-    //  (b) the query ran > priorGate x its OWN prior-round figure —
+    //  (b) the window averaged > ioGate cores in iowait (disk
+    //      contention — possibly the query's own I/O, in which case the
+    //      retime just confirms the number);
+    //  (c) the query ran > priorGate x its OWN prior-round figure —
     //      contamination the /proc counters can miss (GC pressure, page
     //      cache churn) still shows up against the query's own history.
     // BOTH timings are recorded per retimed query (first, retime) so the
@@ -153,25 +159,27 @@ object Bench {
     // attributably so. Per-query GC seconds ride their own map.
     val retimed = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     val results: Seq[(String, Either[String, Double])] = results0.map {
-      case (name, Right((secs, ext, _))) if ext > extGate ||
+      case (name, Right((secs, ext, iow, _))) if ext > extGate ||
+          iow > ioGate ||
           prior.get(name).exists(p => p > 0 && secs > priorGate * p) =>
         val why = if (ext > extGate) f"$ext%.2f external cores"
+          else if (iow > ioGate) f"$iow%.2f cores in iowait"
           else f"${secs / prior(name)}%.1fx its prior-round ${prior(name)}%.2fs"
         System.err.println(f"[bench] $name at $secs%.2fs saw $why — retiming")
         val best = try {
-          val (s2, _) = timedExt { SparkEntry.queries(name)(spark, sfDir).count() }
+          val (s2, _, _) = timedExt { SparkEntry.queries(name)(spark, sfDir).count() }
           retimed += name -> (secs, s2)
           math.min(secs, s2)
         } catch { case _: Throwable => retimed += name -> (secs, -1.0); secs }
         name -> Right(best)
-      case (name, Right((secs, _, _))) => name -> Right(secs)
+      case (name, Right((secs, _, _, _))) => name -> Right(secs)
       case (name, Left(msg)) => name -> Left(msg)
     }
     val gcByQuery: Seq[(String, Double)] = results0.collect {
-      case (name, Right((_, _, gc))) => name -> gc
+      case (name, Right((_, _, _, gc))) => name -> gc
     }
     val runSecs = (System.nanoTime() - runT0) / 1e9
-    val (runB1, runS1) = cpuJiffies()
+    val (runB1, runS1, _) = cpuJiffies()
     val runExtCores = if (runSecs <= 0.0) 0.0
       else math.max(0L, (runB1 - runB0) - (runS1 - runS0)) /
         JiffiesPerSec / runSecs
@@ -474,7 +482,7 @@ object Bench {
     val gcObj = gcByQuery.map { case (n, g) => s"${jstr(n)}:${jnum(g)}" }
       .mkString("{", ",", "}")
     val coResObj = coResident.map(jstr).mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":${resultsAll.count(_._2.isLeft)},"loadavg":$loadAvg,"load_at_start":${jnum(loadAtStart)},"load_wait_sec":${jnum(loadWaitSec)},"external_cpu_cores":${jnum(runExtCores)},"co_resident_jvms":$coResObj,"cpus":$cpus,"retimed_queries":$retimedObj,"rerun_delta":$rerunDelta,"rerun_queries":$rerunNames,"ann_recall":$annRecall,"bpe_batched":$bpe,"ingest":$ingest,"c4_pipeline":$c4,"scaleup":$scaleup,"streaming":$streaming,"sf":"$sfDir","errors":$errs,"gc_sec":$gcObj,"queries":$qs}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":${resultsAll.count(_._2.isLeft)},"loadavg":$loadAvg,"load_at_start":${jnum(loadAtStart)},"load_wait_sec":${jnum(loadWaitSec)},"dirty_mb_at_start":${jnum(dirtyAtStart)},"external_cpu_cores":${jnum(runExtCores)},"co_resident_jvms":$coResObj,"cpus":$cpus,"retimed_queries":$retimedObj,"rerun_delta":$rerunDelta,"rerun_queries":$rerunNames,"ann_recall":$annRecall,"bpe_batched":$bpe,"ingest":$ingest,"c4_pipeline":$c4,"scaleup":$scaleup,"streaming":$streaming,"sf":"$sfDir","errors":$errs,"gc_sec":$gcObj,"queries":$qs}"""
     println(line)
     // belt-and-braces: the identical JSON, committed as its own file —
     // the durable copy of every per-query timing regardless of what the

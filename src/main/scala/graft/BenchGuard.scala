@@ -25,37 +25,59 @@ object BenchGuard {
   def load1m: Double = java.lang.management.ManagementFactory
     .getOperatingSystemMXBean.getSystemLoadAverage
 
-  /** (busy jiffies across all cpus, this process's jiffies). Their
-    * DELTAS separate our own load from EXTERNAL load — loadavg alone
-    * cannot: the bench keeps cores busy by design, so "loadavg rose
-    * mid-run" does not distinguish a neighbor process from ourselves.
+  /** (busy jiffies across all cpus, this process's jiffies, iowait
+    * jiffies). Busy/self DELTAS separate our own load from EXTERNAL
+    * load — loadavg alone cannot: the bench keeps cores busy by design,
+    * so "loadavg rose mid-run" does not distinguish a neighbor process
+    * from ourselves. IOWAIT is tracked separately because it is
+    * invisible to both (it counts as idle): leftover page writeback
+    * from a prior process inflated early probes ~3-4x in a run whose
+    * external-CPU read 0.0 — the artifact must carry the I/O evidence
+    * even though iowait cannot attribute the I/O to a process.
     */
-  def cpuJiffies(): (Long, Long) = {
+  def cpuJiffies(): (Long, Long, Long) = {
     val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
       .find(_.startsWith("cpu ")).get.trim.split("\\s+").drop(1).map(_.toLong)
-    val idle = cpu(3) + (if (cpu.length > 4) cpu(4) else 0L) // idle+iowait
+    val iowait = if (cpu.length > 4) cpu(4) else 0L
+    val idle = cpu(3) + iowait
     val busy = cpu.sum - idle
     val stat = scala.io.Source.fromFile("/proc/self/stat").mkString
     // fields after the parenthesized comm: state=0 ... utime=11 stime=12
     val f = stat.substring(stat.lastIndexOf(')') + 2).split(" ")
-    (busy, f(11).toLong + f(12).toLong)
+    (busy, f(11).toLong + f(12).toLong, iowait)
   }
 
   val JiffiesPerSec = 100.0 // Linux USER_HZ
 
   /** Time `thunk`, returning (seconds, avg EXTERNAL cpu cores busy
-    * during the window) — external = system busy minus this process.
+    * during the window, avg cores in IOWAIT during the window) —
+    * external = system busy minus this process.
     */
-  def timedExt(thunk: => Unit): (Double, Double) = {
-    val (b0, s0) = cpuJiffies()
+  def timedExt(thunk: => Unit): (Double, Double, Double) = {
+    val (b0, s0, w0) = cpuJiffies()
     val t0 = System.nanoTime()
     thunk
     val secs = (System.nanoTime() - t0) / 1e9
-    val (b1, s1) = cpuJiffies()
+    val (b1, s1, w1) = cpuJiffies()
     val ext = if (secs <= 0.0) 0.0
       else math.max(0L, (b1 - b0) - (s1 - s0)) / JiffiesPerSec / secs
-    (secs, ext)
+    val iow = if (secs <= 0.0) 0.0
+      else math.max(0L, w1 - w0) / JiffiesPerSec / secs
+    (secs, ext, iow)
   }
+
+  /** Dirty + Writeback pages from /proc/meminfo, in MB — pending disk
+    * writeback. A measurement started while a PRIOR process's dirty
+    * pages are still flushing competes for the disk with its own
+    * shuffles; the contention shows up in neither loadavg nor
+    * external-CPU (iowait counts as idle).
+    */
+  def dirtyMb(): Double = try {
+    val mi = scala.io.Source.fromFile("/proc/meminfo").getLines()
+      .filter(l => l.startsWith("Dirty:") || l.startsWith("Writeback:"))
+      .map(_.split("\\s+")(1).toLong).sum
+    mi / 1024.0
+  } catch { case _: Throwable => -1.0 }
 
   /** GC time (ms) summed across all collectors — deltas attribute a
     * query's inflation to collection pressure.
@@ -101,27 +123,36 @@ object BenchGuard {
       }.toSeq
   }
 
-  /** Wait (capped) until the 1-min loadavg is below `loadGate` and no
-    * co-resident measurement JVM is alive, logging progress to stderr.
-    * Returns (seconds waited, loadavg at measurement start, co-resident
-    * JVMs STILL alive at measurement start) — a run that proceeds
+  /** Wait (capped) until the 1-min loadavg is below `loadGate`, no
+    * co-resident measurement JVM is alive, AND pending disk writeback
+    * has drained below `dirtyGateMb` (a `sync` is kicked off first so a
+    * prior process's dirty pages flush NOW instead of competing with
+    * the measurement's own shuffle I/O — early probes of an otherwise
+    * quiet run measured 3-4x inflated from exactly this), logging
+    * progress to stderr. Returns (seconds waited, loadavg at
+    * measurement start, co-resident JVMs STILL alive at measurement
+    * start, dirty MB at measurement start) — a run that proceeds
     * contaminated is self-flagging in the artifact, never silent.
     */
-  def quietGate(tag: String, loadGate: Double,
-      capSec: Int): (Double, Double, Seq[String]) = {
+  def quietGate(tag: String, loadGate: Double, capSec: Int,
+      dirtyGateMb: Double = 256.0): (Double, Double, Seq[String], Double) = {
     val t0 = System.nanoTime()
+    try new ProcessBuilder("sync").start() // async flush of leftover dirty
+    catch { case _: Throwable => () }
     var jvms = coResidentJvms()
-    while ((load1m >= loadGate || jvms.nonEmpty) &&
+    while ((load1m >= loadGate || jvms.nonEmpty || dirtyMb() > dirtyGateMb) &&
         (System.nanoTime() - t0) / 1e9 < capSec) {
       val why = (if (load1m >= loadGate) Seq(f"loadavg ${load1m}%.2f >= $loadGate%.1f")
         else Seq.empty) ++
         (if (jvms.nonEmpty) Seq(s"${jvms.size} co-resident JVM(s): ${jvms.head}")
+        else Seq.empty) ++
+        (if (dirtyMb() > dirtyGateMb) Seq(f"${dirtyMb()}%.0f MB dirty pages flushing")
         else Seq.empty)
       System.err.println(s"[$tag] ${why.mkString("; ")} — waiting for quiet " +
         s"(cap ${capSec}s)")
       Thread.sleep(15000)
       jvms = coResidentJvms()
     }
-    ((System.nanoTime() - t0) / 1e9, load1m, jvms)
+    ((System.nanoTime() - t0) / 1e9, load1m, jvms, dirtyMb())
   }
 }

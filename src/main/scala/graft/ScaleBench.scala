@@ -176,36 +176,43 @@ object ScaleBench {
     * store — and carry the external-CPU annotation only.
     */
   private final class GuardedTimer(prior: Map[String, Double],
-      extGate: Double, priorGate: Double) {
+      extGate: Double, priorGate: Double, ioGate: Double) {
     val retimed =
       scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     val extCpu = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val ioWait = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
     def timeNoRetime(key: String)(thunk: => Unit): Double = {
-      val (s, ext) = BenchGuard.timedExt(thunk)
+      val (s, ext, iow) = BenchGuard.timedExt(thunk)
       extCpu(key) = ext
-      if (ext > extGate)
+      ioWait(key) = iow
+      if (ext > extGate || iow > ioGate)
         System.err.println(f"[scale] $key at $s%.2fs saw $ext%.2f external" +
-          " cores (probe not re-runnable — annotated, not retimed)")
+          f" cores / $iow%.2f iowait cores (probe not re-runnable —" +
+          " annotated, not retimed)")
       s
     }
 
     def time(key: String)(thunk: => Unit): Double = {
-      val (s, ext) = BenchGuard.timedExt(thunk)
+      val (s, ext, iow) = BenchGuard.timedExt(thunk)
       extCpu(key) = ext
+      ioWait(key) = iow
       val priorBad = prior.get(key)
         .exists(p => p > 0 && s > priorGate * p && s - p > 0.5)
-      if (ext > extGate || priorBad) {
+      if (ext > extGate || iow > ioGate || priorBad) {
         val why = if (ext > extGate) f"$ext%.2f external cores"
+          else if (iow > ioGate) f"$iow%.2f cores in iowait"
           else f"${s / prior(key)}%.1fx its prior ${prior(key)}%.2fs"
         System.err.println(f"[scale] $key at $s%.2fs saw $why — retiming")
-        val (s2, _) = BenchGuard.timedExt(thunk)
+        val (s2, _, _) = BenchGuard.timedExt(thunk)
         retimed(key) = (s, s2)
         math.min(s, s2)
       } else s
     }
 
     def extJson: String = extCpu
+      .map { case (k, v) => s"${jstr(k)}:${jnum(v)}" }.mkString("{", ",", "}")
+    def ioJson: String = ioWait
       .map { case (k, v) => s"${jstr(k)}:${jnum(v)}" }.mkString("{", ",", "}")
     def retimedJson: String = retimed
       .map { case (k, (a, b)) => s"${jstr(k)}:[${jnum(a)},${jnum(b)}]" }
@@ -263,10 +270,13 @@ object ScaleBench {
       }
     }
     // setup batches are store construction, not the datapoint — drop
-    // their per-batch ext entries, keep one aggregate for the artifact
+    // their per-batch ext/iowait entries, keep one aggregate each
     val setupExt = (0 until setupBatches).map(i =>
       timer.extCpu.remove(s"$keyPrefix.setup_batch_$i").getOrElse(0.0)).max
     timer.extCpu(s"$keyPrefix.setup_sec") = setupExt
+    val setupIo = (0 until setupBatches).map(i =>
+      timer.ioWait.remove(s"$keyPrefix.setup_batch_$i").getOrElse(0.0)).max
+    timer.ioWait(s"$keyPrefix.setup_sec") = setupIo
     val probeIngest = timer.timeNoRetime(s"$keyPrefix.probe_ingest_sec") {
       IncrementalDedup.ingestBatch(probe, s"$base/sigs", 900L).count()
     }
@@ -299,7 +309,7 @@ object ScaleBench {
     val loadGate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "1.0").toDouble
     val loadWaitCap =
       sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_CAP_SEC", "600").toInt
-    val (loadWaitSec, loadAtStart, coResident) =
+    val (loadWaitSec, loadAtStart, coResident, dirtyAtStart) =
       BenchGuard.quietGate("scale", loadGate, loadWaitCap)
     if (coResident.nonEmpty)
       System.err.println(s"[scale] WARNING: proceeding with " +
@@ -307,7 +317,9 @@ object ScaleBench {
 
     val extGate = sys.env.getOrElse("SPARK_GRAFT_EXT_CPU_GATE", "0.75").toDouble
     val priorGate = sys.env.getOrElse("SPARK_GRAFT_PRIOR_GATE", "2.0").toDouble
-    val timer = new GuardedTimer(flattenPrior(jsonPath), extGate, priorGate)
+    val ioGate = sys.env.getOrElse("SPARK_GRAFT_IOWAIT_GATE", "4.0").toDouble
+    val timer =
+      new GuardedTimer(flattenPrior(jsonPath), extGate, priorGate, ioGate)
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -614,9 +626,9 @@ object ScaleBench {
 
     val coResObj = coResident.map(jstr).mkString("[", ",", "]")
     val line =
-      s"""{"factor":$Factor,"src":"$srcDir","derived":"$outDir","load_at_start":${jnum(loadAtStart)},"load_wait_sec":${jnum(loadWaitSec)},"co_resident_jvms":$coResObj,"derived_rows":{${
+      s"""{"factor":$Factor,"src":"$srcDir","derived":"$outDir","load_at_start":${jnum(loadAtStart)},"load_wait_sec":${jnum(loadWaitSec)},"dirty_mb_at_start":${jnum(dirtyAtStart)},"co_resident_jvms":$coResObj,"derived_rows":{${
         rows.toSeq.sortBy(_._1).map { case (t, n) => s""""$t":$n""" }.mkString(",")
-      }},"graph_prep":{"sf01_sec":${jnum(prep01)},"sf1_sec":${jnum(prep1)},"ratio":${jnum(prep1 / prep01)}},"shard_deal_orders":$shardDeal,"ingest":$ingest,"ann_auto":$annAuto,"second_decade":$secondDecade,"families":{${fams.mkString(",")}},"retimed":${timer.retimedJson},"ext_cpu":${timer.extJson}}"""
+      }},"graph_prep":{"sf01_sec":${jnum(prep01)},"sf1_sec":${jnum(prep1)},"ratio":${jnum(prep1 / prep01)}},"shard_deal_orders":$shardDeal,"ingest":$ingest,"ann_auto":$annAuto,"second_decade":$secondDecade,"families":{${fams.mkString(",")}},"retimed":${timer.retimedJson},"ext_cpu":${timer.extJson},"io_wait":${timer.ioJson}}"""
     println(line)
     java.nio.file.Files.write(java.nio.file.Paths.get(jsonPath),
       (line + "\n").getBytes("UTF-8"))
