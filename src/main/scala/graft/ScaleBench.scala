@@ -181,11 +181,23 @@ object ScaleBench {
       scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     val extCpu = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val ioWait = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // per-probe GC seconds (delta across the window): a 48 GB heap can
+    // hide multi-second collections that neither /proc counter sees —
+    // the gc map attributes a retime pair's delta to collection
+    // pressure vs disk vs neighbors
+    val gcSec = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
-    def timeNoRetime(key: String)(thunk: => Unit): Double = {
+    private def measured(key: String)(thunk: => Unit): (Double, Double, Double) = {
+      val g0 = BenchGuard.gcMillis()
       val (s, ext, iow) = BenchGuard.timedExt(thunk)
       extCpu(key) = ext
       ioWait(key) = iow
+      gcSec(key) = (BenchGuard.gcMillis() - g0) / 1000.0
+      (s, ext, iow)
+    }
+
+    def timeNoRetime(key: String)(thunk: => Unit): Double = {
+      val (s, ext, iow) = measured(key)(thunk)
       if (ext > extGate || iow > ioGate)
         System.err.println(f"[scale] $key at $s%.2fs saw $ext%.2f external" +
           f" cores / $iow%.2f iowait cores (probe not re-runnable —" +
@@ -194,9 +206,7 @@ object ScaleBench {
     }
 
     def time(key: String)(thunk: => Unit): Double = {
-      val (s, ext, iow) = BenchGuard.timedExt(thunk)
-      extCpu(key) = ext
-      ioWait(key) = iow
+      val (s, ext, iow) = measured(key)(thunk)
       val priorBad = prior.get(key)
         .exists(p => p > 0 && s > priorGate * p && s - p > 0.5)
       if (ext > extGate || iow > ioGate || priorBad) {
@@ -213,6 +223,8 @@ object ScaleBench {
     def extJson: String = extCpu
       .map { case (k, v) => s"${jstr(k)}:${jnum(v)}" }.mkString("{", ",", "}")
     def ioJson: String = ioWait
+      .map { case (k, v) => s"${jstr(k)}:${jnum(v)}" }.mkString("{", ",", "}")
+    def gcJson: String = gcSec
       .map { case (k, v) => s"${jstr(k)}:${jnum(v)}" }.mkString("{", ",", "}")
     def retimedJson: String = retimed
       .map { case (k, (a, b)) => s"${jstr(k)}:[${jnum(a)},${jnum(b)}]" }
@@ -277,6 +289,9 @@ object ScaleBench {
     val setupIo = (0 until setupBatches).map(i =>
       timer.ioWait.remove(s"$keyPrefix.setup_batch_$i").getOrElse(0.0)).max
     timer.ioWait(s"$keyPrefix.setup_sec") = setupIo
+    val setupGc = (0 until setupBatches).map(i =>
+      timer.gcSec.remove(s"$keyPrefix.setup_batch_$i").getOrElse(0.0)).sum
+    timer.gcSec(s"$keyPrefix.setup_sec") = setupGc
     val probeIngest = timer.timeNoRetime(s"$keyPrefix.probe_ingest_sec") {
       IncrementalDedup.ingestBatch(probe, s"$base/sigs", 900L).count()
     }
@@ -628,7 +643,7 @@ object ScaleBench {
     val line =
       s"""{"factor":$Factor,"src":"$srcDir","derived":"$outDir","load_at_start":${jnum(loadAtStart)},"load_wait_sec":${jnum(loadWaitSec)},"dirty_mb_at_start":${jnum(dirtyAtStart)},"co_resident_jvms":$coResObj,"derived_rows":{${
         rows.toSeq.sortBy(_._1).map { case (t, n) => s""""$t":$n""" }.mkString(",")
-      }},"graph_prep":{"sf01_sec":${jnum(prep01)},"sf1_sec":${jnum(prep1)},"ratio":${jnum(prep1 / prep01)}},"shard_deal_orders":$shardDeal,"ingest":$ingest,"ann_auto":$annAuto,"second_decade":$secondDecade,"families":{${fams.mkString(",")}},"retimed":${timer.retimedJson},"ext_cpu":${timer.extJson},"io_wait":${timer.ioJson}}"""
+      }},"graph_prep":{"sf01_sec":${jnum(prep01)},"sf1_sec":${jnum(prep1)},"ratio":${jnum(prep1 / prep01)}},"shard_deal_orders":$shardDeal,"ingest":$ingest,"ann_auto":$annAuto,"second_decade":$secondDecade,"families":{${fams.mkString(",")}},"retimed":${timer.retimedJson},"ext_cpu":${timer.extJson},"io_wait":${timer.ioJson},"gc_sec":${timer.gcJson}}"""
     println(line)
     java.nio.file.Files.write(java.nio.file.Paths.get(jsonPath),
       (line + "\n").getBytes("UTF-8"))

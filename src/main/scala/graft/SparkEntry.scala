@@ -461,12 +461,8 @@ object SparkEntry {
     * driver literals; here they ride a 1-row `tot` CTE — same values,
     * same per-step IEEE ops (divide, ln).
     */
-  private val dsirWeightsSql: String =
-    s"""tk AS (SELECT doc_id, tgt, ${hash60Sql("tok")} % 256 AS bucket
-       |  FROM (SELECT doc_id, lang = 'en' AS tgt,
-       |    unnest(string_split_regex(trim(text), '\\s+')) AS tok
-       |    FROM documents) u WHERE tok <> ''),
-       |model AS (SELECT bucket,
+  private val dsirModelChainSql: String =
+    s"""model AS (SELECT bucket,
        |  sum(CASE WHEN tgt THEN 1 ELSE 0 END)::BIGINT AS ct,
        |  sum(CASE WHEN tgt THEN 0 ELSE 1 END)::BIGINT AS cr
        |  FROM tk GROUP BY bucket),
@@ -478,6 +474,28 @@ object SparkEntry {
        |w AS (SELECT doc_id, count(*)::BIGINT AS n_toks,
        |  floor(sum(lp::DECIMAL(38,12))::DOUBLE * 10000)/10000 AS log_weight
        |  FROM lp GROUP BY doc_id)""".stripMargin
+
+  private val dsirWeightsSql: String =
+    s"""tk AS (SELECT doc_id, tgt, ${hash60Sql("tok")} % 256 AS bucket
+       |  FROM (SELECT doc_id, lang = 'en' AS tgt,
+       |    unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |    FROM documents) u WHERE tok <> ''),
+       |$dsirModelChainSql""".stripMargin
+
+  /** The bigram-extended gram relation ([[Relevance.dsirLogWeights]]
+    * with bigrams = true): unigrams UNION ALL adjacent-token pairs from
+    * the token array — then the identical model chain.
+    */
+  private val dsirBigramWeightsSql: String =
+    s"""tokl AS (SELECT doc_id, lang = 'en' AS tgt,
+       |  string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+       |gr AS (SELECT doc_id, tgt, unnest(toks) AS tok FROM tokl
+       |  UNION ALL
+       |  SELECT doc_id, tgt, unnest(list_transform(range(1, len(toks)),
+       |    i -> toks[i] || ' ' || toks[i+1])) AS tok FROM tokl),
+       |tk AS (SELECT doc_id, tgt, ${hash60Sql("tok")} % 256 AS bucket
+       |  FROM gr WHERE tok <> ''),
+       |$dsirModelChainSql""".stripMargin
 
   /** 16-term minhash signature list over the pre-hashed shingle list `hs`
     * (TextHash.mixSeeded affine family, same constants).
@@ -3211,6 +3229,30 @@ object SparkEntry {
               col("ws_tokens").cast("long").as("ws_tokens")),
           "lang", "doc_id", "ws_tokens", k = 20)
         .select("doc_id", "lang", "ws_tokens")),
+
+    // R5c: DSIR with the paper's full hashed n-gram feature set —
+    // unigrams PLUS bigrams (built by zipping the token array with its
+    // own tail: map-only, no per-doc window), same smoothed log-ratio
+    // models. Bigrams catch target-domain phrasing that bag-of-words
+    // misses; the model table stays a ≤256-row broadcast.
+    "dsir_log_weights_bigrams" -> ((s, dir) =>
+      graft.operators.Relevance.dsirLogWeights(Tables.documents(s, dir),
+          isTarget = col("lang") === "en", buckets = 256, bigrams = true)
+        .select(col("id").as("doc_id"), col("n_toks"), col("log_weight"))),
+
+    // R5d: the paper's actual selection rule — GUMBEL-TOP-K IMPORTANCE
+    // RESAMPLING: draw k docs without replacement with probability
+    // ∝ exp(log_weight) by adding Gumbel noise to each weight and
+    // taking the top k. Top-k-by-weight (dsir_selected) concentrates
+    // on the single highest-ratio template; resampling matches the
+    // target DISTRIBUTION (the paper's estimator). Noise is a
+    // deterministic function of the id hash — the library's no-rand()
+    // sampling discipline — so the draw replays bit-identically.
+    "dsir_resampled" -> ((s, dir) =>
+      graft.operators.Relevance.dsirResample(
+          graft.operators.Relevance.dsirLogWeights(Tables.documents(s, dir),
+            isTarget = col("lang") === "en", buckets = 256), k = 100)
+        .select(col("id").as("doc_id"), col("log_weight"), col("key"))),
 
     // A6: exact group quantiles of event values (linear interpolation —
     // same definition as the oracle's quantile_cont).
@@ -6045,6 +6087,24 @@ object SparkEntry {
          |r AS (SELECT doc_id, lang, ws_tokens, row_number() OVER (
          |  PARTITION BY lang ORDER BY key DESC, doc_id) AS rn FROM keyed)
          |SELECT doc_id, lang, ws_tokens FROM r WHERE rn <= 20""".stripMargin,
+
+    // DSIR with bigram features: same CTE chain, gram relation extended
+    // by the token-array zip — the oracle twin of bigrams = true.
+    "dsir_log_weights_bigrams" ->
+      s"""WITH $dsirBigramWeightsSql
+         |SELECT doc_id, n_toks, log_weight FROM w""".stripMargin,
+
+    // Gumbel-top-k importance resampling: select on the RAW key (Spark
+    // orders before flooring), project the floored key.
+    "dsir_resampled" ->
+      s"""WITH $dsirWeightsSql,
+         |sel AS (SELECT doc_id, log_weight,
+         |  log_weight + -ln(-ln((${hash60Sql("doc_id::VARCHAR")} + 1)
+         |    / 1152921504606846976.0)) AS k0 FROM w),
+         |top AS (SELECT doc_id, log_weight, k0 FROM sel
+         |  ORDER BY k0 DESC, doc_id LIMIT 100)
+         |SELECT doc_id, log_weight,
+         |  floor(k0 * 10000)/10000 AS key FROM top""".stripMargin,
 
     "value_quantiles_by_type" ->
       """SELECT event_type,

@@ -100,10 +100,13 @@ object KeyedUpsertSink {
       fs.mkdirs(new Path(storeDir))
       val lock = new Path(storeDir, LockFile)
       val token = java.util.UUID.randomUUID().toString
+      // system property first (test seam), env second, default last
+      def knob(prop: String, env: String, dflt: String): Long =
+        sys.props.get(prop).orElse(sys.env.get(env)).getOrElse(dflt).toLong
       val leaseMs =
-        sys.env.getOrElse("GRAFT_STORE_LEASE_MS", "300000").toLong
+        knob("graft.store.lease.ms", "GRAFT_STORE_LEASE_MS", "300000")
       val waitCapMs =
-        sys.env.getOrElse("GRAFT_STORE_LOCK_WAIT_MS", "120000").toLong
+        knob("graft.store.lock.wait.ms", "GRAFT_STORE_LOCK_WAIT_MS", "120000")
       val t0 = System.nanoTime()
       var acquired = false
       while (!acquired) {

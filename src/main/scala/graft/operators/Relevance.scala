@@ -468,10 +468,26 @@ object Relevance {
     */
   def dsirLogWeights(docs: DataFrame, isTarget: org.apache.spark.sql.Column,
       buckets: Int = 256, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", bigrams: Boolean = false): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    val toks = docs.select(col(idCol).as("id"), isTarget.as("tgt"),
-        explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+    // with bigrams = true, the feature set is the paper's full hashed
+    // n-gram space: unigrams plus adjacent-token pairs, the pairs built
+    // by zipping the token array with its own tail (map-only — no
+    // per-doc window shuffle; the trailing null pair is filtered)
+    val gramRows =
+      if (!bigrams)
+        docs.select(col(idCol).as("id"), isTarget.as("tgt"),
+          explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      else {
+        val t = split(trim(col(textCol)), "\\s+")
+        val bi = filter(
+          zip_with(t, slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+            (a, b) => concat(a, lit(" "), b)),
+          x => x.isNotNull)
+        docs.select(col(idCol).as("id"), isTarget.as("tgt"),
+          explode(concat(t, bi)).as("tok"))
+      }
+    val toks = gramRows
       .filter(col("tok") =!= "")
       .select(col("id"), col("tgt"),
         (graft.functions.TextHash.hash60(col("tok")) % buckets).as("bucket"))
@@ -508,6 +524,35 @@ object Relevance {
     require(n > 0, s"n must be positive, got $n")
     weights.orderBy(col("log_weight").desc, col("id")).limit(n)
       .select(col("id"), col("log_weight"))
+  }
+
+  /** The paper's actual selection rule — GUMBEL-TOP-K IMPORTANCE
+    * RESAMPLING: add independent Gumbel(0,1) noise to each document's
+    * log-weight and take the top k, which draws k docs WITHOUT
+    * replacement with probability ∝ exp(log_weight) — the
+    * distribution-matching estimator DSIR's guarantee is proved for.
+    * [[dsirSelect]]'s plain top-k is its temperature→0 limit and
+    * concentrates on the single highest-ratio template; resampling
+    * covers the target distribution's breadth.
+    *
+    * The noise is DETERMINISTIC — `g = −ln(−ln(u))` with `u` drawn from
+    * the id's content hash (the library's no-rand() sampling
+    * discipline, same construction as
+    * [[Mixture.weightedSampleK]]) — so the draw is reproducible across
+    * runs, engines, and cluster sizes, and oracle-replayable. Selection
+    * orders on the raw key; the returned `key` column is
+    * floor-truncated at 1e-4 for cross-engine output equality. Plans as
+    * TakeOrderedAndProject, like [[dsirSelect]].
+    */
+  def dsirResample(weights: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (graft.functions.TextHash.hash60(col("id").cast("string")) + 1L)
+      .cast("double") / lit(1152921504606846976.0) // 2^60, in (0, 1]
+    weights.withColumn("_g_key", col("log_weight") + -log(-log(u)))
+      .orderBy(col("_g_key").desc, col("id"))
+      .limit(k)
+      .select(col("id"), col("log_weight"),
+        (floor(col("_g_key") * 1e4) / 1e4).as("key"))
   }
 
   /** Sparse cosine-similar pairs via the inverted index: documents

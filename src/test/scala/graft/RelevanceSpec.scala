@@ -254,6 +254,52 @@ class RelevanceSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("dsirLogWeights bigrams: n-gram counts include adjacent pairs; phrasing separates docs") {
+    val docs = Seq(
+      (1L, "new york city hall", true),
+      (2L, "york new hall city", false), // same unigrams, alien bigrams
+      (3L, "new york city council", false) // shares target BIGRAMS
+    ).toDF("doc_id", "text", "is_tgt")
+    val uni = Relevance.dsirLogWeights(docs, col("is_tgt"), buckets = 64)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val bi = Relevance.dsirLogWeights(docs, col("is_tgt"), buckets = 64,
+        bigrams = true)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // gram counts: 4 unigrams -> 4 + 3 bigrams
+    assert(uni(2L)._2 === 4L && bi(2L)._2 === 7L)
+    // under bag-of-words the scrambled doc 2 scores AT LEAST as
+    // target-like as doc 3 on shared-vocabulary mass alone; bigrams
+    // must break the tie toward the doc that shares target PHRASING
+    assert(bi(3L)._3 > bi(2L)._3,
+      s"bigram features must prefer shared phrasing: ${bi(3L)} vs ${bi(2L)}")
+  }
+
+  test("dsirResample: Gumbel-top-k is deterministic, k-sized, and key-exact") {
+    val w = (1L to 50L).map(i => (i, 3L, (i % 7).toDouble / 2))
+      .toDF("id", "n_toks", "log_weight")
+    val a = Relevance.dsirResample(w, k = 10)
+      .as[(Long, Double, Double)].collect().toSeq
+    val b = Relevance.dsirResample(w, k = 10)
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(a === b, "hash-seeded Gumbel draw must replay identically")
+    assert(a.size === 10 && a.map(_._1).distinct.size === 10)
+    // key = floor((log_weight + gumbel(id)) * 1e4) / 1e4, recomputed here
+    a.foreach { case (id, lw, key) =>
+      val u = (h60(id.toString) + 1L).toDouble / 1152921504606846976.0
+      val expect = math.floor((lw + -math.log(-math.log(u))) * 1e4) / 1e4
+      assert(key === expect, s"key mismatch for id=$id")
+    }
+    // resampling is not plain top-k: with noise, at least one selected
+    // id must fall outside the 10 highest raw weights (ids with
+    // log_weight 3.0 are ranks 1-7; a 50-doc pool with Gumbel noise
+    // spreading several nats guarantees crossings for this seed set)
+    val topIds = Relevance.dsirSelect(w, n = 10)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(a.map(_._1).toSet !== topIds,
+      "Gumbel resampling should differ from the zero-temperature top-k")
+    intercept[IllegalArgumentException] { Relevance.dsirResample(w, 0) }
+  }
+
   test("noveltyScores: duplicated content zeroes novelty, unique content keeps 1.0") {
     val withDup = corpus.unionByName(
       Seq((5L, "cat dog dog dog")).toDF("doc_id", "text"))

@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.KeyedUpsertSink
+
+/** The writer-lease protocol behind [[KeyedUpsertSink]]'s concurrent-
+  * writer support (r16 verdict item 3), pinned at the unit level —
+  * TopologySpec proves the composed two-hop topology under the lease;
+  * this spec proves the lease mechanics themselves through the public
+  * API: mutual exclusion of racing writers, stale-lease takeover (the
+  * crashed-writer case), the wait-cap error (the wedged-peer case),
+  * and writer-id generation namespacing.
+  */
+class StoreLeaseSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def freshDir() =
+    Files.createTempDirectory("graft-lease").toString
+
+  test("racing writers with distinct writerIds both land; store converges row-level") {
+    val dir = freshDir()
+    val mk = (k: String, v: Long) =>
+      Seq((k, v)).toDF("k", "ts")
+    // two writers, each hammering the same store from its own thread
+    // with its OWN keys and batch ids — the lease must serialize the
+    // read-merge-write-flip-prune sections so no flip is lost
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq("a", "b").map { w =>
+      new Thread(() => {
+        try {
+          (0 until 6).foreach { i =>
+            KeyedUpsertSink.upsertBatch(mk(s"$w$i", i.toLong), dir,
+              Seq("k"), "ts", i.toLong, versionWins = true, writerId = w)
+          }
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(errs.isEmpty, s"writer threads failed: ${errs.peek()}")
+    val store = KeyedUpsertSink.readStore(spark, dir).get
+    // every write from both writers survived — a lost pointer-map
+    // update (the unserialized read-modify-write race) would drop keys
+    assert(store.count() === 12L)
+    assert(store.select("k").as[String].collect().toSet ===
+      (0 until 6).flatMap(i => Seq(s"a$i", s"b$i")).toSet)
+  }
+
+  test("a stale lease (crashed writer) is taken over, not deadlocked") {
+    val dir = freshDir()
+    Files.createDirectories(Paths.get(dir))
+    val lock = Paths.get(dir, "_LOCK")
+    Files.write(lock, "dead-token\ncrashed-writer\n0".getBytes("UTF-8"))
+    // age the lock past the lease window
+    Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 24 * 3600 * 1000L))
+    // a live writer must take the expired lease over and proceed
+    KeyedUpsertSink.upsertBatch(Seq(("k1", 1L)).toDF("k", "ts"), dir,
+      Seq("k"), "ts", 0L)
+    assert(KeyedUpsertSink.readStore(spark, dir).get.count() === 1L)
+    // the crashed writer's lock did not survive its takeover
+    assert(!Files.exists(lock) ||
+      !new String(Files.readAllBytes(lock), "UTF-8").startsWith("dead-token"))
+  }
+
+  test("a live peer's lock makes acquisition fail loudly after the wait cap") {
+    val dir = freshDir()
+    Files.createDirectories(Paths.get(dir))
+    val lock = Paths.get(dir, "_LOCK")
+    Files.write(lock, s"live-token\npeer\n${System.currentTimeMillis()}"
+      .getBytes("UTF-8"))
+    val oldWait = sys.props.put("graft.store.lock.wait.ms", "300")
+    try {
+      val e = intercept[IllegalStateException] {
+        KeyedUpsertSink.upsertBatch(Seq(("k1", 1L)).toDF("k", "ts"), dir,
+          Seq("k"), "ts", 0L)
+      }
+      assert(e.getMessage.contains("store lock"))
+    } finally oldWait match {
+      case Some(v) => sys.props.put("graft.store.lock.wait.ms", v)
+      case None => sys.props.remove("graft.store.lock.wait.ms")
+    }
+    // the failed acquisition must not have dented the peer's lock
+    assert(new String(Files.readAllBytes(lock), "UTF-8")
+      .startsWith("live-token"))
+  }
+
+  test("writerId namespaces generations: equal batch ids never collide") {
+    val dir = freshDir()
+    KeyedUpsertSink.upsertBatch(Seq(("a", 1L)).toDF("k", "ts"), dir,
+      Seq("k"), "ts", batchId = 3L, writerId = "ing")
+    KeyedUpsertSink.upsertBatch(Seq(("b", 1L)).toDF("k", "ts"), dir,
+      Seq("k"), "ts", batchId = 3L, writerId = "mat")
+    val gens = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
+      .map(_.getName).toSet
+    assert(gens === Set("gen-ing-3", "gen-mat-3"),
+      s"expected per-writer generation dirs, got $gens")
+    assert(KeyedUpsertSink.readStore(spark, dir).get.count() === 2L)
+  }
+}
