@@ -8,18 +8,7 @@ import org.apache.spark.sql.SparkSession
   * contract line so partial failure never zeroes the round's numbers.
   */
 object Bench {
-  private def jstr(s: String): String = "\"" + s.flatMap {
-    case '"'  => "\\\""
-    case '\\' => "\\\\"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  } + "\""
-
-  /** Scala prints Double.Infinity/NaN as `Infinity`/`NaN` — invalid JSON
-    * that would corrupt the one-line bench contract. -1 = "not measured".
-    */
-  private def jnum(d: Double): String =
-    if (d.isNaN || d.isInfinite) "-1" else d.toString
+  import BenchGuard.{jstr, jnum}
 
   // /proc-based external-CPU windows, GC deltas, and the co-resident-JVM
   // scan are shared with ScaleBench via BenchGuard (r16 verdict items 1
@@ -500,7 +489,11 @@ object Bench {
     // AND in the committed BENCH_full.json it names.
     def r3(d: Double): String =
       if (d.isNaN || d.isInfinite) "-1" else (math.rint(d * 1000) / 1000).toString
-    val slow10 = results.collect { case (k, Right(v)) => k -> v }
+    // resultsAll, not results: graph_prep (the one row with a recorded
+    // contamination history) must be eligible for the tail line's
+    // slowest-10, or the compact line hides exactly the regression it
+    // exists to surface
+    val slow10 = resultsAll.collect { case (k, Right(v)) => k -> v }
       .sortBy(-_._2).take(10)
       .map { case (k, v) => s"${jstr(k)}:${r3(v)}" }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${resultsAll.size},"failed":${resultsAll.count(_._2.isLeft)},"cpus":$cpus,"loadavg":${r3(loadAvg)},"load_at_start":${r3(loadAtStart)},"load_wait_sec":${r3(loadWaitSec)},"external_cpu_cores":${r3(runExtCores)},"co_resident_jvms":${coResident.size},"rerun_delta":${r3(rerunDelta)},"retimed":${retimed.size},"queries":$slow10,"queries_shown":"10_slowest_of_${resultsAll.size}","queries_full":"BENCH_full.json"}""")

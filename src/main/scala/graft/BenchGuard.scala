@@ -22,6 +22,23 @@ package graft
   */
 object BenchGuard {
 
+  /** JSON string escape, shared by both measurement mains' artifact
+    * serializers — a fix applied to one copy must not leave the other
+    * emitting unparseable artifacts.
+    */
+  def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Scala prints Double.Infinity/NaN as `Infinity`/`NaN` — invalid
+    * JSON that would corrupt the artifact line. -1 = "not measured".
+    */
+  def jnum(d: Double): String =
+    if (d.isNaN || d.isInfinite) "-1" else d.toString
+
   def load1m: Double = java.lang.management.ManagementFactory
     .getOperatingSystemMXBean.getSystemLoadAverage
 

@@ -48,15 +48,7 @@ import org.apache.spark.sql.functions._
   */
 object ScaleBench {
 
-  private def jnum(d: Double): String =
-    if (d.isNaN || d.isInfinite) "-1" else d.toString
-
-  private def jstr(s: String): String = "\"" + s.flatMap {
-    case '"'  => "\\\""
-    case '\\' => "\\\\"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  } + "\""
+  import BenchGuard.{jstr, jnum}
 
   val Factor = 10
   private val Block = 10000000L // replica id stride, above every plant offset
@@ -214,9 +206,14 @@ object ScaleBench {
           else if (iow > ioGate) f"$iow%.2f cores in iowait"
           else f"${s / prior(key)}%.1fx its prior ${prior(key)}%.2fs"
         System.err.println(f"[scale] $key at $s%.2fs saw $why — retiming")
-        val (s2, _, _) = BenchGuard.timedExt(thunk)
-        retimed(key) = (s, s2)
-        math.min(s, s2)
+        // a throwing retry (the box is already misbehaving when a
+        // retime triggers) must not abort the multi-hour run: keep the
+        // first timing, record the failed retry as -1 (Bench's rule)
+        try {
+          val (s2, _, _) = BenchGuard.timedExt(thunk)
+          retimed(key) = (s, s2)
+          math.min(s, s2)
+        } catch { case _: Throwable => retimed(key) = (s, -1.0); s }
       } else s
     }
 

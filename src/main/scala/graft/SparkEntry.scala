@@ -898,7 +898,13 @@ object SparkEntry {
     * retime path for exactly this reason).
     */
   private[graft] def copurchaseEvict(s: SparkSession, dir: String): Unit =
-    Seq("base", "prep").foreach(k => graphShared.remove(sharedKey(s, dir, k)))
+    Seq("base", "prep").foreach { k =>
+      // unpersist the checkpoint blocks NOW: dropping the reference
+      // alone keeps them resident until a nondeterministic GC, so the
+      // retime's rebuild would hold two copies of the edge relation
+      graphShared.remove(sharedKey(s, dir, k)).foreach(df =>
+        org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(df))
+    }
 
   /** Positioned-shingle aligned-span CTE chain (mirrors
     * [[graft.operators.Dedup.alignedSpanPairs]] at n=3, minTokens=10):

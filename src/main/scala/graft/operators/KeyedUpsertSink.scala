@@ -85,11 +85,17 @@ object KeyedUpsertSink {
     * then the `_LOCK` lease file (exclusive create; content = a random
     * token + `who` + wall-clock millis). A lock older than
     * `GRAFT_STORE_LEASE_MS` (default 300,000) is presumed crashed and
-    * taken over; acquisition gives up after `GRAFT_STORE_LOCK_WAIT_MS`
-    * (default 120,000) so a wedged peer surfaces as an error rather
-    * than a silent hang. Release deletes the lock only if it still
-    * carries OUR token — after a lease takeover the new owner's lock
-    * must survive our cleanup.
+    * TAKEN OVER — atomically, by renaming the stale file aside: only
+    * the waiter whose rename succeeds proceeds to the create race, so
+    * two cross-process waiters can never both delete-and-create over
+    * each other. While `body` runs, a daemon HEARTBEAT refreshes the
+    * lock's mtime every leaseMs/4 (checking the token first, so a
+    * zombie never extends a new owner's lease) — without it any
+    * upsert/compact longer than the lease would be "taken over"
+    * mid-critical-section by a live peer. Acquisition gives up after
+    * `GRAFT_STORE_LOCK_WAIT_MS` (default 120,000) so a wedged peer
+    * surfaces as an error rather than a silent hang. Release deletes
+    * the lock only if it still carries OUR token.
     */
   private def withStoreLock[T](spark: SparkSession, storeDir: String,
       who: String)(body: => T): T = {
@@ -107,40 +113,83 @@ object KeyedUpsertSink {
         knob("graft.store.lease.ms", "GRAFT_STORE_LEASE_MS", "300000")
       val waitCapMs =
         knob("graft.store.lock.wait.ms", "GRAFT_STORE_LOCK_WAIT_MS", "120000")
+      def ownerToken(): Option[String] = {
+        val in = fs.open(lock)
+        try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().nextOption()
+        finally in.close()
+      }
       val t0 = System.nanoTime()
       var acquired = false
       while (!acquired) {
-        try {
+        val created = try {
           val out = fs.create(lock, false) // exclusive: fails if held
-          try out.write(s"$token\n$who\n${System.currentTimeMillis()}"
-            .getBytes("UTF-8"))
-          finally out.close()
-          acquired = true
-        } catch {
-          case _: java.io.IOException =>
-            val stale = try {
-              val st = fs.getFileStatus(lock)
-              System.currentTimeMillis() - st.getModificationTime > leaseMs
-            } catch { case _: Throwable => false } // raced release — retry
-            if (stale) {
+          try {
+            try out.write(s"$token\n$who\n${System.currentTimeMillis()}"
+              .getBytes("UTF-8"))
+            finally out.close()
+            true
+          } catch { case e: Throwable =>
+            // our create succeeded but the token write failed: a
+            // half-created fresh-mtime lock nobody owns would block
+            // every writer for a full lease — remove it before retrying
+            try fs.delete(lock, false) catch { case _: Throwable => () }
+            throw e
+          }
+        } catch { case _: java.io.IOException => false }
+        if (created) acquired = true
+        else {
+          val stale = try {
+            val st = fs.getFileStatus(lock)
+            System.currentTimeMillis() - st.getModificationTime > leaseMs
+          } catch { case _: Throwable => false } // raced release — retry
+          if (stale) {
+            // atomic takeover: rename the stale lock aside — the rename
+            // succeeds for exactly one waiter (the source vanishes for
+            // the rest), so the losers fall back to waiting on whatever
+            // lock the winner creates next
+            val aside = new Path(storeDir, s"$LockFile.stale-$token")
+            val won = try fs.rename(lock, aside)
+              catch { case _: Throwable => false }
+            if (won) {
               System.err.println(s"[store] taking over expired lease at $lock")
-              fs.delete(lock, false)
-            } else if ((System.nanoTime() - t0) / 1e6 > waitCapMs)
-              throw new IllegalStateException(
-                s"could not acquire store lock $lock within ${waitCapMs}ms" +
-                  " — is a peer writer wedged? (lease expires after" +
-                  s" ${leaseMs}ms)")
-            else Thread.sleep(50)
+              try fs.delete(aside, false) catch { case _: Throwable => () }
+            }
+          } else if ((System.nanoTime() - t0) / 1e6 > waitCapMs)
+            throw new IllegalStateException(
+              s"could not acquire store lock $lock within ${waitCapMs}ms" +
+                " — is a peer writer wedged? (lease expires after" +
+                s" ${leaseMs}ms)")
+          else Thread.sleep(50)
         }
       }
+      // heartbeat: keep the lease visibly alive while body runs longer
+      // than leaseMs (compaction is corpus-proportional by design)
+      val hbStop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val hb = new Thread(() => {
+        val period = math.max(leaseMs / 4, 50L)
+        var mine = true
+        while (!hbStop.get && mine) {
+          try {
+            Thread.sleep(period)
+            if (!hbStop.get) {
+              if (ownerToken().contains(token))
+                fs.setTimes(lock, System.currentTimeMillis(), -1)
+              else mine = false // taken over (e.g. a long GC pause) — stop
+            }
+          } catch {
+            case _: InterruptedException => mine = false
+            case _: Throwable => () // transient fs error — keep trying
+          }
+        }
+      }, s"graft-store-lease-$who")
+      hb.setDaemon(true)
+      hb.start()
       try body finally {
+        hbStop.set(true)
+        hb.interrupt()
         try {
-          val in = fs.open(lock)
-          val owner =
-            try scala.io.Source.fromInputStream(in, "UTF-8")
-              .getLines().nextOption()
-            finally in.close()
-          if (owner.contains(token)) fs.delete(lock, false)
+          if (ownerToken().contains(token)) fs.delete(lock, false)
         } catch { case _: Throwable => () } // lock already taken over
       }
     }

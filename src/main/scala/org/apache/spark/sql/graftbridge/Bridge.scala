@@ -65,4 +65,20 @@ object Bridge {
         spark.internalCreateDataFrame(df.queryExecution.toRdd, df.schema)
     }
   }
+
+  /** Unpersist the storage behind a (local)checkpointed Dataset NOW.
+    * Dropping the last reference alone leaves the checkpoint's RDD
+    * blocks resident until a nondeterministic driver GC lets the
+    * ContextCleaner find them — an evict-and-rebuild cycle (the
+    * ScaleBench graph-prep retime) would otherwise hold two copies of
+    * a corpus-sized relation in the block manager during the rebuild,
+    * recreating the storage-fraction overflow the eviction exists to
+    * measure honestly. No-op on plans without a LogicalRDD leaf.
+    */
+  def unpersistCheckpoint(df: DataFrame, blocking: Boolean = false): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        try l.rdd.unpersist(blocking) catch { case _: Throwable => () }
+      case _ => ()
+    }
 }

@@ -90,6 +90,49 @@ class StoreLeaseSpec extends AnyFunSuite with SparkTestBase {
       .startsWith("live-token"))
   }
 
+  test("a long critical section outlives the lease via the heartbeat (no takeover window)") {
+    val dir = freshDir()
+    val lock = Paths.get(dir, "_LOCK")
+    val oldLease = sys.props.put("graft.store.lease.ms", "600")
+    try {
+      // an upsert whose in-lock evaluation takes several lease periods:
+      // a per-row sleeping udf on a single partition (test-only)
+      val slow = org.apache.spark.sql.functions.udf { (s: String) =>
+        Thread.sleep(25); s
+      }
+      val batch = spark.range(0, 100, 1, 1)
+        .selectExpr("cast(id as string) as k", "id as ts")
+        .withColumn("k", slow(org.apache.spark.sql.functions.col("k")))
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val writer = new Thread(() => {
+        try KeyedUpsertSink.upsertBatch(batch, dir, Seq("k"), "ts", 0L)
+        catch { case t: Throwable => errs.add(t) }
+      })
+      writer.start()
+      // watch the lock while the body runs: the heartbeat must keep its
+      // observed age well under the 600 ms lease at every sample, or a
+      // cross-process peer would be entitled to take it over mid-write
+      var maxAge = 0L
+      while (writer.isAlive) {
+        if (Files.exists(lock)) {
+          val age = System.currentTimeMillis() -
+            Files.getLastModifiedTime(lock).toMillis
+          if (age > maxAge) maxAge = age
+        }
+        Thread.sleep(40)
+      }
+      writer.join()
+      assert(errs.isEmpty, s"writer failed: ${errs.peek()}")
+      assert(maxAge < 600L,
+        s"lock aged ${maxAge}ms past a heartbeat period — a peer could take over")
+      assert(KeyedUpsertSink.readStore(spark, dir).get.count() === 100L)
+      assert(!Files.exists(lock), "lease must be released after the body")
+    } finally oldLease match {
+      case Some(v) => sys.props.put("graft.store.lease.ms", v)
+      case None => sys.props.remove("graft.store.lease.ms")
+    }
+  }
+
   test("writerId namespaces generations: equal batch ids never collide") {
     val dir = freshDir()
     KeyedUpsertSink.upsertBatch(Seq(("a", 1L)).toDF("k", "ts"), dir,
