@@ -525,6 +525,51 @@ object ScaleBench {
       s"""{"error":"${Option(e.getMessage).getOrElse(e.getClass.getName).take(200).replace("\"", "'")}"}"""
     }
 
+    // SEMDEDUP K-SCALING (r17): Cluster.semanticNearDupPairs blocks its
+    // candidate pairs on k-means cells, so the pair join costs
+    // sum|cell|^2 ~ n^2/k — with FIXED k each decade of data is two
+    // decades of pairs; the paper's rule (k grows with n,
+    // Cluster.autoK holds expected cell size constant) restores
+    // linearity. Measured the way ann_auto measures the banded rule:
+    // 1x and 10x embeddings, fixed k=8 vs auto k, with the
+    // deterministic cost driver (candidate pairs = sum of m*(m-1)/2
+    // over the assignment's cells) recorded alongside seconds and the
+    // found-pair count, so the reading doesn't depend on wall-clock
+    // alone. Expected: fixed-k candidates ~100x per decade, auto-k
+    // ~10x. (autoK(2000) = 8 = the fixed config, so x1 doubles as the
+    // shared baseline.)
+    val semDedup = try {
+      import graft.operators.Cluster
+      val scales = Seq("x1" -> srcDir, "x10" -> outDir)
+      val per = scales.map { case (tag, dir) =>
+        val emb = Tables.embeddings(spark, dir).localCheckpoint(false)
+        val n = emb.count()
+        def cfgJson(cfgTag: String, k: Int): String = {
+          var pairs = -1L
+          val sec = timer.time(s"semdedup.$tag.$cfgTag.pairs_sec") {
+            pairs = Cluster.semanticNearDupPairs(emb, "vec_id", "embedding",
+              k = k, iters = 3, threshold = 0.9).count()
+          }
+          val cand = Cluster.kmeansAssignments(emb, "vec_id", "embedding",
+              k = k, iters = 3)
+            .groupBy(col("cluster")).agg(count(lit(1)).as("m"))
+            .agg(coalesce(sum((col("m") * (col("m") - 1) / 2).cast("long")),
+              lit(0L)).as("c"))
+            .collect()(0).getLong(0)
+          System.err.println(f"[scale] semdedup $tag $cfgTag (k=$k): " +
+            f"$sec%.2f s, cand pairs $cand, found $pairs")
+          s""""$cfgTag":{"k":$k,"pairs_sec":${jnum(sec)},"cand_pairs":$cand,"pairs":$pairs}"""
+        }
+        val fixedJ = cfgJson("fixed", 8)
+        val autoJ = cfgJson("auto", Cluster.autoK(n))
+        s""""$tag":{"n":$n,$fixedJ,$autoJ}"""
+      }
+      s"""{${per.mkString(",")}}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[scale] semdedup k-scaling FAILED — ${e.getMessage}")
+      s"""{"error":"${Option(e.getMessage).getOrElse(e.getClass.getName).take(200).replace("\"", "'")}"}"""
+    }
+
     // SECOND-DECADE DATAPOINT (r16, extended r17 per verdict item 4):
     // 10x AND 100x measured in THIS run so each ratio is same-machine/
     // same-warmth, across FIVE families plus the graph prep:
@@ -640,7 +685,7 @@ object ScaleBench {
     val line =
       s"""{"factor":$Factor,"src":"$srcDir","derived":"$outDir","load_at_start":${jnum(loadAtStart)},"load_wait_sec":${jnum(loadWaitSec)},"dirty_mb_at_start":${jnum(dirtyAtStart)},"co_resident_jvms":$coResObj,"derived_rows":{${
         rows.toSeq.sortBy(_._1).map { case (t, n) => s""""$t":$n""" }.mkString(",")
-      }},"graph_prep":{"sf01_sec":${jnum(prep01)},"sf1_sec":${jnum(prep1)},"ratio":${jnum(prep1 / prep01)}},"shard_deal_orders":$shardDeal,"ingest":$ingest,"ann_auto":$annAuto,"second_decade":$secondDecade,"families":{${fams.mkString(",")}},"retimed":${timer.retimedJson},"ext_cpu":${timer.extJson},"io_wait":${timer.ioJson},"gc_sec":${timer.gcJson}}"""
+      }},"graph_prep":{"sf01_sec":${jnum(prep01)},"sf1_sec":${jnum(prep1)},"ratio":${jnum(prep1 / prep01)}},"shard_deal_orders":$shardDeal,"ingest":$ingest,"ann_auto":$annAuto,"semdedup":$semDedup,"second_decade":$secondDecade,"families":{${fams.mkString(",")}},"retimed":${timer.retimedJson},"ext_cpu":${timer.extJson},"io_wait":${timer.ioJson},"gc_sec":${timer.gcJson}}"""
     println(line)
     java.nio.file.Files.write(java.nio.file.Paths.get(jsonPath),
       (line + "\n").getBytes("UTF-8"))

@@ -3163,6 +3163,20 @@ object SparkEntry {
         .select(col("cluster").cast("long").as("cluster"),
           col("id").as("vec_id"), col("rank").cast("long").as("rank"))),
 
+    // CL6: prototype pruning (Sorscher et al. 2022) — keep the hardest
+    // (centroid-farthest) quarter of every cluster; the per-cluster
+    // quota keeps the kept set topic-balanced where a global dist
+    // cutoff would empty tight clusters first. 0.25 is an exact binary
+    // fraction, so ceil(0.25 * csize) is engine-identical.
+    "semantic_prototype_pruned" -> ((s, dir) =>
+      Cluster.prototypePrune(
+          Cluster.kmeansAssignments(Tables.embeddings(s, dir),
+            "vec_id", "embedding", k = 8, iters = 3),
+          keepFraction = 0.25, hardest = true)
+        .select(col("cluster").cast("long").as("cluster"),
+          col("id").as("vec_id"), col("rank").cast("long").as("rank"),
+          col("csize").cast("long").as("csize"))),
+
     // CL5: SemDeDup — semantic near-dup pairs with k-means cells as the
     // candidate blocks (Abbas et al. 2023): cluster the dup-injected
     // corpus (k=8, 3 Lloyd rounds, integer-exact so the cells oracle),
@@ -6016,6 +6030,13 @@ object SparkEntry {
          |SELECT cluster, vec_id, rank FROM (SELECT cluster, vec_id,
          |  row_number() OVER (PARTITION BY cluster ORDER BY dist, vec_id) AS rank
          |  FROM b3) WHERE rank <= 5""".stripMargin,
+
+    "semantic_prototype_pruned" ->
+      s"""WITH ${kmeansSql(8, 3, Cluster.DefaultScale)}
+         |SELECT cluster, vec_id, rank, csize FROM (SELECT cluster, vec_id,
+         |  row_number() OVER (PARTITION BY cluster ORDER BY dist DESC, vec_id) AS rank,
+         |  count(*) OVER (PARTITION BY cluster) AS csize
+         |  FROM b3) WHERE rank <= ceil(0.25 * csize)""".stripMargin,
 
     "semantic_dedup_pairs" ->
       s"""WITH $embCorpusSql,

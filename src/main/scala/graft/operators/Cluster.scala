@@ -52,6 +52,29 @@ object Cluster {
     */
   val DefaultScale = 1024L
 
+  /** The SemDeDup k-scaling rule as a first-class default (Abbas et al.
+    * 2023 cluster with k proportional to n): `k = ceil(n /
+    * targetCellSize)` holds the EXPECTED cell size constant as the
+    * corpus grows, so the within-cell pair join's `sum |cell|^2 ≈
+    * n·targetCellSize` cost stays LINEAR in n — with fixed k it is
+    * quadratic (each decade of data is a decade of cell size and two
+    * decades of pairs). Measured in `ScaleBench`'s `semdedup` section.
+    *
+    * Regime note: [[kmeansAssignments]] inlines the k×d centroid matrix
+    * into one codegen'd argmin projection, which is the right physical
+    * plan up to k in the few hundreds (the generated code splits into
+    * sub-methods, the corpus never shuffles); beyond that the k·d
+    * driver state and code size grow past what a literal can carry, and
+    * assignment should move to a broadcast-join argmin (or a coarse →
+    * fine two-level clustering, the paper's own faiss recipe). The
+    * default target of 250 keeps the bench corpus decades inside the
+    * literal regime.
+    */
+  def autoK(n: Long, targetCellSize: Long = 250L): Int = {
+    require(targetCellSize > 0, s"targetCellSize must be positive")
+    math.max(1L, (n + targetCellSize - 1) / targetCellSize).toInt
+  }
+
   /** `(id, qv)` — each vector quantized to `array<long>` by
     * `floor(x * scale)` per component. The single definition assignment
     * and update both read; exactness argument in the class doc.
@@ -169,6 +192,41 @@ object Cluster {
       .select(col("id"), col("cluster"), col("dist"))
   }
 
+  /** Large-k twin of [[assignTo]]: assignment via a BROADCAST JOIN
+    * against the centroid TABLE instead of an inlined literal argmin.
+    * The literal plan collects k·d longs to the driver and generates k
+    * distance terms in one projection — unbeatable while k is bounded
+    * (no join at all, the corpus never moves), but past k in the few
+    * hundreds the generated code and the driver literal outgrow their
+    * welcome (see [[autoK]]'s regime note; SemDeDup at web scale runs
+    * k ~ n/1e4, i.e. tens of thousands of cells). Here the centroids
+    * stay a DataFrame: broadcast-join every row against all k
+    * candidates — the same n·k distance evaluations the literal form
+    * does inside one expression — then one min_by-style aggregate picks
+    * the (dist, cluster)-minimum per id. Identical output to
+    * [[assignTo]] (spec-pinned): same integer distance kernel, same
+    * lexicographic tie-break.
+    *
+    * Plan shape: the centroid side is k rows → broadcast hash join; the
+    * n·k expansion is join output consumed by a PARTIAL min aggregate
+    * in the same stage (never materialized, never shuffled); the only
+    * exchange carries ≤ one (id, struct) row per id per partition.
+    */
+  def assignToJoin(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, scale: Long = DefaultScale): DataFrame = {
+    val q = quantized(emb, idCol, vecCol, scale)
+    val c = centroids.select(col("cluster").cast("int").as("c_cluster"),
+      col("centroid").as("c_vec"))
+    q.join(broadcast(c))
+      .select(col("id"),
+        struct(VectorFunctions.sqDistL(col("qv"), col("c_vec")).as("dist"),
+          col("c_cluster").as("cluster")).as("m"))
+      .groupBy(col("id"))
+      .agg(min(col("m")).as("m"))
+      .select(col("id"), col("m.cluster").as("cluster"),
+        col("m.dist").as("dist"))
+  }
+
   /** Mean-pooling of embedding GROUPS — the chunk→document reduction: a
     * document's chunks (or an entity's event embeddings) pool to one
     * vector. Same integer-exact arithmetic as the k-means centroid
@@ -215,6 +273,46 @@ object Cluster {
     assignments.withColumn("rank", row_number().over(
         Window.partitionBy(col("cluster")).orderBy(col("dist"), col("id"))))
       .filter(col("rank") <= m)
+  }
+
+  /** Prototype-based cluster pruning (Sorscher et al. 2022, "Beyond
+    * neural scaling laws: beating power law scaling via data pruning"):
+    * rank every member of a cluster by its distance to the cluster
+    * centroid and keep a fixed FRACTION per cluster.
+    * `hardest = true` (default) keeps the FARTHEST members — the
+    * paper's self-supervised-prototypes rule in the data-abundant
+    * regime (prototypical examples are redundant; the hard tail carries
+    * the training signal). `hardest = false` keeps the nearest — the
+    * paper's own crossover when data is scarce. The per-CLUSTER quota
+    * (vs a global dist cutoff) is what keeps the kept set
+    * topic-balanced: a global cutoff would empty tight clusters first.
+    *
+    * keep count = `ceil(keepFraction * |cluster|)`, so no non-empty
+    * cluster is ever emptied. Deterministic: `dist` is the integer
+    * quantized squared-L2 from [[kmeansAssignments]] and ties break by
+    * id, so the kept set is a pure function of the corpus.
+    *
+    * Execution shape: ONE hash exchange on the cluster id; the ordered
+    * rank and the unordered per-cluster count are two window passes
+    * over the SAME partitioning (no second shuffle — Catalyst reuses
+    * the exchange). Nothing is collected or broadcast, so the plan is
+    * indifferent to corpus size; a mega-cluster is a skewed sort
+    * partition, the same AQE concern as any other window, and bounded
+    * in practice because k grows with the corpus (see
+    * [[semanticNearDupPairs]]'s cell-size note).
+    */
+  def prototypePrune(assignments: DataFrame, keepFraction: Double,
+      hardest: Boolean = true): DataFrame = {
+    require(keepFraction > 0.0 && keepFraction <= 1.0,
+      s"keepFraction must be in (0, 1], got $keepFraction")
+    val ord =
+      if (hardest) Seq(col("dist").desc, col("id").asc)
+      else Seq(col("dist").asc, col("id").asc)
+    val byCluster = Window.partitionBy(col("cluster"))
+    assignments
+      .withColumn("rank", row_number().over(byCluster.orderBy(ord: _*)))
+      .withColumn("csize", count(lit(1)).over(byCluster))
+      .filter(col("rank") <= ceil(lit(keepFraction) * col("csize")))
   }
 
   /** SemDeDup-style semantic near-dup pairs: k-means cells as the

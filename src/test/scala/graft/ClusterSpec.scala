@@ -137,6 +137,89 @@ class ClusterSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("assignToJoin == assignTo: same kernel, same tie-break, broadcast plan") {
+    val rnd = new scala.util.Random(77)
+    val data = (0 until 200).map(i =>
+      i.toLong -> Array.fill(8)(rnd.nextFloat() * 2 - 1))
+    val df = data.toDF("vec_id", "embedding")
+    val cents = Cluster.kmeansCentroids(df, "vec_id", "embedding", 16, 3)
+    val litAsg = Cluster.assignTo(df, "vec_id", "embedding", cents)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val joined = Cluster.assignToJoin(df, "vec_id", "embedding", cents)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(joined === litAsg)
+    // ties break identically: duplicate centroids force equal distances
+    val dupCents = cents.limit(1).union(cents.limit(1)
+      .withColumn("cluster", col("cluster") + 100)).union(cents)
+    val litT = Cluster.assignTo(df, "vec_id", "embedding", dupCents)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val joinT = Cluster.assignToJoin(df, "vec_id", "embedding", dupCents)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(joinT === litT)
+    val plan = Cluster.assignToJoin(df, "vec_id", "embedding", cents)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"centroid side must broadcast:\n${plan.take(2000)}")
+  }
+
+  test("autoK: ceil(n / targetCellSize), floored at 1") {
+    assert(Cluster.autoK(0) === 1)
+    assert(Cluster.autoK(1) === 1)
+    assert(Cluster.autoK(250) === 1)
+    assert(Cluster.autoK(251) === 2)
+    assert(Cluster.autoK(2000) === 8)
+    assert(Cluster.autoK(20000) === 80)
+    assert(Cluster.autoK(1000, targetCellSize = 100) === 10)
+    intercept[IllegalArgumentException](Cluster.autoK(10, 0))
+  }
+
+  test("prototypePrune: hardest quarter per cluster, quota exact, no cluster emptied") {
+    val data = blobs(60, 8)
+    val assignments = Cluster.kmeansAssignments(
+      data.toDF("vec_id", "embedding"), "vec_id", "embedding", k = 3, iters = 4)
+    val all = assignments.collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(0))) // (cluster, dist, id)
+    val pruned = Cluster.prototypePrune(assignments, keepFraction = 0.25)
+    val rows = pruned.collect()
+    val byCluster = rows.groupBy(_.getInt(1))
+    // every non-empty source cluster survives with exactly ceil(f * n) rows,
+    // and they are the (dist desc, id asc)-first members
+    all.groupBy(_._1).foreach { case (c, members) =>
+      val quota = math.ceil(0.25 * members.length).toInt
+      val kept = byCluster.getOrElse(c, Array.empty)
+      assert(kept.length === quota, s"cluster $c quota")
+      val expect = members.map(t => (-t._2, t._3)).sorted.take(quota)
+        .map(_._2).toSet
+      assert(kept.map(_.getLong(0)).toSet === expect,
+        s"cluster $c kept the wrong members")
+      assert(kept.map(_.getAs[Int]("rank")).sorted.toSeq === (1 to quota),
+        s"cluster $c ranks")
+      assert(kept.forall(_.getAs[Long]("csize") === members.length.toLong))
+    }
+    // keepFraction = 1.0 keeps the whole corpus
+    assert(Cluster.prototypePrune(assignments, 1.0).count() === all.length.toLong)
+    // hardest = false inverts the order: rank-1 rows are the per-cluster
+    // (dist, id) minima — the diverseSample end of the spectrum
+    val easy = Cluster.prototypePrune(assignments, 0.25, hardest = false)
+      .filter(col("rank") === 1).collect()
+      .map(r => (r.getInt(1), (r.getLong(2), r.getLong(0)))).toMap
+    all.groupBy(_._1).foreach { case (c, members) =>
+      assert(easy(c) === members.map(t => (t._2, t._3)).min)
+    }
+  }
+
+  test("prototypePrune plans one exchange: rank and size share the cluster partitioning") {
+    val assignments = Cluster.kmeansAssignments(
+      Tables.embeddings(spark, "/root/testdata/sf0.001"),
+      "vec_id", "embedding", k = 3, iters = 1)
+    val plan = Cluster.prototypePrune(assignments, 0.25)
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges === 1,
+      s"expected exactly one exchange (shared by both windows):\n${plan.take(3000)}")
+  }
+
   test("train/apply split: assignTo(centroids) == kmeansAssignments; parquet roundtrip") {
     val rnd = new scala.util.Random(55)
     val data = (0 until 100).map(i =>
