@@ -187,6 +187,58 @@ object VectorKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Index of the nearest centroid (squared-L2 in LONG arithmetic, the
+    * [[SqDistLong]] kernel element-for-element) over a flat (k·dim)
+    * centroid matrix, plus that distance. Strict `<` while scanning
+    * ascending ids keeps the FIRST minimum, so ties break to the lowest
+    * centroid id — identical to the `least()`-of-structs argmin's
+    * lexicographic (dist, cluster) order. Returns `{dist, cluster}` as
+    * an InternalRow matching NearestCentroidLong's struct type.
+    */
+  def nearestCentroid(a: ArrayData, cents: Array[Long], ids: Array[Int],
+      dim: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = math.min(a.numElements(), dim)
+    val k = ids.length
+    var bestDist = Long.MaxValue
+    var best = 0
+    var c = 0
+    while (c < k) {
+      val base = c * dim
+      var s = 0L
+      var i = 0
+      while (i < n) {
+        if (!a.isNullAt(i)) {
+          val d = a.getLong(i) - cents(base + i)
+          s += d * d
+        }
+        i += 1
+      }
+      if (s < bestDist) { bestDist = s; best = c }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestDist, ids(best)))
+  }
+
+  /** `floor(x * scale)` per element, float → long — the k-means
+    * quantization step as one pass. Element-for-element the
+    * `transform(v, x -> floor(cast(x as double) * scale))` HOF (double
+    * multiply, floor, null elements stay null), so quantized vectors
+    * are bit-identical to the HOF form and the DuckDB list_transform
+    * oracle.
+    */
+  def quantizeFloor(a: ArrayData, scale: Long): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) = if (a.isNullAt(i)) null
+        else math.floor(a.getFloat(i).toDouble * scale).toLong
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Unit-L2 copy of a float vector. Norm accumulates left-to-right in
     * double (the [[DotProductFloat]] fold order) and each element is
     * DIVIDED by it — not multiplied by a reciprocal, which rounds
@@ -280,6 +332,115 @@ case class BandBucketsFloat(child: Expression, tables: Int, bitsPerTable: Int)
     copy(child = newChild)
 }
 
+/** The k-means quantization `floor(x * scale)` as a codegen'd kernel
+  * call — the `transform()` higher-order-function form is
+  * CodegenFallback, and a CodegenFallback expression anywhere in a
+  * projection keeps the WHOLE stage out of whole-stage codegen (the
+  * assignment projection collapses quantize + argmin into one Project,
+  * so the HOF would drag the argmin kernel down with it). Bit-identical
+  * to the HOF form (same double multiply / floor; scale is a power of
+  * two so the multiply is IEEE-exact), so the kmeans DuckDB oracles are
+  * untouched.
+  */
+case class QuantizeFloorFloat(child: Expression, scale: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(scale > 0, s"scale must be positive, got $scale")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"quantize_floor_float expects array<float>, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType)
+  override def prettyName: String = "quantize_floor_float"
+
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.quantizeFloor(a.asInstanceOf[ArrayData], scale)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernels.quantizeFloor($c, ${scale}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Centroid matrix carried by [[NearestCentroidLong]] — flat (k·dim)
+  * row-major longs plus the cluster id of each row, ids ASCENDING (the
+  * kernel's first-minimum scan then reproduces the lexicographic
+  * (dist, lowest-id) tie-break). A dedicated holder, not a bare array
+  * pair, so the expression's toString/plan dump shows `centroids[k x d]`
+  * instead of k·d literals, and equality is by CONTENT (arrays in case
+  * classes compare by reference, which would break expression
+  * canonicalization and subexpression elimination).
+  */
+final class CentroidMatrix(val flat: Array[Long], val ids: Array[Int],
+    val dim: Int) extends Serializable {
+  require(dim > 0 && ids.nonEmpty && flat.length == ids.length * dim,
+    s"inconsistent centroid matrix: ${flat.length} longs, " +
+      s"${ids.length} ids, dim $dim")
+  require(ids.zip(ids.tail).forall { case (a, b) => a <= b },
+    "centroid ids must be ascending (tie-break order); duplicates are " +
+      "tolerated — the first-minimum scan keeps the smaller distance " +
+      "and the earlier row on ties, matching the least()-struct order")
+  def k: Int = ids.length
+  override def toString: String = s"centroids[${k}x$dim]"
+  override def hashCode: Int =
+    (java.util.Arrays.hashCode(flat) * 31 +
+      java.util.Arrays.hashCode(ids)) * 31 + dim
+  override def equals(o: Any): Boolean = o match {
+    case c: CentroidMatrix => c.dim == dim &&
+      java.util.Arrays.equals(c.ids, ids) &&
+      java.util.Arrays.equals(c.flat, flat)
+    case _ => false
+  }
+}
+
+/** The k-means assignment argmin as ONE constant-code-size kernel call —
+  * the [[BandBucketsFloat]] lesson applied to clustering: the
+  * `least()`-of-k-structs formulation builds k separate [[SqDistLong]]
+  * expression trees, so generated code grows linearly with k and past a
+  * few dozen centroids the projection bloats out of JIT quality
+  * (measured: k=80 assignment 12.7 s via literals, 0.5 s via this
+  * kernel at 20k vectors). Here the centroid matrix rides the codegen
+  * references array as DATA and the loop is the code: constant code
+  * size at any k, still map-only, still inside WholeStageCodegen.
+  * Arithmetic and tie-break are element-for-element the literal form
+  * (spec-pinned bit-identical), so every oracle stays valid.
+  *
+  * Returns `struct(dist bigint, cluster int)` — the same shape the
+  * literal argmin produced, consumed as `m.dist` / `m.cluster`.
+  */
+case class NearestCentroidLong(child: Expression, cents: CentroidMatrix)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroid_long expects array<bigint>, got ${t.sql}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("dist", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("cluster",
+      org.apache.spark.sql.types.IntegerType, nullable = false)))
+  override def prettyName: String = "nearest_centroid_long"
+
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.nearestCentroid(a.asInstanceOf[ArrayData], cents.flat,
+      cents.ids, cents.dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("centFlat", cents.flat, "long[]")
+    val idsRef = ctx.addReferenceObj("centIds", cents.ids, "int[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernels.nearestCentroid($c, $flatRef, " +
+        s"$idsRef, ${cents.dim})")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Unit-L2 normalization of an array<float> column — the embedding-prep
   * step every cosine-based pipeline runs first (after which cosine ==
   * dot product and the norm join columns disappear). One codegen'd call
@@ -320,4 +481,13 @@ object VectorFunctions {
   /** All banded-LSH buckets in one constant-code-size kernel call. */
   def bandBucketsF(a: Column, tables: Int, bitsPerTable: Int): Column =
     Bridge.column(BandBucketsFloat(Bridge.expression(a), tables, bitsPerTable))
+  /** Nearest-centroid argmin (`struct(dist, cluster)`) in one
+    * constant-code-size kernel call; `centroids` must carry ascending
+    * ids (see [[CentroidMatrix]]).
+    */
+  def nearestCentroidL(qv: Column, centroids: CentroidMatrix): Column =
+    Bridge.column(NearestCentroidLong(Bridge.expression(qv), centroids))
+  /** Codegen'd `floor(x * scale)` float→long quantization. */
+  def quantizeFloorF(a: Column, scale: Long): Column =
+    Bridge.column(QuantizeFloorFloat(Bridge.expression(a), scale))
 }

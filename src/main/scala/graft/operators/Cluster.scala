@@ -30,11 +30,12 @@ import graft.functions.VectorFunctions
   *  - seeds are the `k` smallest ids (rank order), no RNG anywhere.
   *
   * Execution shape per iteration (the 100 TB posture):
-  *  1. ASSIGN — the k×d centroid matrix is a driver-held LITERAL
-  *     inlined into a `least()` argmin over k `(dist, cluster)` structs:
-  *     one codegen'd projection over the scan, scoring k candidates per
-  *     row with the integer distance kernel. No join, no aggregate, no
-  *     shuffle — the corpus never moves.
+  *  1. ASSIGN — the k×d centroid matrix is driver-held DATA riding the
+  *     codegen references array into ONE constant-code-size argmin
+  *     kernel call ([[graft.functions.NearestCentroidLong]]): one
+  *     codegen'd projection over the scan, scoring k candidates per row
+  *     with the integer distance kernel — code size independent of k.
+  *     No join, no aggregate, no shuffle — the corpus never moves.
   *  2. UPDATE — assigned vectors explode to (cluster, dim, component);
   *     partial hash aggregation collapses every partition to ≤ k·d rows
   *     BEFORE the exchange, so the update shuffle is O(partitions · k·d)
@@ -60,15 +61,14 @@ object Cluster {
     * quadratic (each decade of data is a decade of cell size and two
     * decades of pairs). Measured in `ScaleBench`'s `semdedup` section.
     *
-    * Regime note: [[kmeansAssignments]] inlines the k×d centroid matrix
-    * into one codegen'd argmin projection, which is the right physical
-    * plan up to k in the few hundreds (the generated code splits into
-    * sub-methods, the corpus never shuffles); beyond that the k·d
-    * driver state and code size grow past what a literal can carry, and
-    * assignment should move to a broadcast-join argmin (or a coarse →
-    * fine two-level clustering, the paper's own faiss recipe). The
-    * default target of 250 keeps the bench corpus decades inside the
-    * literal regime.
+    * Regime note: [[kmeansAssignments]] evaluates the argmin as ONE
+    * constant-code-size kernel call with the k×d centroid matrix as
+    * driver-held DATA ([[graft.functions.NearestCentroidLong]]), so the
+    * assignment plan is healthy to k in the tens of thousands — the
+    * binding constraints are the k·d driver/broadcast footprint and the
+    * O(n·k·d) scoring work itself. Past that, assignment moves to
+    * [[assignToJoin]] (centroids as a broadcast TABLE) or a coarse →
+    * fine two-level clustering, the paper's own faiss recipe.
     */
   def autoK(n: Long, targetCellSize: Long = 250L): Int = {
     require(targetCellSize > 0, s"targetCellSize must be positive")
@@ -80,28 +80,46 @@ object Cluster {
     * and update both read; exactness argument in the class doc.
     */
   def quantized(emb: DataFrame, idCol: String, vecCol: String,
-      scale: Long = DefaultScale): DataFrame =
-    emb.select(col(idCol).as("id"),
-      transform(col(vecCol),
-        x => floor(x.cast("double") * scale).cast("long")).as("qv"))
+      scale: Long = DefaultScale): DataFrame = {
+    // array<float> takes the codegen'd kernel: the transform() HOF is
+    // CodegenFallback and would knock the collapsed quantize+argmin
+    // projection out of whole-stage codegen (spec-pinned bit-identical)
+    val q = emb.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, _) =>
+        VectorFunctions.quantizeFloorF(col(vecCol), scale)
+      case _ =>
+        transform(col(vecCol),
+          x => floor(x.cast("double") * scale).cast("long"))
+    }
+    emb.select(col(idCol).as("id"), q.as("qv"))
+  }
 
-  /** The map-only argmin pass: k is small by construction, so the
-    * argmin is a single expression — least() over k static
-    * (dist, cluster) structs (lexicographic, so ties break to the
-    * lowest cluster id, same as ORDER BY dist, cluster). No explode, no
-    * aggregate, no shuffle: one codegen'd projection over the scan.
+  /** The map-only argmin pass: one [[graft.functions.NearestCentroidLong]]
+    * kernel call per row — the centroid matrix rides the codegen
+    * references array as DATA, so generated code size is constant in k
+    * (the earlier `least()`-over-k-struct-literals form grew linearly
+    * with k and fell out of JIT quality past a few dozen centroids:
+    * 12.7 s vs 0.5 s at k=80 over 20k vectors). Same arithmetic
+    * (integer squared-L2) and the same lexicographic (dist, lowest-id)
+    * tie-break, spec-pinned bit-identical. No explode, no aggregate, no
+    * shuffle: one codegen'd projection over the scan.
     */
   private def assignExpr(q: DataFrame,
-      centroids: Seq[(Int, Array[Long])]): DataFrame =
+      centroids: Seq[(Int, Array[Long])]): DataFrame = {
+    val sorted = centroids.sortBy(_._1)
+    val dim = sorted.head._2.length
+    val flat = new Array[Long](sorted.size * dim)
+    sorted.zipWithIndex.foreach { case ((_, v), i) =>
+      System.arraycopy(v, 0, flat, i * dim, dim)
+    }
+    val m = new graft.functions.CentroidMatrix(flat,
+      sorted.map(_._1).toArray, dim)
     q.select(col("id"),
-      least(centroids.map { case (c, v) =>
-        struct(
-          VectorFunctions.sqDistL(col("qv"), array(v.map(lit(_)): _*))
-            .as("dist"),
-          lit(c).as("cluster"))
-      }: _*).as("m"), col("qv"))
+        VectorFunctions.nearestCentroidL(col("qv"), m).as("m"), col("qv"))
       .select(col("id"), col("m.cluster").as("cluster"),
         col("m.dist").as("dist"), col("qv"))
+  }
 
   /** The Lloyd loop: returns the final assignment AND the centroid
     * matrix it was scored against (i.e. after `iters - 1` updates).
@@ -192,20 +210,19 @@ object Cluster {
       .select(col("id"), col("cluster"), col("dist"))
   }
 
-  /** Large-k twin of [[assignTo]]: assignment via a BROADCAST JOIN
-    * against the centroid TABLE instead of an inlined literal argmin.
-    * The literal plan collects k·d longs to the driver and generates k
-    * distance terms in one projection — unbeatable while k is bounded
-    * (no join at all, the corpus never moves), but past k in the few
-    * hundreds the generated code and the driver literal outgrow their
-    * welcome (see [[autoK]]'s regime note; SemDeDup at web scale runs
-    * k ~ n/1e4, i.e. tens of thousands of cells). Here the centroids
-    * stay a DataFrame: broadcast-join every row against all k
-    * candidates — the same n·k distance evaluations the literal form
-    * does inside one expression — then one min_by-style aggregate picks
-    * the (dist, cluster)-minimum per id. Identical output to
-    * [[assignTo]] (spec-pinned): same integer distance kernel, same
-    * lexicographic tie-break.
+  /** Join-plan twin of [[assignTo]]: assignment via a BROADCAST JOIN
+    * against the centroid TABLE instead of a driver-held matrix. The
+    * kernel plan collects k·d longs to the driver and scores all k
+    * inside one projection — unbeatable while the matrix fits driver
+    * memory comfortably (no join at all, the corpus never moves), but
+    * when centroids are themselves the output of a distributed step (or
+    * k·d outgrows what a plan reference should carry), they can stay a
+    * DataFrame: broadcast-join every row against all k candidates — the
+    * same n·k distance evaluations the kernel does inside one
+    * expression — then one min_by-style aggregate picks the
+    * (dist, cluster)-minimum per id. Identical output to [[assignTo]]
+    * (spec-pinned): same integer distance kernel, same lexicographic
+    * tie-break.
     *
     * Plan shape: the centroid side is k rows → broadcast hash join; the
     * n·k expansion is join output consumed by a PARTIAL min aggregate

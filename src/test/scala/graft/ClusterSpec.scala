@@ -352,8 +352,9 @@ class ClusterSpec extends AnyFunSuite with SparkTestBase {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"),
       s"assignment must not shuffle the corpus:\n${plan.take(2000)}")
-    val line = plan.linesIterator.find(_.contains("sq_dist_long")).getOrElse("")
+    val line = plan.linesIterator
+      .find(_.contains("nearest_centroid_long")).getOrElse("")
     assert(line.trim.matches("""^(\+- )?\*\(\d+\) .*"""),
-      s"sq_dist_long fell out of codegen: $line")
+      s"nearest_centroid_long fell out of codegen: $line")
   }
 }
