@@ -57,7 +57,7 @@ object Bench {
     val loadGate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "1.0").toDouble
     val loadWaitCap =
       sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_CAP_SEC", "600").toInt
-    val (loadWaitSec, loadAtStart, coResident, dirtyAtStart) =
+    val (loadWaitSec, loadAtStart, coResident, dirtyAtStart, stealAtStart) =
       BenchGuard.quietGate("bench", loadGate, loadWaitCap)
     if (coResident.nonEmpty)
       System.err.println(s"[bench] WARNING: proceeding with " +
@@ -116,13 +116,14 @@ object Bench {
     val extGate = sys.env.getOrElse("SPARK_GRAFT_EXT_CPU_GATE", "0.75").toDouble
     val priorGate = sys.env.getOrElse("SPARK_GRAFT_PRIOR_GATE", "2.0").toDouble
     val ioGate = sys.env.getOrElse("SPARK_GRAFT_IOWAIT_GATE", "4.0").toDouble
-    val (runB0, runS0, _) = cpuJiffies()
+    val stealGate = sys.env.getOrElse("SPARK_GRAFT_STEAL_GATE", "2.0").toDouble
+    val (runB0, runS0, _, runSt0) = cpuJiffies()
     val runT0 = System.nanoTime()
     val results0 = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val outcome = try {
         val g0 = gcMillis()
-        val (secs, ext, iow) = timedExt { fn(spark, sfDir).count() }
-        Right((secs, ext, iow, (gcMillis() - g0) / 1000.0))
+        val (secs, ext, iow, stl) = timedExt { fn(spark, sfDir).count() }
+        Right((secs, ext, iow, stl, (gcMillis() - g0) / 1000.0))
       } catch { case e: Throwable =>
         val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
           .linesIterator.next().take(300)
@@ -148,30 +149,33 @@ object Bench {
     // attributably so. Per-query GC seconds ride their own map.
     val retimed = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     val results: Seq[(String, Either[String, Double])] = results0.map {
-      case (name, Right((secs, ext, iow, _))) if ext > extGate ||
-          iow > ioGate ||
+      case (name, Right((secs, ext, iow, stl, _))) if ext > extGate ||
+          iow > ioGate || stl > stealGate ||
           prior.get(name).exists(p => p > 0 && secs > priorGate * p) =>
         val why = if (ext > extGate) f"$ext%.2f external cores"
           else if (iow > ioGate) f"$iow%.2f cores in iowait"
+          else if (stl > stealGate) f"$stl%.2f cores stolen by the host"
           else f"${secs / prior(name)}%.1fx its prior-round ${prior(name)}%.2fs"
         System.err.println(f"[bench] $name at $secs%.2fs saw $why — retiming")
         val best = try {
-          val (s2, _, _) = timedExt { SparkEntry.queries(name)(spark, sfDir).count() }
+          val (s2, _, _, _) = timedExt { SparkEntry.queries(name)(spark, sfDir).count() }
           retimed += name -> (secs, s2)
           math.min(secs, s2)
         } catch { case _: Throwable => retimed += name -> (secs, -1.0); secs }
         name -> Right(best)
-      case (name, Right((secs, _, _, _))) => name -> Right(secs)
+      case (name, Right((secs, _, _, _, _))) => name -> Right(secs)
       case (name, Left(msg)) => name -> Left(msg)
     }
     val gcByQuery: Seq[(String, Double)] = results0.collect {
-      case (name, Right((_, _, _, gc))) => name -> gc
+      case (name, Right((_, _, _, _, gc))) => name -> gc
     }
     val runSecs = (System.nanoTime() - runT0) / 1e9
-    val (runB1, runS1, _) = cpuJiffies()
+    val (runB1, runS1, _, runSt1) = cpuJiffies()
     val runExtCores = if (runSecs <= 0.0) 0.0
       else math.max(0L, (runB1 - runB0) - (runS1 - runS0)) /
         JiffiesPerSec / runSecs
+    val runStealCores = if (runSecs <= 0.0) 0.0
+      else math.max(0L, runSt1 - runSt0) / JiffiesPerSec / runSecs
     val resultsAll = ("graph_prep" -> graphPrep) +: results
     val qs = resultsAll.collect { case (k, Right(v)) => s"${jstr(k)}:$v" }
       .mkString("{", ",", "}")
@@ -471,7 +475,7 @@ object Bench {
     val gcObj = gcByQuery.map { case (n, g) => s"${jstr(n)}:${jnum(g)}" }
       .mkString("{", ",", "}")
     val coResObj = coResident.map(jstr).mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":${resultsAll.count(_._2.isLeft)},"loadavg":$loadAvg,"load_at_start":${jnum(loadAtStart)},"load_wait_sec":${jnum(loadWaitSec)},"dirty_mb_at_start":${jnum(dirtyAtStart)},"external_cpu_cores":${jnum(runExtCores)},"co_resident_jvms":$coResObj,"cpus":$cpus,"retimed_queries":$retimedObj,"rerun_delta":$rerunDelta,"rerun_queries":$rerunNames,"ann_recall":$annRecall,"bpe_batched":$bpe,"ingest":$ingest,"c4_pipeline":$c4,"scaleup":$scaleup,"streaming":$streaming,"sf":"$sfDir","errors":$errs,"gc_sec":$gcObj,"queries":$qs}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":${resultsAll.count(_._2.isLeft)},"loadavg":$loadAvg,"load_at_start":${jnum(loadAtStart)},"load_wait_sec":${jnum(loadWaitSec)},"dirty_mb_at_start":${jnum(dirtyAtStart)},"steal_cores_at_start":${jnum(stealAtStart)},"external_cpu_cores":${jnum(runExtCores)},"steal_cores_run":${jnum(runStealCores)},"co_resident_jvms":$coResObj,"cpus":$cpus,"retimed_queries":$retimedObj,"rerun_delta":$rerunDelta,"rerun_queries":$rerunNames,"ann_recall":$annRecall,"bpe_batched":$bpe,"ingest":$ingest,"c4_pipeline":$c4,"scaleup":$scaleup,"streaming":$streaming,"sf":"$sfDir","errors":$errs,"gc_sec":$gcObj,"queries":$qs}"""
     println(line)
     // belt-and-braces: the identical JSON, committed as its own file —
     // the durable copy of every per-query timing regardless of what the
@@ -496,7 +500,7 @@ object Bench {
     val slow10 = resultsAll.collect { case (k, Right(v)) => k -> v }
       .sortBy(-_._2).take(10)
       .map { case (k, v) => s"${jstr(k)}:${r3(v)}" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${resultsAll.size},"failed":${resultsAll.count(_._2.isLeft)},"cpus":$cpus,"loadavg":${r3(loadAvg)},"load_at_start":${r3(loadAtStart)},"load_wait_sec":${r3(loadWaitSec)},"external_cpu_cores":${r3(runExtCores)},"co_resident_jvms":${coResident.size},"rerun_delta":${r3(rerunDelta)},"retimed":${retimed.size},"queries":$slow10,"queries_shown":"10_slowest_of_${resultsAll.size}","queries_full":"BENCH_full.json"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${resultsAll.size},"failed":${resultsAll.count(_._2.isLeft)},"cpus":$cpus,"loadavg":${r3(loadAvg)},"load_at_start":${r3(loadAtStart)},"load_wait_sec":${r3(loadWaitSec)},"external_cpu_cores":${r3(runExtCores)},"steal_cores_run":${r3(runStealCores)},"co_resident_jvms":${coResident.size},"rerun_delta":${r3(rerunDelta)},"retimed":${retimed.size},"queries":$slow10,"queries_shown":"10_slowest_of_${resultsAll.size}","queries_full":"BENCH_full.json"}""")
     spark.stop()
     // rc mirrors the "failed" field: the contract line (stdout + BENCH_full)
     // is already emitted above, so a nonzero exit loses nothing — it just

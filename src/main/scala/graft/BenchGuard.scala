@@ -42,45 +42,54 @@ object BenchGuard {
   def load1m: Double = java.lang.management.ManagementFactory
     .getOperatingSystemMXBean.getSystemLoadAverage
 
-  /** (busy jiffies across all cpus, this process's jiffies, iowait
-    * jiffies). Busy/self DELTAS separate our own load from EXTERNAL
-    * load — loadavg alone cannot: the bench keeps cores busy by design,
-    * so "loadavg rose mid-run" does not distinguish a neighbor process
-    * from ourselves. IOWAIT is tracked separately because it is
-    * invisible to both (it counts as idle): leftover page writeback
-    * from a prior process inflated early probes ~3-4x in a run whose
-    * external-CPU read 0.0 — the artifact must carry the I/O evidence
-    * even though iowait cannot attribute the I/O to a process.
+  /** (local busy jiffies across all cpus, this process's jiffies,
+    * iowait jiffies, STEAL jiffies). Busy/self DELTAS separate our own
+    * load from EXTERNAL-PROCESS load — loadavg alone cannot: the bench
+    * keeps cores busy by design, so "loadavg rose mid-run" does not
+    * distinguish a neighbor process from ourselves. IOWAIT is tracked
+    * separately because it is invisible to both (it counts as idle):
+    * leftover page writeback from a prior process inflated early probes
+    * ~3-4x in a run whose external-CPU read 0.0. STEAL is tracked
+    * separately (and EXCLUDED from busy) because this box is a guest VM
+    * and steal is the HOST's neighbors, not a local process: a run that
+    * lumps steal into "external cores" reads as "the builder ran
+    * something concurrently" when the truth is "the host was contended"
+    * — different trust story, measured 3+ steal cores on an otherwise
+    * idle guest (r17).
     */
-  def cpuJiffies(): (Long, Long, Long) = {
+  def cpuJiffies(): (Long, Long, Long, Long) = {
     val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
       .find(_.startsWith("cpu ")).get.trim.split("\\s+").drop(1).map(_.toLong)
     val iowait = if (cpu.length > 4) cpu(4) else 0L
+    val steal = if (cpu.length > 7) cpu(7) else 0L
     val idle = cpu(3) + iowait
-    val busy = cpu.sum - idle
+    val busy = cpu.sum - idle - steal
     val stat = scala.io.Source.fromFile("/proc/self/stat").mkString
     // fields after the parenthesized comm: state=0 ... utime=11 stime=12
     val f = stat.substring(stat.lastIndexOf(')') + 2).split(" ")
-    (busy, f(11).toLong + f(12).toLong, iowait)
+    (busy, f(11).toLong + f(12).toLong, iowait, steal)
   }
 
   val JiffiesPerSec = 100.0 // Linux USER_HZ
 
-  /** Time `thunk`, returning (seconds, avg EXTERNAL cpu cores busy
-    * during the window, avg cores in IOWAIT during the window) —
-    * external = system busy minus this process.
+  /** Time `thunk`, returning (seconds, avg EXTERNAL-PROCESS cpu cores
+    * busy during the window, avg cores in IOWAIT, avg cores STOLEN by
+    * the host) — external = local busy minus this process; steal rides
+    * its own channel (see [[cpuJiffies]]).
     */
-  def timedExt(thunk: => Unit): (Double, Double, Double) = {
-    val (b0, s0, w0) = cpuJiffies()
+  def timedExt(thunk: => Unit): (Double, Double, Double, Double) = {
+    val (b0, s0, w0, st0) = cpuJiffies()
     val t0 = System.nanoTime()
     thunk
     val secs = (System.nanoTime() - t0) / 1e9
-    val (b1, s1, w1) = cpuJiffies()
+    val (b1, s1, w1, st1) = cpuJiffies()
     val ext = if (secs <= 0.0) 0.0
       else math.max(0L, (b1 - b0) - (s1 - s0)) / JiffiesPerSec / secs
     val iow = if (secs <= 0.0) 0.0
       else math.max(0L, w1 - w0) / JiffiesPerSec / secs
-    (secs, ext, iow)
+    val stl = if (secs <= 0.0) 0.0
+      else math.max(0L, st1 - st0) / JiffiesPerSec / secs
+    (secs, ext, iow, stl)
   }
 
   /** Dirty + Writeback pages from /proc/meminfo, in MB — pending disk
@@ -140,36 +149,56 @@ object BenchGuard {
       }.toSeq
   }
 
+  /** Average cores STOLEN by the host over a short sample window —
+    * guest-VM contention that no local counter attributes (see
+    * [[cpuJiffies]]).
+    */
+  def stealCores(sampleMs: Int = 1000): Double = {
+    val (_, _, _, s0) = cpuJiffies()
+    Thread.sleep(sampleMs.toLong)
+    val (_, _, _, s1) = cpuJiffies()
+    math.max(0L, s1 - s0) / JiffiesPerSec / (sampleMs / 1000.0)
+  }
+
   /** Wait (capped) until the 1-min loadavg is below `loadGate`, no
-    * co-resident measurement JVM is alive, AND pending disk writeback
-    * has drained below `dirtyGateMb` (a `sync` is kicked off first so a
+    * co-resident measurement JVM is alive, pending disk writeback has
+    * drained below `dirtyGateMb` (a `sync` is kicked off first so a
     * prior process's dirty pages flush NOW instead of competing with
     * the measurement's own shuffle I/O — early probes of an otherwise
-    * quiet run measured 3-4x inflated from exactly this), logging
-    * progress to stderr. Returns (seconds waited, loadavg at
-    * measurement start, co-resident JVMs STILL alive at measurement
-    * start, dirty MB at measurement start) — a run that proceeds
-    * contaminated is self-flagging in the artifact, never silent.
+    * quiet run measured 3-4x inflated from exactly this), AND the host
+    * is stealing fewer than `stealGate` cores (guest-VM contention the
+    * run cannot control but should not start under), logging progress
+    * to stderr. Returns (seconds waited, loadavg at measurement start,
+    * co-resident JVMs STILL alive at measurement start, dirty MB at
+    * measurement start, steal cores at measurement start) — a run that
+    * proceeds contaminated is self-flagging in the artifact, never
+    * silent.
     */
   def quietGate(tag: String, loadGate: Double, capSec: Int,
-      dirtyGateMb: Double = 256.0): (Double, Double, Seq[String], Double) = {
+      dirtyGateMb: Double = 256.0, stealGate: Double = 2.0)
+      : (Double, Double, Seq[String], Double, Double) = {
     val t0 = System.nanoTime()
     try new ProcessBuilder("sync").start() // async flush of leftover dirty
     catch { case _: Throwable => () }
     var jvms = coResidentJvms()
-    while ((load1m >= loadGate || jvms.nonEmpty || dirtyMb() > dirtyGateMb) &&
+    var steal = stealCores()
+    while ((load1m >= loadGate || jvms.nonEmpty || dirtyMb() > dirtyGateMb ||
+        steal >= stealGate) &&
         (System.nanoTime() - t0) / 1e9 < capSec) {
       val why = (if (load1m >= loadGate) Seq(f"loadavg ${load1m}%.2f >= $loadGate%.1f")
         else Seq.empty) ++
         (if (jvms.nonEmpty) Seq(s"${jvms.size} co-resident JVM(s): ${jvms.head}")
         else Seq.empty) ++
         (if (dirtyMb() > dirtyGateMb) Seq(f"${dirtyMb()}%.0f MB dirty pages flushing")
+        else Seq.empty) ++
+        (if (steal >= stealGate) Seq(f"host stealing $steal%.1f cores")
         else Seq.empty)
       System.err.println(s"[$tag] ${why.mkString("; ")} — waiting for quiet " +
         s"(cap ${capSec}s)")
       Thread.sleep(15000)
       jvms = coResidentJvms()
+      steal = stealCores()
     }
-    ((System.nanoTime() - t0) / 1e9, load1m, jvms, dirtyMb())
+    ((System.nanoTime() - t0) / 1e9, load1m, jvms, dirtyMb(), steal)
   }
 }

@@ -168,49 +168,58 @@ object ScaleBench {
     * store — and carry the external-CPU annotation only.
     */
   private final class GuardedTimer(prior: Map[String, Double],
-      extGate: Double, priorGate: Double, ioGate: Double) {
+      extGate: Double, priorGate: Double, ioGate: Double,
+      stealGate: Double) {
     val retimed =
       scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     val extCpu = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val ioWait = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // host steal per probe (guest-VM contention — the HOST's neighbors,
+    // not a local process; separated from extCpu so "the builder ran
+    // something concurrently" and "the host was contended" stay
+    // distinguishable in the artifact)
+    val stolen = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     // per-probe GC seconds (delta across the window): a 48 GB heap can
     // hide multi-second collections that neither /proc counter sees —
     // the gc map attributes a retime pair's delta to collection
     // pressure vs disk vs neighbors
     val gcSec = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
-    private def measured(key: String)(thunk: => Unit): (Double, Double, Double) = {
+    private def measured(key: String)(thunk: => Unit)
+        : (Double, Double, Double, Double) = {
       val g0 = BenchGuard.gcMillis()
-      val (s, ext, iow) = BenchGuard.timedExt(thunk)
+      val (s, ext, iow, stl) = BenchGuard.timedExt(thunk)
       extCpu(key) = ext
       ioWait(key) = iow
+      stolen(key) = stl
       gcSec(key) = (BenchGuard.gcMillis() - g0) / 1000.0
-      (s, ext, iow)
+      (s, ext, iow, stl)
     }
 
     def timeNoRetime(key: String)(thunk: => Unit): Double = {
-      val (s, ext, iow) = measured(key)(thunk)
-      if (ext > extGate || iow > ioGate)
+      val (s, ext, iow, stl) = measured(key)(thunk)
+      if (ext > extGate || iow > ioGate || stl > stealGate)
         System.err.println(f"[scale] $key at $s%.2fs saw $ext%.2f external" +
-          f" cores / $iow%.2f iowait cores (probe not re-runnable —" +
-          " annotated, not retimed)")
+          f" / $iow%.2f iowait / $stl%.2f stolen cores (probe not" +
+          " re-runnable — annotated, not retimed)")
       s
     }
 
     def time(key: String)(thunk: => Unit): Double = {
-      val (s, ext, iow) = measured(key)(thunk)
+      val (s, ext, iow, stl) = measured(key)(thunk)
       val priorBad = prior.get(key)
         .exists(p => p > 0 && s > priorGate * p && s - p > 0.5)
-      if (ext > extGate || iow > ioGate || priorBad) {
+      if (ext > extGate || iow > ioGate || stl > stealGate || priorBad) {
         val why = if (ext > extGate) f"$ext%.2f external cores"
           else if (iow > ioGate) f"$iow%.2f cores in iowait"
+          else if (stl > stealGate) f"$stl%.2f cores stolen by the host"
           else f"${s / prior(key)}%.1fx its prior ${prior(key)}%.2fs"
         System.err.println(f"[scale] $key at $s%.2fs saw $why — retiming")
         // a throwing retry (the box is already misbehaving when a
         // retime triggers) must not abort the multi-hour run: keep the
         // first timing, record the failed retry as -1 (Bench's rule)
         try {
-          val (s2, _, _) = BenchGuard.timedExt(thunk)
+          val (s2, _, _, _) = BenchGuard.timedExt(thunk)
           retimed(key) = (s, s2)
           math.min(s, s2)
         } catch { case _: Throwable => retimed(key) = (s, -1.0); s }
@@ -220,6 +229,8 @@ object ScaleBench {
     def extJson: String = extCpu
       .map { case (k, v) => s"${jstr(k)}:${jnum(v)}" }.mkString("{", ",", "}")
     def ioJson: String = ioWait
+      .map { case (k, v) => s"${jstr(k)}:${jnum(v)}" }.mkString("{", ",", "}")
+    def stealJson: String = stolen
       .map { case (k, v) => s"${jstr(k)}:${jnum(v)}" }.mkString("{", ",", "}")
     def gcJson: String = gcSec
       .map { case (k, v) => s"${jstr(k)}:${jnum(v)}" }.mkString("{", ",", "}")
@@ -286,6 +297,9 @@ object ScaleBench {
     val setupIo = (0 until setupBatches).map(i =>
       timer.ioWait.remove(s"$keyPrefix.setup_batch_$i").getOrElse(0.0)).max
     timer.ioWait(s"$keyPrefix.setup_sec") = setupIo
+    val setupSteal = (0 until setupBatches).map(i =>
+      timer.stolen.remove(s"$keyPrefix.setup_batch_$i").getOrElse(0.0)).max
+    timer.stolen(s"$keyPrefix.setup_sec") = setupSteal
     val setupGc = (0 until setupBatches).map(i =>
       timer.gcSec.remove(s"$keyPrefix.setup_batch_$i").getOrElse(0.0)).sum
     timer.gcSec(s"$keyPrefix.setup_sec") = setupGc
@@ -321,7 +335,7 @@ object ScaleBench {
     val loadGate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "1.0").toDouble
     val loadWaitCap =
       sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_CAP_SEC", "600").toInt
-    val (loadWaitSec, loadAtStart, coResident, dirtyAtStart) =
+    val (loadWaitSec, loadAtStart, coResident, dirtyAtStart, stealAtStart) =
       BenchGuard.quietGate("scale", loadGate, loadWaitCap)
     if (coResident.nonEmpty)
       System.err.println(s"[scale] WARNING: proceeding with " +
@@ -330,8 +344,9 @@ object ScaleBench {
     val extGate = sys.env.getOrElse("SPARK_GRAFT_EXT_CPU_GATE", "0.75").toDouble
     val priorGate = sys.env.getOrElse("SPARK_GRAFT_PRIOR_GATE", "2.0").toDouble
     val ioGate = sys.env.getOrElse("SPARK_GRAFT_IOWAIT_GATE", "4.0").toDouble
-    val timer =
-      new GuardedTimer(flattenPrior(jsonPath), extGate, priorGate, ioGate)
+    val stealGate = sys.env.getOrElse("SPARK_GRAFT_STEAL_GATE", "2.0").toDouble
+    val timer = new GuardedTimer(flattenPrior(jsonPath), extGate, priorGate,
+      ioGate, stealGate)
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -683,9 +698,9 @@ object ScaleBench {
 
     val coResObj = coResident.map(jstr).mkString("[", ",", "]")
     val line =
-      s"""{"factor":$Factor,"src":"$srcDir","derived":"$outDir","load_at_start":${jnum(loadAtStart)},"load_wait_sec":${jnum(loadWaitSec)},"dirty_mb_at_start":${jnum(dirtyAtStart)},"co_resident_jvms":$coResObj,"derived_rows":{${
+      s"""{"factor":$Factor,"src":"$srcDir","derived":"$outDir","load_at_start":${jnum(loadAtStart)},"load_wait_sec":${jnum(loadWaitSec)},"dirty_mb_at_start":${jnum(dirtyAtStart)},"steal_cores_at_start":${jnum(stealAtStart)},"co_resident_jvms":$coResObj,"derived_rows":{${
         rows.toSeq.sortBy(_._1).map { case (t, n) => s""""$t":$n""" }.mkString(",")
-      }},"graph_prep":{"sf01_sec":${jnum(prep01)},"sf1_sec":${jnum(prep1)},"ratio":${jnum(prep1 / prep01)}},"shard_deal_orders":$shardDeal,"ingest":$ingest,"ann_auto":$annAuto,"semdedup":$semDedup,"second_decade":$secondDecade,"families":{${fams.mkString(",")}},"retimed":${timer.retimedJson},"ext_cpu":${timer.extJson},"io_wait":${timer.ioJson},"gc_sec":${timer.gcJson}}"""
+      }},"graph_prep":{"sf01_sec":${jnum(prep01)},"sf1_sec":${jnum(prep1)},"ratio":${jnum(prep1 / prep01)}},"shard_deal_orders":$shardDeal,"ingest":$ingest,"ann_auto":$annAuto,"semdedup":$semDedup,"second_decade":$secondDecade,"families":{${fams.mkString(",")}},"retimed":${timer.retimedJson},"ext_cpu":${timer.extJson},"io_wait":${timer.ioJson},"steal":${timer.stealJson},"gc_sec":${timer.gcJson}}"""
     println(line)
     java.nio.file.Files.write(java.nio.file.Paths.get(jsonPath),
       (line + "\n").getBytes("UTF-8"))

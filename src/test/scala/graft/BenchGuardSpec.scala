@@ -11,21 +11,33 @@ import org.scalatest.funsuite.AnyFunSuite
 class BenchGuardSpec extends AnyFunSuite {
 
   test("cpuJiffies is non-negative and monotonic across a busy window") {
-    val (b0, s0, w0) = BenchGuard.cpuJiffies()
-    assert(b0 >= 0 && s0 >= 0 && w0 >= 0)
+    val (b0, s0, w0, st0) = BenchGuard.cpuJiffies()
+    assert(b0 >= 0 && s0 >= 0 && w0 >= 0 && st0 >= 0)
     // burn a little cpu in-process so self jiffies must advance
     var acc = 0L
     val t0 = System.nanoTime()
     while ((System.nanoTime() - t0) / 1e9 < 0.3) acc += acc.hashCode()
-    val (b1, s1, w1) = BenchGuard.cpuJiffies()
-    assert(b1 >= b0 && s1 >= s0 && w1 >= w0)
+    val (b1, s1, w1, st1) = BenchGuard.cpuJiffies()
+    assert(b1 >= b0 && s1 >= s0 && w1 >= w0 && st1 >= st0)
     assert(s1 > s0, "self jiffies must advance across 0.3s of spinning")
   }
 
   test("timedExt reports the window length and non-negative cpu attributions") {
-    val (secs, ext, iow) = BenchGuard.timedExt { Thread.sleep(120) }
+    val (secs, ext, iow, stl) = BenchGuard.timedExt { Thread.sleep(120) }
     assert(secs >= 0.1 && secs < 5.0)
-    assert(ext >= 0.0 && iow >= 0.0)
+    assert(ext >= 0.0 && iow >= 0.0 && stl >= 0.0)
+  }
+
+  test("steal rides its own channel: busy excludes it, stealCores samples it") {
+    // busy = sum - idle - iowait - steal by construction; an idle-ish
+    // window's external attribution must not inherit host steal (the
+    // r17 incident: 3+ "external cores" on a guest with zero local
+    // neighbors — all steal). We can't force the host to steal, so pin
+    // the invariant we can: self <= busy and both channels non-negative.
+    val (busy, self, _, steal) = BenchGuard.cpuJiffies()
+    assert(self <= busy + 1, "self jiffies cannot exceed local busy")
+    assert(steal >= 0)
+    assert(BenchGuard.stealCores(200) >= 0.0)
   }
 
   test("dirtyMb and gcMillis are readable and non-negative") {
