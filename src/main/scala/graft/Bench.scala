@@ -58,7 +58,11 @@ object Bench {
     val loadWaitCap =
       sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_CAP_SEC", "600").toInt
     val (loadWaitSec, loadAtStart, coResident, dirtyAtStart, stealAtStart) =
-      BenchGuard.quietGate("bench", loadGate, loadWaitCap)
+      BenchGuard.quietGate("bench", loadGate, loadWaitCap,
+        dirtyGateMb =
+          sys.env.getOrElse("SPARK_GRAFT_DIRTY_GATE_MB", "256").toDouble,
+        stealGate =
+          sys.env.getOrElse("SPARK_GRAFT_STEAL_GATE", "2.0").toDouble)
     if (coResident.nonEmpty)
       System.err.println(s"[bench] WARNING: proceeding with " +
         s"${coResident.size} co-resident JVM(s) still alive — " +
@@ -89,34 +93,57 @@ object Bench {
           System.err.println(s"[bench] warmup $q failed: ${e.getMessage}")
         }
       }
+    // prior-round reference read BEFORE this run overwrites the file
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      "/root/repo/BENCH_full.json")
+    val prior = priorQueryTimes(fullPath)
+    val extGate = sys.env.getOrElse("SPARK_GRAFT_EXT_CPU_GATE", "0.75").toDouble
+    val priorGate = sys.env.getOrElse("SPARK_GRAFT_PRIOR_GATE", "2.0").toDouble
+    val ioGate = sys.env.getOrElse("SPARK_GRAFT_IOWAIT_GATE", "4.0").toDouble
+    val stealGate = sys.env.getOrElse("SPARK_GRAFT_STEAL_GATE", "2.0").toDouble
+    val retimed = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     // Honest graph-family accounting: the co-purchase prepared relation
     // is shared by the PageRank family, so build+materialize it as an
     // explicit tracked step — per-query graph numbers then measure the
     // superstep recurrence itself, not the shared construction
     // amortized into whichever family query happens to run first. The
     // step rides the queries map (and total) as its own "graph_prep"
-    // entry, excluded from the rerun-slowest adjudication below (it is
-    // a cache fill — a rerun would measure nothing).
+    // entry. This is THE row with the recorded contamination history
+    // (11.8 -> 71.5 s within r16), so it gets the same four-trigger
+    // guard and retime as every query — copurchaseEvict makes the
+    // rerun rebuild for real instead of measuring the cache.
     val graphPrep: Either[String, Double] = try {
-      val t0 = System.nanoTime()
-      SparkEntry.copurchasePrepared(spark, sfDir).count()
-      Right((System.nanoTime() - t0) / 1e9)
+      val (s1, ext, iow, stl) = timedExt {
+        SparkEntry.copurchasePrepared(spark, sfDir).count()
+      }
+      val priorBad = prior.get("graph_prep")
+        .exists(p => p > 0 && s1 > priorGate * p)
+      if (ext > extGate || iow > ioGate || stl > stealGate || priorBad) {
+        val why = if (ext > extGate) f"$ext%.2f external cores"
+          else if (iow > ioGate) f"$iow%.2f cores in iowait"
+          else if (stl > stealGate) f"$stl%.2f cores stolen by the host"
+          else f"${s1 / prior("graph_prep")}%.1fx its prior-round figure"
+        System.err.println(f"[bench] graph_prep at $s1%.2fs saw $why — retiming")
+        val best = try {
+          val (s2, _, _, _) = timedExt {
+            SparkEntry.copurchaseEvict(spark, sfDir)
+            SparkEntry.copurchasePrepared(spark, sfDir).count()
+          }
+          retimed += "graph_prep" -> (s1, s2)
+          math.min(s1, s2)
+        } catch { case _: Throwable =>
+          retimed += "graph_prep" -> (s1, -1.0); s1
+        }
+        Right(best)
+      } else Right(s1)
     } catch { case e: Throwable =>
       val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
         .linesIterator.next().take(300)
       System.err.println(s"[bench] graph_prep FAILED — $msg")
       Left(msg)
     }
-    // prior-round reference read BEFORE this run overwrites the file
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
-      "/root/repo/BENCH_full.json")
-    val prior = priorQueryTimes(fullPath)
     // deterministic name order so per-query timings are comparable
     // across rounds (Map iteration order is not stable across builds)
-    val extGate = sys.env.getOrElse("SPARK_GRAFT_EXT_CPU_GATE", "0.75").toDouble
-    val priorGate = sys.env.getOrElse("SPARK_GRAFT_PRIOR_GATE", "2.0").toDouble
-    val ioGate = sys.env.getOrElse("SPARK_GRAFT_IOWAIT_GATE", "4.0").toDouble
-    val stealGate = sys.env.getOrElse("SPARK_GRAFT_STEAL_GATE", "2.0").toDouble
     val (runB0, runS0, _, runSt0) = cpuJiffies()
     val runT0 = System.nanoTime()
     val results0 = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -147,7 +174,6 @@ object Bench {
     // contamination delta is visible instead of collapsed away (ADVICE
     // r15); the headline map takes the min, biased fast on purpose and
     // attributably so. Per-query GC seconds ride their own map.
-    val retimed = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     val results: Seq[(String, Either[String, Double])] = results0.map {
       case (name, Right((secs, ext, iow, stl, _))) if ext > extGate ||
           iow > ioGate || stl > stealGate ||

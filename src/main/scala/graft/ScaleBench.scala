@@ -226,6 +226,26 @@ object ScaleBench {
       } else s
     }
 
+    /** Ratio fairness: a retime is a WARM second run, so a two-leg
+      * ratio whose legs retimed asymmetrically mixes warmths (the
+      * committed c4 sf01 [33.4 -> 17.0] halved while sf1 kept its first
+      * run, inflating the ratio ~2x). When one leg of a pair retimed
+      * and the other didn't, the caller gives the other leg its warm
+      * run too via this: re-run unconditionally, record the pair,
+      * headline = min (the same rule `time` applies).
+      */
+    def forceRetime(key: String, prevSecs: Double)(thunk: => Unit): Double = {
+      try {
+        val (s2, ext, iow, stl) = BenchGuard.timedExt(thunk)
+        extCpu(key + ".fair") = ext; ioWait(key + ".fair") = iow
+        stolen(key + ".fair") = stl
+        retimed(key) = (prevSecs, s2)
+        math.min(prevSecs, s2)
+      } catch { case _: Throwable => prevSecs }
+    }
+
+    def wasRetimed(key: String): Boolean = retimed.contains(key)
+
     def extJson: String = extCpu
       .map { case (k, v) => s"${jstr(k)}:${jnum(v)}" }.mkString("{", ",", "}")
     def ioJson: String = ioWait
@@ -336,7 +356,11 @@ object ScaleBench {
     val loadWaitCap =
       sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_CAP_SEC", "600").toInt
     val (loadWaitSec, loadAtStart, coResident, dirtyAtStart, stealAtStart) =
-      BenchGuard.quietGate("scale", loadGate, loadWaitCap)
+      BenchGuard.quietGate("scale", loadGate, loadWaitCap,
+        dirtyGateMb =
+          sys.env.getOrElse("SPARK_GRAFT_DIRTY_GATE_MB", "256").toDouble,
+        stealGate =
+          sys.env.getOrElse("SPARK_GRAFT_STEAL_GATE", "2.0").toDouble)
     if (coResident.nonEmpty)
       System.err.println(s"[scale] WARNING: proceeding with " +
         s"${coResident.size} co-resident JVM(s) alive — artifact annotated")
@@ -385,10 +409,19 @@ object ScaleBench {
 
     val fams = Families.map { name =>
       val q = SparkEntry.queries(name)
-      val s01 = timer.time(s"families.$name.sf01_sec")(
-        q(spark, srcDir).count())
-      val s1 = timer.time(s"families.$name.sf1_sec")(
-        q(spark, outDir).count())
+      val k01 = s"families.$name.sf01_sec"
+      val k1 = s"families.$name.sf1_sec"
+      var s01 = timer.time(k01)(q(spark, srcDir).count())
+      var s1 = timer.time(k1)(q(spark, outDir).count())
+      // ratio fairness: a retime is a WARM second run; if exactly one
+      // leg got one, give the other leg its warm run too, or the ratio
+      // compares a warm numerator against a cold denominator (the r17
+      // committed c4 sf01 halved on retime while sf1 kept its first
+      // figure, inflating the ratio ~2x)
+      if (timer.wasRetimed(k01) && !timer.wasRetimed(k1))
+        s1 = timer.forceRetime(k1, s1)(q(spark, outDir).count())
+      else if (timer.wasRetimed(k1) && !timer.wasRetimed(k01))
+        s01 = timer.forceRetime(k01, s01)(q(spark, srcDir).count())
       System.err.println(f"[scale] $name: sf0.1 $s01%.2f s -> 10x $s1%.2f s" +
         f" (ratio ${s1 / s01}%.2f)")
       s""""$name":{"sf01_sec":${jnum(s01)},"sf1_sec":${jnum(s1)},"ratio":${jnum(s1 / s01)}}"""
@@ -418,7 +451,10 @@ object ScaleBench {
     // previous +9*Block collided with the 10x corpus's replica 9
     // (block [90M, 90M+105k]), making ~500 probe ids look like
     // re-ingests of existing keys rather than fresh docs.
-    val probeDocs = Tables.documents(spark, srcDir)
+    // built lazily INSIDE the first consuming try: a documents-table
+    // failure must record an {"error": ...} for that section, not abort
+    // the whole run before the artifact line is written
+    lazy val probeDocs = Tables.documents(spark, srcDir)
       .filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 100 * Block).as("doc_id"), col("text"))
       .localCheckpoint(false)
@@ -576,7 +612,11 @@ object ScaleBench {
           s""""$cfgTag":{"k":$k,"pairs_sec":${jnum(sec)},"cand_pairs":$cand,"pairs":$pairs}"""
         }
         val fixedJ = cfgJson("fixed", 8)
-        val autoJ = cfgJson("auto", Cluster.autoK(n))
+        val autoK = Cluster.autoK(n)
+        // at 1x autoK(2000) == 8 == fixed: reuse the measurement instead
+        // of timing the byte-identical config twice
+        val autoJ = if (autoK == 8) "\"auto\":" + fixedJ.stripPrefix("\"fixed\":")
+          else cfgJson("auto", autoK)
         s""""$tag":{"n":$n,$fixedJ,$autoJ}"""
       }
       s"""{${per.mkString(",")}}"""
@@ -630,24 +670,51 @@ object ScaleBench {
       val docFams = Seq("dedup_ngram_jaccard", "dedup_prefix_jaccard",
         "dedup_prefix_jaccard_hi", "doc_ngram_novelty").map { name =>
         val q = SparkEntry.queries(name)
-        val s10 = timer.time(s"second_decade.$name.x10_sec")(
-          q(spark, outDir).count())
-        val s100 = timer.time(s"second_decade.$name.x100_sec")(
-          q(spark, docs100Dir).count())
+        val k10 = s"second_decade.$name.x10_sec"
+        val k100 = s"second_decade.$name.x100_sec"
+        var s10 = timer.time(k10)(q(spark, outDir).count())
+        var s100 = timer.time(k100)(q(spark, docs100Dir).count())
+        // same pair-fairness rule as the 1x/10x families: never a warm
+        // numerator over a cold denominator
+        if (timer.wasRetimed(k10) && !timer.wasRetimed(k100))
+          s100 = timer.forceRetime(k100, s100)(q(spark, docs100Dir).count())
+        else if (timer.wasRetimed(k100) && !timer.wasRetimed(k10))
+          s10 = timer.forceRetime(k10, s10)(q(spark, outDir).count())
         System.err.println(f"[scale] $name: 10x $s10%.2f s -> 100x " +
           f"$s100%.2f s (ratio ${s100 / s10}%.2f)")
         s""""$name":{"x10_sec":${jnum(s10)},"x100_sec":${jnum(s100)},"ratio_100_over_10":${jnum(s100 / s10)}}"""
       }
       // graph: prep (cache fill, evict-first so it's re-runnable) and
       // the pagerank recurrence, 10x vs 100x edges
-      val gp10 = timer.time("second_decade.graph_prep.x10_sec")(
+      var gp10 = timer.time("second_decade.graph_prep.x10_sec")(
         prepThunk(outDir))
-      val gr10 = timer.time("second_decade.graph_pagerank.x10_sec")(
+      var gr10 = timer.time("second_decade.graph_pagerank.x10_sec")(
         SparkEntry.queries("graph_pagerank")(spark, outDir).count())
-      val gp100 = timer.time("second_decade.graph_prep.x100_sec")(
+      var gp100 = timer.time("second_decade.graph_prep.x100_sec")(
         prepThunk(graph100Dir))
-      val gr100 = timer.time("second_decade.graph_pagerank.x100_sec")(
+      var gr100 = timer.time("second_decade.graph_pagerank.x100_sec")(
         SparkEntry.queries("graph_pagerank")(spark, graph100Dir).count())
+      // pair fairness for the graph ratios too (the r17 committed
+      // pagerank 17.3x per decade was a warm-retimed x10 denominator
+      // under a first-run x100 numerator)
+      def fair(kA: String, sA: Double, thunkA: => Unit,
+          kB: String, sB: Double, thunkB: => Unit): (Double, Double) =
+        if (timer.wasRetimed(kA) && !timer.wasRetimed(kB))
+          (sA, timer.forceRetime(kB, sB)(thunkB))
+        else if (timer.wasRetimed(kB) && !timer.wasRetimed(kA))
+          (timer.forceRetime(kA, sA)(thunkA), sB)
+        else (sA, sB)
+      locally {
+        val (a, b) = fair("second_decade.graph_prep.x10_sec", gp10,
+          prepThunk(outDir),
+          "second_decade.graph_prep.x100_sec", gp100, prepThunk(graph100Dir))
+        gp10 = a; gp100 = b
+        val (c, d) = fair("second_decade.graph_pagerank.x10_sec", gr10,
+          SparkEntry.queries("graph_pagerank")(spark, outDir).count(),
+          "second_decade.graph_pagerank.x100_sec", gr100,
+          SparkEntry.queries("graph_pagerank")(spark, graph100Dir).count())
+        gr10 = c; gr100 = d
+      }
       System.err.println(f"[scale] graph_prep: 10x $gp10%.2f s -> 100x " +
         f"$gp100%.2f s (ratio ${gp100 / gp10}%.2f); pagerank 10x " +
         f"$gr10%.2f s -> 100x $gr100%.2f s (ratio ${gr100 / gr10}%.2f)")

@@ -92,13 +92,27 @@ object KeyedUpsertSink {
     * lock's mtime every leaseMs/4 (checking the token first, so a
     * zombie never extends a new owner's lease) — without it any
     * upsert/compact longer than the lease would be "taken over"
-    * mid-critical-section by a live peer. Acquisition gives up after
-    * `GRAFT_STORE_LOCK_WAIT_MS` (default 120,000) so a wedged peer
-    * surfaces as an error rather than a silent hang. Release deletes
+    * mid-critical-section by a live peer.
+    *
+    * FENCING: `body` receives a `fence: () => Unit` it MUST call
+    * immediately before its pointer flip. A writer that lost the lease
+    * mid-section (a long STW pause, a wedged heartbeat) would otherwise
+    * resume, flip a pointer computed from a pre-takeover snapshot, and
+    * prune the new owner's committed generations. `fence()` re-reads
+    * the lock — a missing lock or a foreign token throws (the batch
+    * aborts; at-least-once re-delivery re-runs it) — and REFRESHES the
+    * mtime, so the flip + prune that follow run inside a fresh lease no
+    * peer may legally take over.
+    *
+    * Acquisition gives up after `GRAFT_STORE_LOCK_WAIT_MS` so a wedged
+    * peer surfaces as an error rather than a silent hang; the default
+    * (0 = auto) is leaseMs + 60 s, STRICTLY LONGER than the lease — a
+    * shorter cap would make every waiter behind a crashed writer throw
+    * before the stale-takeover path could ever trigger. Release deletes
     * the lock only if it still carries OUR token.
     */
   private def withStoreLock[T](spark: SparkSession, storeDir: String,
-      who: String)(body: => T): T = {
+      who: String)(body: (() => Unit) => T): T = {
     val fs = fileSystem(spark, storeDir)
     val canonical = fs.makeQualified(new Path(storeDir)).toString
     val monitor = jvmLocks.computeIfAbsent(canonical, _ => new Object)
@@ -111,8 +125,12 @@ object KeyedUpsertSink {
         sys.props.get(prop).orElse(sys.env.get(env)).getOrElse(dflt).toLong
       val leaseMs =
         knob("graft.store.lease.ms", "GRAFT_STORE_LEASE_MS", "300000")
-      val waitCapMs =
-        knob("graft.store.lock.wait.ms", "GRAFT_STORE_LOCK_WAIT_MS", "120000")
+      // 0 = auto: lease + 60 s. The cap must EXCEED the lease, or a
+      // waiter behind a crashed writer (lock mtime < leaseMs old) throws
+      // before the lock ever goes stale enough to take over.
+      val waitCapMs0 =
+        knob("graft.store.lock.wait.ms", "GRAFT_STORE_LOCK_WAIT_MS", "0")
+      val waitCapMs = if (waitCapMs0 <= 0) leaseMs + 60000L else waitCapMs0
       def ownerToken(): Option[String] = {
         val in = fs.open(lock)
         try scala.io.Source.fromInputStream(in, "UTF-8")
@@ -143,24 +161,29 @@ object KeyedUpsertSink {
             val st = fs.getFileStatus(lock)
             System.currentTimeMillis() - st.getModificationTime > leaseMs
           } catch { case _: Throwable => false } // raced release — retry
+          var wonTakeover = false
           if (stale) {
             // atomic takeover: rename the stale lock aside — the rename
             // succeeds for exactly one waiter (the source vanishes for
             // the rest), so the losers fall back to waiting on whatever
             // lock the winner creates next
             val aside = new Path(storeDir, s"$LockFile.stale-$token")
-            val won = try fs.rename(lock, aside)
+            wonTakeover = try fs.rename(lock, aside)
               catch { case _: Throwable => false }
-            if (won) {
+            if (wonTakeover) {
               System.err.println(s"[store] taking over expired lease at $lock")
               try fs.delete(aside, false) catch { case _: Throwable => () }
             }
-          } else if ((System.nanoTime() - t0) / 1e6 > waitCapMs)
+          }
+          // the cap and the backoff apply on EVERY non-acquired pass —
+          // a stale lock whose rename persistently fails (non-POSIX fs,
+          // permissions) must hit the cap, not busy-spin forever
+          if ((System.nanoTime() - t0) / 1e6 > waitCapMs)
             throw new IllegalStateException(
               s"could not acquire store lock $lock within ${waitCapMs}ms" +
                 " — is a peer writer wedged? (lease expires after" +
                 s" ${leaseMs}ms)")
-          else Thread.sleep(50)
+          if (!wonTakeover) Thread.sleep(50)
         }
       }
       // heartbeat: keep the lease visibly alive while body runs longer
@@ -185,7 +208,21 @@ object KeyedUpsertSink {
       }, s"graft-store-lease-$who")
       hb.setDaemon(true)
       hb.start()
-      try body finally {
+      // the fence the body calls before its pointer flip: verify the
+      // lock still carries OUR token (a missing lock or a foreign token
+      // means a peer took over — abort, never flip), then refresh the
+      // mtime so the flip + prune run inside a fresh lease no peer may
+      // legally expire
+      val fence: () => Unit = () => {
+        val owner = try ownerToken() catch { case _: Throwable => None }
+        if (!owner.contains(token))
+          throw new IllegalStateException(
+            s"store lease at $lock lost mid-section (owner now " +
+              s"${owner.getOrElse("<none>")}) — aborting before the " +
+              "pointer flip; the batch will be re-delivered")
+        fs.setTimes(lock, System.currentTimeMillis(), -1)
+      }
+      try body(fence) finally {
         hbStop.set(true)
         hb.interrupt()
         try {
@@ -287,14 +324,15 @@ object KeyedUpsertSink {
       orderCol: String, batchId: Long, versionWins: Boolean = false,
       numBuckets: Int = DefaultNumBuckets, writerId: String = ""): Unit =
     withStoreLock(batch.sparkSession, storeDir,
-      s"upsert:$writerId:$batchId") {
+      s"upsert:$writerId:$batchId") { fence =>
       upsertBatchLocked(batch, storeDir, keys, orderCol, batchId,
-        versionWins, numBuckets, writerId)
+        versionWins, numBuckets, writerId, fence)
     }
 
   private def upsertBatchLocked(batch: DataFrame, storeDir: String,
       keys: Seq[String], orderCol: String, batchId: Long,
-      versionWins: Boolean, numBuckets: Int, writerId: String): Unit = {
+      versionWins: Boolean, numBuckets: Int, writerId: String,
+      fence: () => Unit = () => ()): Unit = {
     val spark = batch.sparkSession
     val fs = fileSystem(spark, storeDir)
     val state = readState(spark, storeDir)
@@ -346,6 +384,14 @@ object KeyedUpsertSink {
       .parquet(new Path(storeDir, gen).toString)
 
     val newGens = gens ++ touched.map(_ -> gen)
+    // test seam: hold the section open here so a spec can stage the
+    // takeover interleaving deterministically (production: 0 = no-op)
+    sys.props.get("graft.store.test.preflip.sleep.ms")
+      .map(_.toLong).filter(_ > 0).foreach(Thread.sleep)
+    // fence: the merge write above can outlive the lease (long batch,
+    // STW pause); never flip a pointer computed from a pre-takeover
+    // snapshot — the prune below would delete the new owner's files
+    fence()
     writePointer(spark, fs, storeDir, n, newGens)
 
     // prune with a one-generation grace window PER BUCKET: a bucket
@@ -394,12 +440,12 @@ object KeyedUpsertSink {
     * upsert would have written.
     */
   def compact(spark: SparkSession, storeDir: String, keys: Seq[String]): Unit =
-    withStoreLock(spark, storeDir, "compact") {
-      compactLocked(spark, storeDir, keys)
+    withStoreLock(spark, storeDir, "compact") { fence =>
+      compactLocked(spark, storeDir, keys, fence)
     }
 
   private def compactLocked(spark: SparkSession, storeDir: String,
-      keys: Seq[String]): Unit = {
+      keys: Seq[String], fence: () => Unit = () => ()): Unit = {
     val state = readState(spark, storeDir) match {
       case None => return
       case Some(st) if st.gens.isEmpty => return
@@ -417,6 +463,9 @@ object KeyedUpsertSink {
       .write.mode(SaveMode.Overwrite).partitionBy("bucket")
       .parquet(new Path(storeDir, gen).toString)
     val newGens = state.gens.keys.map(_ -> gen).toMap
+    // same fence as upserts: compaction is the LONGEST critical section
+    // (corpus-proportional rewrite) and prunes the most aggressively
+    fence()
     writePointer(spark, fs, storeDir, state.numBuckets, newGens)
     // grace window: keep the generations the JUST-replaced pointer named
     // (one more write will reclaim them); everything older goes now

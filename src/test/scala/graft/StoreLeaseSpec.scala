@@ -146,4 +146,79 @@ class StoreLeaseSpec extends AnyFunSuite with SparkTestBase {
       s"expected per-writer generation dirs, got $gens")
     assert(KeyedUpsertSink.readStore(spark, dir).get.count() === 2L)
   }
+
+  test("fence: a writer whose lease was taken over aborts before the flip") {
+    val dir = freshDir()
+    val lock = Paths.get(dir, "_LOCK")
+    // seed the store so the victim writer has a pointer it WOULD flip
+    KeyedUpsertSink.upsertBatch(Seq(("k0", 0L)).toDF("k", "ts"), dir,
+      Seq("k"), "ts", 0L)
+    val ptrBefore = new String(
+      Files.readAllBytes(Paths.get(dir, "_CURRENT")), "UTF-8")
+    val oldSleep =
+      sys.props.put("graft.store.test.preflip.sleep.ms", "800")
+    try {
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val writer = new Thread(() => {
+        try KeyedUpsertSink.upsertBatch(Seq(("k1", 1L)).toDF("k", "ts"),
+          dir, Seq("k"), "ts", 1L)
+        catch { case t: Throwable => errs.add(t) }
+      })
+      writer.start()
+      // while the victim holds the section open at the seam, simulate a
+      // takeover: replace its lock with a foreign owner's. Wait for the
+      // victim's OWN lock first (it creates it at acquisition) so the
+      // overwrite can't race ahead of the acquire.
+      val t0 = System.nanoTime()
+      while (!Files.exists(lock) && (System.nanoTime() - t0) / 1e9 < 20)
+        Thread.sleep(10)
+      assert(Files.exists(lock), "victim never acquired the lock")
+      Thread.sleep(100)
+      Files.write(lock,
+        s"usurper-token\nusurper\n${System.currentTimeMillis()}"
+          .getBytes("UTF-8"))
+      writer.join(30000)
+      assert(!writer.isAlive, "victim writer hung")
+      assert(errs.size() === 1, "victim must abort once the lease is lost")
+      assert(errs.peek().getMessage.contains("lost mid-section"),
+        s"wrong failure: ${errs.peek().getMessage}")
+      // the flip never happened: pointer content is byte-identical and
+      // the store still reads the seed row only
+      val ptrAfter = new String(
+        Files.readAllBytes(Paths.get(dir, "_CURRENT")), "UTF-8")
+      assert(ptrAfter === ptrBefore, "dispossessed writer flipped the pointer")
+      assert(KeyedUpsertSink.readStore(spark, dir).get.count() === 1L)
+      // the victim's release must NOT have deleted the usurper's lock
+      assert(new String(Files.readAllBytes(lock), "UTF-8")
+        .startsWith("usurper-token"))
+    } finally oldSleep match {
+      case Some(v) => sys.props.put("graft.store.test.preflip.sleep.ms", v)
+      case None => sys.props.remove("graft.store.test.preflip.sleep.ms")
+    }
+  }
+
+  test("a crashed writer's FRESH lock is waited out and taken over (cap > lease)") {
+    val dir = freshDir()
+    Files.createDirectories(Paths.get(dir))
+    val lock = Paths.get(dir, "_LOCK")
+    // a just-crashed writer: foreign token, mtime NOW — under the old
+    // 120s default cap with a 300s lease every waiter threw before the
+    // lock could ever go stale; the cap must outlive the lease
+    Files.write(lock,
+      s"dead-token\ncrashed\n${System.currentTimeMillis()}".getBytes("UTF-8"))
+    val oldLease = sys.props.put("graft.store.lease.ms", "700")
+    // leave the wait cap at its 0=auto default: lease + 60 s
+    try {
+      val t0 = System.nanoTime()
+      KeyedUpsertSink.upsertBatch(Seq(("k1", 1L)).toDF("k", "ts"), dir,
+        Seq("k"), "ts", 0L)
+      val waitedMs = (System.nanoTime() - t0) / 1e6
+      assert(waitedMs >= 600,
+        f"takeover at $waitedMs%.0f ms — before the 700 ms lease expired")
+      assert(KeyedUpsertSink.readStore(spark, dir).get.count() === 1L)
+    } finally oldLease match {
+      case Some(v) => sys.props.put("graft.store.lease.ms", v)
+      case None => sys.props.remove("graft.store.lease.ms")
+    }
+  }
 }
