@@ -591,32 +591,52 @@ object ScaleBench {
     // shared baseline.)
     val semDedup = try {
       import graft.operators.Cluster
-      val scales = Seq("x1" -> srcDir, "x10" -> outDir)
+      // x100 reuses the embeddings-only derived corpus the ann_auto
+      // section built above (skipped if that build failed)
+      val emb100 = new java.io.File(outDir).getParent + "/emb100"
+      val scales = Seq(("x1", srcDir), ("x10", outDir)) ++
+        (if (new java.io.File(s"$emb100/embeddings.parquet/_SUCCESS").exists())
+          Seq(("x100", emb100)) else Seq.empty)
       val per = scales.map { case (tag, dir) =>
         val emb = Tables.embeddings(spark, dir).localCheckpoint(false)
         val n = emb.count()
-        def cfgJson(cfgTag: String, k: Int): String = {
-          var pairs = -1L
-          val sec = timer.time(s"semdedup.$tag.$cfgTag.pairs_sec") {
-            pairs = Cluster.semanticNearDupPairs(emb, "vec_id", "embedding",
-              k = k, iters = 3, threshold = 0.9).count()
-          }
-          val cand = Cluster.kmeansAssignments(emb, "vec_id", "embedding",
+        // exact candidate-pair count (sum m(m-1)/2 over the cells) —
+        // the deterministic cost driver; CHEAP at any k (assignment is
+        // the constant-code-size kernel, the agg is k rows)
+        def candPairs(k: Int): Long =
+          Cluster.kmeansAssignments(emb, "vec_id", "embedding",
               k = k, iters = 3)
             .groupBy(col("cluster")).agg(count(lit(1)).as("m"))
             .agg(coalesce(sum((col("m") * (col("m") - 1) / 2).cast("long")),
               lit(0L)).as("c"))
             .collect()(0).getLong(0)
-          System.err.println(f"[scale] semdedup $tag $cfgTag (k=$k): " +
-            f"$sec%.2f s, cand pairs $cand, found $pairs")
-          s""""$cfgTag":{"k":$k,"pairs_sec":${jnum(sec)},"cand_pairs":$cand,"pairs":$pairs}"""
+        def cfgJson(cfgTag: String, k: Int, measurePairs: Boolean): String = {
+          val cand = candPairs(k)
+          if (measurePairs) {
+            var pairs = -1L
+            val sec = timer.time(s"semdedup.$tag.$cfgTag.pairs_sec") {
+              pairs = Cluster.semanticNearDupPairs(emb, "vec_id", "embedding",
+                k = k, iters = 3, threshold = 0.9).count()
+            }
+            System.err.println(f"[scale] semdedup $tag $cfgTag (k=$k): " +
+              f"$sec%.2f s, cand pairs $cand, found $pairs")
+            s""""$cfgTag":{"k":$k,"pairs_sec":${jnum(sec)},"cand_pairs":$cand,"pairs":$pairs}"""
+          } else {
+            // no silent caps: the fixed-k pair join at x100 is ~100x the
+            // x10 cost by the n^2/k law — record the exact candidate
+            // count that predicts it and say loudly that the join was
+            // not run, rather than burning minutes proving a quadratic
+            System.err.println(s"[scale] semdedup $tag $cfgTag (k=$k): " +
+              s"pair join SKIPPED (quadratic at fixed k), cand pairs $cand")
+            s""""$cfgTag":{"k":$k,"pairs_sec":-1,"cand_pairs":$cand,"pairs":-1,"skipped":"fixed-k pair join is quadratic; cand_pairs is the exact predicted join size"}"""
+          }
         }
-        val fixedJ = cfgJson("fixed", 8)
+        val fixedJ = cfgJson("fixed", 8, measurePairs = tag != "x100")
         val autoK = Cluster.autoK(n)
         // at 1x autoK(2000) == 8 == fixed: reuse the measurement instead
         // of timing the byte-identical config twice
         val autoJ = if (autoK == 8) "\"auto\":" + fixedJ.stripPrefix("\"fixed\":")
-          else cfgJson("auto", autoK)
+          else cfgJson("auto", autoK, measurePairs = true)
         s""""$tag":{"n":$n,$fixedJ,$autoJ}"""
       }
       s"""{${per.mkString(",")}}"""
