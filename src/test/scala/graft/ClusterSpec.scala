@@ -163,6 +163,45 @@ class ClusterSpec extends AnyFunSuite with SparkTestBase {
       s"centroid side must broadcast:\n${plan.take(2000)}")
   }
 
+  test("quantize + argmin kernels are bit-identical to the HOF/struct forms") {
+    import graft.functions.VectorFunctions
+    val rnd = new scala.util.Random(91)
+    val data = (0 until 300).map(i =>
+      i.toLong -> Array.fill(8)(rnd.nextFloat() * 4 - 2))
+    val df = data.toDF("vec_id", "embedding")
+    // quantize: kernel vs the transform() HOF it replaced, negatives
+    // included (floor of a negative product is the trap)
+    val both = df.select(
+        VectorFunctions.quantizeFloorF(col("embedding"), 1024L).as("k"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1024L).cast("long")).as("h"))
+      .collect()
+    both.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+    // argmin: kernel vs an explicit least()-of-structs over the same
+    // centroids (the pre-kernel formulation), including a forced tie
+    val cents: Seq[(Int, Array[Long])] = Seq(
+      0 -> Array.fill(8)(0L), 1 -> Array.fill(8)(512L),
+      2 -> Array.fill(8)(0L)) // duplicate of 0: dist ties break to 0
+    val q = df.select(col("vec_id").as("id"),
+      VectorFunctions.quantizeFloorF(col("embedding"), 1024L).as("qv"))
+    val m = new graft.functions.CentroidMatrix(
+      cents.flatMap(_._2).toArray, cents.map(_._1).toArray, 8)
+    val kernel = q.select(col("id"),
+        VectorFunctions.nearestCentroidL(col("qv"), m).as("m"))
+      .select(col("id"), col("m.dist"), col("m.cluster")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val structs = q.select(col("id"),
+        least(cents.map { case (c, v) =>
+          struct(VectorFunctions.sqDistL(col("qv"),
+            array(v.map(lit(_)): _*)).as("dist"), lit(c).as("cluster"))
+        }: _*).as("m"))
+      .select(col("id"), col("m.dist"), col("m.cluster")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(kernel === structs)
+    assert(kernel.exists(_._3 == 0) && !kernel.exists(_._3 == 2),
+      "ties must break to the lowest cluster id")
+  }
+
   test("autoK: ceil(n / targetCellSize), floored at 1") {
     assert(Cluster.autoK(0) === 1)
     assert(Cluster.autoK(1) === 1)
