@@ -332,7 +332,7 @@ object KeyedUpsertSink {
   private def upsertBatchLocked(batch: DataFrame, storeDir: String,
       keys: Seq[String], orderCol: String, batchId: Long,
       versionWins: Boolean, numBuckets: Int, writerId: String,
-      fence: () => Unit = () => ()): Unit = {
+      fence: () => Unit): Unit = {
     val spark = batch.sparkSession
     val fs = fileSystem(spark, storeDir)
     val state = readState(spark, storeDir)
@@ -445,7 +445,7 @@ object KeyedUpsertSink {
     }
 
   private def compactLocked(spark: SparkSession, storeDir: String,
-      keys: Seq[String], fence: () => Unit = () => ()): Unit = {
+      keys: Seq[String], fence: () => Unit): Unit = {
     val state = readState(spark, storeDir) match {
       case None => return
       case Some(st) if st.gens.isEmpty => return
