@@ -117,7 +117,7 @@ object Bench {
         SparkEntry.copurchasePrepared(spark, sfDir).count()
       }
       val priorBad = prior.get("graph_prep")
-        .exists(p => p > 0 && s1 > priorGate * p)
+        .exists(p => p > 0 && s1 > priorGate * p && s1 - p > 0.5)
       if (ext > extGate || iow > ioGate || stl > stealGate || priorBad) {
         val why = if (ext > extGate) f"$ext%.2f external cores"
           else if (iow > ioGate) f"$iow%.2f cores in iowait"
@@ -177,7 +177,10 @@ object Bench {
     val results: Seq[(String, Either[String, Double])] = results0.map {
       case (name, Right((secs, ext, iow, stl, _))) if ext > extGate ||
           iow > ioGate || stl > stealGate ||
-          prior.get(name).exists(p => p > 0 && secs > priorGate * p) =>
+          // the ScaleBench rule: sub-second noise blips (0.15 -> 0.35s)
+          // must not trigger a pointless retime
+          prior.get(name).exists(p =>
+            p > 0 && secs > priorGate * p && secs - p > 0.5) =>
         val why = if (ext > extGate) f"$ext%.2f external cores"
           else if (iow > ioGate) f"$iow%.2f cores in iowait"
           else if (stl > stealGate) f"$stl%.2f cores stolen by the host"

@@ -232,7 +232,8 @@ object ScaleBench {
       * run, inflating the ratio ~2x). When one leg of a pair retimed
       * and the other didn't, the caller gives the other leg its warm
       * run too via this: re-run unconditionally, record the pair,
-      * headline = min (the same rule `time` applies).
+      * headline = min (the same rule `time` applies). A throwing rerun
+      * records (prev, -1) — never silent — and keeps the first timing.
       */
     def forceRetime(key: String, prevSecs: Double)(thunk: => Unit): Double = {
       try {
@@ -241,10 +242,34 @@ object ScaleBench {
         stolen(key + ".fair") = stl
         retimed(key) = (prevSecs, s2)
         math.min(prevSecs, s2)
-      } catch { case _: Throwable => prevSecs }
+      } catch { case _: Throwable =>
+        retimed(key) = (prevSecs, -1.0); prevSecs
+      }
     }
 
-    def wasRetimed(key: String): Boolean = retimed.contains(key)
+    /** A leg counts as (successfully) retimed only when its warm rerun
+      * actually landed — a failed retry (recorded (s, -1)) left the leg
+      * COLD, and pairing against it would invert the warmth mix the
+      * fairness rule exists to fix.
+      */
+    def wasRetimed(key: String): Boolean =
+      retimed.get(key).exists(_._2 >= 0)
+
+    /** The two-leg fair measurement every scale RATIO should use: time
+      * both legs through the gated `time`, then — if exactly one leg
+      * got a (successful) warm retime — give the other leg its warm run
+      * too. Lives on the timer so the rule has ONE implementation.
+      */
+    def timePair(keyA: String, thunkA: => Unit,
+        keyB: String, thunkB: => Unit): (Double, Double) = {
+      var a = time(keyA)(thunkA)
+      var b = time(keyB)(thunkB)
+      if (wasRetimed(keyA) && !wasRetimed(keyB))
+        b = forceRetime(keyB, b)(thunkB)
+      else if (wasRetimed(keyB) && !wasRetimed(keyA))
+        a = forceRetime(keyA, a)(thunkA)
+      (a, b)
+    }
 
     def extJson: String = extCpu
       .map { case (k, v) => s"${jstr(k)}:${jnum(v)}" }.mkString("{", ",", "}")
@@ -404,24 +429,15 @@ object ScaleBench {
       SparkEntry.copurchaseEvict(spark, dir)
       SparkEntry.copurchasePrepared(spark, dir).count()
     }
-    val prep01 = timer.time("graph_prep.sf01_sec")(prepThunk(srcDir))
-    val prep1 = timer.time("graph_prep.sf1_sec")(prepThunk(outDir))
+    val (prep01, prep1) = timer.timePair(
+      "graph_prep.sf01_sec", prepThunk(srcDir),
+      "graph_prep.sf1_sec", prepThunk(outDir))
 
     val fams = Families.map { name =>
       val q = SparkEntry.queries(name)
-      val k01 = s"families.$name.sf01_sec"
-      val k1 = s"families.$name.sf1_sec"
-      var s01 = timer.time(k01)(q(spark, srcDir).count())
-      var s1 = timer.time(k1)(q(spark, outDir).count())
-      // ratio fairness: a retime is a WARM second run; if exactly one
-      // leg got one, give the other leg its warm run too, or the ratio
-      // compares a warm numerator against a cold denominator (the r17
-      // committed c4 sf01 halved on retime while sf1 kept its first
-      // figure, inflating the ratio ~2x)
-      if (timer.wasRetimed(k01) && !timer.wasRetimed(k1))
-        s1 = timer.forceRetime(k1, s1)(q(spark, outDir).count())
-      else if (timer.wasRetimed(k1) && !timer.wasRetimed(k01))
-        s01 = timer.forceRetime(k01, s01)(q(spark, srcDir).count())
+      val (s01, s1) = timer.timePair(
+        s"families.$name.sf01_sec", q(spark, srcDir).count(),
+        s"families.$name.sf1_sec", q(spark, outDir).count())
       System.err.println(f"[scale] $name: sf0.1 $s01%.2f s -> 10x $s1%.2f s" +
         f" (ratio ${s1 / s01}%.2f)")
       s""""$name":{"sf01_sec":${jnum(s01)},"sf1_sec":${jnum(s1)},"ratio":${jnum(s1 / s01)}}"""
@@ -435,8 +451,9 @@ object ScaleBench {
         graft.operators.TrainShards.shardAssign(
           Tables.orders(spark, dir).select(col("o_orderkey")),
           idCol = "o_orderkey", numShards = 64).count()
-      val s01 = timer.time("shard_deal_orders.sf01_sec")(deal(srcDir))
-      val s1 = timer.time("shard_deal_orders.sf1_sec")(deal(outDir))
+      val (s01, s1) = timer.timePair(
+        "shard_deal_orders.sf01_sec", deal(srcDir),
+        "shard_deal_orders.sf1_sec", deal(outDir))
       System.err.println(f"[scale] shard_deal_orders: sf0.1 $s01%.2f s -> " +
         f"10x $s1%.2f s (ratio ${s1 / s01}%.2f)")
       s"""{"sf01_sec":${jnum(s01)},"sf1_sec":${jnum(s1)},"ratio":${jnum(s1 / s01)}}"""
@@ -500,11 +517,14 @@ object ScaleBench {
     // with a FIXED 500-vector batch against prebuilt 1x/10x/100x
     // stores — the per-batch cost a continuous-ingestion deployment
     // pays, which the auto rule must hold ~flat.
+    // 100x embeddings-only derived corpus (same replica discipline) —
+    // ONE shared path: ann_auto builds it, semdedup reuses it
+    val emb100Dir = new java.io.File(outDir).getParent + "/emb100"
+    def emb100Built: Boolean =
+      new java.io.File(s"$emb100Dir/embeddings.parquet/_SUCCESS").exists()
     val annAuto = try {
       import graft.operators.{IncrementalAnn, SimilaritySearch}
-      // 100x embeddings-only derived corpus (same replica discipline)
-      val emb100Dir = new java.io.File(outDir).getParent + "/emb100"
-      if (!new java.io.File(s"$emb100Dir/embeddings.parquet/_SUCCESS").exists()) {
+      if (!emb100Built) {
         System.err.println(s"[scale] building 100x embeddings at $emb100Dir")
         replicate(Tables.embeddings(spark, srcDir), 100,
           Seq("vec_id"), Seq.empty)
@@ -593,10 +613,8 @@ object ScaleBench {
       import graft.operators.Cluster
       // x100 reuses the embeddings-only derived corpus the ann_auto
       // section built above (skipped if that build failed)
-      val emb100 = new java.io.File(outDir).getParent + "/emb100"
       val scales = Seq(("x1", srcDir), ("x10", outDir)) ++
-        (if (new java.io.File(s"$emb100/embeddings.parquet/_SUCCESS").exists())
-          Seq(("x100", emb100)) else Seq.empty)
+        (if (emb100Built) Seq(("x100", emb100Dir)) else Seq.empty)
       val per = scales.map { case (tag, dir) =>
         val emb = Tables.embeddings(spark, dir).localCheckpoint(false)
         val n = emb.count()
@@ -690,51 +708,26 @@ object ScaleBench {
       val docFams = Seq("dedup_ngram_jaccard", "dedup_prefix_jaccard",
         "dedup_prefix_jaccard_hi", "doc_ngram_novelty").map { name =>
         val q = SparkEntry.queries(name)
-        val k10 = s"second_decade.$name.x10_sec"
-        val k100 = s"second_decade.$name.x100_sec"
-        var s10 = timer.time(k10)(q(spark, outDir).count())
-        var s100 = timer.time(k100)(q(spark, docs100Dir).count())
-        // same pair-fairness rule as the 1x/10x families: never a warm
-        // numerator over a cold denominator
-        if (timer.wasRetimed(k10) && !timer.wasRetimed(k100))
-          s100 = timer.forceRetime(k100, s100)(q(spark, docs100Dir).count())
-        else if (timer.wasRetimed(k100) && !timer.wasRetimed(k10))
-          s10 = timer.forceRetime(k10, s10)(q(spark, outDir).count())
+        val (s10, s100) = timer.timePair(
+          s"second_decade.$name.x10_sec", q(spark, outDir).count(),
+          s"second_decade.$name.x100_sec", q(spark, docs100Dir).count())
         System.err.println(f"[scale] $name: 10x $s10%.2f s -> 100x " +
           f"$s100%.2f s (ratio ${s100 / s10}%.2f)")
         s""""$name":{"x10_sec":${jnum(s10)},"x100_sec":${jnum(s100)},"ratio_100_over_10":${jnum(s100 / s10)}}"""
       }
       // graph: prep (cache fill, evict-first so it's re-runnable) and
       // the pagerank recurrence, 10x vs 100x edges
-      var gp10 = timer.time("second_decade.graph_prep.x10_sec")(
-        prepThunk(outDir))
-      var gr10 = timer.time("second_decade.graph_pagerank.x10_sec")(
-        SparkEntry.queries("graph_pagerank")(spark, outDir).count())
-      var gp100 = timer.time("second_decade.graph_prep.x100_sec")(
-        prepThunk(graph100Dir))
-      var gr100 = timer.time("second_decade.graph_pagerank.x100_sec")(
+      // interleave order note: both legs of each pair ride timePair so
+      // neither ratio can mix a warm retime with a cold first run (the
+      // r17 committed pagerank 17.3x per decade was exactly that)
+      val (gp10, gp100) = timer.timePair(
+        "second_decade.graph_prep.x10_sec", prepThunk(outDir),
+        "second_decade.graph_prep.x100_sec", prepThunk(graph100Dir))
+      val (gr10, gr100) = timer.timePair(
+        "second_decade.graph_pagerank.x10_sec",
+        SparkEntry.queries("graph_pagerank")(spark, outDir).count(),
+        "second_decade.graph_pagerank.x100_sec",
         SparkEntry.queries("graph_pagerank")(spark, graph100Dir).count())
-      // pair fairness for the graph ratios too (the r17 committed
-      // pagerank 17.3x per decade was a warm-retimed x10 denominator
-      // under a first-run x100 numerator)
-      def fair(kA: String, sA: Double, thunkA: => Unit,
-          kB: String, sB: Double, thunkB: => Unit): (Double, Double) =
-        if (timer.wasRetimed(kA) && !timer.wasRetimed(kB))
-          (sA, timer.forceRetime(kB, sB)(thunkB))
-        else if (timer.wasRetimed(kB) && !timer.wasRetimed(kA))
-          (timer.forceRetime(kA, sA)(thunkA), sB)
-        else (sA, sB)
-      locally {
-        val (a, b) = fair("second_decade.graph_prep.x10_sec", gp10,
-          prepThunk(outDir),
-          "second_decade.graph_prep.x100_sec", gp100, prepThunk(graph100Dir))
-        gp10 = a; gp100 = b
-        val (c, d) = fair("second_decade.graph_pagerank.x10_sec", gr10,
-          SparkEntry.queries("graph_pagerank")(spark, outDir).count(),
-          "second_decade.graph_pagerank.x100_sec", gr100,
-          SparkEntry.queries("graph_pagerank")(spark, graph100Dir).count())
-        gr10 = c; gr100 = d
-      }
       System.err.println(f"[scale] graph_prep: 10x $gp10%.2f s -> 100x " +
         f"$gp100%.2f s (ratio ${gp100 / gp10}%.2f); pagerank 10x " +
         f"$gr10%.2f s -> 100x $gr100%.2f s (ratio ${gr100 / gr10}%.2f)")

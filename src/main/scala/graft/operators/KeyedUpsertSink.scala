@@ -98,11 +98,15 @@ object KeyedUpsertSink {
     * immediately before its pointer flip. A writer that lost the lease
     * mid-section (a long STW pause, a wedged heartbeat) would otherwise
     * resume, flip a pointer computed from a pre-takeover snapshot, and
-    * prune the new owner's committed generations. `fence()` re-reads
-    * the lock — a missing lock or a foreign token throws (the batch
-    * aborts; at-least-once re-delivery re-runs it) — and REFRESHES the
-    * mtime, so the flip + prune that follow run inside a fresh lease no
-    * peer may legally take over.
+    * prune the new owner's committed generations. `fence()` verifies
+    * the lock still carries our token (a missing lock or a foreign
+    * token throws — the batch aborts and at-least-once re-delivery
+    * re-runs it), refreshes the mtime so no peer may legally judge the
+    * lease stale from here on, then verifies again to catch a takeover
+    * racing the refresh. A microsecond residual window remains on
+    * rename-only filesystems (see the fence implementation) — reachable
+    * only after the lease ALREADY expired mid-section, not in normal
+    * operation.
     *
     * Acquisition gives up after `GRAFT_STORE_LOCK_WAIT_MS` so a wedged
     * peer surfaces as an error rather than a silent hang; the default
@@ -210,17 +214,29 @@ object KeyedUpsertSink {
       hb.start()
       // the fence the body calls before its pointer flip: verify the
       // lock still carries OUR token (a missing lock or a foreign token
-      // means a peer took over — abort, never flip), then refresh the
-      // mtime so the flip + prune run inside a fresh lease no peer may
-      // legally expire
-      val fence: () => Unit = () => {
+      // means a peer took over — abort, never flip), refresh the mtime
+      // so no peer may LEGALLY judge the lease stale from here on, then
+      // verify AGAIN — a takeover decided between the first check and
+      // the refresh would have renamed our lock aside and created its
+      // own, which the second read sees as a foreign token. Residual
+      // window on rename-only filesystems: a peer whose staleness
+      // judgment predates our refresh could land its rename+create
+      // between the second read and the flip (microseconds); closing it
+      // fully needs a CAS the fs API lacks — in-JVM writers are closed
+      // by the monitor, and the window requires the lease to have
+      // ALREADY expired (a wedged heartbeat), not normal operation.
+      def verifyOwner(): Unit = {
         val owner = try ownerToken() catch { case _: Throwable => None }
         if (!owner.contains(token))
           throw new IllegalStateException(
             s"store lease at $lock lost mid-section (owner now " +
               s"${owner.getOrElse("<none>")}) — aborting before the " +
               "pointer flip; the batch will be re-delivered")
+      }
+      val fence: () => Unit = () => {
+        verifyOwner()
         fs.setTimes(lock, System.currentTimeMillis(), -1)
+        verifyOwner()
       }
       try body(fence) finally {
         hbStop.set(true)

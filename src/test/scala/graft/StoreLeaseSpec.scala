@@ -209,12 +209,31 @@ class StoreLeaseSpec extends AnyFunSuite with SparkTestBase {
     val oldLease = sys.props.put("graft.store.lease.ms", "700")
     // leave the wait cap at its 0=auto default: lease + 60 s
     try {
+      // watch for the MOMENT the dead token leaves the lock — total
+      // upsert wall-time includes the Spark job and would mask a
+      // premature takeover (e.g. an inverted staleness comparison)
+      val takeoverAt = new java.util.concurrent.atomic.AtomicLong(-1L)
       val t0 = System.nanoTime()
+      val watcher = new Thread(() => {
+        var dead = true
+        while (dead) {
+          dead = try Files.exists(lock) &&
+            new String(Files.readAllBytes(lock), "UTF-8")
+              .startsWith("dead-token")
+          catch { case _: Throwable => true } // raced rename — keep watching
+          if (dead) Thread.sleep(20)
+          else takeoverAt.set((System.nanoTime() - t0) / 1000000)
+        }
+      })
+      watcher.setDaemon(true)
+      watcher.start()
       KeyedUpsertSink.upsertBatch(Seq(("k1", 1L)).toDF("k", "ts"), dir,
         Seq("k"), "ts", 0L)
-      val waitedMs = (System.nanoTime() - t0) / 1e6
-      assert(waitedMs >= 600,
-        f"takeover at $waitedMs%.0f ms — before the 700 ms lease expired")
+      watcher.join(2000)
+      val tookMs = takeoverAt.get()
+      assert(tookMs >= 600,
+        s"dead token left the lock at ${tookMs} ms — before the 700 ms " +
+          "lease expired")
       assert(KeyedUpsertSink.readStore(spark, dir).get.count() === 1L)
     } finally oldLease match {
       case Some(v) => sys.props.put("graft.store.lease.ms", v)
