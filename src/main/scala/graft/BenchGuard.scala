@@ -180,8 +180,25 @@ object BenchGuard {
     val t0 = System.nanoTime()
     try new ProcessBuilder("sync").start() // async flush of leftover dirty
     catch { case _: Throwable => () }
+    // steal is sampled as a DELTA across whatever this gate is already
+    // doing — the /proc scan at entry (padded to 250 ms for jiffy
+    // resolution) and each 15 s wait pass — instead of a dedicated 1 s
+    // stealCores() sample per pass (ADVICE r17: that charged every run,
+    // even a quiet one, an extra second before measurement, and left
+    // steal one pass staler than the live-read load/dirty conditions)
+    var stealWin = cpuJiffies()._4
+    var stealT = System.nanoTime()
+    def stealSince(): Double = {
+      val s1 = cpuJiffies()._4
+      val w = (System.nanoTime() - stealT) / 1e9
+      val v = if (w <= 0) 0.0 else math.max(0L, s1 - stealWin) / JiffiesPerSec / w
+      stealWin = s1; stealT = System.nanoTime()
+      v
+    }
     var jvms = coResidentJvms()
-    var steal = stealCores()
+    val padMs = 250 - (System.nanoTime() - stealT) / 1000000
+    if (padMs > 0) Thread.sleep(padMs)
+    var steal = stealSince()
     while ((load1m >= loadGate || jvms.nonEmpty || dirtyMb() > dirtyGateMb ||
         steal >= stealGate) &&
         (System.nanoTime() - t0) / 1e9 < capSec) {
@@ -197,7 +214,7 @@ object BenchGuard {
         s"(cap ${capSec}s)")
       Thread.sleep(15000)
       jvms = coResidentJvms()
-      steal = stealCores()
+      steal = stealSince() // delta across the sleep — no extra wall-clock
     }
     ((System.nanoTime() - t0) / 1e9, load1m, jvms, dirtyMb(), steal)
   }

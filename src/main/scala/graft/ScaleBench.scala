@@ -619,23 +619,33 @@ object ScaleBench {
         val emb = Tables.embeddings(spark, dir).localCheckpoint(false)
         val n = emb.count()
         // exact candidate-pair count (sum m(m-1)/2 over the cells) —
-        // the deterministic cost driver; CHEAP at any k (assignment is
-        // the constant-code-size kernel, the agg is k rows)
-        def candPairs(k: Int): Long =
-          Cluster.kmeansAssignments(emb, "vec_id", "embedding",
-              k = k, iters = 3)
-            .groupBy(col("cluster")).agg(count(lit(1)).as("m"))
+        // the deterministic cost driver, computed from a given
+        // materialized assignment (constant code size but O(n·k·d)
+        // Lloyd work to BUILD — so the assignment is computed once per
+        // (scale, k) inside the timed window and shared with this
+        // count, never re-run untimed; ADVICE r17)
+        def candPairsFrom(asg: DataFrame): Long =
+          asg.groupBy(col("cluster")).agg(count(lit(1)).as("m"))
             .agg(coalesce(sum((col("m") * (col("m") - 1) / 2).cast("long")),
               lit(0L)).as("c"))
             .collect()(0).getLong(0)
+        def assignment(k: Int): DataFrame =
+          Cluster.kmeansAssignments(emb, "vec_id", "embedding",
+            k = k, iters = 3).localCheckpoint(false)
         def cfgJson(cfgTag: String, k: Int, measurePairs: Boolean): String = {
-          val cand = candPairs(k)
           if (measurePairs) {
             var pairs = -1L
+            var asg: DataFrame = null
+            // timed window = assignment + pair join, the same total
+            // work semanticNearDupPairs does in one lazy plan (the
+            // checkpoint even saves the twice-in-plan assignment
+            // recompute the self-joined side otherwise pays)
             val sec = timer.time(s"semdedup.$tag.$cfgTag.pairs_sec") {
-              pairs = Cluster.semanticNearDupPairs(emb, "vec_id", "embedding",
-                k = k, iters = 3, threshold = 0.9).count()
+              asg = assignment(k)
+              pairs = Cluster.semanticNearDupPairsFromAssignments(emb, asg,
+                "vec_id", "embedding", threshold = 0.9).count()
             }
+            val cand = candPairsFrom(asg)
             System.err.println(f"[scale] semdedup $tag $cfgTag (k=$k): " +
               f"$sec%.2f s, cand pairs $cand, found $pairs")
             s""""$cfgTag":{"k":$k,"pairs_sec":${jnum(sec)},"cand_pairs":$cand,"pairs":$pairs}"""
@@ -644,6 +654,7 @@ object ScaleBench {
             // x10 cost by the n^2/k law — record the exact candidate
             // count that predicts it and say loudly that the join was
             // not run, rather than burning minutes proving a quadratic
+            val cand = candPairsFrom(assignment(k))
             System.err.println(s"[scale] semdedup $tag $cfgTag (k=$k): " +
               s"pair join SKIPPED (quadratic at fixed k), cand pairs $cand")
             s""""$cfgTag":{"k":$k,"pairs_sec":-1,"cand_pairs":$cand,"pairs":-1,"skipped":"fixed-k pair join is quadratic; cand_pairs is the exact predicted join size"}"""

@@ -359,9 +359,22 @@ object Cluster {
     */
   def semanticNearDupPairs(embs: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, threshold: Double,
-      scale: Long = DefaultScale): DataFrame = {
+      scale: Long = DefaultScale): DataFrame =
+    semanticNearDupPairsFromAssignments(embs,
+      kmeansAssignments(embs, idCol, vecCol, k, iters, scale),
+      idCol, vecCol, threshold)
+
+  /** [[semanticNearDupPairs]] over a PRECOMPUTED `(id, cluster, dist)`
+    * assignment relation (the [[kmeansAssignments]] shape) — the entry
+    * point for callers that already hold the assignment (ScaleBench's
+    * k-scaling probe derives its candidate-pair count from the same
+    * materialized assignment the timed join consumes, instead of
+    * re-paying the O(n·k·d) Lloyd pass untimed; ADVICE r17).
+    */
+  def semanticNearDupPairsFromAssignments(embs: DataFrame,
+      asg: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
     val dot = graft.functions.VectorFunctions.dotF _
-    val asg = kmeansAssignments(embs, idCol, vecCol, k, iters, scale)
     // norms once per ROW before the pair join — not once per pair
     val side = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
         sqrt(dot(col(vecCol), col(vecCol))).as("nrm"))

@@ -73,6 +73,13 @@ object KeyedUpsertSink {
   private val Pointer = "_CURRENT"
   private val LockFile = "_LOCK"
 
+  /** Test-only hook, run just before the pointer flip inside the locked
+    * section: specs install a sleeper/thrower to stage takeover or
+    * crash interleavings deterministically. Identity in production —
+    * tests that install MUST restore it.
+    */
+  @volatile private[graft] var preFlipHold: () => Unit = () => ()
+
   /** Per-store JVM monitors: two writers in one JVM (the composed
     * topology's two streaming queries under local[*]) serialize here
     * without filesystem round-trips; the `_LOCK` lease extends the same
@@ -179,15 +186,21 @@ object KeyedUpsertSink {
               try fs.delete(aside, false) catch { case _: Throwable => () }
             }
           }
-          // the cap and the backoff apply on EVERY non-acquired pass —
-          // a stale lock whose rename persistently fails (non-POSIX fs,
-          // permissions) must hit the cap, not busy-spin forever
-          if ((System.nanoTime() - t0) / 1e6 > waitCapMs)
-            throw new IllegalStateException(
-              s"could not acquire store lock $lock within ${waitCapMs}ms" +
-                " — is a peer writer wedged? (lease expires after" +
-                s" ${leaseMs}ms)")
-          if (!wonTakeover) Thread.sleep(50)
+          // the cap and the backoff apply on every non-acquired pass
+          // EXCEPT the one that just won a takeover (ADVICE r17: the
+          // winner has already renamed the stale lock aside — throwing
+          // here wastes the takeover and blames a peer that is gone;
+          // let it attempt the create it earned). A stale lock whose
+          // rename persistently fails (non-POSIX fs, permissions) still
+          // hits the cap instead of busy-spinning forever.
+          if (!wonTakeover) {
+            if ((System.nanoTime() - t0) / 1e6 > waitCapMs)
+              throw new IllegalStateException(
+                s"could not acquire store lock $lock within ${waitCapMs}ms" +
+                  " — is a peer writer wedged? (lease expires after" +
+                  s" ${leaseMs}ms)")
+            Thread.sleep(50)
+          }
         }
       }
       // heartbeat: keep the lease visibly alive while body runs longer
@@ -401,9 +414,10 @@ object KeyedUpsertSink {
 
     val newGens = gens ++ touched.map(_ -> gen)
     // test seam: hold the section open here so a spec can stage the
-    // takeover interleaving deterministically (production: 0 = no-op)
-    sys.props.get("graft.store.test.preflip.sleep.ms")
-      .map(_.toLong).filter(_ > 0).foreach(Thread.sleep)
+    // takeover interleaving deterministically (production: identity —
+    // an injectable hook, not a sys-prop read on the hot path, so a
+    // stray property in a shared JVM can never stall upserts)
+    preFlipHold()
     // fence: the merge write above can outlive the lease (long batch,
     // STW pause); never flip a pointer computed from a pre-takeover
     // snapshot — the prune below would delete the new owner's files

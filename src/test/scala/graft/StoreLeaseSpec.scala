@@ -155,8 +155,7 @@ class StoreLeaseSpec extends AnyFunSuite with SparkTestBase {
       Seq("k"), "ts", 0L)
     val ptrBefore = new String(
       Files.readAllBytes(Paths.get(dir, "_CURRENT")), "UTF-8")
-    val oldSleep =
-      sys.props.put("graft.store.test.preflip.sleep.ms", "800")
+    KeyedUpsertSink.preFlipHold = () => Thread.sleep(800)
     try {
       val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
       val writer = new Thread(() => {
@@ -191,10 +190,7 @@ class StoreLeaseSpec extends AnyFunSuite with SparkTestBase {
       // the victim's release must NOT have deleted the usurper's lock
       assert(new String(Files.readAllBytes(lock), "UTF-8")
         .startsWith("usurper-token"))
-    } finally oldSleep match {
-      case Some(v) => sys.props.put("graft.store.test.preflip.sleep.ms", v)
-      case None => sys.props.remove("graft.store.test.preflip.sleep.ms")
-    }
+    } finally KeyedUpsertSink.preFlipHold = () => ()
   }
 
   test("a crashed writer's FRESH lock is waited out and taken over (cap > lease)") {
