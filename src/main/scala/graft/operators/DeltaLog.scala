@@ -19,7 +19,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * sum, the weighted sample by rank re-selection, HLL registers by max
   * — each a commutative fold the store passes in as `merge`.
   */
-private[operators] object DeltaLog {
+private[graft] object DeltaLog {
 
   /** Land one batch's delta under its own id. Overwrite IS the
     * idempotence story.
@@ -36,7 +36,9 @@ private[operators] object DeltaLog {
     val existing = newestCommitted(spark, s"$storeDir/delta", "batch=")
       .orElse(newestCommitted(spark, s"$storeDir/base", "upto="))
     existing.foreach { case (_, p) =>
-      val have = spark.read.parquet(p).schema
+      // a bucketed base ([[compactBucketed]]) carries its synthetic
+      // partition column — not part of the store's relation schema
+      val have = spark.read.parquet(p).drop(BucketCol).schema
         .map(f => f.name -> f.dataType).toMap
       val incoming = delta.schema.map(f => f.name -> f.dataType).toMap
       require(have == incoming,
@@ -57,9 +59,122 @@ private[operators] object DeltaLog {
     val deltas = committedIds(spark, s"$storeDir/delta", "batch=")
       .filter { case (id, _) => base.forall(id > _._1) }
       .map { case (id, _) => s"$storeDir/delta/batch=$id" }
-    val parts = base.map(_._2).toSeq ++ deltas
-    if (parts.isEmpty) None
-    else Some(merge(spark.read.parquet(parts: _*)))
+    // base and deltas read SEPARATELY: a bucketed base carries the
+    // synthetic `ubkt` partition dirs the deltas lack, so one multi-root
+    // read would infer inconsistent schemas
+    val baseDf = base.map { case (_, p) =>
+      spark.read.parquet(p).drop(BucketCol) }
+    val deltaDf =
+      if (deltas.isEmpty) None else Some(spark.read.parquet(deltas: _*))
+    (baseDf.toSeq ++ deltaDf.toSeq).reduceOption(_ unionByName _).map(merge)
+  }
+
+  /** The synthetic hash-bucket partition column of a [[compactBucketed]]
+    * base, and its per-base bucket-count marker file.
+    */
+  private[graft] val BucketCol = "ubkt"
+  private val BucketsMarker = "_NBUCKETS"
+
+  /** The shared bucket expression — write side and probe side MUST use
+    * this one definition or lookups miss rows.
+    */
+  private def bucketExpr(hashCols: Seq[String], b: Int) =
+    org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.xxhash64(
+        hashCols.map(org.apache.spark.sql.functions.col): _*),
+      org.apache.spark.sql.functions.lit(b.toLong)).cast("int")
+
+  /** [[compact]], with the base snapshot HASH-BUCKETED by `hashCols`
+    * into `ubkt=<i>` partition dirs, the bucket count scaled to the
+    * folded relation (`ceil(rows / targetRowsPerBucket)`) — the autoK
+    * discipline applied to storage: a corpus 10x bigger gets 10x the
+    * buckets, so a fixed-size batch's [[readFoldedFor]] lookup reads a
+    * bounded number of rows at ANY corpus size instead of the full
+    * relation (r17 verdict item 4). The count is recorded in a
+    * `_NBUCKETS` marker inside the base dir; a reader that finds no
+    * marker (pre-bucketed store, or a crash between the parquet commit
+    * and the marker write) falls back to the full-relation read —
+    * slower, never wrong. At warehouse scale the same layout targets a
+    * table format's file-skipping metadata rather than raw partition
+    * dirs; the read path is identical.
+    */
+  def compactBucketed(spark: SparkSession, storeDir: String,
+      merge: DataFrame => DataFrame, hashCols: Seq[String],
+      targetRowsPerBucket: Long = 4096L): Unit = {
+    val prev = newestCommitted(spark, s"$storeDir/base", "upto=")
+    val deltaIds = committedIds(spark, s"$storeDir/delta", "batch=")
+    val newestDelta = deltaIds.map(_._1).maxOption
+    val upto = (prev.map(_._1).toSeq ++ newestDelta).maxOption match {
+      case None => return
+      case Some(u) if prev.exists(_._1 == u) => return
+      case Some(u) => u
+    }
+    val folded = readFolded(spark, storeDir, merge).get.localCheckpoint(false)
+    val n = folded.count()
+    val b = math.max(1L, (n + targetRowsPerBucket - 1) / targetRowsPerBucket)
+      .min(1L << 20).toInt
+    val basePath = s"$storeDir/base/upto=$upto"
+    folded.withColumn(BucketCol, bucketExpr(hashCols, b))
+      .repartition(math.min(b, 2048), org.apache.spark.sql.functions.col(BucketCol))
+      .write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
+      .parquet(basePath)
+    val fs = new Path(storeDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(new Path(basePath, BucketsMarker), true)
+    try out.write(b.toString.getBytes("UTF-8")) finally out.close()
+    // same grace discipline as compact
+    prev.foreach { case (prevUpto, _) =>
+      deltaIds.filter(_._1 <= prevUpto)
+        .foreach { case (id, _) =>
+          fs.delete(new Path(s"$storeDir/delta/batch=$id"), true) }
+      committedIds(spark, s"$storeDir/base", "upto=")
+        .filter(_._1 < prevUpto)
+        .foreach { case (_, p) => fs.delete(new Path(p), true) }
+    }
+  }
+
+  /** The folded state RESTRICTED to the hash buckets `probe` touches —
+    * the per-batch lookup read. Deltas above the base fold in full
+    * (each is O(one batch)); the corpus-scale BASE is partition-pruned
+    * to the probe's `ubkt` set, so the read is O(probe-buckets x
+    * rows-per-bucket), held constant by [[compactBucketed]]'s scaled
+    * bucket count. EXACT for merges that are per-key folds over
+    * `hashCols` (sum-by-unit, max-by-key …): every row of a probed key
+    * lives in that key's bucket, so the pruned fold equals the full
+    * fold restricted to the probe's keys; rows of foreign keys sharing
+    * a bucket ride along and stay join-inert downstream. Falls back to
+    * the full-relation fold when the base is unbucketed.
+    */
+  def readFoldedFor(spark: SparkSession, storeDir: String,
+      merge: DataFrame => DataFrame, hashCols: Seq[String],
+      probe: DataFrame): Option[DataFrame] = {
+    val base = newestCommitted(spark, s"$storeDir/base", "upto=")
+    val nb = base.flatMap { case (_, p) =>
+      val fs = new Path(storeDir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      try {
+        val in = fs.open(new Path(p, BucketsMarker))
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          .toIntOption.filter(_ > 0)
+        finally in.close()
+      } catch { case _: Throwable => None }
+    }
+    nb match {
+      case None => readFolded(spark, storeDir, merge) // unbucketed base
+      case Some(b) =>
+        val ids = probe.select(bucketExpr(hashCols, b).as("_b"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        val baseDf = spark.read.parquet(base.get._2)
+          .filter(org.apache.spark.sql.functions.col(BucketCol)
+            .isin(ids: _*))
+          .drop(BucketCol)
+        val deltas = committedIds(spark, s"$storeDir/delta", "batch=")
+          .filter { case (id, _) => base.forall(id > _._1) }
+          .map { case (id, _) => s"$storeDir/delta/batch=$id" }
+        val deltaDf =
+          if (deltas.isEmpty) None else Some(spark.read.parquet(deltas: _*))
+        Some(merge((baseDf +: deltaDf.toSeq).reduce(_ unionByName _)))
+    }
   }
 
   /** Fold the whole log into one fresh base snapshot. Grace discipline

@@ -58,11 +58,17 @@ object IncrementalBoilerplate {
   def readUnitDf(spark: SparkSession, storeDir: String): Option[DataFrame] =
     DeltaLog.readFolded(spark, storeDir, mergeDf)
 
-  /** Fold the whole log into one fresh base snapshot ([[DeltaLog.compact]]'s
-    * grace discipline).
+  /** Fold the whole log into one fresh base snapshot, HASH-BUCKETED by
+    * unit with the corpus-scaled bucket count
+    * ([[DeltaLog.compactBucketed]], r17 verdict item 4) — so
+    * [[cleanAgainstStore]]'s per-batch lookup reads O(batch-buckets)
+    * rows of the base instead of the whole unit-df relation, at any
+    * corpus size. Same grace discipline as before.
     */
-  def compact(spark: SparkSession, storeDir: String): Unit =
-    DeltaLog.compact(spark, storeDir, mergeDf)
+  def compact(spark: SparkSession, storeDir: String,
+      targetRowsPerBucket: Long = 4096L): Unit =
+    DeltaLog.compactBucketed(spark, storeDir, mergeDf, Seq("unit"),
+      targetRowsPerBucket)
 
   /** The landed docs cleaned against the store — the streaming-side
     * equal of the batch [[CurationPipeline]]'s boilerplate stage:
@@ -72,7 +78,14 @@ object IncrementalBoilerplate {
   def cleanAgainstStore(docs: DataFrame, storeDir: String, minDocFreq: Long,
       sepRegex: String = "\\.\\s+", idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val df = readUnitDf(docs.sparkSession, storeDir).getOrElse(
+    // the drop join only consults df values for the BATCH's own units,
+    // so the corpus-scale base is bucket-pruned to those units' hash
+    // buckets (full-fold fallback on an unbucketed base) — identical
+    // output, O(batch-buckets) read instead of O(corpus units)
+    val units = Dedup.unitDocFrequencies(docs, sepRegex, idCol, textCol)
+      .select("unit")
+    val df = DeltaLog.readFoldedFor(docs.sparkSession, storeDir, mergeDf,
+      Seq("unit"), units).getOrElse(
       throw new IllegalStateException(s"empty boilerplate store: $storeDir"))
     Dedup.dropUnitsByDf(docs, df, minDocFreq, sepRegex, idCol, textCol)
   }

@@ -70,16 +70,44 @@ object IncrementalCdc {
 
   /** Persist a batch's chunk rows into the keyed store (LWW by batch,
     * re-delivery idempotent — the [[IncrementalDedup]] discipline).
+    * New stores are BUCKETED BY THE CHUNK HASH alone (r17 verdict item
+    * 4): the pair join probes the store by `h`, so an h-bucketed store
+    * lets [[readChunksForBatch]] read only the batch's hash buckets —
+    * O(touched buckets) per batch instead of the whole corpus relation.
+    * Existing (id, h)-bucketed stores keep their pin and fall back to
+    * the full read.
     */
   def upsertChunks(chunks: DataFrame, storeDir: String, batchId: Long,
-      numBuckets: Int = KeyedUpsertSink.DefaultNumBuckets): Unit =
+      numBuckets: Int = KeyedUpsertSink.DefaultNumBuckets): Unit = {
+    // request the h pin only on CREATION; an existing store keeps
+    // whatever it was pinned with (a legacy (id,h)-bucketed store must
+    // keep folding, it just reads unpruned)
+    val bc = KeyedUpsertSink.readState(chunks.sparkSession, storeDir)
+      .map(_.bucketCols).getOrElse(Seq("h"))
     KeyedUpsertSink.upsertBatch(
       chunks.select(col("id"), col("h"), lit(batchId).as("batch_id")),
-      storeDir, Seq("id", "h"), "batch_id", batchId, numBuckets = numBuckets)
+      storeDir, Seq("id", "h"), "batch_id", batchId, numBuckets = numBuckets,
+      bucketCols = bc)
+  }
 
   /** The persisted corpus chunk relation (id, h), or None pre-ingest. */
   def readChunks(spark: SparkSession, storeDir: String): Option[DataFrame] =
     KeyedUpsertSink.readStore(spark, storeDir).map(_.select("id", "h"))
+
+  /** The corpus chunk relation RESTRICTED to the buckets the batch's
+    * hashes touch — exact for the pair join (it matches on `h`, and an
+    * h-bucketed store holds every row of a given `h` in one bucket).
+    * Falls back to the full relation on a store bucketed by (id, h).
+    */
+  def readChunksForBatch(spark: SparkSession, storeDir: String,
+      batchChunks: DataFrame): Option[DataFrame] =
+    KeyedUpsertSink.readState(spark, storeDir) match {
+      case Some(st) if st.bucketCols == Seq("h") =>
+        KeyedUpsertSink.readStoreForKeys(spark, storeDir,
+          batchChunks.select("h"), Seq("h")).map(_.select("id", "h"))
+      case Some(_) => readChunks(spark, storeDir)
+      case None => None
+    }
 
   /** End-to-end ingest: chunk the batch, mine its passage-sharing pairs
     * against the store (plus batch-internal), fold the chunks in.
@@ -91,7 +119,7 @@ object IncrementalCdc {
       idCol: String = "doc_id", textCol: String = "text",
       numBuckets: Int = KeyedUpsertSink.DefaultNumBuckets): DataFrame = {
     val ch = Dedup.sharedRelation(chunkHashes(batch, w, divisor, idCol, textCol))
-    val pairs = readChunks(batch.sparkSession, storeDir) match {
+    val pairs = readChunksForBatch(batch.sparkSession, storeDir, ch) match {
       case Some(corpus) => incrementalChunkPairs(ch, corpus, maxDocFreq)
       case None         => incrementalChunkPairs(ch, ch.filter(lit(false)), maxDocFreq)
     }

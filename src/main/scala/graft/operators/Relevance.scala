@@ -470,27 +470,7 @@ object Relevance {
       buckets: Int = 256, idCol: String = "doc_id",
       textCol: String = "text", bigrams: Boolean = false): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    // with bigrams = true, the feature set is the paper's full hashed
-    // n-gram space: unigrams plus adjacent-token pairs, the pairs built
-    // by zipping the token array with its own tail (map-only — no
-    // per-doc window shuffle; the trailing null pair is filtered)
-    val gramRows =
-      if (!bigrams)
-        docs.select(col(idCol).as("id"), isTarget.as("tgt"),
-          explode(split(trim(col(textCol)), "\\s+")).as("tok"))
-      else {
-        val t = split(trim(col(textCol)), "\\s+")
-        val bi = filter(
-          zip_with(t, slice(t, lit(2), greatest(size(t) - 1, lit(0))),
-            (a, b) => concat(a, lit(" "), b)),
-          x => x.isNotNull)
-        docs.select(col(idCol).as("id"), isTarget.as("tgt"),
-          explode(concat(t, bi)).as("tok"))
-      }
-    val toks = gramRows
-      .filter(col("tok") =!= "")
-      .select(col("id"), col("tgt"),
-        (graft.functions.TextHash.hash60(col("tok")) % buckets).as("bucket"))
+    val toks = dsirToks(docs, isTarget, buckets, idCol, textCol, bigrams)
     val model = toks.groupBy(col("bucket"))
       .agg(sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
         sum(when(col("tgt"), 0L).otherwise(1L)).as("cr"))
@@ -511,6 +491,52 @@ object Relevance {
         sum(col("lp").cast("decimal(38,12)")).as("_s"))
       .select(col("id"), col("n_toks"),
         (floor(col("_s").cast("double") * 1e4) / 1e4).as("log_weight"))
+  }
+
+  /** The hashed (id, tgt, bucket) gram relation both DSIR models and
+    * the scoring join consume. With `bigrams = true`, the feature set
+    * is the paper's full hashed n-gram space: unigrams plus
+    * adjacent-token pairs, the pairs built by zipping the token array
+    * with its own tail (map-only — no per-doc window shuffle; the
+    * trailing null pair is filtered).
+    */
+  private def dsirToks(docs: DataFrame,
+      isTarget: org.apache.spark.sql.Column, buckets: Int,
+      idCol: String, textCol: String, bigrams: Boolean): DataFrame = {
+    val gramRows =
+      if (!bigrams)
+        docs.select(col(idCol).as("id"), isTarget.as("tgt"),
+          explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      else {
+        val t = split(trim(col(textCol)), "\\s+")
+        val bi = filter(
+          zip_with(t, slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+            (a, b) => concat(a, lit(" "), b)),
+          x => x.isNotNull)
+        docs.select(col(idCol).as("id"), isTarget.as("tgt"),
+          explode(concat(t, bi)).as("tok"))
+      }
+    gramRows.filter(col("tok") =!= "")
+      .select(col("id"), col("tgt"),
+        (graft.functions.TextHash.hash60(col("tok")) % buckets).as("bucket"))
+  }
+
+  /** The DSIR model relation itself — `(bucket, ct, cr)`, the
+    * target/raw token counts per hashed bucket [[dsirLogWeights]]
+    * broadcasts into its scoring join. At most `buckets` rows at ANY
+    * corpus size (the hashing trick's whole point): persist it once,
+    * score every later ingest batch against it without re-reading the
+    * corpus — and ScaleBench records its row count at 10x/100x as the
+    * measured form of the fixed-size-model broadcast claim.
+    */
+  def dsirModel(docs: DataFrame, isTarget: org.apache.spark.sql.Column,
+      buckets: Int = 256, idCol: String = "doc_id",
+      textCol: String = "text", bigrams: Boolean = false): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    dsirToks(docs, isTarget, buckets, idCol, textCol, bigrams)
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+        sum(when(col("tgt"), 0L).otherwise(1L)).as("cr"))
   }
 
   /** The selection end of DSIR: the `n` most target-like raw docs by
