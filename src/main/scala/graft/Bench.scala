@@ -457,6 +457,83 @@ object Bench {
       s"""{"error":${jstr(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}}"""
     }
 
+    // Two-hop topology throughput (r17 verdict item 3): the lease/fence
+    // protocol was correctness-proven (StoreLeaseSpec, TopologySpec) but
+    // never TIMED — this measures the composed ingest→change-feed→
+    // matcher topology's ev/s under both schedules (ping-pong: hops
+    // alternate, the lease is always free; concurrent: both hops live,
+    // every micro-batch races for the lease) at 1x and 10x the golden
+    // feed (10x = nine trip-id-prefixed replicas — matching is per
+    // trip id, so completions scale exactly 10x), with the writers'
+    // cumulative lease-wait seconds recorded per hop from the store's
+    // own instrumentation.
+    val topology = try {
+      import spark.implicits._
+      import graft.operators.KeyedUpsertSink
+      import graft.streaming.TripTopology
+      implicit val ctx = spark.sqlContext
+      val goldenFeed = GoldenFeed.wireJson(spark)
+      def feedTimes(n: Int): Array[String] =
+        if (n == 1) goldenFeed
+        else (0 until n).iterator.flatMap { i =>
+          if (i == 0) goldenFeed.iterator
+          else goldenFeed.iterator.map(
+            _.replace("\"trip_id\":\"", s"""\"trip_id\":\"r$i~"""))
+        }.toArray
+      def run(tag: String, feed: Array[String], concurrent: Boolean,
+          chunks: Int): String = {
+        KeyedUpsertSink.leaseWaitMs.clear()
+        val base = java.nio.file.Files
+          .createTempDirectory(s"bench_topo_$tag").toString
+        val input = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[String]
+        val groups = feed.grouped(feed.length / chunks + 1).toSeq
+        val ingest = TripTopology.ingestWriter(input.toDF(), s"$base/store",
+          s"$base/changes", s"$base/ckpt_i").start()
+        def matcher() = TripTopology.matcherWriter(spark, s"$base/changes",
+          s"$base/store", s"$base/ckpt_m", maxFilesPerTrigger = 256).start()
+        val t0 = System.nanoTime()
+        try {
+          if (concurrent) {
+            val m = matcher()
+            try {
+              groups.foreach { c =>
+                input.addData(c); ingest.processAllAvailable()
+              }
+              m.processAllAvailable() // drain the tail of the change feed
+            } finally m.stop()
+          } else {
+            groups.foreach { c =>
+              input.addData(c); ingest.processAllAvailable()
+              val m = matcher()
+              try m.processAllAvailable() finally m.stop()
+            }
+          }
+        } finally ingest.stop()
+        val secs = (System.nanoTime() - t0) / 1e9
+        val waits = KeyedUpsertSink.leaseWaitSnapshot()
+        val completed = KeyedUpsertSink.readStore(spark, s"$base/store").get
+          .filter(org.apache.spark.sql.functions.col("sk")
+            .startsWith("COMPLETED#")).count()
+        System.err.println(f"[bench] topology $tag: ${feed.length} events" +
+          f" in $secs%.1f s (${feed.length / secs}%.0f ev/s), $completed" +
+          f" completed; lease wait ing ${waits.getOrElse("ing", 0L) / 1000.0}%.2f s" +
+          f" / mat ${waits.getOrElse("mat", 0L) / 1000.0}%.2f s")
+        s""""$tag":{"events":${feed.length},"chunks":$chunks,"elapsed_sec":${jnum(secs)},"events_per_sec":${jnum(feed.length / secs)},"completed":$completed,"lease_wait_sec":{"ing":${jnum(waits.getOrElse("ing", 0L) / 1000.0)},"mat":${jnum(waits.getOrElse("mat", 0L) / 1000.0)}}}"""
+      }
+      val x1 = feedTimes(1)
+      val x10 = feedTimes(10)
+      val parts = Seq(
+        run("pingpong_x1", x1, concurrent = false, chunks = 5),
+        run("concurrent_x1", x1, concurrent = true, chunks = 5),
+        run("pingpong_x10", x10, concurrent = false, chunks = 5),
+        run("concurrent_x10", x10, concurrent = true, chunks = 5))
+      s"""{${parts.mkString(",")}}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] topology FAILED — ${e.getMessage}")
+      s"""{"error":${jstr(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}}"""
+    }
+
     // Batch-curation flagship throughput: c4_end_to_end (extraction →
     // gates → unit passes → near-dup keep → split → pack) is already
     // timed by the main loop over its full crawled-HTML corpus; report
@@ -504,7 +581,7 @@ object Bench {
     val gcObj = gcByQuery.map { case (n, g) => s"${jstr(n)}:${jnum(g)}" }
       .mkString("{", ",", "}")
     val coResObj = coResident.map(jstr).mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":${resultsAll.count(_._2.isLeft)},"loadavg":$loadAvg,"load_at_start":${jnum(loadAtStart)},"load_wait_sec":${jnum(loadWaitSec)},"dirty_mb_at_start":${jnum(dirtyAtStart)},"steal_cores_at_start":${jnum(stealAtStart)},"external_cpu_cores":${jnum(runExtCores)},"steal_cores_run":${jnum(runStealCores)},"co_resident_jvms":$coResObj,"cpus":$cpus,"retimed_queries":$retimedObj,"rerun_delta":$rerunDelta,"rerun_queries":$rerunNames,"ann_recall":$annRecall,"bpe_batched":$bpe,"ingest":$ingest,"c4_pipeline":$c4,"scaleup":$scaleup,"streaming":$streaming,"sf":"$sfDir","errors":$errs,"gc_sec":$gcObj,"queries":$qs}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":${resultsAll.count(_._2.isLeft)},"loadavg":$loadAvg,"load_at_start":${jnum(loadAtStart)},"load_wait_sec":${jnum(loadWaitSec)},"dirty_mb_at_start":${jnum(dirtyAtStart)},"steal_cores_at_start":${jnum(stealAtStart)},"external_cpu_cores":${jnum(runExtCores)},"steal_cores_run":${jnum(runStealCores)},"co_resident_jvms":$coResObj,"cpus":$cpus,"retimed_queries":$retimedObj,"rerun_delta":$rerunDelta,"rerun_queries":$rerunNames,"ann_recall":$annRecall,"bpe_batched":$bpe,"ingest":$ingest,"topology":$topology,"c4_pipeline":$c4,"scaleup":$scaleup,"streaming":$streaming,"sf":"$sfDir","errors":$errs,"gc_sec":$gcObj,"queries":$qs}"""
     println(line)
     // belt-and-braces: the identical JSON, committed as its own file —
     // the durable copy of every per-query timing regardless of what the

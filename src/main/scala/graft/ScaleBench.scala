@@ -357,14 +357,29 @@ object ScaleBench {
     val foldRead = timer.time(s"$keyPrefix.fold_read_sec") {
       IncrementalBoilerplate.readUnitDf(spark, s"$base/unitdf").get.count()
     }
+    // compact buckets the base by unit hash with a corpus-SCALED count
+    // (targetRowsPerBucket chosen small so the scaling law is visible
+    // at toy corpus sizes; production uses the 4096 default)
     val compactSec = timer.timeNoRetime(s"$keyPrefix.compact_sec") {
-      IncrementalBoilerplate.compact(spark, s"$base/unitdf")
+      IncrementalBoilerplate.compact(spark, s"$base/unitdf",
+        targetRowsPerBucket = 256L)
+    }
+    // the per-batch LOOKUP datapoint (r17 verdict item 4): a fixed
+    // 50-doc batch cleaned against the bucketed store — the base read
+    // prunes to the batch's unit buckets, so this should stay ~flat per
+    // decade while fold_read (the whole-relation fold) stays
+    // corpus-proportional by design
+    val probe50 = probe.filter(col("doc_id") % 100 === 0)
+    val cleanSec = timer.time(s"$keyPrefix.clean_probe_sec") {
+      IncrementalBoilerplate.cleanAgainstStore(probe50, s"$base/unitdf",
+        minDocFreq = 2).count()
     }
     Map("docs" -> n.toDouble, "setup_batches" -> setupBatches.toDouble,
       "setup_sec" -> setupSec, "setup_sec_per_batch" -> setupSec / setupBatches,
       "probe_ingest_sec" -> probeIngest,
       "probe_boilerplate_sec" -> probeBoiler,
-      "fold_read_sec" -> foldRead, "compact_sec" -> compactSec)
+      "fold_read_sec" -> foldRead, "compact_sec" -> compactSec,
+      "clean_probe_sec" -> cleanSec)
   }
 
   def main(args: Array[String]): Unit = {
@@ -485,7 +500,8 @@ object ScaleBench {
       def obj(m: Map[String, Double]) = m.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""$k":${jnum(v)}""" }.mkString("{", ",", "}")
       val keys = Seq("probe_ingest_sec", "probe_boilerplate_sec",
-        "fold_read_sec", "compact_sec", "setup_sec_per_batch")
+        "fold_read_sec", "compact_sec", "clean_probe_sec",
+        "setup_sec_per_batch")
       val ratios = keys.map(k =>
         s""""$k":${jnum(sec(ten, k) / sec(one, k))}""").mkString("{", ",", "}")
       keys.foreach { k =>
@@ -716,8 +732,13 @@ object ScaleBench {
           Seq("o_orderkey", "o_custkey"), Seq.empty)
           .write.mode("overwrite").parquet(s"$graph100Dir/orders.parquet")
       }
+      // dsir families ride the same per-decade measurement (r17 verdict
+      // item 6: the bigram variant doubles explode width — its decade
+      // ratio is the empirical form of the "explode-proportional, not
+      // superlinear" claim)
       val docFams = Seq("dedup_ngram_jaccard", "dedup_prefix_jaccard",
-        "dedup_prefix_jaccard_hi", "doc_ngram_novelty").map { name =>
+        "dedup_prefix_jaccard_hi", "doc_ngram_novelty",
+        "dsir_log_weights_bigrams", "dsir_resampled").map { name =>
         val q = SparkEntry.queries(name)
         val (s10, s100) = timer.timePair(
           s"second_decade.$name.x10_sec", q(spark, outDir).count(),
@@ -742,8 +763,40 @@ object ScaleBench {
       System.err.println(f"[scale] graph_prep: 10x $gp10%.2f s -> 100x " +
         f"$gp100%.2f s (ratio ${gp100 / gp10}%.2f); pagerank 10x " +
         f"$gr10%.2f s -> 100x $gr100%.2f s (ratio ${gr100 / gr10}%.2f)")
+      // PATH ATTRIBUTION (r17 verdict item 2): the default-gate decade
+      // ratio above crosses the broadcast gate (10x nodes sit under
+      // BroadcastRanksMaxNodes, 100x above), so it mixes two plans.
+      // Record the node count and selected path per scale, and probe
+      // BOTH paths explicitly at each scale — broadcast at 100x via a
+      // raised 2M gate (~1.6M long node ids ≈ 13 MB of rank table, well
+      // inside broadcast budget), shuffle at 10x via gate 0 — so the
+      // decade shift is explained by recorded per-path timings, not
+      // inferred from the gate's arithmetic.
+      import graft.operators.PageRank
+      def nodesOf(dir: String): Long = SparkEntry.copurchasePrepared(
+        spark, dir).select("src").distinct().count()
+      val (nodes10, nodes100) = (nodesOf(outDir), nodesOf(graph100Dir))
+      val gate = PageRank.BroadcastRanksMaxNodes
+      def pathOf(n: Long): String = if (n <= gate) "broadcast" else "shuffle"
+      def gated(dir: String, g: Long): Unit =
+        PageRank.ranksPreparedGated(SparkEntry.copurchasePrepared(spark, dir),
+          iters = 3, scale = PageRank.DefaultScale, broadcastGate = g).count()
+      val (sh10, bc100) = timer.timePair(
+        "second_decade.graph_pagerank.x10_shuffle_sec", gated(outDir, 0L),
+        "second_decade.graph_pagerank.x100_broadcast_sec",
+        gated(graph100Dir, 2000000L))
+      val sh100 = timer.time(
+        "second_decade.graph_pagerank.x100_shuffle_sec")(
+        gated(graph100Dir, 0L))
+      System.err.println(f"[scale] pagerank paths: x10 ${pathOf(nodes10)} " +
+        f"(default) $gr10%.2f s / shuffle $sh10%.2f s; x100 " +
+        f"${pathOf(nodes100)} (default) $gr100%.2f s / broadcast@2M " +
+        f"$bc100%.2f s / shuffle $sh100%.2f s — per-path decade ratios: " +
+        f"shuffle ${sh100 / sh10}%.2f, broadcast ${bc100 / gr10}%.2f")
+      val pathsJ =
+        s""""graph_pagerank_paths":{"gate_default":$gate,"x10":{"nodes":$nodes10,"default_path":"${pathOf(nodes10)}","default_sec":${jnum(gr10)},"shuffle_sec":${jnum(sh10)}},"x100":{"nodes":$nodes100,"default_path":"${pathOf(nodes100)}","default_sec":${jnum(gr100)},"broadcast_gate_used":2000000,"broadcast_sec":${jnum(bc100)},"shuffle_sec":${jnum(sh100)}},"ratio_100_over_10_shuffle":${jnum(sh100 / sh10)},"ratio_100_over_10_broadcast":${jnum(bc100 / gr10)}}"""
       val graphJ =
-        s""""graph_prep":{"x10_sec":${jnum(gp10)},"x100_sec":${jnum(gp100)},"ratio_100_over_10":${jnum(gp100 / gp10)}},"graph_pagerank":{"x10_sec":${jnum(gr10)},"x100_sec":${jnum(gr100)},"ratio_100_over_10":${jnum(gr100 / gr10)}}"""
+        s""""graph_prep":{"x10_sec":${jnum(gp10)},"x100_sec":${jnum(gp100)},"ratio_100_over_10":${jnum(gp100 / gp10)}},"graph_pagerank":{"x10_sec":${jnum(gr10)},"x100_sec":${jnum(gr100)},"ratio_100_over_10":${jnum(gr100 / gr10)}},$pathsJ"""
       // ingest probe vs a 10x and a 100x store, same 500-doc probe
       // (ids above block 99), setup batches sized to keep construction
       // bounded (12,500 docs/batch: 4 setup batches at 10x, 40 at 100x)
@@ -761,7 +814,7 @@ object ScaleBench {
         def obj(m: Map[String, Double]) = m.toSeq.sortBy(_._1)
           .map { case (k, v) => s""""$k":${jnum(v)}""" }.mkString("{", ",", "}")
         val keys = Seq("probe_ingest_sec", "probe_boilerplate_sec",
-          "fold_read_sec", "compact_sec")
+          "fold_read_sec", "compact_sec", "clean_probe_sec")
         val ratios = keys.map(k =>
           s""""$k":${jnum(sec(hundred, k) / sec(ten, k))}""")
           .mkString("{", ",", "}")
@@ -775,13 +828,144 @@ object ScaleBench {
         System.err.println(s"[scale] decade ingest FAILED — ${e.getMessage}")
         s""""ingest":{"error":"${Option(e.getMessage).getOrElse(e.getClass.getName).take(200).replace("\"", "'")}"}"""
       }
+      // the dsir model-size pin (verdict item 6): the scores above are
+      // explode-proportional BECAUSE the model stays a <= 256-row
+      // broadcast at any corpus size — record the actual row count at
+      // both decades so the claim is measured, not structural
+      val dsirJ = try {
+        def modelRows(docsDf: DataFrame): Long =
+          graft.operators.Relevance.dsirModel(docsDf,
+            isTarget = col("lang") === "en", buckets = 256,
+            bigrams = true).count()
+        val m10 = modelRows(Tables.documents(spark, outDir))
+        val m100 = modelRows(
+          spark.read.parquet(s"$docs100Dir/documents.parquet"))
+        System.err.println(s"[scale] dsir model rows: 10x $m10, 100x $m100" +
+          " (bound 256)")
+        s""""dsir_model":{"buckets":256,"model_rows_x10":$m10,"model_rows_x100":$m100}"""
+      } catch { case e: Throwable =>
+        s""""dsir_model":{"error":"${Option(e.getMessage).getOrElse(e.getClass.getName).take(200).replace("\"", "'")}"}"""
+      }
+      // MEDIA SECOND DECADE (verdict item 5): the phash/multimodal
+      // ingest family probed the semdedup way — one FIXED 500-image
+      // batch against stores built from the 10x vs 100x media corpus
+      // (payload = UTF-8 text bytes; the letter rotation makes replica
+      // hashes disjoint, so cross-replica dHash collisions stay at the
+      // random-64-bit floor and collision volume is constant by
+      // construction). The dHash block-join CANDIDATE count — the
+      // deterministic cost driver, Σ over (block, byte) of
+      // batch-count x corpus-count — rides alongside wall-time, and
+      // the planted any-copy recall rides alongside both: every probe
+      // payload equals its replica-0 source byte-for-byte, so a
+      // hamming-0 partner exists at every scale and the probe's
+      // retrieval quality is measurable, not assumed.
+      val mediaJ = try {
+        import graft.operators.{IncrementalDedup, IncrementalMultimodal, IncrementalPhash}
+        import graft.sources.MediaColumns
+        val probeMedia = MediaColumns.mediaFromDocuments(probeDocs)
+          .localCheckpoint(false)
+        val probePaired = probeDocs.select(col("doc_id"),
+          encode(col("text"), "UTF-8").as("payload"),
+          col("text").as("caption")).localCheckpoint(false)
+        val probeHashes = IncrementalPhash.phashes(probeMedia)
+          .localCheckpoint(false)
+        val nProbe = probeHashes.select("id").distinct().count()
+        def blockCounts(df: DataFrame, cnt: String): DataFrame =
+          df.select(explode(array((0 until 4).map(b =>
+              struct(lit(b).as("block"), shiftright(col("h"), b * 16)
+                .bitwiseAND(lit(0xFFFFL)).as("byte"))): _*)).as("bb"))
+            .select(col("bb.block").as("block"), col("bb.byte").as("byte"))
+            .groupBy("block", "byte").agg(count(lit(1)).as(cnt))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("scale_media_decade").toString
+        val per = Seq(
+          ("x10", Tables.documents(spark, outDir)),
+          ("x100", spark.read.parquet(s"$docs100Dir/documents.parquet")))
+          .map { case (tag, docsDf) =>
+            val corpus = MediaColumns.mediaFromDocuments(
+              docsDf.select("doc_id", "text"))
+            // store build is setup, not the datapoint (the corpus hash
+            // relation is (id, 8-byte hash) — one upsert per store)
+            val setupSec = timer.timeNoRetime(
+                s"second_decade.media.$tag.setup_sec") {
+              // ONE base dir: the image store feeds both the phash
+              // probe and the composed multimodal probe (the composed
+              // operator's own layout: base/phash + base/capsigs)
+              IncrementalPhash.upsertHashes(
+                IncrementalPhash.phashes(corpus), s"$tmp/$tag/mm/phash", 0L)
+              IncrementalDedup.upsertSignatures(
+                graft.operators.Dedup.minHashSignatures(
+                  docsDf.select(col("doc_id"), col("text").as("caption")),
+                  3, 16, idCol = "doc_id", textCol = "caption"),
+                s"$tmp/$tag/mm/capsigs", 0L)
+            }
+            // exact block-join candidate volume for the probe batch,
+            // from the same relations the timed join consumes (the
+            // 4 x |batch| self-hits subtracted)
+            val corpusHashes = IncrementalPhash.readHashes(spark,
+              s"$tmp/$tag/mm/phash").get
+            val uni = corpusHashes.unionByName(probeHashes
+              .select("id", "h")).distinct()
+            val cand = blockCounts(probeHashes, "bc")
+              .join(blockCounts(uni, "uc"), Seq("block", "byte"))
+              .agg(coalesce(sum(col("bc") * col("uc")), lit(0L)))
+              .head().getLong(0) - 4L * nProbe
+            var pairs: DataFrame = null
+            val probeSec = timer.timeNoRetime(
+                s"second_decade.media.$tag.phash_probe_sec") {
+              pairs = IncrementalPhash.ingestBatch(probeMedia,
+                s"$tmp/$tag/mm/phash", 900L)
+              pairs.count()
+            }
+            val nPairs = pairs.count()
+            // any-copy recall at hamming 0: probe ids sit above
+            // 100*Block, their replica-0 copies below
+            val found = pairs.filter(col("hamming") === 0 &&
+                col("id_b") >= lit(100L * Block) &&
+                col("id_a") < lit(100L * Block))
+              .select("id_b").distinct().count()
+            val recall = if (nProbe == 0) -1.0 else found.toDouble / nProbe
+            // the cross-modal composition: same probe as (image,
+            // caption) pairs against the phash + caption-signature
+            // stores (image store shared with the phash probe above —
+            // the composed operator's own layout)
+            var mmPairs = -1L
+            val mmSec = timer.timeNoRetime(
+                s"second_decade.media.$tag.multimodal_probe_sec") {
+              mmPairs = IncrementalMultimodal.ingestBatch(probePaired,
+                s"$tmp/$tag/mm", 901L).count()
+            }
+            System.err.println(f"[scale] media $tag: setup $setupSec%.2f s," +
+              f" phash probe $probeSec%.2f s ($cand cand, $nPairs pairs," +
+              f" recall $recall%.3f), multimodal probe $mmSec%.2f s" +
+              f" ($mmPairs pairs)")
+            tag -> Map("setup_sec" -> setupSec.toString,
+              "phash_probe_sec" -> probeSec.toString,
+              "phash_candidates" -> cand.toString,
+              "phash_pairs" -> nPairs.toString,
+              "phash_recall" -> jnum(recall),
+              "multimodal_probe_sec" -> mmSec.toString,
+              "multimodal_pairs" -> mmPairs.toString)
+          }.toMap
+        def obj(m: Map[String, String]) = m.toSeq.sortBy(_._1)
+          .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+        def ratio(k: String): Double =
+          per("x100")(k).toDouble / per("x10")(k).toDouble
+        val ratios = Seq("phash_probe_sec", "phash_candidates",
+          "multimodal_probe_sec")
+          .map(k => s""""$k":${jnum(ratio(k))}""").mkString("{", ",", "}")
+        s""""media":{"probe_images":$nProbe,"x10":${obj(per("x10"))},"x100":${obj(per("x100"))},"ratio_100_over_10":$ratios}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[scale] media decade FAILED — ${e.getMessage}")
+        s""""media":{"error":"${Option(e.getMessage).getOrElse(e.getClass.getName).take(200).replace("\"", "'")}"}"""
+      }
       // record the JVM heap: 100x in ONE JVM needs cluster-normal
       // per-core memory (the default 8g over 32 threads is 0.25g/core
       // — the 55M-row checkpointed shingle relation OOMs the harness,
       // not the plan). Rounded, not floored (ADVICE r16: maxMemory
       // reports slightly under -Xmx, so flooring records 48g as 47).
       val heapGb = (Runtime.getRuntime.maxMemory() + (1L << 29)) >> 30
-      s"""{"heap_gb":$heapGb,"replica_invariant_violations":$invariantViolations,${docFams.mkString(",")},$graphJ,$ingestJ}"""
+      s"""{"heap_gb":$heapGb,"replica_invariant_violations":$invariantViolations,${docFams.mkString(",")},$graphJ,$ingestJ,$dsirJ,$mediaJ}"""
     } catch { case e: Throwable =>
       System.err.println(s"[scale] second decade FAILED — ${e.getMessage}")
       s"""{"error":"${Option(e.getMessage).getOrElse(e.getClass.getName).take(200).replace("\"", "'")}"}"""
