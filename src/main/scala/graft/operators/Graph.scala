@@ -228,12 +228,20 @@ object PageRank {
   /** Node counts up to this gate broadcast the rank table into the
     * superstep join, making each round exchange-free on the EDGE side
     * (the big relation): contributions partial-aggregate map-side and
-    * only ~N rows of partials shuffle. 1M nodes ≈ tens of MB — the
-    * same driver-size bound the CC hybrid gate uses. Above it, ranks
-    * flow through the plain shuffle join (a web-scale rank table
-    * cannot broadcast), same arithmetic, same results.
+    * only ~N rows of partials shuffle. Above it, ranks flow through
+    * the plain shuffle join (a web-scale rank table cannot broadcast),
+    * same arithmetic, same results.
+    *
+    * 2M (raised from 1M, r18): ~1.6M long node ids ≈ 13 MB of rank
+    * table — comfortably inside broadcast budget — and the r18
+    * SCALEUP path probe measured the broadcast path 1.3x FASTER than
+    * the shuffle path at exactly that size (100x co-purchase graph,
+    * 10.25 s vs 13.45 s for 3 supersteps), so the old 1M gate was
+    * switching to the slower plan a decade early. The gate remains a
+    * driver-memory bound, not a performance crossover: broadcast keeps
+    * winning until the rank table itself is too big to ship.
     */
-  val BroadcastRanksMaxNodes = 1000000L
+  val BroadcastRanksMaxNodes = 2000000L
 
   private def propagate(edges: DataFrame, src: String, dst: String,
       iters: Int, scale: Long, seed: Option[Column => Column],
