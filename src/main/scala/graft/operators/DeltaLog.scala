@@ -235,40 +235,93 @@ private[graft] object DeltaLog {
     */
   def pinParams(spark: SparkSession, storeDir: String,
       params: Map[String, String]): Unit = {
-    readParams(spark, storeDir) match {
-      case Some(have) =>
+    val fs = new Path(storeDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val p = new Path(storeDir, "_PARAMS")
+    // sentinel-terminated, written ONCE by exclusive create — no rename
+    // anywhere in the pin (the last one left in a store commit path was
+    // here; on object stores rename is a tearable copy-then-delete,
+    // while the put of a new key is atomic). A file without the
+    // sentinel is a torn creation-time crash: the store held nothing
+    // but that torn write, so the next pinner repairs it in place.
+    // Pre-sentinel files (earlier layouts, written via atomic local
+    // rename — necessarily complete) parse as-is.
+    val body = params.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+      .mkString("\n") + ParamsSentinel
+    def writeOnce(): Boolean =
+      try {
+        fs.mkdirs(new Path(storeDir))
+        val out = fs.create(p, false)
+        try out.write(body.getBytes("UTF-8")) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false } // exists/raced
+    readParamsChecked(spark, storeDir) match {
+      case Right(Some(have)) =>
         require(have == params,
           s"store at $storeDir was built with parameters $have but this " +
             s"call carries $params — sketch addresses would not line up")
-      case None =>
-        val fs = new Path(storeDir)
-          .getFileSystem(spark.sessionState.newHadoopConf())
-        val body = params.toSeq.sorted.map { case (k, v) => s"$k=$v" }
-          .mkString("\n")
-        // temp + rename so a crash mid-write never leaves a torn pin
-        val tmp = new Path(storeDir, "_PARAMS.tmp")
-        val out = fs.create(tmp, true)
-        try out.write(body.getBytes("UTF-8")) finally out.close()
-        fs.rename(tmp, new Path(storeDir, "_PARAMS"))
+      case Right(None) =>
+        if (!writeOnce()) {
+          // lost a creation race — the winner's pin must match ours
+          val have = readParams(spark, storeDir)
+          require(have.contains(params),
+            s"store at $storeDir was pinned concurrently with " +
+              s"${have.getOrElse("a torn file")} but this call carries " +
+              s"$params")
+        }
+      case Left(_) => // torn pin from a crashed creation — repair
+        try fs.delete(p, false) catch { case _: Throwable => () }
+        if (!writeOnce()) {
+          val have = readParams(spark, storeDir)
+          require(have.contains(params),
+            s"store at $storeDir held a torn _PARAMS and the repair " +
+              s"raced a writer pinning ${have.getOrElse("?")}; this " +
+              s"call carries $params")
+        }
     }
   }
 
+  private val ParamsSentinel = "\n#end"
+
   /** The pinned parameters, or None for a store that predates the pin
-    * (or has no parameterized math).
+    * (or has no parameterized math). A torn pin throws — parameterized
+    * reads must never silently treat a corrupt pin as "unpinned".
     */
   def readParams(spark: SparkSession,
-      storeDir: String): Option[Map[String, String]] = {
+      storeDir: String): Option[Map[String, String]] =
+    readParamsChecked(spark, storeDir) match {
+      case Right(v) => v
+      case Left(raw) => throw new IllegalStateException(
+        s"corrupt _PARAMS at $storeDir (torn creation-time write): " +
+          raw.take(120))
+    }
+
+  /** Right(None) = no pin; Right(Some) = committed pin; Left(raw) =
+    * torn sentinel-era file (incomplete upload).
+    */
+  private def readParamsChecked(spark: SparkSession, storeDir: String)
+      : Either[String, Option[Map[String, String]]] = {
     val p = new Path(storeDir, "_PARAMS")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) None
+    if (!fs.exists(p)) Right(None)
     else {
       val in = fs.open(p)
-      val lines =
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      val raw =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      Some(lines.filter(_.nonEmpty).map { l =>
-        val Array(k, v) = l.split("=", 2); k -> v
-      }.toMap)
+      val bodyText =
+        if (raw.endsWith(ParamsSentinel))
+          raw.dropRight(ParamsSentinel.length)
+        else raw // pre-sentinel layout: written via atomic local rename
+      val parsed = scala.util.Try {
+        bodyText.linesIterator.filter(_.nonEmpty).map { l =>
+          val Array(k, v) = l.split("=", 2); k -> v
+        }.toMap
+      }
+      parsed.toOption match {
+        case Some(m) => Right(Some(m))
+        case None => Left(raw)
+      }
     }
   }
 

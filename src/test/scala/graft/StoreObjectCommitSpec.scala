@@ -212,6 +212,32 @@ class StoreObjectCommitSpec extends AnyFunSuite with SparkTestBase {
     } finally KeyedUpsertSink.preFlipHold = () => ()
   }
 
+  test("params pin on the object store: write-once put, no rename, torn-pin repair") {
+    import graft.operators.DeltaLog
+    val (dir, raw) = freshDirs()
+    Files.createDirectories(Paths.get(raw))
+    SimObjFileSystem.renamedPaths.clear()
+    DeltaLog.pinParams(spark, dir, Map("depth" -> "4", "width" -> "1024"))
+    // idempotent re-pin; conflicting re-pin fails loudly
+    DeltaLog.pinParams(spark, dir, Map("depth" -> "4", "width" -> "1024"))
+    intercept[IllegalArgumentException] {
+      DeltaLog.pinParams(spark, dir, Map("depth" -> "8", "width" -> "1024"))
+    }
+    assert(DeltaLog.readParams(spark, dir) ===
+      Some(Map("depth" -> "4", "width" -> "1024")))
+    assert(!SimObjFileSystem.renamedPaths.asScala.exists(_.contains("_PARAMS")),
+      "the pin must never ride a rename on an object store")
+    // a torn creation-time upload (cut mid-line, no sentinel): reads
+    // throw rather than silently passing, and the next pin repairs it
+    val (dir2, raw2) = freshDirs()
+    Files.createDirectories(Paths.get(raw2))
+    Files.write(Paths.get(raw2, "_PARAMS"), "depth=4\nwid".getBytes("UTF-8"))
+    intercept[IllegalStateException] { DeltaLog.readParams(spark, dir2) }
+    DeltaLog.pinParams(spark, dir2, Map("depth" -> "4", "width" -> "1024"))
+    assert(DeltaLog.readParams(spark, dir2) ===
+      Some(Map("depth" -> "4", "width" -> "1024")))
+  }
+
   test("an incremental operator rides the seam unchanged on the object store") {
     val (dir, _) = freshDirs()
     val docs1 = Seq(
