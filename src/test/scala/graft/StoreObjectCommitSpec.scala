@@ -238,6 +238,43 @@ class StoreObjectCommitSpec extends AnyFunSuite with SparkTestBase {
       Some(Map("depth" -> "4", "width" -> "1024")))
   }
 
+  test("the two-hop topology reaches the golden table with the store on the object store") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.TripTopology
+    implicit val ctx = spark.sqlContext
+    // the TABLE (the DynamoDB analogue) lives on the simulated object
+    // store and commits through the marker protocol; the hops'
+    // checkpoints and the change log stay on local disk — they are
+    // Spark-internal state, not this library's commit path
+    val (storeDir, raw) = freshDirs()
+    val base = Files.createTempDirectory("graft-topo-obj").toString
+    val changesDir = s"$base/changes"
+    val input = MemoryStream[String]
+    val ingest = TripTopology.ingestWriter(input.toDF(), storeDir,
+      changesDir, s"$base/ckpt_i").start()
+    val matcher = TripTopology.matcherWriter(spark, changesDir, storeDir,
+      s"$base/ckpt_m", maxFilesPerTrigger = 64).start()
+    try {
+      GoldenFeed.wireJson(spark).grouped(20000).foreach { chunk =>
+        input.addData(chunk)
+        ingest.processAllAvailable()
+      }
+      matcher.processAllAvailable()
+    } finally { matcher.stop(); ingest.stop() }
+    val store = KeyedUpsertSink.readStore(spark, storeDir).get.cache()
+    try {
+      import org.apache.spark.sql.functions.col
+      assert(store.filter(col("sk").startsWith("COMPLETED#")).count() ===
+        4468L, "golden completed-trip count through the marker protocol")
+      assert(store.filter(col("status") === "processed_by_matcher")
+        .count() === 2 * 4468L)
+    } finally store.unpersist()
+    // and it really ran on markers: both writers' generations landed
+    // under a marker-dir pointer, no control-path renames
+    assert(Files.isDirectory(Paths.get(raw, "_CURRENT.d")))
+    assert(!Files.exists(Paths.get(raw, "_CURRENT")))
+  }
+
   test("an incremental operator rides the seam unchanged on the object store") {
     val (dir, _) = freshDirs()
     val docs1 = Seq(
