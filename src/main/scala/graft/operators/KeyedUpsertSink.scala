@@ -84,6 +84,12 @@ object KeyedUpsertSink {
     */
   @volatile private[graft] var preFlipHold: () => Unit = () => ()
 
+  /** Test-only hook, run between an optimistic merge and its commit
+    * attempt (no locks held): specs install a peer write here to stage
+    * a COMMIT CONFLICT deterministically. Identity in production.
+    */
+  @volatile private[graft] var preCommitHold: () => Unit = () => ()
+
   /** Cumulative milliseconds writers spent acquiring the store lease
     * (monitor + lock-file wait), keyed by writer id — the measured face
     * of the two-hop topology's lock contention (r17 verdict item 3):
@@ -378,17 +384,134 @@ object KeyedUpsertSink {
     * this writer's generation dirs — REQUIRED (any distinct non-empty
     * string per writer) when two writers share the store, since their
     * independent micro-batch ids would otherwise collide on `gen-<id>`.
-    * The whole read-merge-write-flip-prune section runs under the
-    * store's writer lease (see class doc).
+    * Commit protocol: the merge runs OPTIMISTICALLY outside the lease,
+    * the flip under it with conflict detection (see the body comment);
+    * the locked fallback serializes the whole section as before.
     */
   def upsertBatch(batch: DataFrame, storeDir: String, keys: Seq[String],
       orderCol: String, batchId: Long, versionWins: Boolean = false,
       numBuckets: Int = DefaultNumBuckets, writerId: String = "",
-      bucketCols: Seq[String] = Seq.empty): Unit =
-    withStoreLock(batch.sparkSession, storeDir,
-      s"upsert:$writerId:$batchId") { fence =>
-      upsertBatchLocked(batch, storeDir, keys, orderCol, batchId,
-        versionWins, numBuckets, writerId, bucketCols, fence)
+      bucketCols: Seq[String] = Seq.empty): Unit = {
+    // OPTIMISTIC COMMIT (r18): the merge job — the expensive part, a
+    // full Spark read-merge-write of the touched buckets — runs with NO
+    // lock held, against a pointer snapshot read up front; only the
+    // pointer flip takes the lease, and it re-reads the pointer there
+    // and commits IFF no peer moved any of this batch's touched buckets
+    // (and the bucket config is unchanged and the written generation
+    // still exists on disk). On conflict the orphaned generation is
+    // re-merged against fresh state and the commit retried; after
+    // `MaxOptimisticAttempts` conflicts the writer falls back to the
+    // fully-locked path (merge inside the lease — the pre-r18 shape),
+    // so progress is guaranteed under any contention. This is the
+    // Delta-style OCC shape, and it is what the r18 topology bench
+    // said the table needed: under the concurrent two-hop schedule the
+    // ingest hop spent 10.7 of 41 s WAITING on the lease, almost all of
+    // it for peers' merge jobs rather than their pointer flips.
+    //
+    // Why the unlocked merge is safe to attempt: its input files are
+    // the snapshot's touched-bucket files, which the grace window
+    // guarantees survive ONE subsequent flip; a second concurrent flip
+    // can prune them mid-job, which surfaces as a job failure with a
+    // CHANGED pointer — retried like any conflict. A fence loss during
+    // the flip still aborts the batch (never retried in-process: the
+    // lease was usurped, re-delivery owns the retry).
+    val spark = batch.sparkSession
+    val fs = fileSystem(spark, storeDir)
+    val who = s"upsert:$writerId:$batchId"
+    val canonical = fs.makeQualified(new Path(storeDir)).toString
+    val contended = Option(pessimisticUntil.get(canonical))
+      .exists(_ > System.currentTimeMillis())
+    var attempt = if (contended) MaxOptimisticAttempts else 0
+    var committed = false
+    while (!committed && attempt < MaxOptimisticAttempts) {
+      val s0 = readState(spark, storeDir)
+      val prepared =
+        try prepareGeneration(batch, storeDir, keys, orderCol, batchId,
+          versionWins, numBuckets, writerId, bucketCols, s0)
+        catch { case e: Throwable =>
+          // merge failed: if the pointer moved under the job, the
+          // snapshot's input files may have been pruned — conflict, not
+          // error. An unchanged pointer means the failure is real.
+          if (readState(spark, storeDir) != s0) { attempt += 1; null }
+          else throw e
+        }
+      prepared match {
+        case null => () // conflict during merge — loop retries
+        case None => return // batch touches no bucket — nothing to do
+        case Some(p) =>
+          preCommitHold()
+          committed = tryCommitPrepared(spark, fs, storeDir, s0, p, who)
+          if (!committed) attempt += 1
+      }
+    }
+    if (!committed) {
+      if (!contended)
+        pessimisticUntil.put(canonical, java.lang.Long.valueOf(
+          System.currentTimeMillis() + PessimisticCooldownMs))
+      withStoreLock(spark, storeDir, who) { fence =>
+        upsertBatchLocked(batch, storeDir, keys, orderCol, batchId,
+          versionWins, numBuckets, writerId, bucketCols, fence)
+      }
+    }
+  }
+
+  /** Bounded optimistic retries before falling back to the fully-locked
+    * merge: conflicts mean a peer is flipping this batch's buckets
+    * faster than we can re-merge, and the locked path then serializes
+    * honestly instead of burning merge jobs.
+    */
+  private val MaxOptimisticAttempts = 2
+
+  /** ADAPTIVE CONTENTION BACKOFF: a store whose optimistic commits just
+    * exhausted their retries goes PESSIMISTIC for this long — under
+    * sustained overlapping-bucket contention (two streaming hops both
+    * touching most buckets every batch, the two-hop topology's shape)
+    * optimism degenerates into a retry storm where every batch burns
+    * its merges twice or more before serializing anyway (measured: the
+    * concurrent topology schedule ran 40.7 s -> 66.0 s at 10x under
+    * always-optimistic commits, lease waits near zero but wall-clock
+    * dominated by discarded merge jobs). The cooldown restores the
+    * serialized path while contention lasts and re-tries optimism
+    * afterwards; disjoint-bucket or single-writer traffic never
+    * conflicts and never enters it. JVM-local by design — a heuristic,
+    * not a correctness mechanism (cross-process writers settle the same
+    * way, one cooldown per process).
+    */
+  private val PessimisticCooldownMs = 60000L
+  private val pessimisticUntil =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private[graft] case class PreparedGen(gen: String, touched: Seq[Int],
+      n: Int, pin: Seq[String])
+
+  /** The short LOCKED half of an optimistic upsert: re-read the
+    * pointer under the lease, verify nothing this batch depends on
+    * moved, flip, prune. False = conflict (caller re-merges).
+    */
+  private def tryCommitPrepared(spark: SparkSession, fs: FileSystem,
+      storeDir: String, s0: Option[StoreState], p: PreparedGen,
+      who: String): Boolean =
+    withStoreLock(spark, storeDir, who) { fence =>
+      val s1 = readState(spark, storeDir)
+      val g0 = s0.map(_.gens).getOrElse(Map.empty[Int, String])
+      val g1 = s1.map(_.gens).getOrElse(Map.empty[Int, String])
+      val configOk = s1.map(_.numBuckets).getOrElse(p.n) == p.n &&
+        s1.map(_.bucketCols).getOrElse(p.pin) == p.pin
+      val bucketsOk = p.touched.forall(b => g0.get(b) == g1.get(b))
+      // a peer's prune may only remove an UNKNOWN generation past the
+      // age guard; if ours fell to it (a merge that outlived the
+      // guard), re-merging is the only safe answer
+      val genIntact = fs.exists(new Path(storeDir, p.gen))
+      if (!configOk || !bucketsOk || !genIntact) false
+      else {
+        val newGens = g1 ++ p.touched.map(_ -> p.gen)
+        preFlipHold()
+        fence()
+        writePointer(spark, fs, storeDir, p.n, newGens, p.pin)
+        pruneGens(fs, storeDir, newGens, g1, p.gen)
+        clearInflight(fs, storeDir, p.gen)
+        true
+      }
     }
 
   private def upsertBatchLocked(batch: DataFrame, storeDir: String,
@@ -398,6 +521,30 @@ object KeyedUpsertSink {
     val spark = batch.sparkSession
     val fs = fileSystem(spark, storeDir)
     val state = readState(spark, storeDir)
+    prepareGeneration(batch, storeDir, keys, orderCol, batchId,
+      versionWins, numBuckets, writerId, bucketCols, state).foreach { p =>
+      val gens = state.map(_.gens).getOrElse(Map.empty[Int, String])
+      val newGens = gens ++ p.touched.map(_ -> p.gen)
+      // test seam + fence exactly as in the optimistic flip
+      preFlipHold()
+      fence()
+      writePointer(spark, fs, storeDir, p.n, newGens, p.pin)
+      pruneGens(fs, storeDir, newGens, gens, p.gen)
+      clearInflight(fs, storeDir, p.gen)
+    }
+  }
+
+  /** The UNLOCKED half of an upsert: merge the batch over snapshot
+    * `state`'s touched buckets and write the new generation directory.
+    * Returns None for a batch that touches no bucket. Everything here
+    * is idempotent and invisible to readers until the pointer flip.
+    */
+  private def prepareGeneration(batch: DataFrame, storeDir: String,
+      keys: Seq[String], orderCol: String, batchId: Long,
+      versionWins: Boolean, numBuckets: Int, writerId: String,
+      bucketCols: Seq[String],
+      state: Option[StoreState]): Option[PreparedGen] = {
+    val spark = batch.sparkSession
     val n = state.map(_.numBuckets).getOrElse(numBuckets)
     val gens = state.map(_.gens).getOrElse(Map.empty[Int, String])
     // bucket columns: a SUBSET of the keys to bucket by (so point
@@ -422,7 +569,7 @@ object KeyedUpsertSink {
     // the price of reading (and rewriting) only those buckets below
     val touched: Seq[Int] =
       batch.select(bkt.as("_bkt")).distinct().collect().map(_.getInt(0)).toSeq.sorted
-    if (touched.isEmpty) return
+    if (touched.isEmpty) return None
 
     // current content of ONLY the touched buckets; untouched buckets
     // are never read
@@ -460,39 +607,68 @@ object KeyedUpsertSink {
       .sortWithinPartitions(col("bucket") +: keys.map(col): _*)
       .write.mode(SaveMode.Overwrite).partitionBy("bucket")
       .parquet(new Path(storeDir, gen).toString)
+    // mark the generation IN-FLIGHT (written, not yet flipped): a
+    // peer's prune must not reclaim it while this writer queues for
+    // the flip. Underscore-prefixed, so readers ignore it; removed
+    // after a successful flip; an orphaned marker (crash/conflict)
+    // ages out under [[pruneGens]]'s guard. The microsecond window
+    // between the parquet commit and this create is covered by the
+    // flip's existence re-check (a pruned gen re-merges).
+    val fs = fileSystem(spark, storeDir)
+    val mk = fs.create(new Path(storeDir, s"$gen/$InflightMarker"), true)
+    try mk.write("inflight".getBytes("UTF-8")) finally mk.close()
+    Some(PreparedGen(gen, touched, n, pinned))
+  }
 
-    val newGens = gens ++ touched.map(_ -> gen)
-    // test seam: hold the section open here so a spec can stage the
-    // takeover interleaving deterministically (production: identity —
-    // an injectable hook, not a sys-prop read on the hot path, so a
-    // stray property in a shared JVM can never stall upserts)
-    preFlipHold()
-    // fence: the merge write above can outlive the lease (long batch,
-    // STW pause); never flip a pointer computed from a pre-takeover
-    // snapshot — the prune below would delete the new owner's files
-    fence()
-    writePointer(spark, fs, storeDir, n, newGens, pinned)
+  private val InflightMarker = "_INFLIGHT"
 
-    // prune with a one-generation grace window PER BUCKET: a bucket
-    // subdir survives while either the new map or the just-replaced map
-    // references it, so a lazy reader resolved just before this flip
-    // still finds its files; a generation dir with no surviving buckets
-    // is removed whole
+  private def clearInflight(fs: FileSystem, storeDir: String,
+      gen: String): Unit =
+    try fs.delete(new Path(storeDir, s"$gen/$InflightMarker"), false)
+    catch { case _: Throwable => () }
+
+  /** Prune with a one-generation grace window PER BUCKET (shared by the
+    * optimistic flip, the locked flip, and compaction): a bucket subdir
+    * survives while either the new map or the just-replaced map
+    * references it, so a lazy reader resolved just before this flip
+    * still finds its files; a generation dir with no surviving buckets
+    * is removed whole. A generation carrying an IN-FLIGHT marker that
+    * neither map knows is a peer's written-but-unflipped optimistic
+    * merge — left alone while younger than the lease window (the
+    * flip's existence re-check is the correctness net; this guard
+    * avoids churning a live peer's work); past the window it is an
+    * abandoned orphan (crashed or conflicted attempt) and is reclaimed.
+    */
+  private def pruneGens(fs: FileSystem, storeDir: String,
+      newGens: Map[Int, String], oldGens: Map[Int, String],
+      justWritten: String): Unit = {
     val live: Set[(String, Int)] =
-      (newGens.toSeq ++ gens.toSeq).map { case (b, g) => (g, b) }.toSet
+      (newGens.toSeq ++ oldGens.toSeq).map { case (b, g) => (g, b) }.toSet
+    val known: Set[String] =
+      newGens.values.toSet ++ oldGens.values.toSet + justWritten
+    val guardMs = sys.props.get("graft.store.lease.ms")
+      .orElse(sys.env.get("GRAFT_STORE_LEASE_MS")).getOrElse("300000").toLong
+    val now = System.currentTimeMillis()
+    def inflight(g: Path): Boolean =
+      try fs.exists(new Path(g, InflightMarker))
+      catch { case _: Throwable => false }
     fs.listStatus(new Path(storeDir))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-"))
       .foreach { g =>
         val genName = g.getPath.getName
-        val subs = fs.listStatus(g.getPath)
-          .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
-        var kept = 0
-        subs.foreach { s =>
-          val b = s.getPath.getName.stripPrefix("bucket=").toInt
-          if (live((genName, b))) kept += 1
-          else fs.delete(s.getPath, true)
+        val skip = !known(genName) &&
+          now - g.getModificationTime <= guardMs && inflight(g.getPath)
+        if (!skip) {
+          val subs = fs.listStatus(g.getPath)
+            .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+          var kept = 0
+          subs.foreach { s =>
+            val b = s.getPath.getName.stripPrefix("bucket=").toInt
+            if (live((genName, b))) kept += 1
+            else fs.delete(s.getPath, true)
+          }
+          if (kept == 0 && genName != justWritten) fs.delete(g.getPath, true)
         }
-        if (kept == 0 && genName != gen) fs.delete(g.getPath, true)
       }
   }
 
@@ -562,11 +738,19 @@ object KeyedUpsertSink {
     fence()
     writePointer(spark, fs, storeDir, n, newGens, state.bucketCols)
     // grace window: keep the generations the JUST-replaced pointer named
-    // (one more write will reclaim them); everything older goes now
+    // (one more write will reclaim them); everything older goes now —
+    // except a MARKED-in-flight young generation, a peer's
+    // written-but-unflipped optimistic merge (the [[pruneGens]] rule)
     val live: Set[String] = state.gens.values.toSet + gen
+    val guardMs = sys.props.get("graft.store.lease.ms")
+      .orElse(sys.env.get("GRAFT_STORE_LEASE_MS")).getOrElse("300000").toLong
+    val now = System.currentTimeMillis()
     fs.listStatus(new Path(storeDir))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-"))
       .filterNot(s => live(s.getPath.getName))
+      .filterNot(s => now - s.getModificationTime <= guardMs &&
+        (try fs.exists(new Path(s.getPath, InflightMarker))
+        catch { case _: Throwable => false }))
       .foreach(s => fs.delete(s.getPath, true))
   }
 

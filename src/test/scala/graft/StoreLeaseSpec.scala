@@ -193,6 +193,46 @@ class StoreLeaseSpec extends AnyFunSuite with SparkTestBase {
     } finally KeyedUpsertSink.preFlipHold = () => ()
   }
 
+  test("optimistic commit: a conflicting peer flip forces a re-merge, nothing is lost") {
+    val dir = freshDir()
+    // one bucket => every write touches it => the staged peer write
+    // below ALWAYS conflicts with the in-flight optimistic commit
+    KeyedUpsertSink.upsertBatch(Seq(("k", 1L)).toDF("k", "ts"), dir,
+      Seq("k"), "ts", 0L, versionWins = true, numBuckets = 1)
+    // one-shot: between writer A's merge and its commit, writer B lands
+    // a full upsert of a DIFFERENT key into the same bucket — if A's
+    // stale merge committed anyway, B's k2 row would vanish from the
+    // bucket A rewrote
+    val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+    KeyedUpsertSink.preCommitHold = () =>
+      if (fired.getAndIncrement() == 0)
+        KeyedUpsertSink.upsertBatch(Seq(("k2", 2L)).toDF("k", "ts"), dir,
+          Seq("k"), "ts", 10L, versionWins = true, writerId = "b")
+    try {
+      KeyedUpsertSink.upsertBatch(Seq(("k", 3L)).toDF("k", "ts"), dir,
+        Seq("k"), "ts", 20L, versionWins = true, writerId = "a")
+    } finally KeyedUpsertSink.preCommitHold = () => ()
+    assert(fired.get() >= 2, "the conflicted commit must have retried")
+    val rows = KeyedUpsertSink.readStore(spark, dir).get
+      .as[(String, Long)].collect().toSet
+    assert(rows === Set("k" -> 3L, "k2" -> 2L),
+      s"re-merge must carry the peer's row: $rows")
+    // the conflicted attempt left no unbounded garbage: the retry
+    // OVERWROTE its own generation (no orphan per attempt), so what
+    // remains is the live generation plus the one-generation grace
+    // window — and one more upsert reclaims the grace copy as usual
+    val gens0 = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
+      .map(_.getName).toSet
+    assert(gens0.size <= 2, s"conflict retries must not leak generations: $gens0")
+    KeyedUpsertSink.upsertBatch(Seq(("k3", 4L)).toDF("k", "ts"), dir,
+      Seq("k"), "ts", 30L, versionWins = true, writerId = "a")
+    val gens1 = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
+      .map(_.getName).toSet
+    assert(gens1.size <= 2, s"grace reclamation must keep storage bounded: $gens1")
+  }
+
   test("a crashed writer's FRESH lock is waited out and taken over (cap > lease)") {
     val dir = freshDir()
     Files.createDirectories(Paths.get(dir))
