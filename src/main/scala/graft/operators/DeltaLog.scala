@@ -309,18 +309,30 @@ private[graft] object DeltaLog {
       val raw =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      val bodyText =
-        if (raw.endsWith(ParamsSentinel))
-          raw.dropRight(ParamsSentinel.length)
-        else raw // pre-sentinel layout: written via atomic local rename
-      val parsed = scala.util.Try {
-        bodyText.linesIterator.filter(_.nonEmpty).map { l =>
-          val Array(k, v) = l.split("=", 2); k -> v
-        }.toMap
-      }
-      parsed.toOption match {
-        case Some(m) => Right(Some(m))
-        case None => Left(raw)
+      // an EMPTY file is always torn (a crash between the exclusive
+      // create and the write — no layout ever wrote an empty pin), and
+      // without this it would parse as a complete empty map and wedge
+      // every later pin on the equality requirement (ADVICE r18). A
+      // sentinel-less NON-empty file is the pre-sentinel layout
+      // (written via atomic local rename, necessarily complete); the
+      // residual — a sentinel-era tear cut exactly at a value boundary
+      // — parses but then fails the equality requirement loudly at the
+      // next pin or read check, never silently mis-addresses.
+      if (raw.isEmpty) Left(raw)
+      else {
+        val bodyText =
+          if (raw.endsWith(ParamsSentinel))
+            raw.dropRight(ParamsSentinel.length)
+          else raw
+        val parsed = scala.util.Try {
+          bodyText.linesIterator.filter(_.nonEmpty).map { l =>
+            val Array(k, v) = l.split("=", 2); k -> v
+          }.toMap
+        }
+        parsed.toOption match {
+          case Some(m) => Right(Some(m))
+          case None => Left(raw)
+        }
       }
     }
   }

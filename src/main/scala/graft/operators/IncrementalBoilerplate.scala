@@ -82,8 +82,11 @@ object IncrementalBoilerplate {
     // so the corpus-scale base is bucket-pruned to those units' hash
     // buckets (full-fold fallback on an unbucketed base) — identical
     // output, O(batch-buckets) read instead of O(corpus units)
-    val units = Dedup.unitDocFrequencies(docs, sepRegex, idCol, textCol)
-      .select("unit")
+    // the probe needs DISTINCT units only — skip unitDocFrequencies'
+    // df aggregate (the split+explode still runs twice, once here and
+    // once inside dropUnitsByDf; both are O(batch) map-side passes)
+    val units = Dedup.docUnits(docs, sepRegex, idCol, textCol)
+      .select("unit").distinct()
     val df = DeltaLog.readFoldedFor(docs.sparkSession, storeDir, mergeDf,
       Seq("unit"), units).getOrElse(
       throw new IllegalStateException(s"empty boilerplate store: $storeDir"))

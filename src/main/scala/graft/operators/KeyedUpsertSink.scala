@@ -102,9 +102,12 @@ object KeyedUpsertSink {
 
   private def recordLeaseWait(who: String, ms: Long): Unit = {
     // who is "upsert:<writerId>:<batchId>" or "compact" — aggregate by
-    // the writer, not the batch
-    val key = who.split(":") match {
-      case Array(_, w, _*) if w.nonEmpty => w
+    // the writer, not the batch: an empty writerId (the single-writer
+    // default) must still collapse to ONE key, or a long-running
+    // streaming job grows this map by one entry per micro-batch
+    // (ADVICE r18)
+    val key = who.split(":", -1) match {
+      case Array(_, w, _*) => if (w.nonEmpty) w else "(default)"
       case _ => who
     }
     leaseWaitMs.computeIfAbsent(key,
@@ -177,8 +180,7 @@ object KeyedUpsertSink {
       // system property first (test seam), env second, default last
       def knob(prop: String, env: String, dflt: String): Long =
         sys.props.get(prop).orElse(sys.env.get(env)).getOrElse(dflt).toLong
-      val leaseMs =
-        knob("graft.store.lease.ms", "GRAFT_STORE_LEASE_MS", "300000")
+      val leaseMs = leaseMsKnob()
       // 0 = auto: lease + 60 s. The cap must EXCEED the lease, or a
       // waiter behind a crashed writer (lock age < leaseMs) throws
       // before the lock ever goes stale enough to take over.
@@ -500,8 +502,14 @@ object KeyedUpsertSink {
       val bucketsOk = p.touched.forall(b => g0.get(b) == g1.get(b))
       // a peer's prune may only remove an UNKNOWN generation past the
       // age guard; if ours fell to it (a merge that outlived the
-      // guard), re-merging is the only safe answer
-      val genIntact = fs.exists(new Path(storeDir, p.gen))
+      // guard), re-merging is the only safe answer. Checked per TOUCHED
+      // BUCKET, not just the directory: a crashed partial prune can gut
+      // individual bucket subdirs while the dir (and its marker)
+      // survive — committing that would publish a bucket with no files
+      // (ADVICE r18). Every touched bucket wrote rows (it holds at
+      // least the batch's own), so an absent subdir always means loss.
+      val genIntact = p.touched.forall(b =>
+        fs.exists(bucketPath(storeDir, p.gen, b)))
       if (!configOk || !bucketsOk || !genIntact) false
       else {
         val newGens = g1 ++ p.touched.map(_ -> p.gen)
@@ -622,6 +630,25 @@ object KeyedUpsertSink {
 
   private val InflightMarker = "_INFLIGHT"
 
+  /** The shared lease-window knob (system property first, env second). */
+  private def leaseMsKnob(): Long =
+    sys.props.get("graft.store.lease.ms")
+      .orElse(sys.env.get("GRAFT_STORE_LEASE_MS")).getOrElse("300000").toLong
+
+  /** Is this generation a peer's written-but-unflipped merge, still
+    * inside its protection window? Age comes from the _INFLIGHT marker
+    * FILE's mtime — never the generation directory's: object stores
+    * report 0/epoch for their synthetic directories, which would read
+    * as "ancient" and let every prune reclaim a live peer's merge on
+    * exactly the platform the seam targets (ADVICE r18). A missing or
+    * unreadable marker is "not in flight" (reclaimable).
+    */
+  private def inflightYoung(fs: FileSystem, genDir: Path): Boolean =
+    try {
+      val st = fs.getFileStatus(new Path(genDir, InflightMarker))
+      System.currentTimeMillis() - st.getModificationTime <= leaseMsKnob()
+    } catch { case _: Throwable => false }
+
   private def clearInflight(fs: FileSystem, storeDir: String,
       gen: String): Unit =
     try fs.delete(new Path(storeDir, s"$gen/$InflightMarker"), false)
@@ -646,18 +673,11 @@ object KeyedUpsertSink {
       (newGens.toSeq ++ oldGens.toSeq).map { case (b, g) => (g, b) }.toSet
     val known: Set[String] =
       newGens.values.toSet ++ oldGens.values.toSet + justWritten
-    val guardMs = sys.props.get("graft.store.lease.ms")
-      .orElse(sys.env.get("GRAFT_STORE_LEASE_MS")).getOrElse("300000").toLong
-    val now = System.currentTimeMillis()
-    def inflight(g: Path): Boolean =
-      try fs.exists(new Path(g, InflightMarker))
-      catch { case _: Throwable => false }
     fs.listStatus(new Path(storeDir))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-"))
       .foreach { g =>
         val genName = g.getPath.getName
-        val skip = !known(genName) &&
-          now - g.getModificationTime <= guardMs && inflight(g.getPath)
+        val skip = !known(genName) && inflightYoung(fs, g.getPath)
         if (!skip) {
           val subs = fs.listStatus(g.getPath)
             .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
@@ -740,17 +760,13 @@ object KeyedUpsertSink {
     // grace window: keep the generations the JUST-replaced pointer named
     // (one more write will reclaim them); everything older goes now —
     // except a MARKED-in-flight young generation, a peer's
-    // written-but-unflipped optimistic merge (the [[pruneGens]] rule)
+    // written-but-unflipped optimistic merge (the [[pruneGens]] rule,
+    // same marker-mtime guard)
     val live: Set[String] = state.gens.values.toSet + gen
-    val guardMs = sys.props.get("graft.store.lease.ms")
-      .orElse(sys.env.get("GRAFT_STORE_LEASE_MS")).getOrElse("300000").toLong
-    val now = System.currentTimeMillis()
     fs.listStatus(new Path(storeDir))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-"))
       .filterNot(s => live(s.getPath.getName))
-      .filterNot(s => now - s.getModificationTime <= guardMs &&
-        (try fs.exists(new Path(s.getPath, InflightMarker))
-        catch { case _: Throwable => false }))
+      .filterNot(s => inflightYoung(fs, s.getPath))
       .foreach(s => fs.delete(s.getPath, true))
   }
 

@@ -98,38 +98,60 @@ private[graft] object StoreCommit {
   private val ObjectSchemes = Set("s3", "s3a", "s3n", "gs", "abfs",
     "abfss", "oss", "cos", "cosn", "wasb", "wasbs", "simobj")
 
+  /** Resolved protocols, one per canonical store path: the choice is
+    * pinned by layout (or, for a brand-new store, by config/scheme —
+    * deterministic for a given path), so re-probing the filesystem on
+    * every readState/commit would pay repeated exists round-trips for
+    * an answer that never changes (ADVICE r18).
+    */
+  private val resolved = new java.util.concurrent.ConcurrentHashMap[
+    String, StoreCommitProtocol]()
+
   private[graft] def forStore(spark: SparkSession,
       storeDir: String): StoreCommitProtocol = {
-    val fs = new Path(storeDir)
-      .getFileSystem(spark.sessionState.newHadoopConf())
     val conf = spark.sessionState.newHadoopConf()
-    // the on-disk layout pins the protocol for an existing store
-    val hasMarkers = try fs.exists(new Path(storeDir, MarkerDir))
-      catch { case _: Throwable => false }
-    if (hasMarkers) return new MarkerCommit(fs, storeDir)
-    val hasPointer = try fs.exists(new Path(storeDir, PointerFile))
-      catch { case _: Throwable => false }
-    if (hasPointer) return new RenameCommit(fs, conf, storeDir)
-    val mode = sys.props.get("graft.store.commit")
-      .orElse(sys.env.get("GRAFT_STORE_COMMIT")).getOrElse("auto")
-    mode match {
-      case "rename" => new RenameCommit(fs, conf, storeDir)
-      case "marker" => new MarkerCommit(fs, storeDir)
-      case _ =>
-        val scheme = Option(fs.makeQualified(new Path(storeDir))
-          .toUri.getScheme).getOrElse("file")
-        if (ObjectSchemes(scheme)) new MarkerCommit(fs, storeDir)
-        else new RenameCommit(fs, conf, storeDir)
-    }
+    val fs = new Path(storeDir).getFileSystem(conf)
+    val canonical = fs.makeQualified(new Path(storeDir)).toString
+    resolved.computeIfAbsent(canonical, _ => {
+      // the on-disk layout pins the protocol for an existing store
+      val hasMarkers = try fs.exists(new Path(storeDir, MarkerDir))
+        catch { case _: Throwable => false }
+      if (hasMarkers) new MarkerCommit(fs, storeDir)
+      else {
+        val hasPointer = try fs.exists(new Path(storeDir, PointerFile))
+          catch { case _: Throwable => false }
+        if (hasPointer) new RenameCommit(fs, conf, storeDir)
+        else {
+          val mode = sys.props.get("graft.store.commit")
+            .orElse(sys.env.get("GRAFT_STORE_COMMIT")).getOrElse("auto")
+          mode match {
+            case "rename" => new RenameCommit(fs, conf, storeDir)
+            case "marker" => new MarkerCommit(fs, storeDir)
+            case _ =>
+              val scheme = Option(new Path(canonical).toUri.getScheme)
+                .getOrElse("file")
+              if (ObjectSchemes(scheme)) new MarkerCommit(fs, storeDir)
+              else new RenameCommit(fs, conf, storeDir)
+          }
+        }
+      }
+    })
   }
 
-  /** Read a small control file fully (None if missing/unreadable). */
+  /** Read a small control file fully. None ONLY for a file that is
+    * genuinely absent (raced release / pruned marker); any other
+    * filesystem failure PROPAGATES — swallowing a transient read error
+    * here would surface as "no pointer", and a writer would then
+    * commit a map missing every other bucket's generation (ADVICE r18:
+    * the pre-seam readState propagated read errors loudly, so must the
+    * seam).
+    */
   private def slurp(fs: FileSystem, p: Path): Option[String] =
     try {
       val in = fs.open(p)
       try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
       finally in.close()
-    } catch { case _: Throwable => None }
+    } catch { case _: java.io.FileNotFoundException => None }
 
   /** The rename-and-mtime implementation — the pre-seam mechanics,
     * verbatim: correct wherever rename and exclusive create are atomic
@@ -247,7 +269,11 @@ private[graft] object StoreCommit {
     private val Sentinel = "\n#end\n"
 
     private def listNames(dir: Path, prefix: String): Seq[String] =
-      (try fs.listStatus(dir).toSeq catch { case _: Throwable => Seq.empty })
+      // a missing dir is an empty listing; any OTHER failure propagates
+      // (a swallowed transient list error would read as "no markers" —
+      // the same silent-stale hazard slurp documents)
+      (try fs.listStatus(dir).toSeq
+      catch { case _: java.io.FileNotFoundException => Seq.empty })
         .map(_.getPath.getName).filter(_.startsWith(prefix)).sorted
 
     // --- pointer -----------------------------------------------------
