@@ -119,6 +119,36 @@ object KeyedUpsertSink {
     leaseWaitMs.asScala.map { case (k, v) => k -> v.sum() }.toMap
   }
 
+  /** Optimistic-commit telemetry (r18 verdict item 3): conflict counts,
+    * retries, cooldown entries, and DISCARDED-merge milliseconds (the
+    * real cost of a lost optimistic race — a full Spark merge job whose
+    * result was thrown away), recorded globally and snapshotted by the
+    * bench's topology/contention sections so the retry-storm story
+    * rides the artifact, not prose. Instrumentation only.
+    */
+  private[graft] val commitStats = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.LongAdder]()
+
+  private def stat(name: String, delta: Long = 1L): Unit =
+    commitStats.computeIfAbsent(name,
+      _ => new java.util.concurrent.atomic.LongAdder).add(delta)
+
+  private[graft] def commitStatsSnapshot(): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    commitStats.asScala.map { case (k, v) => k -> v.sum() }.toMap
+  }
+
+  private[graft] def commitStatsClear(): Unit = commitStats.clear()
+
+  /** `graft.store.optimistic` / `GRAFT_STORE_OPTIMISTIC` = "off" routes
+    * every upsert through the fully-locked path (the pre-r18 shape) —
+    * the measurement seam that prices the optimistic protocol's extra
+    * control-file round-trips A/B (r18 verdict item 2). Default on.
+    */
+  private def optimisticEnabled: Boolean =
+    !sys.props.get("graft.store.optimistic")
+      .orElse(sys.env.get("GRAFT_STORE_OPTIMISTIC")).contains("off")
+
   /** Per-store JVM monitors: two writers in one JVM (the composed
     * topology's two streaming queries under local[*]) serialize here
     * without filesystem round-trips; the `_LOCK` lease extends the same
@@ -192,11 +222,15 @@ object KeyedUpsertSink {
       while (!acquired) {
         if (proto.tryAcquire(token, who)) acquired = true
         else {
-          // a missing lock (raced release) reads as not-stale — retry
-          val stale = proto.lockAgeMs().exists(_ > leaseMs)
+          // a missing lock (raced release) reads as not-stale — retry.
+          // The takeover carries the OBSERVED handle so it removes
+          // exactly the lock judged stale, never a peer's fresh lock
+          // that replaced it in between (ADVICE r18).
+          val staleObs = proto.lockAge()
+            .filter { case (age, _) => age > leaseMs }.map(_._2)
           var wonTakeover = false
-          if (stale) {
-            wonTakeover = proto.tryTakeover(token)
+          staleObs.foreach { obs =>
+            wonTakeover = proto.tryTakeover(token, obs)
             if (wonTakeover)
               System.err.println(
                 s"[store] taking over expired lease at $storeDir")
@@ -421,12 +455,16 @@ object KeyedUpsertSink {
     val fs = fileSystem(spark, storeDir)
     val who = s"upsert:$writerId:$batchId"
     val canonical = fs.makeQualified(new Path(storeDir)).toString
-    val contended = Option(pessimisticUntil.get(canonical))
+    val optimistic = optimisticEnabled
+    val contended = optimistic && Option(pessimisticUntil.get(canonical))
       .exists(_ > System.currentTimeMillis())
-    var attempt = if (contended) MaxOptimisticAttempts else 0
+    if (contended) stat("pessimistic_batches")
+    var attempt = if (contended || !optimistic) MaxOptimisticAttempts else 0
     var committed = false
     while (!committed && attempt < MaxOptimisticAttempts) {
       val s0 = readState(spark, storeDir)
+      val tMerge0 = System.nanoTime()
+      def mergeMs: Long = (System.nanoTime() - tMerge0) / 1000000L
       val prepared =
         try prepareGeneration(batch, storeDir, keys, orderCol, batchId,
           versionWins, numBuckets, writerId, bucketCols, s0)
@@ -434,22 +472,35 @@ object KeyedUpsertSink {
           // merge failed: if the pointer moved under the job, the
           // snapshot's input files may have been pruned — conflict, not
           // error. An unchanged pointer means the failure is real.
-          if (readState(spark, storeDir) != s0) { attempt += 1; null }
-          else throw e
+          if (readState(spark, storeDir) != s0) {
+            attempt += 1
+            stat("merge_conflicts"); stat("discarded_merge_ms", mergeMs)
+            null
+          } else throw e
         }
+      val mergeDurMs = mergeMs // the merge job alone, not the flip below
       prepared match {
         case null => () // conflict during merge — loop retries
         case None => return // batch touches no bucket — nothing to do
         case Some(p) =>
           preCommitHold()
           committed = tryCommitPrepared(spark, fs, storeDir, s0, p, who)
-          if (!committed) attempt += 1
+          if (committed) stat("optimistic_committed")
+          else {
+            attempt += 1
+            stat("commit_conflicts"); stat("discarded_merge_ms", mergeDurMs)
+          }
       }
     }
     if (!committed) {
-      if (!contended)
-        pessimisticUntil.put(canonical, java.lang.Long.valueOf(
-          System.currentTimeMillis() + PessimisticCooldownMs))
+      if (optimistic) {
+        stat("locked_fallbacks")
+        if (!contended) {
+          stat("cooldown_entries")
+          pessimisticUntil.put(canonical, java.lang.Long.valueOf(
+            System.currentTimeMillis() + PessimisticCooldownMs))
+        }
+      }
       withStoreLock(spark, storeDir, who) { fence =>
         upsertBatchLocked(batch, storeDir, keys, orderCol, batchId,
           versionWins, numBuckets, writerId, bucketCols, fence)

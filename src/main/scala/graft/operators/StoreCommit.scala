@@ -62,9 +62,15 @@ private[graft] sealed trait StoreCommitProtocol {
   def ownerToken(): Option[String]
 
   /** Milliseconds since the current lock's liveness signal (creation or
-    * last heartbeat), or None when no lock exists.
+    * last heartbeat), PLUS an opaque handle naming the lock observed —
+    * [[tryTakeover]] takes the same handle back so a takeover removes
+    * exactly the lock that was judged stale, never a peer's fresh lock
+    * that replaced it between the two calls (ADVICE r18). None when no
+    * lock exists, INCLUDING a lock that vanishes mid-observation: a
+    * raced release must read as "no lock — retry the acquire", never as
+    * epoch-age "maximally stale".
     */
-  def lockAgeMs(): Option[Long]
+  def lockAge(): Option[(Long, String)]
 
   /** Heartbeat: refresh the lock's liveness signal. Callers verify
     * ownership first ([[ownerToken]]) — a zombie must never extend a
@@ -72,11 +78,14 @@ private[graft] sealed trait StoreCommitProtocol {
     */
   def refresh(token: String): Unit
 
-  /** Try to remove a lock judged stale: true = this caller won the
-    * removal and may immediately attempt [[tryAcquire]]; false = a
-    * racing waiter won (wait for whatever lock the winner creates).
+  /** Try to remove the lock judged stale — `observed` is the handle
+    * [[lockAge]] returned for that judgment: true = this caller won the
+    * removal and may immediately attempt [[tryAcquire]]; false = the
+    * observed lock is no longer current (a racing waiter already won,
+    * or the owner released and a peer re-acquired) — re-observe rather
+    * than deleting whatever lock is there now.
     */
-  def tryTakeover(token: String): Boolean
+  def tryTakeover(token: String, observed: String): Boolean
 
   /** Release the lock if it still carries `token` (a taken-over
     * zombie's release must not delete the new owner's lock).
@@ -107,19 +116,41 @@ private[graft] object StoreCommit {
   private val resolved = new java.util.concurrent.ConcurrentHashMap[
     String, StoreCommitProtocol]()
 
+  /** Control-path filesystem-op counters, keyed `<protocol>.<verb>` —
+    * the measured face of the commit seam's per-commit overhead (r18
+    * verdict items 2 and 6): the store-seam microbench snapshots these
+    * around K commits so ops-per-commit is a recorded number, not an
+    * inference from wall-clock. One LongAdder add per fs call.
+    */
+  private val fsOps = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.LongAdder]()
+  private def fsOp(name: String): Unit =
+    fsOps.computeIfAbsent(name,
+      _ => new java.util.concurrent.atomic.LongAdder).add(1L)
+  private[graft] def fsOpsSnapshot(): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    fsOps.asScala.map { case (k, v) => k -> v.sum() }.toMap
+  }
+  private[graft] def fsOpsClear(): Unit = fsOps.clear()
+
   private[graft] def forStore(spark: SparkSession,
       storeDir: String): StoreCommitProtocol = {
     val conf = spark.sessionState.newHadoopConf()
     val fs = new Path(storeDir).getFileSystem(conf)
     val canonical = fs.makeQualified(new Path(storeDir)).toString
     resolved.computeIfAbsent(canonical, _ => {
-      // the on-disk layout pins the protocol for an existing store
+      // the on-disk layout pins the protocol for an existing store.
+      // Only a genuinely-absent path reads as "no layout"; any OTHER
+      // probe failure PROPAGATES (ADVICE r18) — a transient exists()
+      // error on an existing marker store would otherwise select and
+      // cache RenameCommit, splitting the pointer across two protocols,
+      // the exact hazard the layout pin exists to prevent.
       val hasMarkers = try fs.exists(new Path(storeDir, MarkerDir))
-        catch { case _: Throwable => false }
+        catch { case _: java.io.FileNotFoundException => false }
       if (hasMarkers) new MarkerCommit(fs, storeDir)
       else {
         val hasPointer = try fs.exists(new Path(storeDir, PointerFile))
-          catch { case _: Throwable => false }
+          catch { case _: java.io.FileNotFoundException => false }
         if (hasPointer) new RenameCommit(fs, conf, storeDir)
         else {
           val mode = sys.props.get("graft.store.commit")
@@ -138,6 +169,38 @@ private[graft] object StoreCommit {
     })
   }
 
+  /** Called by a protocol whose pointer read found NOTHING: if the
+    * store root is gone, or the root exists but now carries the OTHER
+    * protocol's layout (deleted and recreated under the same path in a
+    * long-lived JVM — ADVICE r18), drop the cached protocol so the next
+    * call re-resolves; the cross-layout case additionally throws, loud,
+    * because the caller's read ran against the WRONG protocol and must
+    * not be trusted. Costs two exists() round-trips, paid only on
+    * empty-pointer reads — never on the steady-state path.
+    */
+  private def relayoutCheck(fs: FileSystem, storeDir: String,
+      expectMarkers: Boolean): Unit = {
+    val mismatched =
+      try {
+        if (!fs.exists(new Path(storeDir))) {
+          resolved.remove(fs.makeQualified(new Path(storeDir)).toString)
+          false
+        } else {
+          val other = new Path(storeDir,
+            if (expectMarkers) PointerFile else MarkerDir)
+          val m = fs.exists(other)
+          if (m)
+            resolved.remove(fs.makeQualified(new Path(storeDir)).toString)
+          m
+        }
+      } catch { case _: Throwable => false } // probe failed — keep cache
+    if (mismatched)
+      throw new IllegalStateException(
+        s"store at $storeDir changed commit layout under a cached " +
+          "protocol (deleted and recreated?) — protocol re-resolved, " +
+          "retry the operation")
+  }
+
   /** Read a small control file fully. None ONLY for a file that is
     * genuinely absent (raced release / pruned marker); any other
     * filesystem failure PROPAGATES — swallowing a transient read error
@@ -146,8 +209,10 @@ private[graft] object StoreCommit {
     * the pre-seam readState propagated read errors loudly, so must the
     * seam).
     */
-  private def slurp(fs: FileSystem, p: Path): Option[String] =
+  private def slurp(fs: FileSystem, p: Path,
+      opTag: String = ""): Option[String] =
     try {
+      if (opTag.nonEmpty) fsOp(opTag)
       val in = fs.open(p)
       try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
       finally in.close()
@@ -164,15 +229,21 @@ private[graft] object StoreCommit {
     private val ptr = new Path(storeDir, PointerFile)
     private val lock = new Path(storeDir, LockFile)
 
-    def readPointer(): Option[String] =
-      if (!fs.exists(ptr)) None else slurp(fs, ptr)
+    def readPointer(): Option[String] = {
+      fsOp("rename.exists")
+      val r = if (!fs.exists(ptr)) None else slurp(fs, ptr, "rename.open")
+      if (r.isEmpty) relayoutCheck(fs, storeDir, expectMarkers = false)
+      r
+    }
 
     def commitPointer(body: String): Unit = {
       // temp + OVERWRITE rename: a truncating fs.create would leave an
       // EMPTY pointer if the process died between truncate and write
       val tmp = new Path(storeDir, s"$PointerFile.tmp")
+      fsOp("rename.create")
       val out = fs.create(tmp, true)
       try out.write(body.getBytes("UTF-8")) finally out.close()
+      fsOp("rename.rename")
       val fc = org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri, conf)
       fc.rename(fc.makeQualified(tmp), fc.makeQualified(ptr),
         org.apache.hadoop.fs.Options.Rename.OVERWRITE)
@@ -180,6 +251,7 @@ private[graft] object StoreCommit {
 
     def tryAcquire(token: String, who: String): Boolean =
       try {
+        fsOp("rename.create")
         val out = fs.create(lock, false) // exclusive: fails if held
         try {
           try out.write(s"$token\n$who\n${System.currentTimeMillis()}"
@@ -196,21 +268,36 @@ private[graft] object StoreCommit {
       } catch { case _: IOException => false }
 
     def ownerToken(): Option[String] =
-      slurp(fs, lock).flatMap(_.linesIterator.nextOption())
+      slurp(fs, lock, "rename.open").flatMap(_.linesIterator.nextOption())
 
-    def lockAgeMs(): Option[Long] =
-      try Some(System.currentTimeMillis() -
-        fs.getFileStatus(lock).getModificationTime)
-      catch { case _: Throwable => None } // raced release
+    def lockAge(): Option[(Long, String)] =
+      try {
+        fsOp("rename.stat")
+        val age = System.currentTimeMillis() -
+          fs.getFileStatus(lock).getModificationTime
+        // handle = the owner token ("" for a half-created token-less
+        // lock): tryTakeover re-reads it, so a release+re-acquire race
+        // between the observation and the takeover targets nothing
+        Some((age, ownerToken().getOrElse("")))
+      } catch { case _: Throwable => None } // raced release — no lock
 
-    def refresh(token: String): Unit =
+    def refresh(token: String): Unit = {
+      fsOp("rename.touch")
       fs.setTimes(lock, System.currentTimeMillis(), -1)
+    }
 
-    def tryTakeover(token: String): Boolean = {
+    def tryTakeover(token: String, observed: String): Boolean = {
+      // the lock must still carry the OBSERVED identity: a fresh lock
+      // from a release+re-acquire race since the staleness judgment is
+      // a live peer's, not the stale one's (ADVICE r18)
+      val still = try ownerToken().getOrElse("")
+        catch { case _: Throwable => return false }
+      if (still != observed) return false
       // atomic: the rename succeeds for exactly one waiter (the source
       // vanishes for the rest), so two cross-process waiters can never
       // both delete-and-create over each other
       val aside = new Path(storeDir, s"$LockFile.stale-$token")
+      fsOp("rename.rename")
       val won = try fs.rename(lock, aside)
         catch { case _: Throwable => false }
       if (won) try fs.delete(aside, false) catch { case _: Throwable => () }
@@ -219,7 +306,7 @@ private[graft] object StoreCommit {
 
     def release(token: String): Unit =
       try {
-        if (ownerToken().contains(token)) fs.delete(lock, false)
+        if (ownerToken().contains(token)) { fsOp("rename.delete"); fs.delete(lock, false) }
       } catch { case _: Throwable => () } // lock already taken over
   }
 
@@ -268,13 +355,15 @@ private[graft] object StoreCommit {
     private val election = new Path(storeDir, ElectionDir)
     private val Sentinel = "\n#end\n"
 
-    private def listNames(dir: Path, prefix: String): Seq[String] =
+    private def listNames(dir: Path, prefix: String): Seq[String] = {
       // a missing dir is an empty listing; any OTHER failure propagates
       // (a swallowed transient list error would read as "no markers" —
       // the same silent-stale hazard slurp documents)
+      fsOp("marker.list")
       (try fs.listStatus(dir).toSeq
       catch { case _: java.io.FileNotFoundException => Seq.empty })
         .map(_.getPath.getName).filter(_.startsWith(prefix)).sorted
+    }
 
     // --- pointer -----------------------------------------------------
 
@@ -284,16 +373,34 @@ private[graft] object StoreCommit {
       name.stripPrefix("p").takeWhile(_.isDigit).toLongOption.getOrElse(-1L)
 
     /** Complete (sentinel-terminated) markers, sorted by (seq, name). */
-    private def committed(): Seq[(String, String)] =
-      listNames(markers, "p").flatMap { n =>
-        StoreCommit.slurp(fs, new Path(markers, n)) match {
-          case Some(body) if body.endsWith(Sentinel) =>
-            Some(n -> body.dropRight(Sentinel.length))
-          case _ => None // torn upload (or still in flight) — ignore
-        }
-      }.sortBy { case (n, _) => (seqOf(n), n) }
+    private def committed(): Seq[(String, String)] = {
+      var attempt = 0
+      while (true) {
+        val names = listNames(markers, "p")
+        val done = names.flatMap { n =>
+          StoreCommit.slurp(fs, new Path(markers, n), "marker.open") match {
+            case Some(body) if body.endsWith(Sentinel) =>
+              Some(n -> body.dropRight(Sentinel.length))
+            case _ => None // torn upload (or still in flight) — ignore
+          }
+        }.sortBy { case (n, _) => (seqOf(n), n) }
+        // every LISTED marker slurped to nothing: with the one-commit
+        // prune grace that needs the list-then-read window to span TWO
+        // peer commits — re-list (bounded) before concluding "never
+        // written", or an established store transiently reads as empty
+        // to pure readers (ADVICE r18). A genuinely empty/torn-only
+        // listing still returns empty after the bounded retries.
+        if (done.nonEmpty || names.isEmpty || attempt >= 2) return done
+        attempt += 1
+      }
+      Nil // unreachable
+    }
 
-    def readPointer(): Option[String] = committed().lastOption.map(_._2)
+    def readPointer(): Option[String] = {
+      val r = committed().lastOption.map(_._2)
+      if (r.isEmpty) relayoutCheck(fs, storeDir, expectMarkers = true)
+      r
+    }
 
     def commitPointer(body: String): Unit = {
       val prev = committed()
@@ -301,6 +408,7 @@ private[graft] object StoreCommit {
       val token = java.util.UUID.randomUUID().toString
       val name = f"p$seq%020d-$token"
       fs.mkdirs(markers)
+      fsOp("marker.create")
       val out = fs.create(new Path(markers, name), false)
       try out.write((body + Sentinel).getBytes("UTF-8")) finally out.close()
       // read-back verify: under lease + fence nobody else can have
@@ -319,9 +427,11 @@ private[graft] object StoreCommit {
       // unreadable by construction and go with them.
       listNames(markers, "p")
         .filter(n => seqOf(n) >= 0 && seqOf(n) < seq - 1)
-        .foreach(n =>
+        .foreach { n =>
+          fsOp("marker.delete")
           try fs.delete(new Path(markers, n), false)
-          catch { case _: Throwable => () })
+          catch { case _: Throwable => () }
+        }
     }
 
     // --- lock --------------------------------------------------------
@@ -337,6 +447,7 @@ private[graft] object StoreCommit {
       val name = f"c${System.currentTimeMillis()}%020d-$token"
       val p = new Path(election, name)
       try {
+        fsOp("marker.create")
         val out = fs.create(p, false)
         try out.write(s"$who\n${System.currentTimeMillis()}".getBytes("UTF-8"))
         finally out.close()
@@ -355,38 +466,76 @@ private[graft] object StoreCommit {
 
     private def hbPath(token: String) = new Path(election, s"hb-$token")
 
-    def lockAgeMs(): Option[Long] =
-      candidates().headOption.map { n =>
-        val cand = try fs.getFileStatus(new Path(election, n))
-          .getModificationTime catch { case _: Throwable => 0L }
-        val hb = try fs.getFileStatus(hbPath(tokenOf(n)))
-          .getModificationTime catch { case _: Throwable => 0L }
-        System.currentTimeMillis() - math.max(cand, hb)
+    def lockAge(): Option[(Long, String)] =
+      candidates().headOption.flatMap { n =>
+        // a candidate deleted between the list and the stat is a RACED
+        // RELEASE: report "no lock" so the caller retries its acquire —
+        // never epoch-0 mtime = "maximally stale", which would send a
+        // waiter to delete a peer's freshly-acquired live lock
+        // (ADVICE r18). The handle is the candidate NAME, so the
+        // takeover targets exactly this observation.
+        fsOp("marker.stat")
+        val cand = try Some(fs.getFileStatus(new Path(election, n))
+          .getModificationTime)
+          catch { case _: java.io.FileNotFoundException => None }
+        cand.map { c =>
+          val hb = try fs.getFileStatus(hbPath(tokenOf(n)))
+            .getModificationTime
+            catch { case _: Throwable => 0L } // no heartbeat yet
+          (System.currentTimeMillis() - math.max(c, hb), n)
+        }
       }
 
     def refresh(token: String): Unit = {
       // overwrite-put of the heartbeat object: atomic full-object PUT,
       // no mtime mutation of an existing key needed
+      fsOp("marker.create")
       val out = fs.create(hbPath(token), true)
       try out.write(System.currentTimeMillis().toString.getBytes("UTF-8"))
       finally out.close()
     }
 
-    def tryTakeover(token: String): Boolean =
-      candidates().headOption.exists { n =>
-        val t = tokenOf(n)
-        try fs.delete(hbPath(t), false) catch { case _: Throwable => () }
-        // delete is the election's tiebreak here: exactly one concurrent
-        // waiter gets true from removing the same candidate file
-        try fs.delete(new Path(election, n), false)
+    /** Remove hb-<token> files whose token matches no live candidate:
+      * takeover deletes the candidate, but a racing zombie heartbeat
+      * (or a failed hb delete) can strand the hb file forever, growing
+      * `_LOCK.d/` unboundedly under takeover churn (ADVICE r18). The hb
+      * files are listed BEFORE the candidates, so a contender acquiring
+      * between the two lists keeps its heartbeat.
+      */
+    private def sweepOrphanHeartbeats(): Unit =
+      try {
+        val hbs = listNames(election, "hb-").map(_.stripPrefix("hb-"))
+        val live = candidates().map(tokenOf).toSet
+        hbs.filterNot(live).foreach { t =>
+          fsOp("marker.delete")
+          try fs.delete(hbPath(t), false) catch { case _: Throwable => () }
+        }
+      } catch { case _: Throwable => () }
+
+    def tryTakeover(token: String, observed: String): Boolean = {
+      // delete exactly the candidate that was JUDGED stale, and only
+      // while it is still the head of the election — whatever replaced
+      // it since the observation is a live peer's lock (ADVICE r18)
+      if (!candidates().headOption.contains(observed)) return false
+      try fs.delete(hbPath(tokenOf(observed)), false)
+      catch { case _: Throwable => () }
+      // delete is the election's tiebreak here: exactly one concurrent
+      // waiter gets true from removing the same candidate file
+      fsOp("marker.delete")
+      val won = try fs.delete(new Path(election, observed), false)
         catch { case _: Throwable => false }
-      }
+      if (won) sweepOrphanHeartbeats()
+      won
+    }
 
     def release(token: String): Unit = {
-      candidates().filter(n => tokenOf(n) == token).foreach(n =>
+      candidates().filter(n => tokenOf(n) == token).foreach { n =>
+        fsOp("marker.delete")
         try fs.delete(new Path(election, n), false)
-        catch { case _: Throwable => () })
+        catch { case _: Throwable => () }
+      }
       try fs.delete(hbPath(token), false) catch { case _: Throwable => () }
+      sweepOrphanHeartbeats()
     }
   }
 }

@@ -146,7 +146,7 @@ class StoreObjectCommitSpec extends AnyFunSuite with SparkTestBase {
     // heartbeat refreshes liveness without touching the candidate
     Thread.sleep(60)
     p1.refresh("tok-1")
-    assert(p1.lockAgeMs().exists(_ < 60))
+    assert(p1.lockAge().exists(_._1 < 60))
     // a crashed owner: backdate candidate + heartbeat past any lease
     val election = Paths.get(raw, "_LOCK.d")
     Files.list(election).iterator().asScala.foreach { f =>
@@ -154,8 +154,9 @@ class StoreObjectCommitSpec extends AnyFunSuite with SparkTestBase {
         java.nio.file.attribute.FileTime.fromMillis(
           System.currentTimeMillis() - 3600 * 1000L))
     }
-    assert(p2.lockAgeMs().exists(_ > 300000L))
-    assert(p2.tryTakeover("tok-2"))
+    val obs = p2.lockAge()
+    assert(obs.exists(_._1 > 300000L))
+    assert(p2.tryTakeover("tok-2", obs.get._2))
     assert(p2.tryAcquire("tok-2", "w2"))
     assert(p2.ownerToken() === Some("tok-2"))
     // the zombie's release must not dent the new owner's lock
@@ -163,6 +164,70 @@ class StoreObjectCommitSpec extends AnyFunSuite with SparkTestBase {
     assert(p2.ownerToken() === Some("tok-2"))
     p2.release("tok-2")
     assert(p2.ownerToken() === None)
+  }
+
+  test("takeover removes only the lock that was judged stale, never its replacement") {
+    // marker protocol (simobj) and rename protocol (local) both: a
+    // waiter whose staleness judgment predates a release+re-acquire
+    // must NOT delete the fresh lock (ADVICE r18 — the robbed writer
+    // would abort with 'lease lost mid-section' under a benign race)
+    val (objDir, objRaw) = freshDirs()
+    Files.createDirectories(Paths.get(objRaw))
+    val localDir = Files.createTempDirectory("graft-takeover").toString
+    for (dir <- Seq(objDir, localDir)) {
+      val p = StoreCommit.forStore(spark, dir)
+      assert(p.tryAcquire("tok-old", "w-old"))
+      val obs = p.lockAge()
+      assert(obs.nonEmpty)
+      // the observed owner releases and a peer re-acquires in between
+      p.release("tok-old")
+      assert(p.tryAcquire("tok-new", "w-new"))
+      assert(!p.tryTakeover("tok-waiter", obs.get._2),
+        s"$dir: takeover deleted a fresh live lock")
+      assert(p.ownerToken() === Some("tok-new"))
+      p.release("tok-new")
+    }
+  }
+
+  test("orphan heartbeat files are swept at release") {
+    val (dir, raw) = freshDirs()
+    Files.createDirectories(Paths.get(raw, "_LOCK.d"))
+    // a zombie's stranded heartbeat from a long-gone takeover
+    Files.write(Paths.get(raw, "_LOCK.d", "hb-zombie"),
+      "123".getBytes("UTF-8"))
+    val p = StoreCommit.forStore(spark, dir)
+    assert(p.tryAcquire("tok-1", "w1"))
+    p.refresh("tok-1")
+    p.release("tok-1")
+    val left = Files.list(Paths.get(raw, "_LOCK.d")).iterator().asScala
+      .map(_.getFileName.toString).toSeq
+    assert(left.isEmpty, s"election dir not swept: $left")
+  }
+
+  test("a store recreated under the other layout re-resolves instead of mis-pinning") {
+    val root = Files.createTempDirectory("graft-relayout").toString
+    val dir = s"$root/store"
+    KeyedUpsertSink.upsertBatch(mk("a" -> 1L), dir, Seq("k"), "ts", 0L)
+    assert(Files.exists(Paths.get(dir, "_CURRENT")))
+    // out-of-band: the dir is deleted and recreated as a MARKER store
+    // while this JVM's protocol cache still holds RenameCommit
+    def wipe(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p))
+        Files.list(p).iterator().asScala.toSeq.foreach(wipe)
+      Files.deleteIfExists(p)
+    }
+    wipe(Paths.get(dir))
+    Files.createDirectories(Paths.get(dir, "_CURRENT.d"))
+    Files.write(Paths.get(dir, "_CURRENT.d", "p" + "0" * 19 + "1-x"),
+      "buckets=16\n#end\n".getBytes("UTF-8"))
+    // the cached rename protocol finds no _CURRENT, detects the marker
+    // layout, invalidates itself, and fails LOUD instead of treating
+    // the populated store as brand new
+    intercept[IllegalStateException] {
+      KeyedUpsertSink.readState(spark, dir)
+    }
+    // the retry re-resolves to markers and reads the recreated store
+    assert(KeyedUpsertSink.readState(spark, dir).exists(_.numBuckets == 16))
   }
 
   test("fence on markers: a writer whose lease was usurped aborts before the flip") {
@@ -193,7 +258,9 @@ class StoreObjectCommitSpec extends AnyFunSuite with SparkTestBase {
       assert(candidates().nonEmpty, "victim never acquired the lock")
       Thread.sleep(100)
       val usurper = StoreCommit.forStore(spark, dir)
-      assert(usurper.tryTakeover("tok-usurper"))
+      val seen = usurper.lockAge()
+      assert(seen.nonEmpty, "usurper observed no lock to take over")
+      assert(usurper.tryTakeover("tok-usurper", seen.get._2))
       assert(usurper.tryAcquire("tok-usurper", "usurper"))
       victim.join(30000)
       assert(!victim.isAlive, "victim writer hung")
