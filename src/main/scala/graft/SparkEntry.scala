@@ -84,6 +84,16 @@ object SparkEntry {
     */
   private def tripStoreFinal(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.TripStore
+    val (raw, matcher) = tripStoreItems(s, dir)
+    TripStore.finalState(raw.unionByName(matcher))
+  }
+
+  /** The trip table's item families (RAW ingest puts, matcher puts),
+    * shared by [[tripStoreFinal]]'s relational twin and
+    * [[tripStoreLookup]]'s on-disk store.
+    */
+  private def tripStoreItems(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import graft.streaming.TripStore
     val starts = Tables.orders(s, dir).select(
       col("o_orderkey").cast("string").as("trip_id"),
       lit("trip_start").as("data_type"),
@@ -111,9 +121,51 @@ object SparkEntry {
       .select(col("trip_id"), col("pickup_datetime"), col("estimated_fare_amount"))
       .join(ends.select(col("trip_id"), col("dropoff_datetime"), col("fare_amount")),
         Seq("trip_id"))
-    TripStore.finalState(
-      TripStore.rawItems(starts.unionByName(ends), sAttrs, eAttrs)
-        .unionByName(TripStore.matcherItems(completed, sAttrs, eAttrs)))
+    (TripStore.rawItems(starts.unionByName(ends), sAttrs, eAttrs),
+      TripStore.matcherItems(completed, sAttrs, eAttrs))
+  }
+
+  /** The r18 point-lookup path made oracle-visible (r18 verdict item 4):
+    * the trip items are upserted into a REAL on-disk
+    * [[KeyedUpsertSink]] store bucketed by `trip_id` (two generations —
+    * RAW ingest, then the matcher's puts), and a fixed probe set (every
+    * 100th order) is answered via [[KeyedUpsertSink.readStoreForKeys]],
+    * which reads ONLY the probe's hash buckets. Co-resident foreign
+    * trips ride along in the touched buckets by design, so the lookup
+    * joins back to the probe — exactly how a production point-read uses
+    * the pruned scan. The DuckDB oracle is the full LWW state filtered
+    * to the same probe, so a green row proves pruned == full.
+    *
+    * The store's `orderCol` is the composite `struct(status_rank,
+    * processed_at)` — [[graft.streaming.TripStore.finalState]]'s exact
+    * ordering — so the merge's winner under the 1:N matcher (one
+    * processed-start re-put per match, latest dropoff wins) is the
+    * oracle's winner; a bare `status_rank` would leave rank ties to the
+    * merge's replay-stable row-hash, which is deterministic but not the
+    * reference's latest-processed_at semantics.
+    */
+  private[graft] def tripStoreLookup(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.KeyedUpsertSink
+    import graft.streaming.TripStore
+    val (raw, matcher) = tripStoreItems(s, dir)
+    val ord = struct(col("status_rank"),
+      coalesce(col("processed_at"), lit(""))).as("_ord")
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("trip_store_lookup").toString
+    Seq(raw, matcher).zipWithIndex.foreach { case (items, i) =>
+      KeyedUpsertSink.upsertBatch(items.withColumn("_ord", ord), storeDir,
+        TripStore.Keys, "_ord", batchId = i.toLong, versionWins = true,
+        numBuckets = 32, bucketCols = Seq("trip_id"))
+    }
+    val probe = Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey").cast("string").as("trip_id")).distinct()
+    KeyedUpsertSink.readStoreForKeys(s, storeDir, probe, Seq("trip_id")).get
+      .join(probe, Seq("trip_id"))
+      .select(col("trip_id"), col("sk"), col("data_type"), col("status"),
+        col("status_rank"), col("processed_at"), col("pickup_datetime"),
+        col("estimated_fare_amount"), col("dropoff_datetime"),
+        col("fare_amount"))
   }
 
   /** Point-in-time lookup: every click event annotated with the latest
@@ -218,6 +270,53 @@ object SparkEntry {
   private val embCorpusSql =
     """corpus AS (SELECT vec_id, embedding FROM embeddings UNION ALL
       |SELECT vec_id+100000 AS vec_id, embedding FROM embeddings WHERE vec_id%25=0)""".stripMargin
+
+  /** The trip table's LWW final state — shared by the trip_store_final
+    * oracle and trip_store_lookup's probe-filtered variant.
+    */
+  private val tripStoreFinalSql: String =
+    """WITH starts AS (
+      |  SELECT CAST(o_orderkey AS VARCHAR) AS trip_id,
+      |         CAST(o_orderdate AS VARCHAR) AS pickup_datetime,
+      |         o_totalprice AS estimated_fare_amount FROM orders),
+      |ends AS (
+      |  SELECT CAST(l_orderkey AS VARCHAR) AS trip_id,
+      |         CAST(l_shipdate AS VARCHAR) AS dropoff_datetime,
+      |         l_extendedprice AS fare_amount
+      |  FROM (SELECT l_orderkey, l_shipdate, l_extendedprice,
+      |        row_number() OVER (PARTITION BY l_orderkey, l_shipdate
+      |          ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice)
+      |          AS rn FROM lineitem) t WHERE rn = 1),
+      |items AS (
+      |  SELECT trip_id, concat_ws('#', 'RAW', 'trip_start', pickup_datetime) AS sk,
+      |    'trip_start' AS data_type, 'raw' AS status, CAST(0 AS BIGINT) AS status_rank,
+      |    CAST(NULL AS VARCHAR) AS processed_at, pickup_datetime,
+      |    estimated_fare_amount, CAST(NULL AS VARCHAR) AS dropoff_datetime,
+      |    CAST(NULL AS DOUBLE) AS fare_amount FROM starts
+      |  UNION ALL
+      |  SELECT trip_id, concat_ws('#', 'RAW', 'trip_end', dropoff_datetime),
+      |    'trip_end', 'raw', 0, NULL, NULL, NULL, dropoff_datetime, fare_amount
+      |  FROM ends
+      |  UNION ALL
+      |  SELECT s.trip_id, concat_ws('#', 'COMPLETED', e.dropoff_datetime),
+      |    'completed_trip', 'completed', 1, NULL, s.pickup_datetime,
+      |    s.estimated_fare_amount, e.dropoff_datetime, e.fare_amount
+      |  FROM starts s JOIN ends e USING (trip_id)
+      |  UNION ALL
+      |  SELECT s.trip_id, concat_ws('#', 'RAW', 'trip_start', s.pickup_datetime),
+      |    'trip_start', 'processed_by_matcher', 1, e.dropoff_datetime,
+      |    s.pickup_datetime, s.estimated_fare_amount, NULL, NULL
+      |  FROM starts s JOIN ends e USING (trip_id)
+      |  UNION ALL
+      |  SELECT s.trip_id, concat_ws('#', 'RAW', 'trip_end', e.dropoff_datetime),
+      |    'trip_end', 'processed_by_matcher', 1, e.dropoff_datetime,
+      |    NULL, NULL, e.dropoff_datetime, e.fare_amount
+      |  FROM starts s JOIN ends e USING (trip_id))
+      |SELECT trip_id, sk, data_type, status, status_rank, processed_at,
+      |  pickup_datetime, estimated_fare_amount, dropoff_datetime, fare_amount
+      |FROM (SELECT *, row_number() OVER (PARTITION BY trip_id, sk
+      |      ORDER BY status_rank DESC, processed_at DESC NULLS LAST) AS rn
+      |      FROM items) f WHERE rn = 1""".stripMargin
 
   /** The full c4_end_to_end CTE chain through the packed relation
     * `pk` — shared by the c4_end_to_end oracle and the c4_shards
@@ -1248,6 +1347,7 @@ object SparkEntry {
     // bucketed upsert store converges to. orders=starts, lineitem=ends
     // (first lineitem per (order, shipdate), so SKs are unique).
     "trip_store_final" -> ((s, dir) => tripStoreFinal(s, dir)),
+    "trip_store_lookup" -> ((s, dir) => tripStoreLookup(s, dir)),
 
     // Anti-join: still-unmatched starts, the derived `status='raw'` set
     // (README.md:57 semantics made declarative).
@@ -3730,49 +3830,14 @@ object SparkEntry {
         |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         |GROUP BY CAST(o.o_orderdate AS DATE)""".stripMargin,
 
-    "trip_store_final" ->
-      """WITH starts AS (
-        |  SELECT CAST(o_orderkey AS VARCHAR) AS trip_id,
-        |         CAST(o_orderdate AS VARCHAR) AS pickup_datetime,
-        |         o_totalprice AS estimated_fare_amount FROM orders),
-        |ends AS (
-        |  SELECT CAST(l_orderkey AS VARCHAR) AS trip_id,
-        |         CAST(l_shipdate AS VARCHAR) AS dropoff_datetime,
-        |         l_extendedprice AS fare_amount
-        |  FROM (SELECT l_orderkey, l_shipdate, l_extendedprice,
-        |        row_number() OVER (PARTITION BY l_orderkey, l_shipdate
-        |          ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice)
-        |          AS rn FROM lineitem) t WHERE rn = 1),
-        |items AS (
-        |  SELECT trip_id, concat_ws('#', 'RAW', 'trip_start', pickup_datetime) AS sk,
-        |    'trip_start' AS data_type, 'raw' AS status, CAST(0 AS BIGINT) AS status_rank,
-        |    CAST(NULL AS VARCHAR) AS processed_at, pickup_datetime,
-        |    estimated_fare_amount, CAST(NULL AS VARCHAR) AS dropoff_datetime,
-        |    CAST(NULL AS DOUBLE) AS fare_amount FROM starts
-        |  UNION ALL
-        |  SELECT trip_id, concat_ws('#', 'RAW', 'trip_end', dropoff_datetime),
-        |    'trip_end', 'raw', 0, NULL, NULL, NULL, dropoff_datetime, fare_amount
-        |  FROM ends
-        |  UNION ALL
-        |  SELECT s.trip_id, concat_ws('#', 'COMPLETED', e.dropoff_datetime),
-        |    'completed_trip', 'completed', 1, NULL, s.pickup_datetime,
-        |    s.estimated_fare_amount, e.dropoff_datetime, e.fare_amount
-        |  FROM starts s JOIN ends e USING (trip_id)
-        |  UNION ALL
-        |  SELECT s.trip_id, concat_ws('#', 'RAW', 'trip_start', s.pickup_datetime),
-        |    'trip_start', 'processed_by_matcher', 1, e.dropoff_datetime,
-        |    s.pickup_datetime, s.estimated_fare_amount, NULL, NULL
-        |  FROM starts s JOIN ends e USING (trip_id)
-        |  UNION ALL
-        |  SELECT s.trip_id, concat_ws('#', 'RAW', 'trip_end', e.dropoff_datetime),
-        |    'trip_end', 'processed_by_matcher', 1, e.dropoff_datetime,
-        |    NULL, NULL, e.dropoff_datetime, e.fare_amount
-        |  FROM starts s JOIN ends e USING (trip_id))
-        |SELECT trip_id, sk, data_type, status, status_rank, processed_at,
-        |  pickup_datetime, estimated_fare_amount, dropoff_datetime, fare_amount
-        |FROM (SELECT *, row_number() OVER (PARTITION BY trip_id, sk
-        |      ORDER BY status_rank DESC, processed_at DESC NULLS LAST) AS rn
-        |      FROM items) f WHERE rn = 1""".stripMargin,
+    "trip_store_final" -> tripStoreFinalSql,
+
+    // the pruned point-lookup must equal the full LWW state restricted
+    // to the probe (every 100th order)
+    "trip_store_lookup" ->
+      s"""WITH final AS ($tripStoreFinalSql)
+         |SELECT * FROM final
+         |WHERE CAST(trip_id AS BIGINT) % 100 = 0""".stripMargin,
 
     "unmatched_trips" ->
       """SELECT o_orderkey AS trip_id, o_custkey, o_orderstatus, o_totalprice,
