@@ -480,9 +480,28 @@ object Bench {
           else goldenFeed.iterator.map(
             _.replace("\"trip_id\":\"", s"""\"trip_id\":\"r$i~"""))
         }.toArray
+      // Per-hop state-store metrics off the queries' own progress
+      // reports (r18 verdict item 5): rows in state, cumulative state
+      // commit seconds, and state memory at the last micro-batch.
+      def stateMetrics(q: org.apache.spark.sql.streaming.StreamingQuery)
+          : (Long, Double, Long) = {
+        val progs = q.recentProgress
+        val commitMs = progs.iterator.flatMap(_.stateOperators)
+          .map(_.commitTimeMs).sum
+        val last = progs.lastOption
+        (last.map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L),
+          commitMs / 1000.0,
+          last.map(_.stateOperators.map(_.memoryUsedBytes).sum).getOrElse(0L))
+      }
+      val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+      val RocksCls = "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider"
       def run(tag: String, feed: Array[String], concurrent: Boolean,
-          chunks: Int): String = {
+          chunks: Int, provider: String = "hdfs"): String = {
         KeyedUpsertSink.leaseWaitMs.clear()
+        KeyedUpsertSink.commitStatsClear()
+        if (provider == "rocksdb") spark.conf.set(ProviderKey, RocksCls)
+        else spark.conf.unset(ProviderKey)
         val base = java.nio.file.Files
           .createTempDirectory(s"bench_topo_$tag").toString
         val input = org.apache.spark.sql.execution.streaming.runtime
@@ -492,6 +511,13 @@ object Bench {
           s"$base/changes", s"$base/ckpt_i").start()
         def matcher() = TripTopology.matcherWriter(spark, s"$base/changes",
           s"$base/store", s"$base/ckpt_m", maxFilesPerTrigger = 256).start()
+        var matRows = 0L; var matCommitSec = 0.0; var matMem = 0L
+        def drainMatcherStats(m: org.apache.spark.sql.streaming.StreamingQuery)
+            : Unit = {
+          val (r, c, b) = stateMetrics(m)
+          matRows = math.max(matRows, r); matCommitSec += c
+          matMem = math.max(matMem, b)
+        }
         val t0 = System.nanoTime()
         try {
           if (concurrent) {
@@ -501,25 +527,34 @@ object Bench {
                 input.addData(c); ingest.processAllAvailable()
               }
               m.processAllAvailable() // drain the tail of the change feed
+              drainMatcherStats(m)
             } finally m.stop()
           } else {
             groups.foreach { c =>
               input.addData(c); ingest.processAllAvailable()
               val m = matcher()
-              try m.processAllAvailable() finally m.stop()
+              try { m.processAllAvailable(); drainMatcherStats(m) }
+              finally m.stop()
             }
           }
         } finally ingest.stop()
         val secs = (System.nanoTime() - t0) / 1e9
+        val (ingRows, ingCommitSec, ingMem) = stateMetrics(ingest)
+        spark.conf.unset(ProviderKey)
         val waits = KeyedUpsertSink.leaseWaitSnapshot()
+        val cstats = KeyedUpsertSink.commitStatsSnapshot()
+        val cstatsObj = cstats.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
         val completed = KeyedUpsertSink.readStore(spark, s"$base/store").get
           .filter(org.apache.spark.sql.functions.col("sk")
             .startsWith("COMPLETED#")).count()
-        System.err.println(f"[bench] topology $tag: ${feed.length} events" +
-          f" in $secs%.1f s (${feed.length / secs}%.0f ev/s), $completed" +
-          f" completed; lease wait ing ${waits.getOrElse("ing", 0L) / 1000.0}%.2f s" +
-          f" / mat ${waits.getOrElse("mat", 0L) / 1000.0}%.2f s")
-        s""""$tag":{"events":${feed.length},"chunks":$chunks,"elapsed_sec":${jnum(secs)},"events_per_sec":${jnum(feed.length / secs)},"completed":$completed,"lease_wait_sec":{"ing":${jnum(waits.getOrElse("ing", 0L) / 1000.0)},"mat":${jnum(waits.getOrElse("mat", 0L) / 1000.0)}}}"""
+        System.err.println(f"[bench] topology $tag($provider): " +
+          f"${feed.length} events in $secs%.1f s" +
+          f" (${feed.length / secs}%.0f ev/s), $completed completed;" +
+          f" lease wait ing ${waits.getOrElse("ing", 0L) / 1000.0}%.2f s" +
+          f" / mat ${waits.getOrElse("mat", 0L) / 1000.0}%.2f s;" +
+          s" commit stats $cstats")
+        s""""$tag":{"events":${feed.length},"chunks":$chunks,"provider":${jstr(provider)},"elapsed_sec":${jnum(secs)},"events_per_sec":${jnum(feed.length / secs)},"completed":$completed,"lease_wait_sec":{"ing":${jnum(waits.getOrElse("ing", 0L) / 1000.0)},"mat":${jnum(waits.getOrElse("mat", 0L) / 1000.0)}},"commit_stats":$cstatsObj,"state":{"ing_rows":$ingRows,"ing_commit_sec":${jnum(ingCommitSec)},"ing_mem_bytes":$ingMem,"mat_rows":$matRows,"mat_commit_sec":${jnum(matCommitSec)},"mat_mem_bytes":$matMem}}"""
       }
       val x1 = feedTimes(1)
       val x10 = feedTimes(10)
@@ -527,10 +562,138 @@ object Bench {
         run("pingpong_x1", x1, concurrent = false, chunks = 5),
         run("concurrent_x1", x1, concurrent = true, chunks = 5),
         run("pingpong_x10", x10, concurrent = false, chunks = 5),
-        run("concurrent_x10", x10, concurrent = true, chunks = 5))
+        run("concurrent_x10", x10, concurrent = true, chunks = 5),
+        // same experiment on the deploy-grade state store (r18 verdict
+        // item 5): provider-labeled so the rows are comparable
+        run("concurrent_x10_rocksdb", x10, concurrent = true, chunks = 5,
+          provider = "rocksdb"))
       s"""{${parts.mkString(",")}}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] topology FAILED — ${e.getMessage}")
+      s"""{"error":${jstr(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}}"""
+    }
+
+    // Optimistic-commit CONTENTION probe (r18 verdict item 3): N
+    // same-JVM writers, each upserting a full-bucket-span batch into
+    // ONE shared store — every commit races every other, the shape that
+    // retry-stormed the concurrent topology pre-cooldown. Writers use
+    // DISJOINT keys (w mod writers) so the final state is deterministic
+    // while every BUCKET still overlaps (conflict detection is
+    // bucket-level). The locked twin (optimistic off) prices the
+    // protocol A/B under the same contention.
+    val contention = try {
+      import org.apache.spark.sql.functions.{col, lit}
+      import graft.operators.KeyedUpsertSink
+      def probe(tag: String, writers: Int, batches: Int,
+          optimistic: Boolean): String = {
+        KeyedUpsertSink.commitStatsClear()
+        KeyedUpsertSink.leaseWaitMs.clear()
+        if (!optimistic) sys.props("graft.store.optimistic") = "off"
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"bench_cont_$tag").toString
+        val errsQ = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+        val t0 = System.nanoTime()
+        try {
+          val threads = (0 until writers).map { w =>
+            val t = new Thread(() => {
+              try {
+                for (b <- 0 until batches) {
+                  val df = spark.range(2000)
+                    .select(((col("id") * writers + w) % 3000).as("k"),
+                      (col("id") * writers + w + b.toLong * 10000)
+                        .cast("long").as("ver"),
+                      lit(w).as("writer"))
+                  KeyedUpsertSink.upsertBatch(df, dir, Seq("k"), "ver",
+                    b.toLong, versionWins = true, numBuckets = 32,
+                    writerId = s"w$w")
+                }
+              } catch { case e: Throwable =>
+                errsQ.add(s"w$w: ${Option(e.getMessage).getOrElse(e.getClass.getName)}".take(160))
+              }
+            })
+            t.setDaemon(true); t
+          }
+          threads.foreach(_.start()); threads.foreach(_.join())
+        } finally if (!optimistic) sys.props.remove("graft.store.optimistic")
+        val secs = (System.nanoTime() - t0) / 1e9
+        val stats = KeyedUpsertSink.commitStatsSnapshot()
+        val statsObj = stats.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+        val waits = KeyedUpsertSink.leaseWaitSnapshot()
+        val waitSec = waits.values.sum / 1000.0
+        val rows = KeyedUpsertSink.readStore(spark, dir)
+          .map(_.count()).getOrElse(0L)
+        System.err.println(f"[bench] contention $tag: $writers writers x " +
+          f"$batches batches in $secs%.1f s, $rows rows, lease wait " +
+          f"$waitSec%.2f s, stats $stats")
+        s""""$tag":{"writers":$writers,"batches_per_writer":$batches,"optimistic":$optimistic,"elapsed_sec":${jnum(secs)},"store_rows":$rows,"lease_wait_sec":${jnum(waitSec)},"commit_stats":$statsObj,"errors":[${errsQ.toArray.map(e => jstr(e.toString)).mkString(",")}]}"""
+      }
+      val parts = Seq(
+        probe("w1", 1, 8, optimistic = true),
+        probe("w2", 2, 8, optimistic = true),
+        probe("w4", 4, 8, optimistic = true),
+        probe("w4_locked", 4, 8, optimistic = false))
+      s"""{${parts.mkString(",")}}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] contention FAILED — ${e.getMessage}")
+      s"""{"error":${jstr(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}}"""
+    }
+
+    // Store-commit seam microbench (r18 verdict items 2 and 6): the
+    // CONTROL path alone — one reader pointer-read plus the writer's
+    // acquire → read → flip → release, the per-upsert control footprint
+    // with the merge job factored out — K times per protocol, fs-op
+    // counters snapshotted around the loop. rename_local is the
+    // pre-seam-equivalent baseline; marker_local prices the write-once
+    // protocol on the same fs; marker_simobj pays it where it's
+    // mandatory (copy+delete renames, the object-store shape).
+    val storeSeam = try {
+      import graft.operators.StoreCommit
+      spark.sparkContext.hadoopConfiguration.set("fs.simobj.impl",
+        classOf[graft.SimObjFileSystem].getName)
+      def cycle(tag: String, mode: String, mkDir: => String, k: Int): String = {
+        val prevMode = sys.props.get("graft.store.commit")
+        if (mode.nonEmpty) sys.props("graft.store.commit") = mode
+        val proto = try StoreCommit.forStore(spark, mkDir)
+          finally {
+            if (mode.nonEmpty) prevMode match {
+              case Some(m) => sys.props("graft.store.commit") = m
+              case None => sys.props.remove("graft.store.commit")
+            }
+          }
+        StoreCommit.fsOpsClear()
+        val token = java.util.UUID.randomUUID().toString
+        val t0 = System.nanoTime()
+        var i = 0
+        while (i < k) {
+          proto.readPointer()
+          if (!proto.tryAcquire(token, s"bench:$i"))
+            throw new IllegalStateException(s"seam $tag: lock held at $i")
+          proto.readPointer()
+          proto.commitPointer(s"buckets=32\n0=gen-$i")
+          proto.release(token)
+          i += 1
+        }
+        val secs = (System.nanoTime() - t0) / 1e9
+        val ops = StoreCommit.fsOpsSnapshot()
+        val totalOps = ops.values.sum
+        val opsObj = ops.toSeq.sortBy(_._1)
+          .map { case (kk, v) => s"${jstr(kk)}:$v" }.mkString("{", ",", "}")
+        System.err.println(f"[bench] seam $tag: $k commits in $secs%.2f s " +
+          f"(${secs * 1000 / k}%.3f ms/commit, " +
+          f"${totalOps.toDouble / k}%.1f fs ops/commit)")
+        s""""$tag":{"commits":$k,"elapsed_sec":${jnum(secs)},"ms_per_commit":${jnum(secs * 1000 / k)},"fs_ops_total":$totalOps,"fs_ops_per_commit":${jnum(totalOps.toDouble / k)},"fs_ops":$opsObj}"""
+      }
+      def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+      val K = 1000
+      val parts = Seq(
+        cycle("rename_local", "rename", tmp("bench_seam_rn"), K),
+        cycle("marker_local", "marker", tmp("bench_seam_mk"), K),
+        cycle("marker_simobj", "",
+          { val raw = tmp("bench_seam_so"); s"simobj://$raw/store" }, K))
+      s"""{${parts.mkString(",")}}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] store seam FAILED — ${e.getMessage}")
       s"""{"error":${jstr(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}}"""
     }
 
@@ -581,7 +744,7 @@ object Bench {
     val gcObj = gcByQuery.map { case (n, g) => s"${jstr(n)}:${jnum(g)}" }
       .mkString("{", ",", "}")
     val coResObj = coResident.map(jstr).mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":${resultsAll.count(_._2.isLeft)},"loadavg":$loadAvg,"load_at_start":${jnum(loadAtStart)},"load_wait_sec":${jnum(loadWaitSec)},"dirty_mb_at_start":${jnum(dirtyAtStart)},"steal_cores_at_start":${jnum(stealAtStart)},"external_cpu_cores":${jnum(runExtCores)},"steal_cores_run":${jnum(runStealCores)},"co_resident_jvms":$coResObj,"cpus":$cpus,"retimed_queries":$retimedObj,"rerun_delta":$rerunDelta,"rerun_queries":$rerunNames,"ann_recall":$annRecall,"bpe_batched":$bpe,"ingest":$ingest,"topology":$topology,"c4_pipeline":$c4,"scaleup":$scaleup,"streaming":$streaming,"sf":"$sfDir","errors":$errs,"gc_sec":$gcObj,"queries":$qs}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":${resultsAll.count(_._2.isLeft)},"loadavg":$loadAvg,"load_at_start":${jnum(loadAtStart)},"load_wait_sec":${jnum(loadWaitSec)},"dirty_mb_at_start":${jnum(dirtyAtStart)},"steal_cores_at_start":${jnum(stealAtStart)},"external_cpu_cores":${jnum(runExtCores)},"steal_cores_run":${jnum(runStealCores)},"co_resident_jvms":$coResObj,"cpus":$cpus,"retimed_queries":$retimedObj,"rerun_delta":$rerunDelta,"rerun_queries":$rerunNames,"ann_recall":$annRecall,"bpe_batched":$bpe,"ingest":$ingest,"topology":$topology,"contention":$contention,"store_seam":$storeSeam,"c4_pipeline":$c4,"scaleup":$scaleup,"streaming":$streaming,"sf":"$sfDir","errors":$errs,"gc_sec":$gcObj,"queries":$qs}"""
     println(line)
     // belt-and-braces: the identical JSON, committed as its own file —
     // the durable copy of every per-query timing regardless of what the

@@ -348,14 +348,32 @@ object ScaleBench {
     val setupGc = (0 until setupBatches).map(i =>
       timer.gcSec.remove(s"$keyPrefix.setup_batch_$i").getOrElse(0.0)).sum
     timer.gcSec(s"$keyPrefix.setup_sec") = setupGc
+    // the sig/band-index compaction cadence (corpus-proportional BY
+    // DESIGN, amortized over the grace window like compact_sec): grows
+    // both stores' bucket counts to ~256 rows/bucket so the probe below
+    // measures the post-compaction steady state — the state a
+    // continuously-compacted deployment is in almost always
+    val sigCompact = timer.timeNoRetime(s"$keyPrefix.sig_compact_sec") {
+      IncrementalDedup.compactStores(spark, s"$base/sigs",
+        targetRowsPerBucket = 256L)
+    }
     val probeIngest = timer.timeNoRetime(s"$keyPrefix.probe_ingest_sec") {
       IncrementalDedup.ingestBatch(probe, s"$base/sigs", 900L).count()
     }
     val probeBoiler = timer.timeNoRetime(s"$keyPrefix.probe_boilerplate_sec") {
       IncrementalBoilerplate.updateStore(s"$base/unitdf", 900L, probe)
     }
+    // fold_read split into PLAN (delta/base dir listing) vs READ (the
+    // full-relation fold itself, corpus-proportional by design) so the
+    // artifact names which term grows (r18 verdict item 1)
+    var foldRows = 0L
+    val foldPlan = timer.time(s"$keyPrefix.fold_plan_sec") {
+      IncrementalBoilerplate.readUnitDf(spark, s"$base/unitdf").get
+    }
     val foldRead = timer.time(s"$keyPrefix.fold_read_sec") {
-      IncrementalBoilerplate.readUnitDf(spark, s"$base/unitdf").get.count()
+      foldRows = IncrementalBoilerplate.readUnitDf(spark, s"$base/unitdf")
+        .get.count()
+      foldRows
     }
     // compact buckets the base by unit hash with a corpus-SCALED count
     // (targetRowsPerBucket chosen small so the scaling law is visible
@@ -374,12 +392,34 @@ object ScaleBench {
       IncrementalBoilerplate.cleanAgainstStore(probe50, s"$base/unitdf",
         minDocFreq = 2).count()
     }
+    // per-phase attribution (r18 verdict item 1): bucket counts, delta
+    // dirs, and relation sizes alongside the timings, so a growing term
+    // is NAMED by the artifact rather than inferred
+    import graft.operators.{DeltaLog, KeyedUpsertSink}
+    def buckets(dir: String): Double =
+      KeyedUpsertSink.readState(spark, dir).map(_.numBuckets.toDouble)
+        .getOrElse(0.0)
+    val unitBase = s"$base/unitdf"
+    val fs = new org.apache.hadoop.fs.Path(unitBase)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def dirCount(p: String, prefix: String): Double =
+      (try fs.listStatus(new org.apache.hadoop.fs.Path(p)).toSeq
+      catch { case _: Throwable => Seq.empty })
+        .count(_.getPath.getName.startsWith(prefix)).toDouble
+    val unitNb = DeltaLog.readBucketCount(spark, unitBase).getOrElse(0)
     Map("docs" -> n.toDouble, "setup_batches" -> setupBatches.toDouble,
       "setup_sec" -> setupSec, "setup_sec_per_batch" -> setupSec / setupBatches,
+      "sig_compact_sec" -> sigCompact,
       "probe_ingest_sec" -> probeIngest,
       "probe_boilerplate_sec" -> probeBoiler,
+      "fold_plan_sec" -> foldPlan,
       "fold_read_sec" -> foldRead, "compact_sec" -> compactSec,
-      "clean_probe_sec" -> cleanSec)
+      "clean_probe_sec" -> cleanSec,
+      "fold_rows" -> foldRows.toDouble,
+      "sig_buckets" -> buckets(s"$base/sigs"),
+      "bands_buckets" -> buckets(s"$base/sigs/lshidx"),
+      "unitdf_buckets" -> unitNb.toDouble,
+      "unitdf_delta_dirs" -> dirCount(s"$unitBase/delta", "batch="))
   }
 
   def main(args: Array[String]): Unit = {
@@ -500,8 +540,8 @@ object ScaleBench {
       def obj(m: Map[String, Double]) = m.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""$k":${jnum(v)}""" }.mkString("{", ",", "}")
       val keys = Seq("probe_ingest_sec", "probe_boilerplate_sec",
-        "fold_read_sec", "compact_sec", "clean_probe_sec",
-        "setup_sec_per_batch")
+        "fold_plan_sec", "fold_read_sec", "compact_sec", "sig_compact_sec",
+        "clean_probe_sec", "setup_sec_per_batch")
       val ratios = keys.map(k =>
         s""""$k":${jnum(sec(ten, k) / sec(one, k))}""").mkString("{", ",", "}")
       keys.foreach { k =>
@@ -814,7 +854,8 @@ object ScaleBench {
         def obj(m: Map[String, Double]) = m.toSeq.sortBy(_._1)
           .map { case (k, v) => s""""$k":${jnum(v)}""" }.mkString("{", ",", "}")
         val keys = Seq("probe_ingest_sec", "probe_boilerplate_sec",
-          "fold_read_sec", "compact_sec", "clean_probe_sec")
+          "fold_plan_sec", "fold_read_sec", "compact_sec", "sig_compact_sec",
+          "clean_probe_sec")
         val ratios = keys.map(k =>
           s""""$k":${jnum(sec(hundred, k) / sec(ten, k))}""")
           .mkString("{", ",", "}")

@@ -145,11 +145,12 @@ private[graft] object DeltaLog {
     * a bucket ride along and stay join-inert downstream. Falls back to
     * the full-relation fold when the base is unbucketed.
     */
-  def readFoldedFor(spark: SparkSession, storeDir: String,
-      merge: DataFrame => DataFrame, hashCols: Seq[String],
-      probe: DataFrame): Option[DataFrame] = {
-    val base = newestCommitted(spark, s"$storeDir/base", "upto=")
-    val nb = base.flatMap { case (_, p) =>
+  /** The newest base snapshot's pinned bucket count, or None for an
+    * unbucketed (or empty) store.
+    */
+  private[graft] def readBucketCount(spark: SparkSession,
+      storeDir: String): Option[Int] =
+    newestCommitted(spark, s"$storeDir/base", "upto=").flatMap { case (_, p) =>
       val fs = new Path(storeDir)
         .getFileSystem(spark.sessionState.newHadoopConf())
       try {
@@ -159,6 +160,12 @@ private[graft] object DeltaLog {
         finally in.close()
       } catch { case _: Throwable => None }
     }
+
+  def readFoldedFor(spark: SparkSession, storeDir: String,
+      merge: DataFrame => DataFrame, hashCols: Seq[String],
+      probe: DataFrame): Option[DataFrame] = {
+    val base = newestCommitted(spark, s"$storeDir/base", "upto=")
+    val nb = if (base.isEmpty) None else readBucketCount(spark, storeDir)
     nb match {
       case None => readFolded(spark, storeDir, merge) // unbucketed base
       case Some(b) =>

@@ -86,14 +86,76 @@ object IncrementalDedup {
       .select("id_a", "id_b", "sig_agreement")
   }
 
+  /** The LSH band INDEX nested under the signature store: the banded
+    * corpus relation (id, band, key) as its own [[KeyedUpsertSink]]
+    * store bucketed by (band, key) — the secondary-index
+    * materialization that turns the per-batch candidate join from a
+    * full-corpus scan into a bucket-pruned read
+    * ([[KeyedUpsertSink.readStoreForKeys]] over the batch's own band
+    * keys). Nested inside the store root ([[KeyedUpsertSink]] pruning
+    * touches only `gen-*` dirs, so a foreign subdir is safe) to keep
+    * the one-storeDir API.
+    */
+  private def bandsDir(storeDir: String) = s"$storeDir/lshidx"
+
   /** Persist a batch's (id, sig) signatures into the bucketed keyed
-    * store at `storeDir` (LWW by `batch_id`; re-delivery idempotent).
+    * store at `storeDir` (LWW by `batch_id`; re-delivery idempotent),
+    * and fold the batch's BAND rows into the [[bandsDir]] index.
+    *
+    * Index-completeness gate: the index is only written when it already
+    * exists or the signature store is brand new — a store from before
+    * the index existed must never get a PARTIAL index (readers would
+    * silently miss pairs against the unindexed prefix), so legacy
+    * stores stay on the full-scan path forever unless re-ingested.
     */
   def upsertSignatures(sigs: DataFrame, storeDir: String, batchId: Long,
-      numBuckets: Int = KeyedUpsertSink.DefaultNumBuckets): Unit =
+      numBuckets: Int = KeyedUpsertSink.DefaultNumBuckets,
+      numHashes: Int = 16, bands: Int = 4): Unit = {
+    val spark = sigs.sparkSession
+    val indexable = readBandIndex(spark, storeDir).isDefined ||
+      KeyedUpsertSink.readStore(spark, storeDir).isEmpty
     KeyedUpsertSink.upsertBatch(
       sigs.select(col("id"), col("sig"), lit(batchId).as("batch_id")),
       storeDir, Seq("id"), "batch_id", batchId, numBuckets = numBuckets)
+    if (indexable)
+      KeyedUpsertSink.upsertBatch(
+        Dedup.bandedSignatures(sigs, numHashes, bands)
+          .select(col("id"), col("band"), col("key"),
+            lit(batchId).as("batch_id")),
+        // key rides in the LWW keys (bucketCols must be a key subset);
+        // it is deterministic given (id, band), so row identity is
+        // unchanged and re-delivery still overwrites in place
+        bandsDir(storeDir), Seq("id", "band", "key"), "batch_id", batchId,
+        numBuckets = numBuckets, bucketCols = Seq("band", "key"))
+  }
+
+  /** The persisted band index (id, band, key), or None when this store
+    * has no (complete) index.
+    */
+  private def readBandIndex(spark: SparkSession,
+      storeDir: String): Option[DataFrame] =
+    KeyedUpsertSink.readStore(spark, bandsDir(storeDir))
+      .map(_.select("id", "band", "key"))
+
+  /** Grow both stores' bucket counts to the corpus (`ceil(rows /
+    * targetRowsPerBucket)`, the [[DeltaLog.compactBucketed]] rule) — the
+    * compaction cadence that keeps a fixed-size batch's pruned reads
+    * O(batch x rowsPerBucket) at ANY corpus size: the batch touches at
+    * most |its band keys| buckets, each holding ~targetRowsPerBucket
+    * rows regardless of how large the corpus has grown.
+    */
+  def compactStores(spark: SparkSession, storeDir: String,
+      targetRowsPerBucket: Long = 4096L): Unit = {
+    def grow(dir: String, keys: Seq[String]): Unit =
+      KeyedUpsertSink.readStore(spark, dir).foreach { df =>
+        val n = df.count()
+        val b = math.max(1L, (n + targetRowsPerBucket - 1) /
+          targetRowsPerBucket).min(1L << 20).toInt
+        KeyedUpsertSink.compact(spark, dir, keys, newNumBuckets = b)
+      }
+    grow(storeDir, Seq("id"))
+    grow(bandsDir(storeDir), Seq("id", "band", "key"))
+  }
 
   /** The persisted corpus signature relation (id, sig), or None before
     * the first ingest.
@@ -114,17 +176,66 @@ object IncrementalDedup {
       minAgreement: Double = 0.5, idCol: String = "doc_id",
       textCol: String = "text",
       numBuckets: Int = KeyedUpsertSink.DefaultNumBuckets): DataFrame = {
+    val spark = batch.sparkSession
     val sigs = Dedup.sharedRelation(
       Dedup.minHashSignatures(batch, n, numHashes, idCol, textCol))
-    val pairs = readSignatures(batch.sparkSession, storeDir) match {
-      case Some(corpusSigs) =>
-        incrementalLshPairs(sigs, corpusSigs, numHashes, bands, minAgreement)
-      case None => // first batch: corpus is empty, only internal pairs
-        incrementalLshPairs(sigs,
-          sigs.filter(lit(false)), numHashes, bands, minAgreement)
+    // INDEXED path (the 100 TB shape): the corpus side of the band join
+    // is read bucket-pruned from the persisted band index — the batch
+    // touches only the buckets its own band keys hash into, and corpus
+    // signatures are re-attached by pruned point-lookup for the
+    // CANDIDATE ids only. Per-batch read cost is O(batch-band-buckets x
+    // rowsPerBucket + candidates), independent of corpus size once
+    // [[compactStores]] keeps rowsPerBucket pinned; the full-corpus
+    // scan-and-band below survives only for index-less legacy stores.
+    // Exact: every corpus row with a probed (band, key) lives in that
+    // probe's bucket, so the pruned band join equals the full one
+    // (IncrementalDedupSpec asserts indexed == full-rerun pair lists).
+    val pairs = readBandIndex(spark, storeDir) match {
+      case Some(_) =>
+        val bb = Dedup.sharedRelation(
+          Dedup.bandedSignatures(sigs, numHashes, bands))
+        val corpusBands = KeyedUpsertSink.readStoreForKeys(spark,
+          bandsDir(storeDir), bb.select("band", "key"), Seq("band", "key"))
+          .get.select("id", "band", "key")
+        val within = bb.as("a")
+          .join(bb.as("b"),
+            col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+              col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        val cross = bb.select(col("id").as("_bid"), col("band"), col("key"))
+          .join(corpusBands.withColumnRenamed("id", "_cid"), Seq("band", "key"))
+          .filter(col("_bid") =!= col("_cid")) // re-delivered doc ≠ its own dup
+          .select(least(col("_bid"), col("_cid")).as("id_a"),
+            greatest(col("_bid"), col("_cid")).as("id_b"))
+        // materialized BEFORE the point-lookups below collect its bucket
+        // ids (no double-compute) and before the upserts prune past it
+        val cand = Dedup.iterCheckpoint(within.unionByName(cross).distinct())
+        val candIds = cand.select(col("id_a").as("id"))
+          .unionByName(cand.select(col("id_b").as("id"))).distinct()
+        val corpusSigs = KeyedUpsertSink.readStoreForKeys(spark, storeDir,
+          candIds, Seq("id")).get.select("id", "sig")
+        // batch sig wins where both sides know an id (the store's LWW)
+        val all = sigs.select("id", "sig").unionByName(
+          corpusSigs.join(broadcast(sigs.select("id")), Seq("id"), "left_anti"))
+        cand
+          .join(all.select(col("id").as("id_a"), col("sig").as("sig_a")),
+            Seq("id_a"))
+          .join(all.select(col("id").as("id_b"), col("sig").as("sig_b")),
+            Seq("id_b"))
+          .withColumn("sig_agreement",
+            Dedup.sigAgreement(col("sig_a"), col("sig_b"), numHashes))
+          .filter(col("sig_agreement") >= minAgreement)
+          .select("id_a", "id_b", "sig_agreement")
+      case None => readSignatures(spark, storeDir) match {
+        case Some(corpusSigs) => // legacy index-less store: full scan
+          incrementalLshPairs(sigs, corpusSigs, numHashes, bands, minAgreement)
+        case None => // first batch: corpus is empty, only internal pairs
+          incrementalLshPairs(sigs,
+            sigs.filter(lit(false)), numHashes, bands, minAgreement)
+      }
     }
     val out = Dedup.iterCheckpoint(pairs)
-    upsertSignatures(sigs, storeDir, batchId, numBuckets)
+    upsertSignatures(sigs, storeDir, batchId, numBuckets, numHashes, bands)
     out
   }
 

@@ -400,13 +400,24 @@ object KeyedUpsertSink {
       val ids = probe
         .select(bucketExpr(probeCols, st.numBuckets).as("_b"))
         .distinct().collect().map(_.getInt(0)).toSet
-      val paths = st.gens.toSeq.filter(e => ids(e._1)).sortBy(_._1)
-        .map { case (b, g) => bucketPath(storeDir, g, b).toString }
-      if (paths.isEmpty)
-        // schema-stable empty result: no touched bucket has ever been
-        // written (read one arbitrary bucket's files, keep zero rows)
-        readStore(spark, storeDir).get.filter(lit(false))
-      else spark.read.parquet(paths: _*)
+      // index-vs-scan rule: a probe touching MOST buckets gains nothing
+      // from pruning but pays per-root listing overhead on every touched
+      // bucket dir — read the whole store (the few untouched buckets'
+      // rows are co-resident-equivalent: join-inert downstream, exactly
+      // like foreign rows sharing a touched bucket). The pruned path
+      // re-engages as compact() grows the bucket count past the probe's
+      // key count — the steady state at scale.
+      if (ids.size.toLong * 2 >= st.numBuckets.toLong)
+        readStore(spark, storeDir).get
+      else {
+        val paths = st.gens.toSeq.filter(e => ids(e._1)).sortBy(_._1)
+          .map { case (b, g) => bucketPath(storeDir, g, b).toString }
+        if (paths.isEmpty)
+          // schema-stable empty result: no touched bucket has ever been
+          // written (read one arbitrary bucket's files, keep zero rows)
+          readStore(spark, storeDir).get.filter(lit(false))
+        else spark.read.parquet(paths: _*)
+      }
     }
 
   /** Merge `batch` into the store at `storeDir` by `keys`. See class doc

@@ -228,6 +228,12 @@ private[graft] object StoreCommit {
       storeDir: String) extends StoreCommitProtocol {
     private val ptr = new Path(storeDir, PointerFile)
     private val lock = new Path(storeDir, LockFile)
+    // one FileContext per protocol instance, not per flip: constructing
+    // it re-resolves the AbstractFileSystem from the conf every time,
+    // ~25 ms/commit of pure overhead on the seam microbench — and the
+    // flip is on every upsert's control path
+    private lazy val fc =
+      org.apache.hadoop.fs.FileContext.getFileContext(ptr.toUri, conf)
 
     def readPointer(): Option[String] = {
       fsOp("rename.exists")
@@ -244,7 +250,6 @@ private[graft] object StoreCommit {
       val out = fs.create(tmp, true)
       try out.write(body.getBytes("UTF-8")) finally out.close()
       fsOp("rename.rename")
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri, conf)
       fc.rename(fc.makeQualified(tmp), fc.makeQualified(ptr),
         org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     }
