@@ -395,10 +395,9 @@ object ScaleBench {
     // per-phase attribution (r18 verdict item 1): bucket counts, delta
     // dirs, and relation sizes alongside the timings, so a growing term
     // is NAMED by the artifact rather than inferred
-    import graft.operators.{DeltaLog, KeyedUpsertSink}
+    import graft.operators.DeltaLog
     def buckets(dir: String): Double =
-      KeyedUpsertSink.readState(spark, dir).map(_.numBuckets.toDouble)
-        .getOrElse(0.0)
+      DeltaLog.readBucketCount(spark, dir).getOrElse(0).toDouble
     val unitBase = s"$base/unitdf"
     val fs = new org.apache.hadoop.fs.Path(unitBase)
       .getFileSystem(spark.sessionState.newHadoopConf())
@@ -406,7 +405,6 @@ object ScaleBench {
       (try fs.listStatus(new org.apache.hadoop.fs.Path(p)).toSeq
       catch { case _: Throwable => Seq.empty })
         .count(_.getPath.getName.startsWith(prefix)).toDouble
-    val unitNb = DeltaLog.readBucketCount(spark, unitBase).getOrElse(0)
     Map("docs" -> n.toDouble, "setup_batches" -> setupBatches.toDouble,
       "setup_sec" -> setupSec, "setup_sec_per_batch" -> setupSec / setupBatches,
       "sig_compact_sec" -> sigCompact,
@@ -416,9 +414,11 @@ object ScaleBench {
       "fold_read_sec" -> foldRead, "compact_sec" -> compactSec,
       "clean_probe_sec" -> cleanSec,
       "fold_rows" -> foldRows.toDouble,
-      "sig_buckets" -> buckets(s"$base/sigs"),
-      "bands_buckets" -> buckets(s"$base/sigs/lshidx"),
-      "unitdf_buckets" -> unitNb.toDouble,
+      "sig_buckets" -> buckets(s"$base/sigs/slog"),
+      "bands_buckets" -> buckets(s"$base/sigs/blog"),
+      "sig_delta_dirs" -> dirCount(s"$base/sigs/slog/delta", "batch="),
+      "bands_delta_dirs" -> dirCount(s"$base/sigs/blog/delta", "batch="),
+      "unitdf_buckets" -> buckets(unitBase),
       "unitdf_delta_dirs" -> dirCount(s"$unitBase/delta", "batch="))
   }
 

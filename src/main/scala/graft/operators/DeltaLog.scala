@@ -171,6 +171,13 @@ private[graft] object DeltaLog {
       case Some(b) =>
         val ids = probe.select(bucketExpr(hashCols, b).as("_b"))
           .distinct().collect().map(_.getInt(0)).toSeq
+        // index-vs-scan rule (the KeyedUpsertSink.readStoreForKeys
+        // twin): a probe touching most buckets gains nothing from
+        // pruning but pays per-root listing on every touched dir —
+        // fold the whole relation instead. Pruning re-engages as the
+        // compaction cadence grows the bucket count past the probe.
+        if (ids.size.toLong * 2 >= b.toLong)
+          return readFolded(spark, storeDir, merge)
         // read the touched `ubkt=` dirs DIRECTLY as roots (the
         // KeyedUpsertSink bucket-read pattern): an isin filter over the
         // partitioned base would still pay partition DISCOVERY over all

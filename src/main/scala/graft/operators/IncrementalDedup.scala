@@ -90,78 +90,89 @@ object IncrementalDedup {
     * corpus relation (id, band, key) as its own [[KeyedUpsertSink]]
     * store bucketed by (band, key) — the secondary-index
     * materialization that turns the per-batch candidate join from a
-    * full-corpus scan into a bucket-pruned read
-    * ([[KeyedUpsertSink.readStoreForKeys]] over the batch's own band
-    * keys). Nested inside the store root ([[KeyedUpsertSink]] pruning
-    * touches only `gen-*` dirs, so a foreign subdir is safe) to keep
-    * the one-storeDir API.
-    */
-  private def bandsDir(storeDir: String) = s"$storeDir/lshidx"
-
-  /** Persist a batch's (id, sig) signatures into the bucketed keyed
-    * store at `storeDir` (LWW by `batch_id`; re-delivery idempotent),
-    * and fold the batch's BAND rows into the [[bandsDir]] index.
+    * full-corpus scan into a bucket-pruned read over the batch's own
+    * band keys.
     *
-    * Index-completeness gate: the index is only written when it already
-    * exists or the signature store is brand new — a store from before
-    * the index existed must never get a PARTIAL index (readers would
-    * silently miss pairs against the unindexed prefix), so legacy
-    * stores stay on the full-scan path forever unless re-ingested.
+    * LAYOUT — an LSM pair of [[DeltaLog]]s nested under the store root:
+    * `slog/` holds (id, sig, batch_id), `blog/` the banded index rows
+    * (id, band, key, batch_id). Each ingest APPENDS one delta per log —
+    * O(batch) write at ANY corpus size (a merge-on-write store would
+    * rewrite every touched bucket: measured 3.6x per decade at a fixed
+    * 500-doc batch before this layout) — and re-delivery overwrites the
+    * same `batch=<id>` delta, so at-least-once stays exactly-once.
+    * Reads fold base + delta tail with LWW-by-batch_id; the tail is
+    * bounded by the [[compactStores]] cadence, which also re-buckets
+    * the bases to the corpus so pruned reads stay O(probe x
+    * rowsPerBucket). Single-writer by the foreachBatch contract, like
+    * every [[DeltaLog]] store.
+    *
+    * Stores created before this layout (signatures in a
+    * [[KeyedUpsertSink]] at the root) are detected by their pointer and
+    * stay on the byte-compatible full-scan path forever — a partial
+    * index would silently miss pairs against the unindexed prefix.
+    */
+  private def slogDir(storeDir: String) = s"$storeDir/slog"
+  private def blogDir(storeDir: String) = s"$storeDir/blog"
+
+  /** LWW fold by `batch_id` within `keys` — the delta-log merge for
+    * both logs (schema-preserving, as [[DeltaLog]] folds must be).
+    */
+  private def lwwBy(keys: Seq[String])(df: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col("batch_id").desc)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+  private def sigLww(df: DataFrame): DataFrame = lwwBy(Seq("id"))(df)
+  private def bandLww(df: DataFrame): DataFrame =
+    lwwBy(Seq("id", "band", "key"))(df)
+
+  /** Persist a batch's (id, sig) signatures and their band-index rows:
+    * one appended delta per log (re-delivery idempotent). A legacy
+    * root-store keeps its original sink-upsert path and grows no index.
     */
   def upsertSignatures(sigs: DataFrame, storeDir: String, batchId: Long,
       numBuckets: Int = KeyedUpsertSink.DefaultNumBuckets,
       numHashes: Int = 16, bands: Int = 4): Unit = {
     val spark = sigs.sparkSession
-    val indexable = readBandIndex(spark, storeDir).isDefined ||
-      KeyedUpsertSink.readStore(spark, storeDir).isEmpty
-    KeyedUpsertSink.upsertBatch(
-      sigs.select(col("id"), col("sig"), lit(batchId).as("batch_id")),
-      storeDir, Seq("id"), "batch_id", batchId, numBuckets = numBuckets)
-    if (indexable)
+    if (KeyedUpsertSink.readState(spark, storeDir).isDefined)
       KeyedUpsertSink.upsertBatch(
+        sigs.select(col("id"), col("sig"), lit(batchId).as("batch_id")),
+        storeDir, Seq("id"), "batch_id", batchId, numBuckets = numBuckets)
+    else {
+      DeltaLog.writeDelta(
+        sigs.select(col("id"), col("sig"), lit(batchId).as("batch_id")),
+        slogDir(storeDir), batchId)
+      DeltaLog.writeDelta(
         Dedup.bandedSignatures(sigs, numHashes, bands)
           .select(col("id"), col("band"), col("key"),
             lit(batchId).as("batch_id")),
-        // key rides in the LWW keys (bucketCols must be a key subset);
-        // it is deterministic given (id, band), so row identity is
-        // unchanged and re-delivery still overwrites in place
-        bandsDir(storeDir), Seq("id", "band", "key"), "batch_id", batchId,
-        numBuckets = numBuckets, bucketCols = Seq("band", "key"))
+        blogDir(storeDir), batchId)
+    }
   }
 
-  /** The persisted band index (id, band, key), or None when this store
-    * has no (complete) index.
-    */
-  private def readBandIndex(spark: SparkSession,
-      storeDir: String): Option[DataFrame] =
-    KeyedUpsertSink.readStore(spark, bandsDir(storeDir))
-      .map(_.select("id", "band", "key"))
-
-  /** Grow both stores' bucket counts to the corpus (`ceil(rows /
-    * targetRowsPerBucket)`, the [[DeltaLog.compactBucketed]] rule) — the
-    * compaction cadence that keeps a fixed-size batch's pruned reads
-    * O(batch x rowsPerBucket) at ANY corpus size: the batch touches at
-    * most |its band keys| buckets, each holding ~targetRowsPerBucket
-    * rows regardless of how large the corpus has grown.
+  /** Fold both logs into hash-bucketed base snapshots with the bucket
+    * count scaled to the corpus (`ceil(rows / targetRowsPerBucket)`,
+    * the [[DeltaLog.compactBucketed]] rule) — the compaction cadence
+    * that bounds BOTH the delta tail a read folds and the rows a
+    * pruned read scans per touched bucket. No-op on a legacy store.
     */
   def compactStores(spark: SparkSession, storeDir: String,
       targetRowsPerBucket: Long = 4096L): Unit = {
-    def grow(dir: String, keys: Seq[String]): Unit =
-      KeyedUpsertSink.readStore(spark, dir).foreach { df =>
-        val n = df.count()
-        val b = math.max(1L, (n + targetRowsPerBucket - 1) /
-          targetRowsPerBucket).min(1L << 20).toInt
-        KeyedUpsertSink.compact(spark, dir, keys, newNumBuckets = b)
-      }
-    grow(storeDir, Seq("id"))
-    grow(bandsDir(storeDir), Seq("id", "band", "key"))
+    DeltaLog.compactBucketed(spark, slogDir(storeDir), sigLww,
+      Seq("id"), targetRowsPerBucket)
+    DeltaLog.compactBucketed(spark, blogDir(storeDir), bandLww,
+      Seq("band", "key"), targetRowsPerBucket)
   }
 
   /** The persisted corpus signature relation (id, sig), or None before
-    * the first ingest.
+    * the first ingest. Reads whichever layout the store carries.
     */
   def readSignatures(spark: SparkSession, storeDir: String): Option[DataFrame] =
-    KeyedUpsertSink.readStore(spark, storeDir).map(_.select("id", "sig"))
+    DeltaLog.readFolded(spark, slogDir(storeDir), sigLww)
+      .map(_.select("id", "sig"))
+      .orElse(
+        KeyedUpsertSink.readStore(spark, storeDir).map(_.select("id", "sig")))
 
   /** End-to-end ingest step: signature the batch, mine its near-dup
     * pairs against the persisted corpus (plus batch-internal pairs),
@@ -181,21 +192,22 @@ object IncrementalDedup {
       Dedup.minHashSignatures(batch, n, numHashes, idCol, textCol))
     // INDEXED path (the 100 TB shape): the corpus side of the band join
     // is read bucket-pruned from the persisted band index — the batch
-    // touches only the buckets its own band keys hash into, and corpus
-    // signatures are re-attached by pruned point-lookup for the
-    // CANDIDATE ids only. Per-batch read cost is O(batch-band-buckets x
-    // rowsPerBucket + candidates), independent of corpus size once
-    // [[compactStores]] keeps rowsPerBucket pinned; the full-corpus
-    // scan-and-band below survives only for index-less legacy stores.
-    // Exact: every corpus row with a probed (band, key) lives in that
-    // probe's bucket, so the pruned band join equals the full one
-    // (IncrementalDedupSpec asserts indexed == full-rerun pair lists).
-    val pairs = readBandIndex(spark, storeDir) match {
+    // touches only the buckets its own band keys hash into (plus the
+    // cadence-bounded delta tail), and corpus signatures are
+    // re-attached by pruned point-lookup for the CANDIDATE ids only.
+    // Per-batch read cost is O(batch-band-buckets x rowsPerBucket +
+    // delta tail + candidates), independent of corpus size under the
+    // [[compactStores]] cadence; the full-corpus scan-and-band below
+    // survives only for index-less legacy stores. Exact: every corpus
+    // row with a probed (band, key) lives in that probe's bucket, so
+    // the pruned band join equals the full one (IncrementalDedupSpec
+    // asserts indexed == full-rerun pair lists).
+    val pairs = DeltaLog.readFolded(spark, blogDir(storeDir), bandLww) match {
       case Some(_) =>
         val bb = Dedup.sharedRelation(
           Dedup.bandedSignatures(sigs, numHashes, bands))
-        val corpusBands = KeyedUpsertSink.readStoreForKeys(spark,
-          bandsDir(storeDir), bb.select("band", "key"), Seq("band", "key"))
+        val corpusBands = DeltaLog.readFoldedFor(spark, blogDir(storeDir),
+          bandLww, Seq("band", "key"), bb.select("band", "key"))
           .get.select("id", "band", "key")
         val within = bb.as("a")
           .join(bb.as("b"),
@@ -212,8 +224,8 @@ object IncrementalDedup {
         val cand = Dedup.iterCheckpoint(within.unionByName(cross).distinct())
         val candIds = cand.select(col("id_a").as("id"))
           .unionByName(cand.select(col("id_b").as("id"))).distinct()
-        val corpusSigs = KeyedUpsertSink.readStoreForKeys(spark, storeDir,
-          candIds, Seq("id")).get.select("id", "sig")
+        val corpusSigs = DeltaLog.readFoldedFor(spark, slogDir(storeDir),
+          sigLww, Seq("id"), candIds).get.select("id", "sig")
         // batch sig wins where both sides know an id (the store's LWW)
         val all = sigs.select("id", "sig").unionByName(
           corpusSigs.join(broadcast(sigs.select("id")), Seq("id"), "left_anti"))

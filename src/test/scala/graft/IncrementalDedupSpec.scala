@@ -101,12 +101,12 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
       Dedup.minHashSignatures(corpus)
         .select(col("id"), col("sig"), lit(0L).as("batch_id")),
       dir, Seq("id"), "batch_id", 0L)
-    assert(!new java.io.File(s"$dir/lshidx").exists())
+    assert(!new java.io.File(s"$dir/blog").exists())
     // ingest against it: must take the full-scan path AND must NOT start
     // a partial index (readers would silently miss the unindexed prefix)
     val incr = pairSet(IncrementalDedup.ingestBatch(batch, dir, batchId = 1L))
-    assert(!new java.io.File(s"$dir/lshidx/_CURRENT").exists() &&
-      !new java.io.File(s"$dir/lshidx/_CURRENT.d").exists(),
+    assert(!new java.io.File(s"$dir/blog").exists() &&
+      !new java.io.File(s"$dir/slog").exists(),
       "a legacy store must never grow a partial band index")
     val full = pairSet(Dedup.minHashLshPairs(corpus.unionByName(batch)))
     val corpusSelf = pairSet(Dedup.minHashLshPairs(corpus))
