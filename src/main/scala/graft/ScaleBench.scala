@@ -1000,13 +1000,75 @@ object ScaleBench {
         System.err.println(s"[scale] media decade FAILED — ${e.getMessage}")
         s""""media":{"error":"${Option(e.getMessage).getOrElse(e.getClass.getName).take(200).replace("\"", "'")}"}"""
       }
+      // TOPOLOGY SECOND DECADE (r18 verdict item 7): the two-hop
+      // concurrent topology at 100x the golden feed (946k events) —
+      // the one family previously measured only to 10x. Per-chunk ev/s
+      // rides the artifact (throughput under a GROWING store and
+      // growing join state, not just the end-to-end mean), plus state
+      // rows / cumulative state-commit seconds, per-hop lease waits,
+      // and the optimistic-commit stats. Completions must equal
+      // golden x 100 — a throughput row with wrong output is not data.
+      val topoJ = try {
+        import graft.operators.KeyedUpsertSink
+        import graft.streaming.TripTopology
+        import spark.implicits._
+        implicit val ctx = spark.sqlContext
+        val golden = GoldenFeed.wireJson(spark)
+        val feed = (0 until 100).iterator.flatMap { i =>
+          if (i == 0) golden.iterator
+          else golden.iterator.map(
+            _.replace("\"trip_id\":\"", s"""\"trip_id\":\"r$i~"""))
+        }.toArray
+        KeyedUpsertSink.leaseWaitMs.clear()
+        KeyedUpsertSink.commitStatsClear()
+        val base = java.nio.file.Files
+          .createTempDirectory("scale_topo_x100").toString
+        val input = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[String]
+        val chunks = 10
+        val groups = feed.grouped(feed.length / chunks + 1).toSeq
+        val ingest = TripTopology.ingestWriter(input.toDF(), s"$base/store",
+          s"$base/changes", s"$base/ckpt_i").start()
+        val m = TripTopology.matcherWriter(spark, s"$base/changes",
+          s"$base/store", s"$base/ckpt_m", maxFilesPerTrigger = 256).start()
+        val perChunk = scala.collection.mutable.ArrayBuffer.empty[Double]
+        val t0 = System.nanoTime()
+        try {
+          groups.foreach { c =>
+            val tc = System.nanoTime()
+            input.addData(c); ingest.processAllAvailable()
+            perChunk += c.length / ((System.nanoTime() - tc) / 1e9)
+          }
+          m.processAllAvailable()
+        } finally { m.stop(); ingest.stop() }
+        val secs = (System.nanoTime() - t0) / 1e9
+        def stateOf(q: org.apache.spark.sql.streaming.StreamingQuery) = {
+          val progs = q.recentProgress
+          (progs.lastOption.map(_.stateOperators.map(_.numRowsTotal).sum)
+            .getOrElse(0L),
+            progs.iterator.flatMap(_.stateOperators).map(_.commitTimeMs)
+              .sum / 1000.0)
+        }
+        val (matRows, matCommit) = stateOf(m)
+        val waits = KeyedUpsertSink.leaseWaitSnapshot()
+        val cstats = KeyedUpsertSink.commitStatsSnapshot()
+        val completed = KeyedUpsertSink.readStore(spark, s"$base/store").get
+          .filter(col("sk").startsWith("COMPLETED#")).count()
+        System.err.println(f"[scale] topology x100: ${feed.length} events " +
+          f"in $secs%.1f s (${feed.length / secs}%.0f ev/s), $completed " +
+          f"completed; per-chunk ev/s ${perChunk.map(v => f"$v%.0f").mkString(",")}")
+        s""""topology":{"concurrent_x100":{"events":${feed.length},"chunks":$chunks,"elapsed_sec":${jnum(secs)},"events_per_sec":${jnum(feed.length / secs)},"completed":$completed,"per_chunk_events_per_sec":[${perChunk.map(jnum).mkString(",")}],"lease_wait_sec":{"ing":${jnum(waits.getOrElse("ing", 0L) / 1000.0)},"mat":${jnum(waits.getOrElse("mat", 0L) / 1000.0)}},"commit_stats":${cstats.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")},"state":{"mat_rows":$matRows,"mat_commit_sec":${jnum(matCommit)}}}}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[scale] topology x100 FAILED — ${e.getMessage}")
+        s""""topology":{"error":"${Option(e.getMessage).getOrElse(e.getClass.getName).take(200).replace("\"", "'")}"}"""
+      }
       // record the JVM heap: 100x in ONE JVM needs cluster-normal
       // per-core memory (the default 8g over 32 threads is 0.25g/core
       // — the 55M-row checkpointed shingle relation OOMs the harness,
       // not the plan). Rounded, not floored (ADVICE r16: maxMemory
       // reports slightly under -Xmx, so flooring records 48g as 47).
       val heapGb = (Runtime.getRuntime.maxMemory() + (1L << 29)) >> 30
-      s"""{"heap_gb":$heapGb,"replica_invariant_violations":$invariantViolations,${docFams.mkString(",")},$graphJ,$ingestJ,$dsirJ,$mediaJ}"""
+      s"""{"heap_gb":$heapGb,"replica_invariant_violations":$invariantViolations,${docFams.mkString(",")},$graphJ,$ingestJ,$dsirJ,$mediaJ,$topoJ}"""
     } catch { case e: Throwable =>
       System.err.println(s"[scale] second decade FAILED — ${e.getMessage}")
       s"""{"error":"${Option(e.getMessage).getOrElse(e.getClass.getName).take(200).replace("\"", "'")}"}"""
