@@ -10,6 +10,11 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // local[*] on a local fs: partition/root discovery is faster on
+      // the driver than as a distributed listing job (measured 3.6 s ->
+      // 1.3 s for a 2000-root pruned read); a real cluster on an object
+      // store keeps the default threshold and lists in parallel
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", 16384)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -66,7 +66,12 @@ private[graft] object DeltaLog {
       spark.read.parquet(p).drop(BucketCol) }
     val deltaDf =
       if (deltas.isEmpty) None else Some(spark.read.parquet(deltas: _*))
-    (baseDf.toSeq ++ deltaDf.toSeq).reduceOption(_ unionByName _).map(merge)
+    // an empty delta tail needs no merge: the base IS the fold compact
+    // wrote, and every DeltaLog merge is idempotent by the mergeable-
+    // summary contract — re-merging would only pay the fold's shuffle
+    // (a full window pass of the relation for the LWW stores)
+    if (deltas.isEmpty) baseDf
+    else (baseDf.toSeq ++ deltaDf.toSeq).reduceOption(_ unionByName _).map(merge)
   }
 
   /** The synthetic hash-bucket partition column of a [[compactBucketed]]
@@ -171,26 +176,26 @@ private[graft] object DeltaLog {
       case Some(b) =>
         val ids = probe.select(bucketExpr(hashCols, b).as("_b"))
           .distinct().collect().map(_.getInt(0)).toSeq
-        // index-vs-scan rule (the KeyedUpsertSink.readStoreForKeys
-        // twin): a probe touching most buckets gains nothing from
-        // pruning but pays per-root listing on every touched dir —
-        // fold the whole relation instead. Pruning re-engages as the
-        // compaction cadence grows the bucket count past the probe.
-        if (ids.size.toLong * 2 >= b.toLong)
+        // Touched `ubkt=` dirs read DIRECTLY as roots — measured (r19,
+        // x100 base, 7813 buckets of 256 rows): explicit roots 3.6 s at
+        // 2000 touched vs 11.5 s for an isin filter over the base root
+        // and 17.9 s for a whole-root scan — per-dir overhead dominates
+        // tiny-bucket bases however they are read, and explicit roots
+        // touch the fewest dirs. Existence is resolved with ONE listing
+        // of the base dir (object stores: one paged LIST) rather than
+        // one exists() round-trip per candidate dir; the full fold only
+        // when the probe touches essentially everything.
+        if (ids.size.toLong * 10 >= b.toLong * 9)
           return readFolded(spark, storeDir, merge)
-        // read the touched `ubkt=` dirs DIRECTLY as roots (the
-        // KeyedUpsertSink bucket-read pattern): an isin filter over the
-        // partitioned base would still pay partition DISCOVERY over all
-        // B dirs — measured 6x per decade on the r18 probe, the exact
-        // O(B) cost the scaled bucket count was supposed to remove —
-        // while named-dir reads list only the O(probe) touched dirs.
-        // A missing dir is an empty bucket; leaf-dir roots infer no
-        // partition column.
         val fs = new Path(storeDir)
           .getFileSystem(spark.sessionState.newHadoopConf())
-        val paths = ids.sorted.map(i => s"${base.get._2}/$BucketCol=$i")
-          .filter(p => try fs.exists(new Path(p))
-            catch { case _: Throwable => false })
+        val present: Set[String] =
+          (try fs.listStatus(new Path(base.get._2)).toSeq
+          catch { case _: Throwable => Seq.empty })
+            .filter(_.isDirectory).map(_.getPath.getName)
+            .filter(_.startsWith(s"$BucketCol=")).toSet
+        val paths = ids.sorted.map(i => s"$BucketCol=$i")
+          .filter(present).map(n => s"${base.get._2}/$n")
         val baseDf =
           if (paths.isEmpty)
             spark.read.parquet(base.get._2).drop(BucketCol)
@@ -199,9 +204,10 @@ private[graft] object DeltaLog {
         val deltas = committedIds(spark, s"$storeDir/delta", "batch=")
           .filter { case (id, _) => base.forall(id > _._1) }
           .map { case (id, _) => s"$storeDir/delta/batch=$id" }
-        val deltaDf =
-          if (deltas.isEmpty) None else Some(spark.read.parquet(deltas: _*))
-        Some(merge((baseDf +: deltaDf.toSeq).reduce(_ unionByName _)))
+        // same empty-tail rule as readFolded: the pruned base needs no
+        // re-merge when no delta rides above it
+        if (deltas.isEmpty) Some(baseDf)
+        else Some(merge(baseDf.unionByName(spark.read.parquet(deltas: _*))))
     }
   }
 

@@ -226,9 +226,11 @@ object IncrementalDedup {
           .unionByName(cand.select(col("id_b").as("id"))).distinct()
         val corpusSigs = DeltaLog.readFoldedFor(spark, slogDir(storeDir),
           sigLww, Seq("id"), candIds).get.select("id", "sig")
-        // batch sig wins where both sides know an id (the store's LWW)
-        val all = sigs.select("id", "sig").unionByName(
-          corpusSigs.join(broadcast(sigs.select("id")), Seq("id"), "left_anti"))
+        // batch sig wins where both sides know an id (the store's LWW);
+        // shared: the relation feeds BOTH scoring joins below, and the
+        // store fold behind it must not run twice
+        val all = Dedup.sharedRelation(sigs.select("id", "sig").unionByName(
+          corpusSigs.join(broadcast(sigs.select("id")), Seq("id"), "left_anti")))
         cand
           .join(all.select(col("id").as("id_a"), col("sig").as("sig_a")),
             Seq("id_a"))
