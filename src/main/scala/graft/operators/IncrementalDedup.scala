@@ -187,22 +187,37 @@ object IncrementalDedup {
       minAgreement: Double = 0.5, idCol: String = "doc_id",
       textCol: String = "text",
       numBuckets: Int = KeyedUpsertSink.DefaultNumBuckets): DataFrame = {
-    val spark = batch.sparkSession
     val sigs = Dedup.sharedRelation(
       Dedup.minHashSignatures(batch, n, numHashes, idCol, textCol))
-    // INDEXED path (the 100 TB shape): the corpus side of the band join
-    // is read bucket-pruned from the persisted band index — the batch
-    // touches only the buckets its own band keys hash into (plus the
-    // cadence-bounded delta tail), and corpus signatures are
-    // re-attached by pruned point-lookup for the CANDIDATE ids only.
-    // Per-batch read cost is O(batch-band-buckets x rowsPerBucket +
-    // delta tail + candidates), independent of corpus size under the
-    // [[compactStores]] cadence; the full-corpus scan-and-band below
-    // survives only for index-less legacy stores. Exact: every corpus
-    // row with a probed (band, key) lives in that probe's bucket, so
-    // the pruned band join equals the full one (IncrementalDedupSpec
-    // asserts indexed == full-rerun pair lists).
-    val pairs = DeltaLog.readFolded(spark, blogDir(storeDir), bandLww) match {
+    val pairs = minePairs(sigs, storeDir, numHashes, bands, minAgreement)
+    val out = Dedup.iterCheckpoint(pairs)
+    upsertSignatures(sigs, storeDir, batchId, numBuckets, numHashes, bands)
+    out
+  }
+
+  /** Candidate near-dup pairs for a batch's signature relation against
+    * the store at `storeDir` — the read side of [[ingestBatch]], shared
+    * with [[IncrementalMultimodal]]'s caption leg. Lazy: callers
+    * materialize (the ingest discipline) before upserting.
+    *
+    * INDEXED path (the 100 TB shape): the corpus side of the band join
+    * is read bucket-pruned from the persisted band index — the batch
+    * touches only the buckets its own band keys hash into (plus the
+    * cadence-bounded delta tail), and corpus signatures are
+    * re-attached by pruned point-lookup for the CANDIDATE ids only.
+    * Per-batch read cost is O(batch-band-buckets x rowsPerBucket +
+    * delta tail + candidates), independent of corpus size under the
+    * [[compactStores]] cadence; the full-corpus scan-and-band fallback
+    * survives only for index-less legacy stores. Exact: every corpus
+    * row with a probed (band, key) lives in that probe's bucket, so
+    * the pruned band join equals the full one (IncrementalDedupSpec
+    * asserts indexed == full-rerun pair lists).
+    */
+  private[operators] def minePairs(sigs: DataFrame, storeDir: String,
+      numHashes: Int = 16, bands: Int = 4,
+      minAgreement: Double = 0.5): DataFrame = {
+    val spark = sigs.sparkSession
+    DeltaLog.readFolded(spark, blogDir(storeDir), bandLww) match {
       case Some(_) =>
         val bb = Dedup.sharedRelation(
           Dedup.bandedSignatures(sigs, numHashes, bands))
@@ -248,9 +263,6 @@ object IncrementalDedup {
             sigs.filter(lit(false)), numHashes, bands, minAgreement)
       }
     }
-    val out = Dedup.iterCheckpoint(pairs)
-    upsertSignatures(sigs, storeDir, batchId, numBuckets, numHashes, bands)
-    out
   }
 
   /** foreachBatch adapter — continuous ingestion dedup as a streaming

@@ -48,12 +48,14 @@ object IncrementalMultimodal {
       case None => IncrementalPhash.incrementalPhashPairs(ph,
         ph.filter(lit(false)), maxHamming, maxBlockFreq = maxBlockFreq)
     }).select(col("id_a"), col("id_b"), lit("image").as("modality"))
-    val cap = (IncrementalDedup.readSignatures(spark, s"$baseDir/capsigs") match {
-      case Some(corpus) => IncrementalDedup.incrementalLshPairs(sigs, corpus,
+    // the caption leg rides IncrementalDedup's shared mining path:
+    // bucket-pruned against the capsigs band index when present (the
+    // store is written through upsertSignatures, so fresh stores always
+    // have one), full-scan only for legacy index-less stores — the same
+    // O(batch) read bound as the dedup ingest (r19)
+    val cap = IncrementalDedup.minePairs(sigs, s"$baseDir/capsigs",
         numHashes, bands, minAgreement)
-      case None => IncrementalDedup.incrementalLshPairs(sigs,
-        sigs.filter(lit(false)), numHashes, bands, minAgreement)
-    }).select(col("id_a"), col("id_b"), lit("caption").as("modality"))
+      .select(col("id_a"), col("id_b"), lit("caption").as("modality"))
     val out = Dedup.iterCheckpoint(img.unionByName(cap))
     IncrementalPhash.upsertHashes(ph, s"$baseDir/phash", batchId)
     IncrementalDedup.upsertSignatures(sigs, s"$baseDir/capsigs", batchId)
