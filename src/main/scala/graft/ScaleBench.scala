@@ -392,6 +392,45 @@ object ScaleBench {
       IncrementalBoilerplate.cleanAgainstStore(probe50, s"$base/unitdf",
         minDocFreq = 2).count()
     }
+    // r19 LSM datapoints: the cadence MINOR ([[DeltaLog.compactMinor]])
+    // folds the probe batch's deltas into one L1 run per log at O(rows
+    // since the major) — these two must stay ~flat per decade at a
+    // fixed batch, unlike the corpus-proportional majors above; then
+    // the probe paths re-run through the three-level base+L1+tail
+    // layout (same answers, near-same cost), and the growth trigger's
+    // marker-read decision is timed and recorded (it must NOT fire for
+    // a 500-doc run against these bases — majors move to growth, not
+    // cadence).
+    val sigMinor = timer.timeNoRetime(s"$keyPrefix.sig_minor_sec") {
+      IncrementalDedup.compactMinorStores(spark, s"$base/sigs",
+        targetRowsPerBucket = 256L)
+    }
+    val unitMinor = timer.timeNoRetime(s"$keyPrefix.unitdf_minor_sec") {
+      IncrementalBoilerplate.compactMinor(spark, s"$base/unitdf",
+        targetRowsPerBucket = 256L)
+    }
+    val probeIngest2 = timer.timeNoRetime(
+      s"$keyPrefix.probe_ingest_post_minor_sec") {
+      IncrementalDedup.ingestBatch(probe, s"$base/sigs", 901L).count()
+    }
+    val cleanSec2 = timer.time(s"$keyPrefix.clean_probe_post_minor_sec") {
+      IncrementalBoilerplate.cleanAgainstStore(probe50, s"$base/unitdf",
+        minDocFreq = 2).count()
+    }
+    import graft.operators.DeltaLog
+    def l1Rows(dir: String): Double = {
+      val b = DeltaLog.newestCommitted(spark, s"$dir/base", "upto=")
+      DeltaLog.newestRunAbove(spark, dir, b)
+        .flatMap { case (_, p) => DeltaLog.markerAt(spark, p).flatMap(_._2) }
+        .getOrElse(0L).toDouble
+    }
+    val sigL1 = l1Rows(s"$base/sigs/slog")
+    val unitL1 = l1Rows(s"$base/unitdf")
+    var majorFired = false
+    val maybeMajor = timer.timeNoRetime(s"$keyPrefix.maybe_major_sec") {
+      majorFired = IncrementalDedup.maybeCompactStores(spark,
+        s"$base/sigs", targetRowsPerBucket = 256L)
+    }
     // per-phase attribution (r18 verdict item 1): bucket counts, delta
     // dirs, and relation sizes alongside the timings, so a growing term
     // is NAMED by the artifact rather than inferred
@@ -413,6 +452,13 @@ object ScaleBench {
       "fold_plan_sec" -> foldPlan,
       "fold_read_sec" -> foldRead, "compact_sec" -> compactSec,
       "clean_probe_sec" -> cleanSec,
+      "sig_minor_sec" -> sigMinor,
+      "unitdf_minor_sec" -> unitMinor,
+      "probe_ingest_post_minor_sec" -> probeIngest2,
+      "clean_probe_post_minor_sec" -> cleanSec2,
+      "sig_l1_rows" -> sigL1, "unitdf_l1_rows" -> unitL1,
+      "maybe_major_sec" -> maybeMajor,
+      "maybe_major_fired" -> (if (majorFired) 1.0 else 0.0),
       "fold_rows" -> foldRows.toDouble,
       "sig_buckets" -> buckets(s"$base/sigs/slog"),
       "bands_buckets" -> buckets(s"$base/sigs/blog"),

@@ -2108,6 +2108,35 @@ object SparkEntry {
       Dedup.dropUnitsByDf(planted, folded, minDocFreq = 3)
     }),
 
+    // DD8d: DD8c's fold taken through the PERSISTED store with the r19
+    // LSM layout actually on disk: batch 0 lands and MAJOR-compacts
+    // into the bucketed base, batch 1 lands and MINOR-compacts into an
+    // L1 run (DeltaLog.compactMinor — O(tail) work, never O(corpus)),
+    // batch 2 rides as the delta tail — the exact three-level steady
+    // state of a continuously-ingesting deployment between
+    // growth-triggered majors. Cleaning the corpus against that fold
+    // must equal the same one-shot oracle, so the minor-compaction read
+    // path is oracle-checked every round, not just spec-checked.
+    "incremental_boilerplate_store" -> ((s, dir) => {
+      import graft.operators.IncrementalBoilerplate
+      val planted = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"),
+            lit(". Subscribe to our newsletter for free offers")))
+          .otherwise(col("text")).as("text"))
+      val store = java.nio.file.Files
+        .createTempDirectory("boiler_store").toString
+      IncrementalBoilerplate.updateStore(store, 0L,
+        planted.filter(pmod(col("doc_id"), lit(3)) === 0))
+      IncrementalBoilerplate.compact(s, store, targetRowsPerBucket = 256L)
+      IncrementalBoilerplate.updateStore(store, 1L,
+        planted.filter(pmod(col("doc_id"), lit(3)) === 1))
+      IncrementalBoilerplate.compactMinor(s, store, targetRowsPerBucket = 256L)
+      IncrementalBoilerplate.updateStore(store, 2L,
+        planted.filter(pmod(col("doc_id"), lit(3)) === 2))
+      IncrementalBoilerplate.cleanAgainstStore(planted, store, minDocFreq = 3)
+    }),
+
     // IS1: incremental weighted exact-k sampling — three disjoint
     // batches land only their own per-group top-k ([[IncrementalSample]]
     // deltas); the read-side fold re-ranks the ≤ 3k surviving rows per
@@ -4752,6 +4781,7 @@ object SparkEntry {
     // (unit, df) deltas over a 3-way corpus split, so hash-matching the
     // one-shot SQL proves fold == one-shot exactly.
     "incremental_boilerplate_final" -> boilerplateRemovedSql,
+    "incremental_boilerplate_store" -> boilerplateRemovedSql,
 
     // One-shot E-S sample at k=12: the Spark side folded three
     // per-batch top-12 deltas, so equality proves the rank-selection

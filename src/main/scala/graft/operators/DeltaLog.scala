@@ -34,6 +34,7 @@ private[graft] object DeltaLog {
   def writeDelta(delta: DataFrame, storeDir: String, batchId: Long): Unit = {
     val spark = delta.sparkSession
     val existing = newestCommitted(spark, s"$storeDir/delta", "batch=")
+      .orElse(newestCommitted(spark, s"$storeDir/l1", "upto="))
       .orElse(newestCommitted(spark, s"$storeDir/base", "upto="))
     existing.foreach { case (_, p) =>
       // a bucketed base ([[compactBucketed]]) carries its synthetic
@@ -49,29 +50,48 @@ private[graft] object DeltaLog {
       .parquet(s"$storeDir/delta/batch=$batchId")
   }
 
+  /** The newest committed L1 run ABOVE the newest base — the single-run
+    * minor-compaction level ([[compactMinor]]). A run at-or-below the
+    * base was superseded by a major compact and is riding out its
+    * one-round grace window; it must not fold (a sum merge would
+    * double-count rows the base already holds).
+    */
+  private[graft] def newestRunAbove(spark: SparkSession, storeDir: String,
+      base: Option[(Long, String)]): Option[(Long, String)] =
+    newestCommitted(spark, s"$storeDir/l1", "upto=")
+      .filter { case (id, _) => base.forall(id > _._1) }
+
   /** The folded state as of the last committed batch: newest committed
-    * base snapshot + every committed delta above it, merged by the
-    * store's own aggregate. None before the first ingest.
+    * base snapshot + the newest L1 run above it + every committed delta
+    * above BOTH, merged by the store's own aggregate. None before the
+    * first ingest.
     */
   def readFolded(spark: SparkSession, storeDir: String,
       merge: DataFrame => DataFrame): Option[DataFrame] = {
     val base = newestCommitted(spark, s"$storeDir/base", "upto=")
+    val run = newestRunAbove(spark, storeDir, base)
+    val floor = (base.map(_._1).toSeq ++ run.map(_._1)).maxOption
     val deltas = committedIds(spark, s"$storeDir/delta", "batch=")
-      .filter { case (id, _) => base.forall(id > _._1) }
+      .filter { case (id, _) => floor.forall(id > _) }
       .map { case (id, _) => s"$storeDir/delta/batch=$id" }
-    // base and deltas read SEPARATELY: a bucketed base carries the
-    // synthetic `ubkt` partition dirs the deltas lack, so one multi-root
-    // read would infer inconsistent schemas
+    // base, run, and deltas read SEPARATELY: bucketed snapshots carry
+    // the synthetic `ubkt` partition dirs the deltas lack, so one
+    // multi-root read would infer inconsistent schemas
     val baseDf = base.map { case (_, p) =>
+      spark.read.parquet(p).drop(BucketCol) }
+    val runDf = run.map { case (_, p) =>
       spark.read.parquet(p).drop(BucketCol) }
     val deltaDf =
       if (deltas.isEmpty) None else Some(spark.read.parquet(deltas: _*))
-    // an empty delta tail needs no merge: the base IS the fold compact
-    // wrote, and every DeltaLog merge is idempotent by the mergeable-
-    // summary contract — re-merging would only pay the fold's shuffle
-    // (a full window pass of the relation for the LWW stores)
-    if (deltas.isEmpty) baseDf
-    else (baseDf.toSeq ++ deltaDf.toSeq).reduceOption(_ unionByName _).map(merge)
+    val srcs = baseDf.toSeq ++ runDf.toSeq ++ deltaDf.toSeq
+    // a single pre-folded snapshot (base or run alone) needs no merge:
+    // it IS the fold a compact wrote, and every DeltaLog merge is
+    // idempotent by the mergeable-summary contract — re-merging would
+    // only pay the fold's shuffle (a full window pass of the relation
+    // for the LWW stores). Anything with a delta tail, or two
+    // snapshots, must cross-merge.
+    if (deltas.isEmpty && srcs.size <= 1) srcs.headOption
+    else srcs.reduceOption(_ unionByName _).map(merge)
   }
 
   /** The synthetic hash-bucket partition column of a [[compactBucketed]]
@@ -103,37 +123,111 @@ private[graft] object DeltaLog {
     * table format's file-skipping metadata rather than raw partition
     * dirs; the read path is identical.
     */
+  /** Write `folded` as a hash-bucketed snapshot at `path` with the
+    * count scaled to the relation (`ceil(rows / targetRowsPerBucket)`),
+    * recording count and rows in the snapshot's `_NBUCKETS` marker.
+    * Shared by [[compactBucketed]] (base snapshots) and
+    * [[compactMinor]] (L1 runs).
+    */
+  private def writeBucketedSnapshot(spark: SparkSession, folded0: DataFrame,
+      path: String, hashCols: Seq[String],
+      targetRowsPerBucket: Long): Unit = {
+    val folded = folded0.localCheckpoint(false)
+    val n = folded.count()
+    val b = math.max(1L, (n + targetRowsPerBucket - 1) / targetRowsPerBucket)
+      .min(1L << 20).toInt
+    folded.withColumn(BucketCol, bucketExpr(hashCols, b))
+      .repartition(math.min(b, 2048), org.apache.spark.sql.functions.col(BucketCol))
+      .write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
+      .parquet(path)
+    val fs = new Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(new Path(path, BucketsMarker), true)
+    try out.write(s"$b\nrows=$n".getBytes("UTF-8")) finally out.close()
+  }
+
   def compactBucketed(spark: SparkSession, storeDir: String,
       merge: DataFrame => DataFrame, hashCols: Seq[String],
       targetRowsPerBucket: Long = 4096L): Unit = {
     val prev = newestCommitted(spark, s"$storeDir/base", "upto=")
+    val run = newestRunAbove(spark, storeDir, prev)
     val deltaIds = committedIds(spark, s"$storeDir/delta", "batch=")
-    val newestDelta = deltaIds.map(_._1).maxOption
-    val upto = (prev.map(_._1).toSeq ++ newestDelta).maxOption match {
+    val upto = (prev.map(_._1).toSeq ++ run.map(_._1) ++
+      deltaIds.map(_._1).maxOption).maxOption match {
       case None => return
       case Some(u) if prev.exists(_._1 == u) => return
       case Some(u) => u
     }
-    val folded = readFolded(spark, storeDir, merge).get.localCheckpoint(false)
-    val n = folded.count()
-    val b = math.max(1L, (n + targetRowsPerBucket - 1) / targetRowsPerBucket)
-      .min(1L << 20).toInt
-    val basePath = s"$storeDir/base/upto=$upto"
-    folded.withColumn(BucketCol, bucketExpr(hashCols, b))
-      .repartition(math.min(b, 2048), org.apache.spark.sql.functions.col(BucketCol))
-      .write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
-      .parquet(basePath)
-    val fs = new Path(storeDir)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(new Path(basePath, BucketsMarker), true)
-    try out.write(b.toString.getBytes("UTF-8")) finally out.close()
+    val folded = readFolded(spark, storeDir, merge).get
+    writeBucketedSnapshot(spark, folded, s"$storeDir/base/upto=$upto",
+      hashCols, targetRowsPerBucket)
     // same grace discipline as compact
     prev.foreach { case (prevUpto, _) =>
-      deltaIds.filter(_._1 <= prevUpto)
-        .foreach { case (id, _) =>
-          fs.delete(new Path(s"$storeDir/delta/batch=$id"), true) }
-      committedIds(spark, s"$storeDir/base", "upto=")
-        .filter(_._1 < prevUpto)
+      graceBelow(spark, storeDir, prevUpto, deltaIds) }
+  }
+
+  /** The shared grace deletion of a MAJOR compact: everything the
+    * PREVIOUS base had already superseded goes (deltas and L1 runs at
+    * or below its upto, older bases below it); anything superseded only
+    * by the flip that just happened survives one more round for lazy
+    * readers.
+    */
+  private def graceBelow(spark: SparkSession, storeDir: String,
+      prevUpto: Long, deltaIds: Seq[(Long, String)]): Unit = {
+    val fs = new Path(storeDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    deltaIds.filter(_._1 <= prevUpto)
+      .foreach { case (id, _) =>
+        fs.delete(new Path(s"$storeDir/delta/batch=$id"), true) }
+    committedIds(spark, s"$storeDir/l1", "upto=")
+      .filter(_._1 <= prevUpto)
+      .foreach { case (_, p) => fs.delete(new Path(p), true) }
+    committedIds(spark, s"$storeDir/base", "upto=")
+      .filter(_._1 < prevUpto)
+      .foreach { case (_, p) => fs.delete(new Path(p), true) }
+  }
+
+  /** MINOR compaction — the O(tail) LSM step between [[compactBucketed]]
+    * majors: fold the committed delta tail (plus the previous L1 run,
+    * which the new run supersedes) into ONE bucketed `l1/upto=<id>` run.
+    * Work is proportional to the rows ingested since the last MAJOR
+    * compact, never to the corpus — so a cadence of minors keeps the
+    * per-read delta fan-in at one run + a few deltas while the
+    * corpus-proportional major runs only when the store has genuinely
+    * outgrown its bucket count ([[IncrementalDedup.maybeCompactStores]]).
+    * Requires the store's merge to be an associative re-foldable
+    * aggregate — the existing DeltaLog contract (base ∪ tail already
+    * folds through the same merge at every read).
+    *
+    * Grace: deltas the PREVIOUS run had folded (≤ its upto) and runs
+    * that previous run superseded go now; the previous run itself
+    * survives this round for lazy readers and goes at the next minor.
+    */
+  def compactMinor(spark: SparkSession, storeDir: String,
+      merge: DataFrame => DataFrame, hashCols: Seq[String],
+      targetRowsPerBucket: Long = 4096L): Unit = {
+    val base = newestCommitted(spark, s"$storeDir/base", "upto=")
+    val prevRun = newestRunAbove(spark, storeDir, base)
+    val prevFloor = (base.map(_._1).toSeq ++ prevRun.map(_._1)).maxOption
+    val deltaIds = committedIds(spark, s"$storeDir/delta", "batch=")
+    val tail = deltaIds.filter { case (id, _) => prevFloor.forall(id > _) }
+    if (tail.isEmpty) return
+    val upto = tail.map(_._1).max
+    val tailDf = spark.read.parquet(tail.map { case (id, _) =>
+      s"$storeDir/delta/batch=$id" }: _*)
+    val folded = merge((prevRun.map { case (_, p) =>
+      spark.read.parquet(p).drop(BucketCol) }.toSeq :+ tailDf)
+      .reduce(_ unionByName _))
+    writeBucketedSnapshot(spark, folded, s"$storeDir/l1/upto=$upto",
+      hashCols, targetRowsPerBucket)
+    val fs = new Path(storeDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    prevFloor.foreach { pf =>
+      deltaIds.filter(_._1 <= pf).foreach { case (id, _) =>
+        fs.delete(new Path(s"$storeDir/delta/batch=$id"), true) }
+      val keep = Set(upto) ++ prevRun.map(_._1)
+      committedIds(spark, s"$storeDir/l1", "upto=")
+        .filter { case (id, _) => id <= pf && !keep.contains(id) }
         .foreach { case (_, p) => fs.delete(new Path(p), true) }
     }
   }
@@ -150,65 +244,93 @@ private[graft] object DeltaLog {
     * a bucket ride along and stay join-inert downstream. Falls back to
     * the full-relation fold when the base is unbucketed.
     */
+  /** Parse a snapshot dir's `_NBUCKETS` marker: first line is the
+    * bucket count (the whole pre-r19 format), an optional `rows=<n>`
+    * line carries the snapshot's row count (so growth-triggered
+    * compaction decisions, [[IncrementalDedup.maybeCompactStores]],
+    * cost marker reads, not Spark jobs). None = unbucketed dir.
+    */
+  private[graft] def markerAt(spark: SparkSession,
+      path: String): Option[(Int, Option[Long])] = {
+    val fs = new Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    try {
+      val in = fs.open(new Path(path, BucketsMarker))
+      val raw =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val lines = raw.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+      lines.headOption.flatMap(_.toIntOption).filter(_ > 0).map { b =>
+        b -> lines.collectFirst {
+          case l if l.startsWith("rows=") => l.stripPrefix("rows=") }
+          .flatMap(_.toLongOption)
+      }
+    } catch { case _: Throwable => None }
+  }
+
   /** The newest base snapshot's pinned bucket count, or None for an
     * unbucketed (or empty) store.
     */
   private[graft] def readBucketCount(spark: SparkSession,
       storeDir: String): Option[Int] =
-    newestCommitted(spark, s"$storeDir/base", "upto=").flatMap { case (_, p) =>
-      val fs = new Path(storeDir)
-        .getFileSystem(spark.sessionState.newHadoopConf())
-      try {
-        val in = fs.open(new Path(p, BucketsMarker))
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-          .toIntOption.filter(_ > 0)
-        finally in.close()
-      } catch { case _: Throwable => None }
-    }
+    newestCommitted(spark, s"$storeDir/base", "upto=")
+      .flatMap { case (_, p) => markerAt(spark, p).map(_._1) }
 
   def readFoldedFor(spark: SparkSession, storeDir: String,
       merge: DataFrame => DataFrame, hashCols: Seq[String],
       probe: DataFrame): Option[DataFrame] = {
     val base = newestCommitted(spark, s"$storeDir/base", "upto=")
-    val nb = if (base.isEmpty) None else readBucketCount(spark, storeDir)
-    nb match {
-      case None => readFolded(spark, storeDir, merge) // unbucketed base
-      case Some(b) =>
-        val ids = probe.select(bucketExpr(hashCols, b).as("_b"))
-          .distinct().collect().map(_.getInt(0)).toSeq
-        // Touched `ubkt=` dirs read DIRECTLY as roots — measured (r19,
-        // x100 base, 7813 buckets of 256 rows): explicit roots 3.6 s at
-        // 2000 touched vs 11.5 s for an isin filter over the base root
-        // and 17.9 s for a whole-root scan — per-dir overhead dominates
-        // tiny-bucket bases however they are read, and explicit roots
-        // touch the fewest dirs. Existence is resolved with ONE listing
-        // of the base dir (object stores: one paged LIST) rather than
-        // one exists() round-trip per candidate dir; the full fold only
-        // when the probe touches essentially everything.
+    val run = newestRunAbove(spark, storeDir, base)
+    if (base.isEmpty && run.isEmpty)
+      return readFolded(spark, storeDir, merge) // delta-only store
+    // probe bucket ids are per BUCKET COUNT (base and run each pin
+    // their own); memoized so two snapshots with equal counts collect
+    // the probe once
+    val idCache = scala.collection.mutable.Map.empty[Int, Seq[Int]]
+    def probeIds(b: Int): Seq[Int] = idCache.getOrElseUpdate(b,
+      probe.select(bucketExpr(hashCols, b).as("_b"))
+        .distinct().collect().map(_.getInt(0)).toSeq)
+    // Touched `ubkt=` dirs read DIRECTLY as roots — measured (r19,
+    // x100 base, 7813 buckets of 256 rows): explicit roots 3.6 s at
+    // 2000 touched vs 11.5 s for an isin filter over the base root
+    // and 17.9 s for a whole-root scan — per-dir overhead dominates
+    // tiny-bucket bases however they are read, and explicit roots
+    // touch the fewest dirs. Existence is resolved with ONE listing
+    // of the snapshot dir (object stores: one paged LIST) rather than
+    // one exists() round-trip per candidate dir; the full read when
+    // the probe touches essentially everything, or the dir carries no
+    // bucket marker (pre-bucketed store, or a crash between the
+    // parquet commit and the marker write) — slower, never wrong.
+    def readDir(path: String): DataFrame = markerAt(spark, path) match {
+      case None => spark.read.parquet(path).drop(BucketCol)
+      case Some((b, _)) =>
+        val ids = probeIds(b)
         if (ids.size.toLong * 10 >= b.toLong * 9)
-          return readFolded(spark, storeDir, merge)
-        val fs = new Path(storeDir)
+          return spark.read.parquet(path).drop(BucketCol)
+        val fs = new Path(path)
           .getFileSystem(spark.sessionState.newHadoopConf())
         val present: Set[String] =
-          (try fs.listStatus(new Path(base.get._2)).toSeq
+          (try fs.listStatus(new Path(path)).toSeq
           catch { case _: Throwable => Seq.empty })
             .filter(_.isDirectory).map(_.getPath.getName)
             .filter(_.startsWith(s"$BucketCol=")).toSet
         val paths = ids.sorted.map(i => s"$BucketCol=$i")
-          .filter(present).map(n => s"${base.get._2}/$n")
-        val baseDf =
-          if (paths.isEmpty)
-            spark.read.parquet(base.get._2).drop(BucketCol)
-              .filter(org.apache.spark.sql.functions.lit(false))
-          else spark.read.parquet(paths: _*)
-        val deltas = committedIds(spark, s"$storeDir/delta", "batch=")
-          .filter { case (id, _) => base.forall(id > _._1) }
-          .map { case (id, _) => s"$storeDir/delta/batch=$id" }
-        // same empty-tail rule as readFolded: the pruned base needs no
-        // re-merge when no delta rides above it
-        if (deltas.isEmpty) Some(baseDf)
-        else Some(merge(baseDf.unionByName(spark.read.parquet(deltas: _*))))
+          .filter(present).map(n => s"$path/$n")
+        if (paths.isEmpty)
+          spark.read.parquet(path).drop(BucketCol)
+            .filter(org.apache.spark.sql.functions.lit(false))
+        else spark.read.parquet(paths: _*)
     }
+    val floor = (base.map(_._1).toSeq ++ run.map(_._1)).maxOption
+    val deltas = committedIds(spark, s"$storeDir/delta", "batch=")
+      .filter { case (id, _) => floor.forall(id > _) }
+      .map { case (id, _) => s"$storeDir/delta/batch=$id" }
+    val srcs = (base.toSeq ++ run.toSeq).map { case (_, p) => readDir(p) } ++
+      (if (deltas.isEmpty) Nil else Seq(spark.read.parquet(deltas: _*)))
+    // same single-snapshot rule as readFolded: one pruned base or run
+    // with no tail needs no re-merge
+    if (deltas.isEmpty && srcs.size <= 1) srcs.headOption
+    else srcs.reduceOption(_ unionByName _).map(merge)
   }
 
   /** Fold the whole log into one fresh base snapshot. Grace discipline
@@ -222,9 +344,10 @@ private[graft] object DeltaLog {
   def compact(spark: SparkSession, storeDir: String,
       merge: DataFrame => DataFrame): Unit = {
     val prev = newestCommitted(spark, s"$storeDir/base", "upto=")
+    val run = newestRunAbove(spark, storeDir, prev)
     val deltaIds = committedIds(spark, s"$storeDir/delta", "batch=")
-    val newestDelta = deltaIds.map(_._1).maxOption
-    val upto = (prev.map(_._1).toSeq ++ newestDelta).maxOption match {
+    val upto = (prev.map(_._1).toSeq ++ run.map(_._1) ++
+      deltaIds.map(_._1).maxOption).maxOption match {
       case None => return
       case Some(u) if prev.exists(_._1 == u) => return
       case Some(u) => u
@@ -232,15 +355,7 @@ private[graft] object DeltaLog {
     readFolded(spark, storeDir, merge).get
       .write.mode(SaveMode.Overwrite).parquet(s"$storeDir/base/upto=$upto")
     prev.foreach { case (prevUpto, _) =>
-      val fs = new Path(storeDir)
-        .getFileSystem(spark.sessionState.newHadoopConf())
-      deltaIds.filter(_._1 <= prevUpto)
-        .foreach { case (id, _) =>
-          fs.delete(new Path(s"$storeDir/delta/batch=$id"), true) }
-      committedIds(spark, s"$storeDir/base", "upto=")
-        .filter(_._1 < prevUpto)
-        .foreach { case (_, p) => fs.delete(new Path(p), true) }
-    }
+      graceBelow(spark, storeDir, prevUpto, deltaIds) }
   }
 
   /** Write-once parameter pin (ADVICE r15): stores whose READ-side math

@@ -70,6 +70,16 @@ object IncrementalBoilerplate {
     DeltaLog.compactBucketed(spark, storeDir, mergeDf, Seq("unit"),
       targetRowsPerBucket)
 
+  /** MINOR compaction ([[DeltaLog.compactMinor]]): fold the delta tail
+    * into one bucketed L1 run at O(rows since the last major) cost, so
+    * the cadence between corpus-proportional [[compact]]s keeps reads'
+    * delta fan-in bounded without paying a base rewrite per tick.
+    */
+  def compactMinor(spark: SparkSession, storeDir: String,
+      targetRowsPerBucket: Long = 4096L): Unit =
+    DeltaLog.compactMinor(spark, storeDir, mergeDf, Seq("unit"),
+      targetRowsPerBucket)
+
   /** The landed docs cleaned against the store — the streaming-side
     * equal of the batch [[CurationPipeline]]'s boilerplate stage:
     * after all batches fold, this equals

@@ -165,6 +165,53 @@ object IncrementalDedup {
       Seq("band", "key"), targetRowsPerBucket)
   }
 
+  /** MINOR compaction of both logs ([[DeltaLog.compactMinor]]) — the
+    * per-cadence step of a continuous deployment: fold the delta tail
+    * into one bucketed L1 run per log at O(rows since the last MAJOR)
+    * cost, never O(corpus). [[compactStores]] (the corpus-proportional
+    * major) then runs only when [[maybeCompactStores]]' growth trigger
+    * fires, so total compaction work amortizes to O(1) per ingested row
+    * instead of O(corpus) per cadence tick.
+    */
+  def compactMinorStores(spark: SparkSession, storeDir: String,
+      targetRowsPerBucket: Long = 4096L): Unit = {
+    DeltaLog.compactMinor(spark, slogDir(storeDir), sigLww,
+      Seq("id"), targetRowsPerBucket)
+    DeltaLog.compactMinor(spark, blogDir(storeDir), bandLww,
+      Seq("band", "key"), targetRowsPerBucket)
+  }
+
+  /** The LSM size-ratio trigger: run the MAJOR [[compactStores]] only
+    * when either log's L1 run has grown past `1/sizeRatio` of its base
+    * (or the log has no bucketed base yet) — decided from the snapshot
+    * markers' recorded row counts alone, no Spark job. Returns whether
+    * a major ran. With minors on the cadence and this gating majors,
+    * a store ingesting N rows does O(N log N) total compaction work
+    * instead of O(N x cadence-ticks).
+    */
+  def maybeCompactStores(spark: SparkSession, storeDir: String,
+      targetRowsPerBucket: Long = 4096L, sizeRatio: Long = 4L): Boolean = {
+    def due(dir: String): Boolean = {
+      val base = DeltaLog.newestCommitted(spark, s"$dir/base", "upto=")
+      base match {
+        case None => true // no major yet: establish the bucketed base
+        case Some((_, p)) =>
+          val baseRows = DeltaLog.markerAt(spark, p).flatMap(_._2)
+          val runRows = DeltaLog.newestRunAbove(spark, dir, base)
+            .flatMap { case (_, rp) => DeltaLog.markerAt(spark, rp) }
+            .flatMap(_._2)
+          (baseRows, runRows) match {
+            case (Some(b), Some(r)) => r * sizeRatio >= b
+            case (None, _) => true // pre-r19 marker: no row count, re-base
+            case (_, None) => false // no run above the base: nothing grew
+          }
+      }
+    }
+    val fire = due(slogDir(storeDir)) || due(blogDir(storeDir))
+    if (fire) compactStores(spark, storeDir, targetRowsPerBucket)
+    fire
+  }
+
   /** The persisted corpus signature relation (id, sig), or None before
     * the first ingest. Reads whichever layout the store carries.
     */

@@ -126,6 +126,58 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
         s"extra=${corpusSelf.union(incr).diff(full)}")
   }
 
+  test("minor-compaction cadence between majors: mined pairs stay == one-shot rerun") {
+    val dir = java.nio.file.Files.createTempDirectory("sigstore6").toString
+    // major once (establishes the bucketed bases), then only MINORS —
+    // the steady state of a continuous deployment between growth-
+    // triggered majors: base + one L1 run + a short delta tail
+    IncrementalDedup.ingestBatch(corpus, dir, batchId = 0L)
+    IncrementalDedup.compactStores(spark, dir, targetRowsPerBucket = 1L)
+    val b1 = Seq((201L,
+      "completely different words appear here without any overlap at all"))
+      .toDF("doc_id", "text")
+    IncrementalDedup.ingestBatch(b1, dir, batchId = 1L)
+    IncrementalDedup.compactMinorStores(spark, dir, targetRowsPerBucket = 1L)
+    assert(new java.io.File(s"$dir/slog/l1").exists() &&
+      new java.io.File(s"$dir/blog/l1").exists(),
+      "minor compaction must land L1 runs in both logs")
+    val incr = pairSet(IncrementalDedup.ingestBatch(batch, dir, batchId = 2L))
+    val allPrior = corpus.unionByName(b1)
+    val full = pairSet(Dedup.minHashLshPairs(allPrior.unionByName(batch)))
+    val priorSelf = pairSet(Dedup.minHashLshPairs(allPrior))
+    assert(priorSelf.union(incr) === full,
+      s"missing=${full.diff(priorSelf.union(incr))}\n" +
+        s"extra=${priorSelf.union(incr).diff(full)}")
+  }
+
+  test("maybeCompactStores: majors fire on growth, not cadence") {
+    val dir = java.nio.file.Files.createTempDirectory("sigstore7").toString
+    val big = (0L until 40L).map(i =>
+      (i, s"document number $i carries its own unique words alpha$i beta$i"))
+      .toDF("doc_id", "text")
+    IncrementalDedup.ingestBatch(big, dir, batchId = 0L)
+    // no bucketed base yet: the first check majors unconditionally
+    assert(IncrementalDedup.maybeCompactStores(spark, dir,
+      targetRowsPerBucket = 4L))
+    // one small batch + a minor: run ≪ base/4, the major must NOT fire
+    val one = Seq((500L, "a single fresh document with its own words"))
+      .toDF("doc_id", "text")
+    IncrementalDedup.ingestBatch(one, dir, batchId = 1L)
+    IncrementalDedup.compactMinorStores(spark, dir, targetRowsPerBucket = 4L)
+    assert(!IncrementalDedup.maybeCompactStores(spark, dir,
+      targetRowsPerBucket = 4L),
+      "a one-doc run against a 40-doc base must not trigger a major")
+    // grow the run past base/sizeRatio: the major fires and re-bases
+    val grow = (600L until 616L).map(i =>
+      (i, s"growth document $i with words gamma$i delta$i")).toDF("doc_id", "text")
+    IncrementalDedup.ingestBatch(grow, dir, batchId = 2L)
+    IncrementalDedup.compactMinorStores(spark, dir, targetRowsPerBucket = 4L)
+    assert(IncrementalDedup.maybeCompactStores(spark, dir,
+      targetRowsPerBucket = 4L))
+    // post-major reads still exact: signatures == everything ingested
+    assert(IncrementalDedup.readSignatures(spark, dir).get.count() === 57L)
+  }
+
   test("randomized: decomposition equality holds on random corpus/batch splits") {
     // 80 docs over a 14-word vocabulary (plenty of natural near-dups and
     // band collisions), 3 random splits — pairs(corpus ∪ batch) must

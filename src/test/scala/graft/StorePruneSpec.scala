@@ -152,4 +152,112 @@ class StorePruneSpec extends AnyFunSuite with SparkTestBase {
     assert(full.orderBy("unit").collect().toSeq ===
       oneShotDf.collect().toSeq)
   }
+
+  private val sumMerge: org.apache.spark.sql.DataFrame =>
+      org.apache.spark.sql.DataFrame =
+    _.groupBy("unit").agg(sum("df").as("df"))
+
+  private def committedRuns(dir: String): Seq[Long] =
+    DeltaLog.committedIds(spark, s"$dir/l1", "upto=").map(_._1).sorted
+
+  private def committedDeltas(dir: String): Seq[Long] =
+    DeltaLog.committedIds(spark, s"$dir/delta", "batch=").map(_._1).sorted
+
+  private def foldMap(dir: String): Map[String, Long] =
+    DeltaLog.readFolded(spark, dir, sumMerge).get
+      .select("unit", "df").as[(String, Long)].collect().toMap
+
+  test("minor compaction: L1 runs fold the tail exactly, grace-delete one round late, reads stay exact") {
+    val dir = freshDir()
+    def delta(id: Long, units: (String, Long)*): Unit =
+      DeltaLog.writeDelta(units.toDF("unit", "df"), dir, id)
+    delta(0L, "a" -> 1L, "b" -> 2L)
+    delta(1L, "a" -> 1L, "c" -> 3L)
+    DeltaLog.compactMinor(spark, dir, sumMerge, Seq("unit"),
+      targetRowsPerBucket = 2L)
+    // one bucketed run covering the whole tail, marker carrying rows
+    assert(committedRuns(dir) === Seq(1L))
+    val (b1, rows1) = DeltaLog.markerAt(spark, s"$dir/l1/upto=1").get
+    assert(b1 >= 1 && rows1.contains(3L)) // a=2 folded, b, c
+    assert(foldMap(dir) === Map("a" -> 2L, "b" -> 2L, "c" -> 3L))
+    // first minor had nothing previously folded: no grace deletes yet
+    assert(committedDeltas(dir) === Seq(0L, 1L))
+    delta(2L, "b" -> 5L)
+    delta(3L, "d" -> 7L)
+    DeltaLog.compactMinor(spark, dir, sumMerge, Seq("unit"),
+      targetRowsPerBucket = 2L)
+    // run 3 = fold(run 1 ∪ deltas 2,3); run 1 survives ONE round for
+    // lazy readers; deltas the PREVIOUS run covered are gone
+    assert(committedRuns(dir) === Seq(1L, 3L))
+    assert(committedDeltas(dir) === Seq(2L, 3L))
+    assert(foldMap(dir) === Map("a" -> 2L, "b" -> 7L, "c" -> 3L, "d" -> 7L))
+    delta(4L, "a" -> 10L)
+    DeltaLog.compactMinor(spark, dir, sumMerge, Seq("unit"),
+      targetRowsPerBucket = 2L)
+    // run 1 (two flips old) is gone, run 3 rides its grace round
+    assert(committedRuns(dir) === Seq(3L, 4L))
+    assert(committedDeltas(dir) === Seq(4L))
+    val expect = Map("a" -> 12L, "b" -> 7L, "c" -> 3L, "d" -> 7L)
+    assert(foldMap(dir) === expect)
+    // pruned fold over the run+tail layout == filtered full fold
+    val probe = Seq("a", "d").toDF("unit")
+    val pruned = DeltaLog.readFoldedFor(spark, dir, sumMerge, Seq("unit"),
+      probe).get.join(probe, Seq("unit"))
+      .select("unit", "df").as[(String, Long)].collect().toMap
+    assert(pruned === Map("a" -> 12L, "d" -> 7L))
+  }
+
+  test("major after minors: run content folds into the base; superseded runs go at the next flip") {
+    val dir = freshDir()
+    def delta(id: Long, units: (String, Long)*): Unit =
+      DeltaLog.writeDelta(units.toDF("unit", "df"), dir, id)
+    delta(0L, "a" -> 1L); delta(1L, "b" -> 2L)
+    DeltaLog.compactMinor(spark, dir, sumMerge, Seq("unit"),
+      targetRowsPerBucket = 2L)
+    delta(2L, "a" -> 4L)
+    DeltaLog.compactBucketed(spark, dir, sumMerge, Seq("unit"),
+      targetRowsPerBucket = 2L)
+    // the base covers run + tail; the run is instantly excluded from
+    // reads (it sits at-or-below the base) but survives its grace round
+    assert(DeltaLog.newestCommitted(spark, s"$dir/base", "upto=")
+      .map(_._1) === Some(2L))
+    assert(committedRuns(dir) === Seq(1L))
+    assert(foldMap(dir) === Map("a" -> 5L, "b" -> 2L))
+    // next flip deletes the superseded run
+    delta(3L, "c" -> 9L)
+    DeltaLog.compactBucketed(spark, dir, sumMerge, Seq("unit"),
+      targetRowsPerBucket = 2L)
+    assert(committedRuns(dir) === Seq.empty)
+    assert(foldMap(dir) === Map("a" -> 5L, "b" -> 2L, "c" -> 9L))
+    // a minor directly after a major is a no-op (no tail above the base)
+    DeltaLog.compactMinor(spark, dir, sumMerge, Seq("unit"),
+      targetRowsPerBucket = 2L)
+    assert(committedRuns(dir) === Seq.empty)
+  }
+
+  test("boilerplate minor cadence: clean-against-store equals one-shot with only minors since the major") {
+    val dir = freshDir()
+    val mkDocs = (ids: Seq[Long]) => ids.map(i =>
+      (i, if (i % 3 == 0) "the common boilerplate line. unique tail " + i
+      else "unique body " + i + ". the common boilerplate line"))
+      .toDF("doc_id", "text")
+    val all = mkDocs(0L until 90L)
+    IncrementalBoilerplate.updateStore(dir, 0L, mkDocs(0L until 40L))
+    IncrementalBoilerplate.compact(spark, dir, targetRowsPerBucket = 8L)
+    IncrementalBoilerplate.updateStore(dir, 1L, mkDocs(40L until 70L))
+    IncrementalBoilerplate.compactMinor(spark, dir, targetRowsPerBucket = 8L)
+    IncrementalBoilerplate.updateStore(dir, 2L, mkDocs(70L until 90L))
+    // layout now: bucketed base + bucketed L1 run + one delta — the
+    // steady state of a continuously-ingesting deployment between majors
+    assert(committedRuns(dir) === Seq(1L))
+    val probe = mkDocs(Seq(3L, 7L, 12L))
+    val cleaned = IncrementalBoilerplate.cleanAgainstStore(probe, dir,
+      minDocFreq = 30L).orderBy("doc_id")
+    val oneShot = Dedup.dropBoilerplateUnits(all, minDocFreq = 30L)
+      .filter(col("doc_id").isin(3L, 7L, 12L)).orderBy("doc_id")
+    assert(cleaned.collect().toSeq === oneShot.collect().toSeq)
+    assert(IncrementalBoilerplate.readUnitDf(spark, dir).get
+      .orderBy("unit").collect().toSeq ===
+      Dedup.unitDocFrequencies(all).orderBy("unit").collect().toSeq)
+  }
 }
