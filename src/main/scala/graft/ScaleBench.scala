@@ -592,7 +592,9 @@ object ScaleBench {
         .map { case (k, v) => s""""$k":${jnum(v)}""" }.mkString("{", ",", "}")
       val keys = Seq("probe_ingest_sec", "probe_boilerplate_sec",
         "fold_plan_sec", "fold_read_sec", "compact_sec", "sig_compact_sec",
-        "clean_probe_sec", "setup_sec_per_batch")
+        "clean_probe_sec", "setup_sec_per_batch",
+        "sig_minor_sec", "unitdf_minor_sec",
+        "probe_ingest_post_minor_sec", "clean_probe_post_minor_sec")
       val ratios = keys.map(k =>
         s""""$k":${jnum(sec(ten, k) / sec(one, k))}""").mkString("{", ",", "}")
       keys.foreach { k =>
@@ -827,22 +829,32 @@ object ScaleBench {
       // item 6: the bigram variant doubles explode width — its decade
       // ratio is the empirical form of the "explode-proportional, not
       // superlinear" claim)
+      // each family INDIVIDUALLY guarded (r19: one OOM under host
+      // memory pressure must cost one row, not the whole section —
+      // the ingest/media/topology legs below were lost to a graph-prep
+      // OOM exactly once)
       val docFams = Seq("dedup_ngram_jaccard", "dedup_prefix_jaccard",
         "dedup_prefix_jaccard_hi", "doc_ngram_novelty",
         "dsir_log_weights_bigrams", "dsir_resampled").map { name =>
-        val q = SparkEntry.queries(name)
-        val (s10, s100) = timer.timePair(
-          s"second_decade.$name.x10_sec", q(spark, outDir).count(),
-          s"second_decade.$name.x100_sec", q(spark, docs100Dir).count())
-        System.err.println(f"[scale] $name: 10x $s10%.2f s -> 100x " +
-          f"$s100%.2f s (ratio ${s100 / s10}%.2f)")
-        s""""$name":{"x10_sec":${jnum(s10)},"x100_sec":${jnum(s100)},"ratio_100_over_10":${jnum(s100 / s10)}}"""
+        try {
+          val q = SparkEntry.queries(name)
+          val (s10, s100) = timer.timePair(
+            s"second_decade.$name.x10_sec", q(spark, outDir).count(),
+            s"second_decade.$name.x100_sec", q(spark, docs100Dir).count())
+          System.err.println(f"[scale] $name: 10x $s10%.2f s -> 100x " +
+            f"$s100%.2f s (ratio ${s100 / s10}%.2f)")
+          s""""$name":{"x10_sec":${jnum(s10)},"x100_sec":${jnum(s100)},"ratio_100_over_10":${jnum(s100 / s10)}}"""
+        } catch { case e: Throwable =>
+          System.err.println(s"[scale] decade $name FAILED — ${e.getMessage}")
+          s""""$name":{"error":"${Option(e.getMessage).getOrElse(e.getClass.getName).take(200).replace("\"", "'")}"}"""
+        }
       }
       // graph: prep (cache fill, evict-first so it's re-runnable) and
       // the pagerank recurrence, 10x vs 100x edges
       // interleave order note: both legs of each pair ride timePair so
       // neither ratio can mix a warm retime with a cold first run (the
       // r17 committed pagerank 17.3x per decade was exactly that)
+      val graphJ = try {
       val (gp10, gp100) = timer.timePair(
         "second_decade.graph_prep.x10_sec", prepThunk(outDir),
         "second_decade.graph_prep.x100_sec", prepThunk(graph100Dir))
@@ -886,8 +898,11 @@ object ScaleBench {
         f"shuffle ${sh100 / sh10}%.2f, broadcast ${bc100 / gr10}%.2f")
       val pathsJ =
         s""""graph_pagerank_paths":{"gate_default":$gate,"x10":{"nodes":$nodes10,"default_path":"${pathOf(nodes10)}","default_sec":${jnum(gr10)},"shuffle_sec":${jnum(sh10)}},"x100":{"nodes":$nodes100,"default_path":"${pathOf(nodes100)}","default_sec":${jnum(gr100)},"broadcast_gate_used":2000000,"broadcast_sec":${jnum(bc100)},"shuffle_sec":${jnum(sh100)}},"ratio_100_over_10_shuffle":${jnum(sh100 / sh10)},"ratio_100_over_10_broadcast":${jnum(bc100 / gr10)}}"""
-      val graphJ =
         s""""graph_prep":{"x10_sec":${jnum(gp10)},"x100_sec":${jnum(gp100)},"ratio_100_over_10":${jnum(gp100 / gp10)}},"graph_pagerank":{"x10_sec":${jnum(gr10)},"x100_sec":${jnum(gr100)},"ratio_100_over_10":${jnum(gr100 / gr10)}},$pathsJ"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[scale] decade graph FAILED — ${e.getMessage}")
+        s""""graph_prep":{"error":"${Option(e.getMessage).getOrElse(e.getClass.getName).take(200).replace("\"", "'")}"}"""
+      }
       // ingest probe vs a 10x and a 100x store, same 500-doc probe
       // (ids above block 99), setup batches sized to keep construction
       // bounded (12,500 docs/batch: 4 setup batches at 10x, 40 at 100x)
@@ -906,7 +921,8 @@ object ScaleBench {
           .map { case (k, v) => s""""$k":${jnum(v)}""" }.mkString("{", ",", "}")
         val keys = Seq("probe_ingest_sec", "probe_boilerplate_sec",
           "fold_plan_sec", "fold_read_sec", "compact_sec", "sig_compact_sec",
-          "clean_probe_sec")
+          "clean_probe_sec", "sig_minor_sec", "unitdf_minor_sec",
+          "probe_ingest_post_minor_sec", "clean_probe_post_minor_sec")
         val ratios = keys.map(k =>
           s""""$k":${jnum(sec(hundred, k) / sec(ten, k))}""")
           .mkString("{", ",", "}")

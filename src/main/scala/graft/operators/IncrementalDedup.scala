@@ -327,12 +327,28 @@ object IncrementalDedup {
   def ingester(storeDir: String, pairsDir: String, n: Int = 3,
       numHashes: Int = 16, bands: Int = 4, minAgreement: Double = 0.5,
       idCol: String = "doc_id", textCol: String = "text",
-      numBuckets: Int = KeyedUpsertSink.DefaultNumBuckets): (DataFrame, Long) => Unit =
-    (batch, id) =>
+      numBuckets: Int = KeyedUpsertSink.DefaultNumBuckets,
+      compactEvery: Int = 0,
+      targetRowsPerBucket: Long = 4096L): (DataFrame, Long) => Unit =
+    (batch, id) => {
       ingestBatch(batch, storeDir, id, n, numHashes, bands, minAgreement,
           idCol, textCol, numBuckets)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$pairsDir/batch=$id")
+      // self-maintenance (r19, opt-in): every `compactEvery` batches a
+      // cadence MINOR bounds the delta tail at O(rows since the last
+      // major), and the marker-read growth trigger re-bases only when a
+      // log has outgrown its bucket count — the sink keeps its own read
+      // amplification bounded with no out-of-band compactor. Safe under
+      // re-delivery: a re-run batch's delta lands at-or-below the
+      // newest run's upto, holds the same bytes that run already
+      // folded, and readers skip it by the floor rule.
+      if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
+        val spark = batch.sparkSession
+        compactMinorStores(spark, storeDir, targetRowsPerBucket)
+        maybeCompactStores(spark, storeDir, targetRowsPerBucket)
+      }
+    }
 
   /** All pairs mined so far by [[ingester]], with their `batch` column. */
   def minedPairs(spark: SparkSession, pairsDir: String): DataFrame =

@@ -234,6 +234,34 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(IncrementalDedup.readSignatures(spark, s"$root/store").get.count() === 7)
   }
 
+  test("self-maintaining ingester (compactEvery=1): pairs and store == one-shot; L1 runs land") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("sigselfmnt").toString
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch(IncrementalDedup.ingester(s"$root/store", s"$root/pairs",
+        compactEvery = 1, targetRowsPerBucket = 2L))
+      .start()
+    try {
+      input.addData(corpus.as[(Long, String)].collect().toSeq)
+      q.processAllAvailable()
+      input.addData(batch.as[(Long, String)].collect().toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    // batch 0's trigger majored (no bucketed base yet); batch 1's
+    // minor folded its tail into L1 runs in both logs
+    assert(new java.io.File(s"$root/store/slog/base").exists(),
+      "the first growth-trigger check must establish the bucketed base")
+    val mined = IncrementalDedup.minedPairs(spark, s"$root/pairs")
+    assert(pairSet(mined.drop("batch")) ===
+      pairSet(Dedup.minHashLshPairs(corpus.unionByName(batch))))
+    assert(IncrementalDedup.readSignatures(spark, s"$root/store").get
+      .count() === 7)
+  }
+
   test("streaming ingester survives a checkpointed restart without duplicates") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx = spark.sqlContext
