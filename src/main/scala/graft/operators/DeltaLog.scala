@@ -309,17 +309,27 @@ private[graft] object DeltaLog {
           return spark.read.parquet(path).drop(BucketCol)
         val fs = new Path(path)
           .getFileSystem(spark.sessionState.newHadoopConf())
-        val present: Set[String] =
-          (try fs.listStatus(new Path(path)).toSeq
-          catch { case _: Throwable => Seq.empty })
+        // a FAILED listing must degrade to the full read, never to "no
+        // buckets present" — collapsing a transient list error to an
+        // empty set would return an empty relation for a populated
+        // snapshot (the silent-stale shape the r18 advice flagged in
+        // the commit seam); if the dir truly vanished the full read
+        // fails loudly instead
+        val present: Option[Set[String]] =
+          try Some(fs.listStatus(new Path(path)).toSeq
             .filter(_.isDirectory).map(_.getPath.getName)
-            .filter(_.startsWith(s"$BucketCol=")).toSet
-        val paths = ids.sorted.map(i => s"$BucketCol=$i")
-          .filter(present).map(n => s"$path/$n")
-        if (paths.isEmpty)
-          spark.read.parquet(path).drop(BucketCol)
-            .filter(org.apache.spark.sql.functions.lit(false))
-        else spark.read.parquet(paths: _*)
+            .filter(_.startsWith(s"$BucketCol=")).toSet)
+          catch { case _: Throwable => None }
+        present match {
+          case None => spark.read.parquet(path).drop(BucketCol)
+          case Some(have) =>
+            val paths = ids.sorted.map(i => s"$BucketCol=$i")
+              .filter(have).map(n => s"$path/$n")
+            if (paths.isEmpty)
+              spark.read.parquet(path).drop(BucketCol)
+                .filter(org.apache.spark.sql.functions.lit(false))
+            else spark.read.parquet(paths: _*)
+        }
     }
     val floor = (base.map(_._1).toSeq ++ run.map(_._1)).maxOption
     val deltas = committedIds(spark, s"$storeDir/delta", "batch=")
