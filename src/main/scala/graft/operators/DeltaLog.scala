@@ -265,7 +265,54 @@ private[graft] object DeltaLog {
           case l if l.startsWith("rows=") => l.stripPrefix("rows=") }
           .flatMap(_.toLongOption)
       }
-    } catch { case _: Throwable => None }
+      // IO failures only (a missing marker is the normal "unbucketed"
+      // answer; a transient read error degrades the same way — full
+      // reads, slower, never wrong). Fatal errors (OOM, interrupt)
+      // must propagate, not read as "unbucketed" (ADVICE r19).
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** Repair a committed snapshot dir whose `_NBUCKETS` marker is
+    * missing (a crash between the parquet commit and the marker write)
+    * or row-less (the pre-r19 format): recount the rows (a
+    * footer-only count) and rewrite the marker in place — the DATA is
+    * never touched, so a crash mid-repair just leaves the marker
+    * missing again. Without the repair, growth triggers reading the
+    * marker ([[IncrementalDedup.maybeCompactStores]]) would fire a
+    * major that NO-OPS (nothing newer than the base) while reporting
+    * fired=true on every tick (ADVICE r19).
+    *
+    * The bucket count is kept from a row-less marker when one exists;
+    * for a marker-less dir it is recomputed from the recounted rows
+    * with the caller's `targetRowsPerBucket` (the same formula the
+    * crashed compact used) and then VERIFIED against the data — every
+    * row's recomputed bucket id must equal its `ubkt` dir, else the
+    * original write used a different target and pinning the guess
+    * would make pruned reads silently MISS rows. A failed verification
+    * (or an unbucketed legacy dir) writes nothing: full-relation
+    * reads, slower, never wrong. Returns whether a complete marker is
+    * now in place.
+    */
+  private[graft] def repairMarker(spark: SparkSession, path: String,
+      hashCols: Seq[String], targetRowsPerBucket: Long): Boolean = {
+    val df = spark.read.parquet(path)
+    if (!df.columns.contains(BucketCol)) return false // legacy unbucketed
+    val n = df.count()
+    val b = markerAt(spark, path).map(_._1).getOrElse {
+      val guess = math.max(1L,
+        (n + targetRowsPerBucket - 1) / targetRowsPerBucket)
+        .min(1L << 20).toInt
+      val mismatched = df.filter(
+        bucketExpr(hashCols, guess) =!= org.apache.spark.sql.functions
+          .col(BucketCol)).limit(1).count()
+      if (mismatched > 0) return false
+      guess
+    }
+    val fs = new Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(new Path(path, BucketsMarker), true)
+    try out.write(s"$b\nrows=$n".getBytes("UTF-8")) finally out.close()
+    true
   }
 
   /** The newest base snapshot's pinned bucket count, or None for an

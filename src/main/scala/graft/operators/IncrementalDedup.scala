@@ -188,26 +188,61 @@ object IncrementalDedup {
     * a major ran. With minors on the cadence and this gating majors,
     * a store ingesting N rows does O(N log N) total compaction work
     * instead of O(N x cadence-ticks).
+    *
+    * Self-sufficient without an external minor cadence (ADVICE r19): a
+    * committed delta tail longer than `maxTailDirs` dirs above the
+    * newest snapshot triggers an inline MINOR on that log (O(tail)),
+    * folding the tail into an L1 run the ratio rule then sees — so a
+    * store fed only through this trigger still keeps its read fan-in
+    * bounded instead of growing one delta dir per batch forever. A
+    * base whose `_NBUCKETS` marker is missing or row-less (a crash
+    * between a major's parquet commit and the marker write, or a
+    * pre-r19 marker) is repaired in place ([[DeltaLog.repairMarker]])
+    * rather than firing a major that would no-op while reporting
+    * fired=true on every tick.
     */
   def maybeCompactStores(spark: SparkSession, storeDir: String,
-      targetRowsPerBucket: Long = 4096L, sizeRatio: Long = 4L): Boolean = {
-    def due(dir: String): Boolean = {
+      targetRowsPerBucket: Long = 4096L, sizeRatio: Long = 4L,
+      maxTailDirs: Int = 16): Boolean = {
+    def due(dir: String, merge: DataFrame => DataFrame,
+        hashCols: Seq[String]): Boolean = {
       val base = DeltaLog.newestCommitted(spark, s"$dir/base", "upto=")
       base match {
         case None => true // no major yet: establish the bucketed base
         case Some((_, p)) =>
           val baseRows = DeltaLog.markerAt(spark, p).flatMap(_._2)
-          val runRows = DeltaLog.newestRunAbove(spark, dir, base)
-            .flatMap { case (_, rp) => DeltaLog.markerAt(spark, rp) }
-            .flatMap(_._2)
-          (baseRows, runRows) match {
-            case (Some(b), Some(r)) => r * sizeRatio >= b
-            case (None, _) => true // pre-r19 marker: no row count, re-base
-            case (_, None) => false // no run above the base: nothing grew
+            .orElse {
+              if (DeltaLog.repairMarker(spark, p, hashCols,
+                  targetRowsPerBucket))
+                DeltaLog.markerAt(spark, p).flatMap(_._2)
+              else None // irreparable (legacy unbucketed dir): a real
+                        // re-base happens at the next delta; firing
+                        // now would no-op forever
+            }
+          baseRows match {
+            case None => false
+            case Some(b) =>
+              def runRows: Option[Long] =
+                DeltaLog.newestRunAbove(spark, dir, base)
+                  .flatMap { case (_, rp) => DeltaLog.markerAt(spark, rp) }
+                  .flatMap(_._2)
+              // the uncompacted tail above the newest snapshot: fold it
+              // into an L1 run (O(tail)) when it has outgrown the
+              // fan-in bound, THEN let the ratio rule see the growth
+              val floor = (base.map(_._1).toSeq ++
+                DeltaLog.newestRunAbove(spark, dir, base).map(_._1)).max
+              val tailDirs = DeltaLog
+                .committedIds(spark, s"$dir/delta", "batch=")
+                .count(_._1 > floor)
+              if (tailDirs >= maxTailDirs)
+                DeltaLog.compactMinor(spark, dir, merge, hashCols,
+                  targetRowsPerBucket)
+              runRows.exists(r => r * sizeRatio >= b)
           }
       }
     }
-    val fire = due(slogDir(storeDir)) || due(blogDir(storeDir))
+    val fire = due(slogDir(storeDir), sigLww, Seq("id")) ||
+      due(blogDir(storeDir), bandLww, Seq("band", "key"))
     if (fire) compactStores(spark, storeDir, targetRowsPerBucket)
     fire
   }

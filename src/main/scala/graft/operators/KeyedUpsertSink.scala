@@ -140,6 +140,29 @@ object KeyedUpsertSink {
 
   private[graft] def commitStatsClear(): Unit = commitStats.clear()
 
+  /** Cumulative per-phase milliseconds of the write path — the merge
+    * job, the locked flip section, the maintenance compact — keyed by
+    * `<phase>:<writerId>`: the attribution feed for the topology
+    * probes' per-chunk timelines (r19 verdict item 1), so "throughput
+    * decayed" decomposes into WHICH phase grew. Instrumentation only —
+    * one map add per phase per batch.
+    */
+  private[graft] val phaseMs = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.LongAdder]()
+
+  private[graft] def recordPhase(phase: String, writerId: String,
+      ms: Long): Unit =
+    phaseMs.computeIfAbsent(
+      s"$phase:${if (writerId.nonEmpty) writerId else "(default)"}",
+      _ => new java.util.concurrent.atomic.LongAdder).add(ms)
+
+  private[graft] def phaseSnapshot(): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    phaseMs.asScala.map { case (k, v) => k -> v.sum() }.toMap
+  }
+
+  private[graft] def phaseClear(): Unit = phaseMs.clear()
+
   /** `graft.store.optimistic` / `GRAFT_STORE_OPTIMISTIC` = "off" routes
     * every upsert through the fully-locked path (the pre-r18 shape) —
     * the measurement seam that prices the optimistic protocol's extra
@@ -445,15 +468,16 @@ object KeyedUpsertSink {
     // pointer flip takes the lease, and it re-reads the pointer there
     // and commits IFF no peer moved any of this batch's touched buckets
     // (and the bucket config is unchanged and the written generation
-    // still exists on disk). On conflict the orphaned generation is
-    // re-merged against fresh state and the commit retried; after
-    // `MaxOptimisticAttempts` conflicts the writer falls back to the
-    // fully-locked path (merge inside the lease — the pre-r18 shape),
-    // so progress is guaranteed under any contention. This is the
-    // Delta-style OCC shape, and it is what the r18 topology bench
-    // said the table needed: under the concurrent two-hop schedule the
-    // ingest hop spent 10.7 of 41 s WAITING on the lease, almost all of
-    // it for peers' merge jobs rather than their pointer flips.
+    // still exists on disk). The FIRST conflict sends the batch down
+    // the fully-locked path (merge inside the lease — guaranteed
+    // progress) and opens the store-wide pessimistic cooldown (r19
+    // verdict item 4: optimistic RETRIES under sustained contention
+    // only burned more merge jobs — see the policy comment below).
+    // This is the Delta-style OCC shape, and it is what the r18
+    // topology bench said the table needed: under the concurrent
+    // two-hop schedule the ingest hop spent 10.7 of 41 s WAITING on
+    // the lease, almost all of it for peers' merge jobs rather than
+    // their pointer flips.
     //
     // Why the unlocked merge is safe to attempt: its input files are
     // the snapshot's touched-bucket files, which the grace window
@@ -470,9 +494,9 @@ object KeyedUpsertSink {
     val contended = optimistic && Option(pessimisticUntil.get(canonical))
       .exists(_ > System.currentTimeMillis())
     if (contended) stat("pessimistic_batches")
-    var attempt = if (contended || !optimistic) MaxOptimisticAttempts else 0
     var committed = false
-    while (!committed && attempt < MaxOptimisticAttempts) {
+    var conflicted = false
+    if (optimistic && !contended) {
       val s0 = readState(spark, storeDir)
       val tMerge0 = System.nanoTime()
       def mergeMs: Long = (System.nanoTime() - tMerge0) / 1000000L
@@ -484,34 +508,43 @@ object KeyedUpsertSink {
           // snapshot's input files may have been pruned — conflict, not
           // error. An unchanged pointer means the failure is real.
           if (readState(spark, storeDir) != s0) {
-            attempt += 1
             stat("merge_conflicts"); stat("discarded_merge_ms", mergeMs)
+            conflicted = true
             null
           } else throw e
         }
       val mergeDurMs = mergeMs // the merge job alone, not the flip below
+      recordPhase("merge", writerId, mergeDurMs)
       prepared match {
-        case null => () // conflict during merge — loop retries
+        case null => () // conflict during merge — serialize below
         case None => return // batch touches no bucket — nothing to do
         case Some(p) =>
           preCommitHold()
           committed = tryCommitPrepared(spark, fs, storeDir, s0, p, who)
           if (committed) stat("optimistic_committed")
           else {
-            attempt += 1
             stat("commit_conflicts"); stat("discarded_merge_ms", mergeDurMs)
+            conflicted = true
           }
       }
     }
+    // FIRST-CONFLICT serialization (r19 verdict item 4): a conflict
+    // means a peer flipped this batch's buckets while our merge ran —
+    // re-merging optimistically would race the SAME peers again, and
+    // the r19 contention rows showed exactly that (w4: 11.6 s of
+    // discarded merge jobs, net slower than plain locking). So the
+    // first conflict (a) sends THIS batch straight down the locked
+    // path — the lease-held re-merge reads fresh state, so it cannot
+    // conflict — and (b) opens the store-wide cooldown immediately, so
+    // peer writers in this JVM stop burning merges too. Disjoint-bucket
+    // or single-writer traffic never conflicts and never pays either.
+    if (conflicted) {
+      stat("cooldown_entries")
+      pessimisticUntil.put(canonical, java.lang.Long.valueOf(
+        System.currentTimeMillis() + PessimisticCooldownMs))
+    }
     if (!committed) {
-      if (optimistic) {
-        stat("locked_fallbacks")
-        if (!contended) {
-          stat("cooldown_entries")
-          pessimisticUntil.put(canonical, java.lang.Long.valueOf(
-            System.currentTimeMillis() + PessimisticCooldownMs))
-        }
-      }
+      if (optimistic) stat("locked_fallbacks")
       withStoreLock(spark, storeDir, who) { fence =>
         upsertBatchLocked(batch, storeDir, keys, orderCol, batchId,
           versionWins, numBuckets, writerId, bucketCols, fence)
@@ -519,22 +552,19 @@ object KeyedUpsertSink {
     }
   }
 
-  /** Bounded optimistic retries before falling back to the fully-locked
-    * merge: conflicts mean a peer is flipping this batch's buckets
-    * faster than we can re-merge, and the locked path then serializes
-    * honestly instead of burning merge jobs.
-    */
-  private val MaxOptimisticAttempts = 2
-
-  /** ADAPTIVE CONTENTION BACKOFF: a store whose optimistic commits just
-    * exhausted their retries goes PESSIMISTIC for this long — under
-    * sustained overlapping-bucket contention (two streaming hops both
-    * touching most buckets every batch, the two-hop topology's shape)
-    * optimism degenerates into a retry storm where every batch burns
-    * its merges twice or more before serializing anyway (measured: the
+  /** ADAPTIVE CONTENTION BACKOFF: a store whose optimistic commit just
+    * CONFLICTED goes PESSIMISTIC for this long — under sustained
+    * overlapping-bucket contention (two streaming hops both touching
+    * most buckets every batch, the two-hop topology's shape) optimism
+    * degenerates into a retry storm where every batch burns its merges
+    * twice or more before serializing anyway (measured r18: the
     * concurrent topology schedule ran 40.7 s -> 66.0 s at 10x under
     * always-optimistic commits, lease waits near zero but wall-clock
-    * dominated by discarded merge jobs). The cooldown restores the
+    * dominated by discarded merge jobs; measured r19: even ONE
+    * optimistic retry per conflict left w4 contention at 28.4 s vs
+    * 25.3 s plain-locked, 11.6 s of discarded merges — hence the
+    * cooldown now opens on the FIRST conflict and conflicted batches
+    * never re-merge optimistically). The cooldown restores the
     * serialized path while contention lasts and re-tries optimism
     * afterwards; disjoint-bucket or single-writer traffic never
     * conflicts and never enters it. JVM-local by design — a heuristic,
@@ -574,12 +604,16 @@ object KeyedUpsertSink {
         fs.exists(bucketPath(storeDir, p.gen, b)))
       if (!configOk || !bucketsOk || !genIntact) false
       else {
+        val tFlip0 = System.nanoTime()
         val newGens = g1 ++ p.touched.map(_ -> p.gen)
         preFlipHold()
         fence()
         writePointer(spark, fs, storeDir, p.n, newGens, p.pin)
         pruneGens(fs, storeDir, newGens, g1, p.gen)
         clearInflight(fs, storeDir, p.gen)
+        recordPhase("flip",
+          who.split(":", -1).lift(1).getOrElse(""),
+          (System.nanoTime() - tFlip0) / 1000000L)
         true
       }
     }
@@ -591,8 +625,12 @@ object KeyedUpsertSink {
     val spark = batch.sparkSession
     val fs = fileSystem(spark, storeDir)
     val state = readState(spark, storeDir)
-    prepareGeneration(batch, storeDir, keys, orderCol, batchId,
-      versionWins, numBuckets, writerId, bucketCols, state).foreach { p =>
+    val tMerge0 = System.nanoTime()
+    val prepared = prepareGeneration(batch, storeDir, keys, orderCol,
+      batchId, versionWins, numBuckets, writerId, bucketCols, state)
+    recordPhase("merge", writerId, (System.nanoTime() - tMerge0) / 1000000L)
+    prepared.foreach { p =>
+      val tFlip0 = System.nanoTime()
       val gens = state.map(_.gens).getOrElse(Map.empty[Int, String])
       val newGens = gens ++ p.touched.map(_ -> p.gen)
       // test seam + fence exactly as in the optimistic flip
@@ -601,6 +639,7 @@ object KeyedUpsertSink {
       writePointer(spark, fs, storeDir, p.n, newGens, p.pin)
       pruneGens(fs, storeDir, newGens, gens, p.gen)
       clearInflight(fs, storeDir, p.gen)
+      recordPhase("flip", writerId, (System.nanoTime() - tFlip0) / 1000000L)
     }
   }
 
@@ -779,7 +818,10 @@ object KeyedUpsertSink {
   def compact(spark: SparkSession, storeDir: String, keys: Seq[String],
       newNumBuckets: Int = 0): Unit =
     withStoreLock(spark, storeDir, "compact") { fence =>
-      compactLocked(spark, storeDir, keys, newNumBuckets, fence)
+      val t0 = System.nanoTime()
+      try compactLocked(spark, storeDir, keys, newNumBuckets, fence)
+      finally recordPhase("compact", "compact",
+        (System.nanoTime() - t0) / 1000000L)
     }
 
   private def compactLocked(spark: SparkSession, storeDir: String,

@@ -97,8 +97,11 @@ object TripTopology {
       TripStore.OrderCol, id, versionWins = true, numBuckets = numBuckets,
       writerId = "ing")
     afterUpsert(id)
+    val tLog0 = System.nanoTime()
     items.write.mode(SaveMode.Overwrite)
       .parquet(s"$changesDir/batch=$id")
+    KeyedUpsertSink.recordPhase("changelog", "ing",
+      (System.nanoTime() - tLog0) / 1000000L)
   }
 
   /** Hop 1 — the Lambda1 analogue: raw wire JSON in, every validated

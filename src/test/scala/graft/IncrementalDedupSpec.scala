@@ -178,6 +178,64 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(IncrementalDedup.readSignatures(spark, dir).get.count() === 57L)
   }
 
+  test("maybeCompactStores: a marker-less base is repaired, not majored in a no-op loop") {
+    import graft.operators.DeltaLog
+    val dir = java.nio.file.Files.createTempDirectory("sigstore8").toString
+    val big = (0L until 40L).map(i =>
+      (i, s"repair document $i with its own words mu$i nu$i"))
+      .toDF("doc_id", "text")
+    IncrementalDedup.ingestBatch(big, dir, batchId = 0L)
+    assert(IncrementalDedup.maybeCompactStores(spark, dir,
+      targetRowsPerBucket = 4L))
+    // simulate the crash between a major's parquet commit and its
+    // _NBUCKETS write: delete the newest signature base's marker
+    val basePath = DeltaLog
+      .newestCommitted(spark, s"$dir/slog/base", "upto=").get._2
+    java.nio.file.Files.delete(java.nio.file.Paths.get(
+      basePath.stripPrefix("file:"), "_NBUCKETS"))
+    // pre-fix behavior (ADVICE r19): fired=true on every tick while
+    // compactStores no-oped (nothing newer than the base). Now: the
+    // marker is repaired in place and the trigger reports false.
+    assert(!IncrementalDedup.maybeCompactStores(spark, dir,
+      targetRowsPerBucket = 4L),
+      "a marker-less base must be repaired, not majored")
+    val repaired = DeltaLog.markerAt(spark, basePath)
+    assert(repaired.exists(_._2.contains(40L)),
+      s"marker must be rewritten with the recounted rows: $repaired")
+    // the repaired bucket count was VERIFIED against the data, so
+    // pruned reads through it stay exact
+    assert(IncrementalDedup.readSignatures(spark, dir).get.count() === 40L)
+  }
+
+  test("maybeCompactStores: a long uncompacted delta tail triggers an inline minor") {
+    import graft.operators.DeltaLog
+    val dir = java.nio.file.Files.createTempDirectory("sigstore9").toString
+    val big = (0L until 40L).map(i =>
+      (i, s"tail document $i with its own words xi$i omicron$i"))
+      .toDF("doc_id", "text")
+    IncrementalDedup.ingestBatch(big, dir, batchId = 0L)
+    assert(IncrementalDedup.maybeCompactStores(spark, dir,
+      targetRowsPerBucket = 4L))
+    // five one-doc batches with NO external minor cadence: the old
+    // due() was blind to the tail (no L1 run above the base => "nothing
+    // grew") and read fan-in grew one dir per batch forever
+    (1 to 5).foreach { i =>
+      val one = Seq((500L + i, s"fresh tail words number $i here"))
+        .toDF("doc_id", "text")
+      IncrementalDedup.ingestBatch(one, dir, batchId = i.toLong)
+    }
+    // 5 new rows vs a 40-row base: the RATIO must not fire a major,
+    // but the >= maxTailDirs tail must fold into an L1 run (O(tail))
+    assert(!IncrementalDedup.maybeCompactStores(spark, dir,
+      targetRowsPerBucket = 4L, maxTailDirs = 4),
+      "a 5-row tail against a 40-row base must not trigger a major")
+    val base = DeltaLog.newestCommitted(spark, s"$dir/slog/base", "upto=")
+    assert(DeltaLog.newestRunAbove(spark, s"$dir/slog", base).nonEmpty,
+      "the uncompacted tail must have been folded into an L1 run")
+    // reads stay exact through the freshly-folded layout
+    assert(IncrementalDedup.readSignatures(spark, dir).get.count() === 45L)
+  }
+
   test("randomized: decomposition equality holds on random corpus/batch splits") {
     // 80 docs over a 14-word vocabulary (plenty of natural near-dups and
     // band collisions), 3 random splits — pairs(corpus ∪ batch) must

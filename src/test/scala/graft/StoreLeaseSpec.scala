@@ -203,6 +203,7 @@ class StoreLeaseSpec extends AnyFunSuite with SparkTestBase {
     // a full upsert of a DIFFERENT key into the same bucket — if A's
     // stale merge committed anyway, B's k2 row would vanish from the
     // bucket A rewrote
+    KeyedUpsertSink.commitStatsClear()
     val fired = new java.util.concurrent.atomic.AtomicInteger(0)
     KeyedUpsertSink.preCommitHold = () =>
       if (fired.getAndIncrement() == 0)
@@ -212,7 +213,14 @@ class StoreLeaseSpec extends AnyFunSuite with SparkTestBase {
       KeyedUpsertSink.upsertBatch(Seq(("k", 3L)).toDF("k", "ts"), dir,
         Seq("k"), "ts", 20L, versionWins = true, writerId = "a")
     } finally KeyedUpsertSink.preCommitHold = () => ()
-    assert(fired.get() >= 2, "the conflicted commit must have retried")
+    // the conflict was DETECTED and the batch re-merged down the
+    // locked path (first-conflict serialization, r19 verdict item 4 —
+    // no optimistic retry, one discarded merge at most)
+    val stats = KeyedUpsertSink.commitStatsSnapshot()
+    assert(stats.getOrElse("commit_conflicts", 0L) >= 1L,
+      s"the staged peer flip must register as a commit conflict: $stats")
+    assert(stats.getOrElse("locked_fallbacks", 0L) >= 1L,
+      s"the conflicted batch must serialize via the locked path: $stats")
     val rows = KeyedUpsertSink.readStore(spark, dir).get
       .as[(String, Long)].collect().toSet
     assert(rows === Set("k" -> 3L, "k2" -> 2L),
