@@ -320,18 +320,32 @@ object ScaleBench {
     * annotated, not re-run).
     */
   private def ingestProbe(spark: SparkSession, docs: DataFrame,
-      probe: DataFrame, base: String, timer: GuardedTimer,
+      probe: DataFrame, probe2: DataFrame, base: String, timer: GuardedTimer,
       keyPrefix: String, batchRows: Int = 2500): Map[String, Double] = {
     import graft.operators.{IncrementalBoilerplate, IncrementalDedup}
     val d = docs.localCheckpoint(false)
     val n = d.count()
     val setupBatches = math.max(1L, (n + batchRows - 1) / batchRows).toInt
     var setupSec = 0.0
+    // MINOR cadence during construction (r19 verdict item 3): without
+    // it the x100 store reaches the probes with a 40-delta uncompacted
+    // tail — the pre-minor fold then pays a tail that GROWS with the
+    // decade (fold_read 2.54x/decade at x100) instead of the bounded
+    // <= MinorEvery dirs a continuously-deployed store carries at any
+    // scale. The cadence is store construction, so it rides setup_sec;
+    // the measured tail bound rides the artifact as *_delta_dirs.
+    val MinorEvery = 8
     (0 until setupBatches).foreach { i =>
       val b = d.filter(pmod(col("doc_id"), lit(setupBatches)) === i)
       setupSec += timer.timeNoRetime(s"$keyPrefix.setup_batch_$i") {
         IncrementalDedup.ingestBatch(b, s"$base/sigs", i.toLong).count()
         IncrementalBoilerplate.updateStore(s"$base/unitdf", i.toLong, b)
+        if ((i + 1) % MinorEvery == 0 && i + 1 < setupBatches) {
+          IncrementalDedup.compactMinorStores(spark, s"$base/sigs",
+            targetRowsPerBucket = 256L)
+          IncrementalBoilerplate.compactMinor(spark, s"$base/unitdf",
+            targetRowsPerBucket = 256L)
+        }
       }
     }
     // setup batches are store construction, not the datapoint — drop
@@ -409,9 +423,15 @@ object ScaleBench {
       IncrementalBoilerplate.compactMinor(spark, s"$base/unitdf",
         targetRowsPerBucket = 256L)
     }
+    // the post-minor datapoint uses a DISJOINT second 500-doc probe
+    // (ADVICE r19): re-ingesting batch 900's docs would measure a
+    // re-delivery-shaped ingest (overlapping ids, batch-sig-wins
+    // anti-join, self-pair filtering), not a fresh-batch ingest —
+    // probe2's docs are different source rows under their own id
+    // block, so its collision profile matches probe's pre-ingest state
     val probeIngest2 = timer.timeNoRetime(
       s"$keyPrefix.probe_ingest_post_minor_sec") {
-      IncrementalDedup.ingestBatch(probe, s"$base/sigs", 901L).count()
+      IncrementalDedup.ingestBatch(probe2, s"$base/sigs", 901L).count()
     }
     val cleanSec2 = timer.time(s"$keyPrefix.clean_probe_post_minor_sec") {
       IncrementalBoilerplate.cleanAgainstStore(probe50, s"$base/unitdf",
@@ -564,7 +584,7 @@ object ScaleBench {
         f"10x $s1%.2f s (ratio ${s1 / s01}%.2f)")
       s"""{"sf01_sec":${jnum(s01)},"sf1_sec":${jnum(s1)},"ratio":${jnum(s1 / s01)}}"""
     } catch { case e: Throwable =>
-      s"""{"error":"${Option(e.getMessage).getOrElse(e.getClass.getName).take(200).replace("\"", "'")}"}"""
+      s"""{"error":${jstr(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}}"""
     }
 
     // ingest-path stores: one fixed 500-doc probe batch against a store
@@ -581,12 +601,21 @@ object ScaleBench {
       .filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 100 * Block).as("doc_id"), col("text"))
       .localCheckpoint(false)
+    // disjoint twin for the post-minor datapoint (ADVICE r19): different
+    // source docs under their own id block, so the second ingest is a
+    // genuinely fresh batch with the same collision profile
+    lazy val probe2Docs = Tables.documents(spark, srcDir)
+      .filter(col("doc_id") % 10 === 5)
+      .select((col("doc_id") + 101 * Block).as("doc_id"), col("text"))
+      .localCheckpoint(false)
     val ingest = try {
       val tmp = java.nio.file.Files.createTempDirectory("scale_ingest").toString
       val one = ingestProbe(spark, Tables.documents(spark, srcDir)
-        .select("doc_id", "text"), probeDocs, s"$tmp/x1", timer, "ingest.x1")
+        .select("doc_id", "text"), probeDocs, probe2Docs, s"$tmp/x1", timer,
+        "ingest.x1")
       val ten = ingestProbe(spark, Tables.documents(spark, outDir)
-        .select("doc_id", "text"), probeDocs, s"$tmp/x10", timer, "ingest.x10")
+        .select("doc_id", "text"), probeDocs, probe2Docs, s"$tmp/x10", timer,
+        "ingest.x10")
       def sec(m: Map[String, Double], k: String) = m.getOrElse(k, -1.0)
       def obj(m: Map[String, Double]) = m.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""$k":${jnum(v)}""" }.mkString("{", ",", "}")
@@ -604,7 +633,7 @@ object ScaleBench {
       s"""{"probe_docs":500,"x1":${obj(one)},"x10":${obj(ten)},"ratio_10x_over_1x":$ratios}"""
     } catch { case e: Throwable =>
       System.err.println(s"[scale] ingest probe FAILED — ${e.getMessage}")
-      s"""{"error":"${Option(e.getMessage).getOrElse(e.getClass.getName).take(200).replace("\"", "'")}"}"""
+      s"""{"error":${jstr(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}}"""
     }
 
     // AUTO-SIZED BANDED ANN (r16, verdict item 3): the two families
@@ -702,7 +731,7 @@ object ScaleBench {
       s"""{"probe_docs":$nProbe,${perScale.mkString(",")}}"""
     } catch { case e: Throwable =>
       System.err.println(s"[scale] ann auto-sizing FAILED — ${e.getMessage}")
-      s"""{"error":"${Option(e.getMessage).getOrElse(e.getClass.getName).take(200).replace("\"", "'")}"}"""
+      s"""{"error":${jstr(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}}"""
     }
 
     // SEMDEDUP K-SCALING (r17): Cluster.semanticNearDupPairs blocks its
@@ -780,7 +809,7 @@ object ScaleBench {
       s"""{${per.mkString(",")}}"""
     } catch { case e: Throwable =>
       System.err.println(s"[scale] semdedup k-scaling FAILED — ${e.getMessage}")
-      s"""{"error":"${Option(e.getMessage).getOrElse(e.getClass.getName).take(200).replace("\"", "'")}"}"""
+      s"""{"error":${jstr(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}}"""
     }
 
     // SECOND-DECADE DATAPOINT (r16, extended r17 per verdict item 4):
@@ -846,7 +875,7 @@ object ScaleBench {
           s""""$name":{"x10_sec":${jnum(s10)},"x100_sec":${jnum(s100)},"ratio_100_over_10":${jnum(s100 / s10)}}"""
         } catch { case e: Throwable =>
           System.err.println(s"[scale] decade $name FAILED — ${e.getMessage}")
-          s""""$name":{"error":"${Option(e.getMessage).getOrElse(e.getClass.getName).take(200).replace("\"", "'")}"}"""
+          s""""$name":{"error":${jstr(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}}"""
         }
       }
       // graph: prep (cache fill, evict-first so it's re-runnable) and
@@ -901,7 +930,7 @@ object ScaleBench {
         s""""graph_prep":{"x10_sec":${jnum(gp10)},"x100_sec":${jnum(gp100)},"ratio_100_over_10":${jnum(gp100 / gp10)}},"graph_pagerank":{"x10_sec":${jnum(gr10)},"x100_sec":${jnum(gr100)},"ratio_100_over_10":${jnum(gr100 / gr10)}},$pathsJ"""
       } catch { case e: Throwable =>
         System.err.println(s"[scale] decade graph FAILED — ${e.getMessage}")
-        s""""graph_prep":{"error":"${Option(e.getMessage).getOrElse(e.getClass.getName).take(200).replace("\"", "'")}"}"""
+        s""""graph_prep":{"error":${jstr(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}}"""
       }
       // ingest probe vs a 10x and a 100x store, same 500-doc probe
       // (ids above block 99), setup batches sized to keep construction
@@ -910,12 +939,12 @@ object ScaleBench {
         val tmp = java.nio.file.Files
           .createTempDirectory("scale_ingest_decade").toString
         val ten = ingestProbe(spark, Tables.documents(spark, outDir)
-          .select("doc_id", "text"), probeDocs, s"$tmp/x10", timer,
-          "second_decade.ingest.x10", batchRows = 12500)
+          .select("doc_id", "text"), probeDocs, probe2Docs, s"$tmp/x10",
+          timer, "second_decade.ingest.x10", batchRows = 12500)
         val hundred = ingestProbe(spark,
           spark.read.parquet(s"$docs100Dir/documents.parquet")
-            .select("doc_id", "text"), probeDocs, s"$tmp/x100", timer,
-          "second_decade.ingest.x100", batchRows = 12500)
+            .select("doc_id", "text"), probeDocs, probe2Docs, s"$tmp/x100",
+          timer, "second_decade.ingest.x100", batchRows = 12500)
         def sec(m: Map[String, Double], k: String) = m.getOrElse(k, -1.0)
         def obj(m: Map[String, Double]) = m.toSeq.sortBy(_._1)
           .map { case (k, v) => s""""$k":${jnum(v)}""" }.mkString("{", ",", "}")
@@ -934,7 +963,7 @@ object ScaleBench {
         s""""ingest":{"probe_docs":500,"x10":${obj(ten)},"x100":${obj(hundred)},"ratio_100_over_10":$ratios}"""
       } catch { case e: Throwable =>
         System.err.println(s"[scale] decade ingest FAILED — ${e.getMessage}")
-        s""""ingest":{"error":"${Option(e.getMessage).getOrElse(e.getClass.getName).take(200).replace("\"", "'")}"}"""
+        s""""ingest":{"error":${jstr(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}}"""
       }
       // the dsir model-size pin (verdict item 6): the scores above are
       // explode-proportional BECAUSE the model stays a <= 256-row
@@ -952,7 +981,7 @@ object ScaleBench {
           " (bound 256)")
         s""""dsir_model":{"buckets":256,"model_rows_x10":$m10,"model_rows_x100":$m100}"""
       } catch { case e: Throwable =>
-        s""""dsir_model":{"error":"${Option(e.getMessage).getOrElse(e.getClass.getName).take(200).replace("\"", "'")}"}"""
+        s""""dsir_model":{"error":${jstr(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}}"""
       }
       // MEDIA SECOND DECADE (verdict item 5): the phash/multimodal
       // ingest family probed the semdedup way — one FIXED 500-image
@@ -1065,19 +1094,31 @@ object ScaleBench {
         s""""media":{"probe_images":$nProbe,"x10":${obj(per("x10"))},"x100":${obj(per("x100"))},"ratio_100_over_10":$ratios}"""
       } catch { case e: Throwable =>
         System.err.println(s"[scale] media decade FAILED — ${e.getMessage}")
-        s""""media":{"error":"${Option(e.getMessage).getOrElse(e.getClass.getName).take(200).replace("\"", "'")}"}"""
+        s""""media":{"error":${jstr(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}}"""
       }
-      // TOPOLOGY SECOND DECADE (r18 verdict item 7): the two-hop
-      // concurrent topology at 100x the golden feed (946k events) —
-      // the one family previously measured only to 10x. Per-chunk ev/s
-      // rides the artifact (throughput under a GROWING store and
-      // growing join state, not just the end-to-end mean), plus state
-      // rows / cumulative state-commit seconds, per-hop lease waits,
-      // and the optimistic-commit stats. Completions must equal
-      // golden x 100 — a throughput row with wrong output is not data.
+      // TOPOLOGY SECOND DECADE (r18 verdict item 7; r19 items 1 and 6):
+      // the two-hop concurrent topology at 100x the golden feed (946k
+      // events). Each chunk's row now carries a PHASE BREAKDOWN — the
+      // two hops' cumulative merge/flip/changelog milliseconds and
+      // lease waits (KeyedUpsertSink.phaseMs), the matcher's state
+      // commit ms, and the store's row/bucket counts, diffed at chunk
+      // boundaries — so the r19 per-chunk decay (7.2k -> 2.8k ev/s as
+      // the store grew to 3.79M rows) is ATTRIBUTED, not inferred.
+      // Matcher-side phases run concurrently with the timed ingest
+      // window; their per-chunk figures are wall-window diffs.
+      //
+      // MAINTENANCE under load (r19 item 6): when rows/bucket outgrows
+      // 2x the target, the store is re-bucketed by a live
+      // KeyedUpsertSink.compact — a MAJOR under the shared lease,
+      // CONCURRENT with the matcher — and the chunk row records the
+      // compaction and the lease waits around it, so "does maintenance
+      // stall the pipeline" is a number, not a guess. Completions must
+      // still equal golden x 100 — a throughput row with wrong output
+      // is not data (and a mid-flight re-bucket exercises the config-
+      // conflict path of every concurrent optimistic commit).
       val topoJ = try {
         import graft.operators.KeyedUpsertSink
-        import graft.streaming.TripTopology
+        import graft.streaming.{TripStore, TripTopology}
         import spark.implicits._
         implicit val ctx = spark.sqlContext
         val golden = GoldenFeed.wireJson(spark)
@@ -1088,23 +1129,62 @@ object ScaleBench {
         }.toArray
         KeyedUpsertSink.leaseWaitMs.clear()
         KeyedUpsertSink.commitStatsClear()
+        KeyedUpsertSink.phaseClear()
+        // cumulative sums below walk recentProgress; keep the buffer
+        // larger than any plausible trigger count for the run
+        spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", 1000)
         val base = java.nio.file.Files
           .createTempDirectory("scale_topo_x100").toString
+        val store = s"$base/store"
         val input = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[String]
         val chunks = 10
         val groups = feed.grouped(feed.length / chunks + 1).toSeq
-        val ingest = TripTopology.ingestWriter(input.toDF(), s"$base/store",
+        val ingest = TripTopology.ingestWriter(input.toDF(), store,
           s"$base/changes", s"$base/ckpt_i").start()
         val m = TripTopology.matcherWriter(spark, s"$base/changes",
-          s"$base/store", s"$base/ckpt_m", maxFilesPerTrigger = 256).start()
+          store, s"$base/ckpt_m", maxFilesPerTrigger = 256).start()
+        case class Snap(lease: Map[String, Long], phase: Map[String, Long],
+            matCommitMs: Long)
+        def snap(): Snap = Snap(KeyedUpsertSink.leaseWaitSnapshot(),
+          KeyedUpsertSink.phaseSnapshot(),
+          m.recentProgress.iterator.flatMap(_.stateOperators)
+            .map(_.commitTimeMs).sum)
         val perChunk = scala.collection.mutable.ArrayBuffer.empty[Double]
+        val chunkRows = scala.collection.mutable.ArrayBuffer.empty[String]
+        val TargetRowsPerBucket = 65536L
+        var maintSec = 0.0
         val t0 = System.nanoTime()
         try {
-          groups.foreach { c =>
+          groups.zipWithIndex.foreach { case (c, i) =>
+            val s0 = snap()
             val tc = System.nanoTime()
             input.addData(c); ingest.processAllAvailable()
-            perChunk += c.length / ((System.nanoTime() - tc) / 1e9)
+            val chunkSec = (System.nanoTime() - tc) / 1e9
+            perChunk += c.length / chunkSec
+            val s1 = snap()
+            def d(f: Snap => Map[String, Long], k: String): Double =
+              (f(s1).getOrElse(k, 0L) - f(s0).getOrElse(k, 0L)) / 1000.0
+            // store size (footer-only count) + maintenance, OUTSIDE the
+            // timed ingest window; its cost is its own field
+            val st = KeyedUpsertSink.readState(spark, store).get
+            val rows = KeyedUpsertSink.readStore(spark, store).get.count()
+            var compactSec = 0.0
+            var bucketsAfter = st.numBuckets
+            if (rows > 2L * TargetRowsPerBucket * st.numBuckets) {
+              val nb = ((rows + TargetRowsPerBucket - 1) /
+                TargetRowsPerBucket).toInt
+              val tcp = System.nanoTime()
+              KeyedUpsertSink.compact(spark, store, TripStore.Keys,
+                newNumBuckets = nb)
+              compactSec = (System.nanoTime() - tcp) / 1e9
+              maintSec += compactSec
+              bucketsAfter = nb
+              System.err.println(f"[scale] topology x100 chunk $i: " +
+                f"re-bucketed $rows rows ${st.numBuckets} -> $nb buckets " +
+                f"in $compactSec%.1f s (matcher live)")
+            }
+            chunkRows += s"""{"chunk":$i,"events":${c.length},"sec":${jnum(chunkSec)},"events_per_sec":${jnum(c.length / chunkSec)},"ing_merge_sec":${jnum(d(_.phase, "merge:ing"))},"ing_flip_sec":${jnum(d(_.phase, "flip:ing"))},"changelog_sec":${jnum(d(_.phase, "changelog:ing"))},"mat_merge_sec":${jnum(d(_.phase, "merge:mat"))},"mat_flip_sec":${jnum(d(_.phase, "flip:mat"))},"lease_wait_ing_sec":${jnum(d(_.lease, "ing"))},"lease_wait_mat_sec":${jnum(d(_.lease, "mat"))},"mat_state_commit_ms":${s1.matCommitMs - s0.matCommitMs},"store_rows":$rows,"store_buckets":${st.numBuckets},"compact_sec":${jnum(compactSec)},"buckets_after":$bucketsAfter}"""
           }
           m.processAllAvailable()
         } finally { m.stop(); ingest.stop() }
@@ -1114,20 +1194,50 @@ object ScaleBench {
           (progs.lastOption.map(_.stateOperators.map(_.numRowsTotal).sum)
             .getOrElse(0L),
             progs.iterator.flatMap(_.stateOperators).map(_.commitTimeMs)
-              .sum / 1000.0)
+              .sum.toDouble)
         }
-        val (matRows, matCommit) = stateOf(m)
+        val (matRows, matCumCommitMs) = stateOf(m)
         val waits = KeyedUpsertSink.leaseWaitSnapshot()
         val cstats = KeyedUpsertSink.commitStatsSnapshot()
-        val completed = KeyedUpsertSink.readStore(spark, s"$base/store").get
+        val completed = KeyedUpsertSink.readStore(spark, store).get
           .filter(col("sk").startsWith("COMPLETED#")).count()
+        // The NAMED growing term, priced (r19 item 1): the copy-on-write
+        // upsert rewrites every touched bucket, so per-batch cost is
+        // min(store, touched_buckets x rows_per_bucket). The topology's
+        // chunk-sized batches span every bucket — O(store) per chunk,
+        // the decay above. The bound that holds at 100 TB is the OTHER
+        // regime: a FIXED-size batch against a bucket-scaled store
+        // touches only its own buckets. Price both: the same 500-item
+        // batch re-upserted (content-identical under LWW) against the
+        // store as the run left it, then against the store re-bucketed
+        // to ~512 rows/bucket.
+        val probeItems = KeyedUpsertSink.readStore(spark, store).get
+          .filter(col("sk").startsWith("COMPLETED#")).limit(500)
+          .localCheckpoint()
+        def timeUpsert(id: Long): Double = {
+          val tb = System.nanoTime()
+          KeyedUpsertSink.upsertBatch(probeItems, store, TripStore.Keys,
+            TripStore.OrderCol, id, versionWins = true, writerId = "probe")
+          (System.nanoTime() - tb) / 1e9
+        }
+        val bucketsCoarse = KeyedUpsertSink.readState(spark, store)
+          .get.numBuckets
+        val coarseSec = timeUpsert(9000L)
+        val rowsFinal = KeyedUpsertSink.readStore(spark, store).get.count()
+        val nbFine = math.max(1L, rowsFinal / 512L).toInt
+        KeyedUpsertSink.compact(spark, store, TripStore.Keys,
+          newNumBuckets = nbFine)
+        val fineSec = timeUpsert(9001L)
         System.err.println(f"[scale] topology x100: ${feed.length} events " +
           f"in $secs%.1f s (${feed.length / secs}%.0f ev/s), $completed " +
-          f"completed; per-chunk ev/s ${perChunk.map(v => f"$v%.0f").mkString(",")}")
-        s""""topology":{"concurrent_x100":{"events":${feed.length},"chunks":$chunks,"elapsed_sec":${jnum(secs)},"events_per_sec":${jnum(feed.length / secs)},"completed":$completed,"per_chunk_events_per_sec":[${perChunk.map(jnum).mkString(",")}],"lease_wait_sec":{"ing":${jnum(waits.getOrElse("ing", 0L) / 1000.0)},"mat":${jnum(waits.getOrElse("mat", 0L) / 1000.0)}},"commit_stats":${cstats.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")},"state":{"mat_rows":$matRows,"mat_commit_sec":${jnum(matCommit)}}}}"""
+          f"completed; per-chunk ev/s ${perChunk.map(v => f"$v%.0f").mkString(",")}; " +
+          f"bounded upsert: 500 items vs $rowsFinal rows — " +
+          f"$bucketsCoarse buckets $coarseSec%.1f s -> $nbFine buckets " +
+          f"$fineSec%.1f s")
+        s""""topology":{"concurrent_x100":{"events":${feed.length},"chunks":$chunks,"elapsed_sec":${jnum(secs)},"maintenance_sec":${jnum(maintSec)},"events_per_sec":${jnum(feed.length / secs)},"completed":$completed,"per_chunk_events_per_sec":[${perChunk.map(jnum).mkString(",")}],"per_chunk":[${chunkRows.mkString(",")}],"lease_wait_sec":{"ing":${jnum(waits.getOrElse("ing", 0L) / 1000.0)},"mat":${jnum(waits.getOrElse("mat", 0L) / 1000.0)},"compact":${jnum(waits.getOrElse("compact", 0L) / 1000.0)}},"commit_stats":${cstats.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")},"state":{"mat_rows":$matRows,"mat_cum_commit_ms":${jnum(matCumCommitMs)}},"bounded_upsert":{"probe_items":500,"store_rows":$rowsFinal,"coarse_buckets":$bucketsCoarse,"coarse_sec":${jnum(coarseSec)},"fine_buckets":$nbFine,"fine_sec":${jnum(fineSec)}}}}"""
       } catch { case e: Throwable =>
         System.err.println(s"[scale] topology x100 FAILED — ${e.getMessage}")
-        s""""topology":{"error":"${Option(e.getMessage).getOrElse(e.getClass.getName).take(200).replace("\"", "'")}"}"""
+        s""""topology":{"error":${jstr(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}}"""
       }
       // record the JVM heap: 100x in ONE JVM needs cluster-normal
       // per-core memory (the default 8g over 32 threads is 0.25g/core
@@ -1138,7 +1248,7 @@ object ScaleBench {
       s"""{"heap_gb":$heapGb,"replica_invariant_violations":$invariantViolations,${docFams.mkString(",")},$graphJ,$ingestJ,$dsirJ,$mediaJ,$topoJ}"""
     } catch { case e: Throwable =>
       System.err.println(s"[scale] second decade FAILED — ${e.getMessage}")
-      s"""{"error":"${Option(e.getMessage).getOrElse(e.getClass.getName).take(200).replace("\"", "'")}"}"""
+      s"""{"error":${jstr(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}}"""
     }
 
     val coResObj = coResident.map(jstr).mkString("[", ",", "]")

@@ -144,19 +144,37 @@ object SparkEntry {
     * merge's replay-stable row-hash, which is deterministic but not the
     * reference's latest-processed_at semantics.
     */
+  /** The on-disk trip store [[tripStoreLookup]] reads from, built ONCE
+    * per JVM per source dir (r19 verdict item 2: the lookup query's
+    * bench row conflated ~10 s of fixture construction with the ~1 s
+    * pruned read it certifies). The store is immutable after its two
+    * upsert generations land, so reuse is safe; [[Bench]] times this
+    * build explicitly (`trip_store.build_sec`) before the query loop so
+    * the `trip_store_lookup` row prices the LOOKUP alone.
+    */
+  private val tripStoreDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def tripStoreBuild(s: SparkSession, dir: String): String =
+    tripStoreDirs.computeIfAbsent(dir, _ => {
+      import graft.operators.KeyedUpsertSink
+      import graft.streaming.TripStore
+      val (raw, matcher) = tripStoreItems(s, dir)
+      val ord = struct(col("status_rank"),
+        coalesce(col("processed_at"), lit(""))).as("_ord")
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("trip_store_lookup").toString
+      Seq(raw, matcher).zipWithIndex.foreach { case (items, i) =>
+        KeyedUpsertSink.upsertBatch(items.withColumn("_ord", ord), storeDir,
+          TripStore.Keys, "_ord", batchId = i.toLong, versionWins = true,
+          numBuckets = 32, bucketCols = Seq("trip_id"))
+      }
+      storeDir
+    })
+
   private[graft] def tripStoreLookup(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.KeyedUpsertSink
-    import graft.streaming.TripStore
-    val (raw, matcher) = tripStoreItems(s, dir)
-    val ord = struct(col("status_rank"),
-      coalesce(col("processed_at"), lit(""))).as("_ord")
-    val storeDir = java.nio.file.Files
-      .createTempDirectory("trip_store_lookup").toString
-    Seq(raw, matcher).zipWithIndex.foreach { case (items, i) =>
-      KeyedUpsertSink.upsertBatch(items.withColumn("_ord", ord), storeDir,
-        TripStore.Keys, "_ord", batchId = i.toLong, versionWins = true,
-        numBuckets = 32, bucketCols = Seq("trip_id"))
-    }
+    val storeDir = tripStoreBuild(s, dir)
     val probe = Tables.orders(s, dir)
       .filter(col("o_orderkey") % 100 === 0)
       .select(col("o_orderkey").cast("string").as("trip_id")).distinct()
