@@ -104,15 +104,27 @@ object TextAnalysis {
   }
 
   def adjacentPairCounts(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", minCount: Long = 1L): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"),
-      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
-    val w = Window.partitionBy("id").orderBy("pos")
-    toks.withColumn("next", lead(col("tok"), 1).over(w))
-      .filter(col("next").isNotNull)
+      textCol: String = "text", minCount: Long = 1L): DataFrame =
+    // zip each doc's token array against its own 1-shifted slice: the
+    // same pair multiset as the old per-doc lead window, with no
+    // token-stream shuffle at all (map-only explode into the partial
+    // aggregation; the exchange carries |distinct pairs|)
+    adjacentPairRows(docs, idCol, textCol)
       .groupBy(col("tok").as("left_tok"), col("next").as("right_tok"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
+
+  /** Adjacent-pair rows (tok, next) of each doc's whitespace-token
+    * stream — shared by [[adjacentPairCounts]], [[pmiPairs]] and the
+    * BPE trainers.
+    */
+  private def adjacentPairRows(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    docs.select(explode(arrays_zip(
+        slice(toks, lit(1), size(toks) - 1).as("tok"),
+        slice(toks, lit(2), size(toks) - 1).as("next"))).as("p"))
+      .select(col("p.tok").as("tok"), col("p.next").as("next"))
   }
 
   /** Pointwise-mutual-information collocations: adjacent token pairs
@@ -137,14 +149,11 @@ object TextAnalysis {
     */
   def pmiPairs(docs: DataFrame, minCount: Long = 5L,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"),
-      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
-    val clean = toks.filter(col("tok") =!= "")
+    val clean = docs.select(col(idCol).as("id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
     val uni = clean.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
-    val pairs = toks
-      .withColumn("next",
-        lead(col("tok"), 1).over(Window.partitionBy("id").orderBy("pos")))
-      .filter(col("next").isNotNull)
+    val pairs = adjacentPairRows(docs, idCol, textCol)
       .select(col("tok").as("l"), col("next").as("r"))
     // totals: 2 longs to the driver, inlined as literals
     val t = clean.agg(count(lit(1)).as("u"))
@@ -189,82 +198,111 @@ object TextAnalysis {
     * rule keeps everything). An unrolled DuckDB CTE chain replays the
     * identical table (same playbook as the k-means / PageRank oracles).
     *
-    * Scale: each round is (a) one per-doc `lead` window + one pair
-    * count whose exchange carries |distinct pairs| (Zipf-bounded, the
-    * [[adjacentPairCounts]] argument), (b) a top-1 via
+    * Scale: each round is (a) one pair count over zipped array slices
+    * (map-only explode + partial aggregation; the exchange carries
+    * |distinct pairs|, Zipf-bounded — the [[adjacentPairCounts]]
+    * argument — never the token stream), (b) a top-1 via
     * TakeOrderedAndProject (never a global sort) collected to the
     * driver — ONE ROW per round, the bounded-driver pattern of
-    * Cluster/SequencePack, (c) a rewrite pass of per-doc windows and
-    * one (id, pos) equi-join against the start set. The token table is
+    * Cluster/SequencePack, (c) a SHUFFLE-FREE rewrite: a row-local
+    * `aggregate` fold over each doc's token array ([[bpeFoldMerge]] —
+    * the r19 formulation window-shuffled the whole exploded token
+    * stream once per round). The token-array table is
     * `localCheckpoint`ed every round so lineage stays O(1) across
     * rounds (the PageRank lesson). Total driver state: `steps` rows.
     */
-  /** The per-doc position window shared by the BPE trainer/encoder. */
-  private val bpeById = Window.partitionBy("id").orderBy("pos")
-
-  /** Tokenize docs to the trainer/encoder's (id, pos, tok) stream. */
-  private def bpeTokens(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame =
-    docs.select(col(idCol).as("id"),
-        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
-      .localCheckpoint().transform(org.apache.spark.sql.graftbridge.Bridge.severOrigin)
-
-  /** One merge rewrite pass over a (id, pos, tok) stream: every
-    * non-overlapping adjacent (l, r) occurrence (greedy left-to-right —
-    * the gaps-and-islands odd-rank rule) becomes the single token
-    * `l + " " + r`, positions renumbered. The single definition the
-    * sequential trainer and the encoder both replay.
-    *
-    * ONE SHUFFLE per pass: every quantity — candidate flag, running
-    * candidate rank, island start, rank-within-island, start/consumed
-    * flags, renumbering — is a window function over the SAME
-    * (partition id, order pos) spec, so the whole pass plans as one
-    * Exchange + one sort + stacked WindowExecs. (The original
-    * formulation materialized the start set and joined it back: 3
-    * exchanges per pass, ~2x the wall-clock on the 6-pass contract
-    * queries.) Positions are dense (renumbered every pass), so
-    * "consecutive candidate positions" is exactly "adjacent rows whose
-    * candidate flag is set": rank-within-island = running candidate
-    * rank minus the island head's running rank + 1, with the head
-    * found by a running max over head-ranks — no self-join needed.
+  /** Tokenize docs to one ARRAY row per doc — (id, toks array<string>).
+    * The whole trainer/encoder family works on per-doc token arrays:
+    * a merge rewrite is then a row-local fold (no shuffle at all —
+    * the r19 formulation window-shuffled the ENTIRE exploded token
+    * stream once per pass), and pair counting explodes zipped slices
+    * (map-side partial aggregation, the exchange carries |distinct
+    * pairs|, never |tokens|). Measured at sf0.1 (r20): the 6-pass
+    * trainer 7.2 s → ~1 s; the plan per pass drops from
+    * Exchange+Sort+6×WindowExec to a single map stage.
     */
-  private def bpeApplyMerge(toks: DataFrame, l: String, r: String): DataFrame = {
-    val running = bpeById.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cand = col("tok") === l && lead(col("tok"), 1).over(bpeById) === r
-    val stream = toks
-      .withColumn("next", lead(col("tok"), 1).over(bpeById))
-      .withColumn("cand", cand)
-      .withColumn("crank",
-        sum(when(col("cand"), 1).otherwise(0)).over(running))
-      .withColumn("head",
-        col("cand") && !coalesce(lag(col("cand"), 1).over(bpeById), lit(false)))
-      .withColumn("headRank",
-        max(when(col("head"), col("crank"))).over(running))
-      .withColumn("start",
-        col("cand") && (col("crank") - col("headRank")) % 2 === 0)
-      .withColumn("consumed",
-        coalesce(lag(col("start"), 1).over(bpeById), lit(false)))
-    stream
-      .filter(!col("consumed"))
-      .withColumn("newpos", row_number().over(bpeById) - 1)
-      .select(col("id"), col("newpos").as("pos"),
-        when(col("start"), concat(col("tok"), lit(" "), col("next")))
-          .otherwise(col("tok")).as("tok"))
-      .localCheckpoint().transform(org.apache.spark.sql.graftbridge.Bridge.severOrigin)
+  private def bpeTokArrays(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    bpeCk(docs.select(col(idCol).as("id"),
+        split(trim(col(textCol)), "\\s+").as("toks"))
+      // hash-repartition by id: a small corpus parquet arrives as ONE
+      // split, and the fold (an interpreted HOF) would run serially for
+      // the whole training loop; the rewrite passes inherit this
+      // partitioning through every round (map-only), so the one
+      // exchange here buys full parallelism for the rest of the query
+      .repartition(col("id")))
+
+  /** LAZY checkpoint + origin sever — the per-pass materialization
+    * rides the NEXT consumer's job (pair count / encode output) instead
+    * of paying its own job barrier per pass; a trainer's final rewrite
+    * is never materialized at all.
+    */
+  private def bpeCk(df: DataFrame): DataFrame =
+    df.localCheckpoint(false)
+      .transform(org.apache.spark.sql.graftbridge.Bridge.severOrigin)
+
+  /** Adjacent-pair rows (tok, next) from the token arrays — zip each
+    * array against its own 1-shifted slice and explode. Same pair
+    * multiset as the old lead-window stitch (overlaps included:
+    * "x x x" yields (x,x) twice), with no token-stream shuffle.
+    */
+  private def bpeAdjacentPairs(toks: DataFrame): DataFrame =
+    toks.select(explode(arrays_zip(
+        slice(col("toks"), lit(1), size(col("toks")) - 1).as("tok"),
+        slice(col("toks"), lit(2), size(col("toks")) - 1).as("next"))).as("p"))
+      .select(col("p.tok").as("tok"), col("p.next").as("next"))
+
+  /** One greedy left-to-right merge rewrite of a token array for a
+    * TOKEN-DISJOINT pair set (a single pair is the 1-entry case): a
+    * per-row `aggregate` fold whose accumulator carries the rewritten
+    * prefix and the one pending (not-yet-emitted) token. When the
+    * pending token and the current one form a selected pair, both are
+    * consumed into the merged token `l + " " + r`; greedy LTR is
+    * exactly the gaps-and-islands odd-rank rule of the r19 relational
+    * formulation (overlap only arises for self-pairs l == r, where the
+    * fold keeps odd-rank starts by construction). Disjointness makes
+    * the pair lookup a unique left-token map probe: `pairs[pend] == t`.
+    */
+  private def bpeFoldMerge(toksCol: Column,
+      pairs: Seq[(String, String)]): Column = {
+    val m = map(pairs.flatMap { case (l, r) => Seq(lit(l), lit(r)) }: _*)
+    val init = struct(
+      array().cast("array<string>").as("out"),
+      lit(null).cast("string").as("pend"))
+    aggregate(toksCol, init,
+      (acc, t) => {
+        val out = acc.getField("out")
+        val pend = acc.getField("pend")
+        when(pend.isNull, struct(out.as("out"), t.as("pend")))
+          .when(try_element_at(m, pend) <=> t,
+            struct(concat(out, array(concat_ws(" ", pend, t))).as("out"),
+              lit(null).cast("string").as("pend")))
+          .otherwise(struct(concat(out, array(pend)).as("out"), t.as("pend")))
+      },
+      acc => when(acc.getField("pend").isNull, acc.getField("out"))
+        .otherwise(concat(acc.getField("out"),
+          array(acc.getField("pend")))))
   }
+
+  /** [[bpeFoldMerge]] applied to the (id, toks) relation, checkpointed:
+    * each pass's result is read at least twice (next round's pair count
+    * + its rewrite, or the next encode group), and the materialized
+    * relation is corpus-doc-sized (one array row per doc).
+    */
+  private def bpeApplyMergeArrays(toks: DataFrame,
+      pairs: Seq[(String, String)]): DataFrame =
+    bpeCk(toks.select(col("id"), bpeFoldMerge(col("toks"), pairs).as("toks")))
 
   def bpeMergeSequence(docs: DataFrame, steps: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(steps > 0, s"steps must be positive, got $steps")
     val spark = docs.sparkSession
-    val byId = bpeById
-    var toks = bpeTokens(docs, idCol, textCol)
+    var toks = bpeTokArrays(docs, idCol, textCol)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var step = 1
     var exhausted = false
     while (step <= steps && !exhausted) {
-      val paired = toks.withColumn("next", lead(col("tok"), 1).over(byId))
-      val top = paired.filter(col("next").isNotNull)
+      val top = bpeAdjacentPairs(toks)
         .groupBy(col("tok"), col("next")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("tok"), col("next"))
         .limit(1).collect()
@@ -272,7 +310,7 @@ object TextAnalysis {
       else {
         val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((step.toLong, l, r, n))
-        toks = bpeApplyMerge(toks, l, r)
+        toks = bpeApplyMergeArrays(toks, Seq((l, r)))
         step += 1
       }
     }
@@ -298,10 +336,20 @@ object TextAnalysis {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val ms = merges.orderBy("step")
       .select("left_tok", "right_tok").collect()
-    var toks = bpeTokens(docs, idCol, textCol)
-    ms.foreach { m => toks = bpeApplyMerge(toks, m.getString(0), m.getString(1)) }
-    toks.select(col("id").as(idCol), col("pos"), col("tok").as("token"))
+    var toks = bpeTokArrays(docs, idCol, textCol)
+    ms.foreach { m =>
+      toks = bpeApplyMergeArrays(toks, Seq((m.getString(0), m.getString(1))))
+    }
+    bpeStream(toks, idCol)
   }
+
+  /** Final (id, pos, token) materialization of an (id, toks) relation —
+    * positions are dense per doc, exactly the renumbered stream the
+    * relational formulation maintained.
+    */
+  private def bpeStream(toks: DataFrame, idCol: String): DataFrame =
+    toks.select(col("id").as(idCol),
+      posexplode(col("toks")).as(Seq("pos", "token")))
 
   /** The PRODUCTION-SCALE variant of [[bpeMergeSequence]]: up to
     * `batchSize` merges learned per distributed pass instead of one.
@@ -339,39 +387,9 @@ object TextAnalysis {
     * position by a static when-chain over the pass's <= batchSize
     * pairs. Lineage localCheckpoint-bounded per pass as before.
     */
-  /** One rewrite pass applying a TOKEN-DISJOINT batch of merges to a
-    * `paired` stream (toks + `next` lookahead): pk = which selected
-    * pair (if any) starts at each position; disjointness guarantees at
-    * most one matches and candidate islands are single-pair, so the
-    * gaps-and-islands odd-rank rule of the sequential rewrite applies
-    * island by island unchanged. Shared by the batched trainer and
-    * [[bpeEncodeBatched]].
-    */
-  private def applyMergeBatch(paired: DataFrame,
-      picked: Seq[(String, String)]): DataFrame = {
-    val byId = Window.partitionBy("id").orderBy("pos")
-    val pk = picked.zipWithIndex.foldLeft(lit(null).cast("int")) {
-      case (acc, ((l, r), i)) =>
-        when(col("tok") === l && col("next") === r, lit(i)).otherwise(acc)
-    }
-    val starts = paired.withColumn("pk", pk)
-      .filter(col("pk").isNotNull)
-      .withColumn("isl", col("pos") - row_number().over(byId))
-      .withColumn("rn",
-        row_number().over(Window.partitionBy("id", "isl").orderBy("pos")))
-      .filter(col("rn") % 2 === 1)
-      .select(col("id"), col("pos"), lit(1).as("start"))
-    paired
-      .join(starts, Seq("id", "pos"), "left")
-      .withColumn("consumed", lag(col("start"), 1).over(byId))
-      .filter(col("consumed").isNull)
-      .withColumn("newpos", row_number().over(byId) - 1)
-      .select(col("id"), col("newpos").as("pos"),
-        when(col("start").isNotNull,
-          concat(col("tok"), lit(" "), col("next")))
-          .otherwise(col("tok")).as("tok"))
-      .localCheckpoint().transform(org.apache.spark.sql.graftbridge.Bridge.severOrigin)
-  }
+  // (the batched rewrite is [[bpeApplyMergeArrays]] with a multi-entry
+  // pair map — disjointness makes the left-token probe unique, and the
+  // fold's greedy LTR is the sequential odd-rank rule island by island)
 
   /** The batched ENCODE side: replay a learned merge table with
     * consecutive merges FUSED into one rewrite pass wherever the
@@ -398,8 +416,9 @@ object TextAnalysis {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val ms = merges.orderBy("step").select("left_tok", "right_tok")
       .collect().map(r => (r.getString(0), r.getString(1)))
-    val byId = Window.partitionBy("id").orderBy("pos")
-    var toks = bpeTokens(docs, idCol, textCol)
+    // split the table into maximal fusable groups (the trainer's
+    // conflict rule + no-consuming-an-earlier-output rule)
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, String)]]
     var i = 0
     while (i < ms.length) {
       val seen = scala.collection.mutable.Set.empty[String]
@@ -412,10 +431,18 @@ object TextAnalysis {
           group += ((l, r)); seen += l; seen += r; outputs += s"$l $r"; i += 1
         } else extending = false
       }
-      toks = applyMergeBatch(
-        toks.withColumn("next", lead(col("tok"), 1).over(byId)), group.toSeq)
+      groups += group.toSeq
     }
-    toks.select(col("id").as(idCol), col("pos"), col("tok").as("token"))
+    // nested folds apply strictly inner-first per row, so chaining
+    // group folds inside one projection preserves the sequential
+    // semantics exactly; checkpoint every few groups only to bound
+    // codegen size, not for correctness
+    var toks = bpeTokArrays(docs, idCol, textCol)
+    groups.grouped(4).foreach { chunk =>
+      val folded = chunk.foldLeft(col("toks")) { (c, g) => bpeFoldMerge(c, g) }
+      toks = bpeCk(toks.select(col("id"), folded.as("toks")))
+    }
+    bpeStream(toks, idCol)
   }
 
   def bpeMergeSequenceBatched(docs: DataFrame, steps: Int,
@@ -424,18 +451,14 @@ object TextAnalysis {
     require(steps > 0, s"steps must be positive, got $steps")
     require(batchSize > 0, s"batchSize must be positive, got $batchSize")
     val spark = docs.sparkSession
-    val byId = Window.partitionBy("id").orderBy("pos")
-    var toks = docs.select(col(idCol).as("id"),
-        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
-      .localCheckpoint().transform(org.apache.spark.sql.graftbridge.Bridge.severOrigin)
+    var toks = bpeTokArrays(docs, idCol, textCol)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var exhausted = false
     while (merges.length < steps && !exhausted) {
       val m = math.min(batchSize, steps - merges.length)
-      val paired = toks.withColumn("next", lead(col("tok"), 1).over(byId))
       // bounded collect: 4x headroom over the batch for conflict skips;
       // rank order is the sequential trainer's total order
-      val cand = paired.filter(col("next").isNotNull)
+      val cand = bpeAdjacentPairs(toks)
         .groupBy(col("tok"), col("next")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("tok"), col("next"))
         .limit(batchSize * 4).collect()
@@ -451,7 +474,7 @@ object TextAnalysis {
         picked.foreach { case (l, r, n) =>
           merges += ((merges.length + 1L, l, r, n))
         }
-        toks = applyMergeBatch(paired, picked.map(p => (p._1, p._2)).toSeq)
+        toks = bpeApplyMergeArrays(toks, picked.map(p => (p._1, p._2)).toSeq)
       }
     }
     spark.createDataFrame(merges.toSeq)
