@@ -263,6 +263,13 @@ object SparkEntry {
         "</body></html>"))
   }
 
+  /** Scratch-only accessor for the c4 html corpus (optimization round
+    * instrumentation; remove with Scratch2).
+    */
+  private[graft] def c4HtmlCorpusForScratch(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    docNearDupCorpus(s, dir).select(col("doc_id"),
+      c4Html(col("doc_id"), col("text")).as("html"))
+
   /** Embedding corpus with identical copies of every 25th vector.
     * `private[graft]`: [[Bench]] reuses it to compute ANN ground truth
     * on the same corpus the banded contract query retrieves from.
@@ -1984,11 +1991,11 @@ object SparkEntry {
       val packed = graft.operators.CurationPipeline.run(
         docNearDupCorpus(s, dir).select(col("doc_id"),
           c4Html(col("doc_id"), col("text")).as("html")))
-        .localCheckpoint(false)
-      Seq("train", "val", "test").map { sp =>
-        graft.operators.TrainShards.shardAssign(
-          packed.filter(col("split") === sp), numShards = 4)
-      }.reduce(_ unionByName _)
+      // one grouped two-phase pass deals all three splits (bit-identical
+      // to the former per-split shardAssign calls, 1 driver round-trip
+      // instead of 3 — r20)
+      graft.operators.TrainShards.shardAssignBy(packed, Seq("split"),
+          numShards = 4)
         .select(col("doc_id"), col("split"), col("ws_tokens"),
           col("offset"), col("bin"), col("shard"), col("shard_pos"))
     }),

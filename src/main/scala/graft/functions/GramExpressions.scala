@@ -173,6 +173,145 @@ object GramHashes {
     new GenericArrayData(out)
   }
 
+  /** Whitespace tokens of `trim(text)` split on `\s+` — byte-identical
+    * to Spark's `split(trim(text), "\\s+")` (UTF8String.trim strips
+    * ASCII 0x20 exactly like StringTrim; the split is the same Java
+    * regex with limit -1). Empty text yields the single empty token,
+    * matching the relational stream.
+    */
+  private def wsTokens(text: UTF8String): Array[String] =
+    text.trim().toString.split("\\s+", -1)
+
+  /** DISTINCT word n-gram shingles of a doc, first-occurrence order —
+    * the set the relational `posexplode + lead-window + distinct`
+    * pipeline builds ([[graft.operators.Dedup]] shingleRows), in one
+    * per-row pass: a doc with fewer than n tokens yields its single
+    * whole-doc join (concat_ws skips the missing tail), longer docs one
+    * shingle per start position, deduplicated.
+    */
+  def wordShingleSet(text: UTF8String, n: Int): Array[String] = {
+    val t = wsTokens(text)
+    if (t.length <= n) Array(t.mkString(" "))
+    else {
+      val seen = new java.util.LinkedHashSet[String]()
+      var i = 0
+      val last = t.length - n
+      val sb = new java.lang.StringBuilder()
+      while (i <= last) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(t(i + j))
+          j += 1
+        }
+        seen.add(sb.toString)
+        i += 1
+      }
+      val out = new Array[String](seen.size)
+      seen.toArray(out)
+      out
+    }
+  }
+
+  private def toUtf8Array(a: Array[String]): ArrayData =
+    new GenericArrayData(a.map(s => UTF8String.fromString(s): Any))
+
+  def wordShingles(text: UTF8String, n: Int): ArrayData =
+    toUtf8Array(wordShingleSet(text, n))
+
+  /** EVERY word-shingle occurrence with its 0-based start position —
+    * (pos, shingle) structs, the positioned stream
+    * [[graft.operators.Dedup.alignedSpanPairs]] aligns on.
+    */
+  def wordShinglePositions(text: UTF8String, n: Int): ArrayData = {
+    val t = wsTokens(text)
+    if (t.length <= n)
+      new GenericArrayData(Array[Any](
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](0, UTF8String.fromString(t.mkString(" "))))))
+    else {
+      val last = t.length - n
+      val out = new Array[Any](last + 1)
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i <= last) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(t(i + j))
+          j += 1
+        }
+        out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](i, UTF8String.fromString(sb.toString)))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  /** MinHash signature straight from text: hash60 of each DISTINCT
+    * shingle, then `numHashes` affine mixes ([[TextHash.mixSeeded]]'s
+    * exact arithmetic) with a running min each — the whole
+    * [[graft.operators.Dedup.minHashSignatures]] pipeline as one
+    * map-only kernel (was: explode + two window exchanges + one
+    * aggregate exchange per corpus).
+    */
+  def minHashSig(text: UTF8String, n: Int, numHashes: Int): ArrayData = {
+    val consts = mixConstantsCached(numHashes)
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val sh = wordShingleSet(text, n)
+    var i = 0
+    while (i < sh.length) {
+      val h = hash60(sh(i))
+      val lo = h & 0x3FFFFFFFL
+      val hi = h >> 30
+      var k = 0
+      while (k < numHashes) {
+        val (a, b, c) = consts(k)
+        val m = (a * lo + b * hi + c) % TextHash.Mersenne61
+        if (m < mins(k)) mins(k) = m
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(x => x: Any))
+  }
+
+  /** SimHash over word `n`-shingles packed into a long — the
+    * [[graft.operators.Dedup.simHashes]] aggregate as one per-row pass
+    * (bit b set iff the +1/-1 sum over distinct-shingle hash bits is
+    * positive).
+    */
+  def simHashPacked(text: UTF8String, n: Int, bits: Int): Long = {
+    val sh = wordShingleSet(text, n)
+    val sums = new Array[Int](bits)
+    var i = 0
+    while (i < sh.length) {
+      val h = hash60(sh(i))
+      var b = 0
+      while (b < bits) {
+        if (((h >> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var packed = 0L
+    var b = 0
+    while (b < bits) {
+      if (sums(b) > 0) packed |= (1L << b)
+      b += 1
+    }
+    packed
+  }
+
+  private val mixCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[(Long, Long, Long)]]()
+  private def mixConstantsCached(k: Int): Array[(Long, Long, Long)] =
+    mixCache.computeIfAbsent(k, kk => TextHash.mixConstants(kk))
+
   /** Whole-document fingerprint: min gram hash (array_min of the gram
     * hashes — the [[TextAnalysis.withFingerprint]] kernel).
     */
@@ -242,6 +381,86 @@ case class CdcChunks(child: Expression, w: Int, divisor: Int)
     copy(child = newChild)
 }
 
+/** Distinct word n-gram shingles of a text column (set semantics,
+  * first-occurrence order) — one codegen'd call per row.
+  */
+case class WordShingleArray(child: Expression, n: Int)
+    extends GramExpression {
+  // containsNull/nullable mirror the relational formulation (and the
+  // parquet round-trip, whose reader reports nullable elements — the
+  // DeltaLog schema guard compares them)
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "word_shingle_array"
+
+  override def nullSafeEval(t: Any): Any =
+    GramHashes.wordShingles(t.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GramHashes.wordShingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Every word-shingle occurrence with its 0-based position. */
+case class WordShinglePositions(child: Expression, n: Int)
+    extends GramExpression {
+  override def dataType: DataType = ArrayType(
+    DataTypes.createStructType(Array(
+      DataTypes.createStructField("pos", DataTypes.IntegerType, false),
+      DataTypes.createStructField("s", DataTypes.StringType, true))),
+    containsNull = false)
+  override def prettyName: String = "word_shingle_positions"
+
+  override def nullSafeEval(t: Any): Any =
+    GramHashes.wordShinglePositions(t.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GramHashes.wordShinglePositions($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** MinHash signature of a text column over word n-shingles. */
+case class MinHashSig(child: Expression, n: Int, numHashes: Int)
+    extends GramExpression {
+  // nullable elements: the relational CreateArray was nullable and the
+  // signature stores' parquet round-trip reads back nullable — the
+  // DeltaLog schema guard requires the delta to match the store
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(t: Any): Any =
+    GramHashes.minHashSig(t.asInstanceOf[UTF8String], n, numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GramHashes.minHashSig($c, $n, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Packed SimHash of a text column over word n-shingles. */
+case class SimHashPacked(child: Expression, n: Int, bits: Int)
+    extends GramExpression {
+  override def dataType: DataType = DataTypes.LongType
+  override def prettyName: String = "simhash_packed"
+
+  override def nullSafeEval(t: Any): Any =
+    GramHashes.simHashPacked(t.asInstanceOf[UTF8String], n, bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GramHashes.simHashPacked($c, $n, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Min gram hash of a text column (whole-document rolling fingerprint). */
 case class MinGramHash(child: Expression, k: Int) extends GramExpression {
   override def dataType: DataType = DataTypes.LongType
@@ -266,4 +485,12 @@ object GramFunctions {
     Bridge.column(MinGramHash(Bridge.expression(text), k))
   def cdcChunks(text: Column, w: Int, divisor: Int): Column =
     Bridge.column(CdcChunks(Bridge.expression(text), w, divisor))
+  def wordShingleArray(text: Column, n: Int): Column =
+    Bridge.column(WordShingleArray(Bridge.expression(text), n))
+  def wordShinglePositions(text: Column, n: Int): Column =
+    Bridge.column(WordShinglePositions(Bridge.expression(text), n))
+  def minHashSig(text: Column, n: Int, numHashes: Int): Column =
+    Bridge.column(MinHashSig(Bridge.expression(text), n, numHashes))
+  def simHashPacked(text: Column, n: Int, bits: Int): Column =
+    Bridge.column(SimHashPacked(Bridge.expression(text), n, bits))
 }

@@ -223,14 +223,13 @@ object TextAnalysis {
     */
   private def bpeTokArrays(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
-    bpeCk(docs.select(col(idCol).as("id"),
-        split(trim(col(textCol)), "\\s+").as("toks"))
-      // hash-repartition by id: a small corpus parquet arrives as ONE
-      // split, and the fold (an interpreted HOF) would run serially for
-      // the whole training loop; the rewrite passes inherit this
-      // partitioning through every round (map-only), so the one
-      // exchange here buys full parallelism for the rest of the query
-      .repartition(col("id")))
+    // fan a small corpus out by id first: a one-split parquet would run
+    // the fold (an interpreted HOF) serially for the whole training
+    // loop, and the rewrite passes inherit the partitioning through
+    // every round (map-only). Size-adaptive: no-op at scale.
+    bpeCk(graft.operators.Dedup.fanOutSmall(
+        docs.select(col(idCol).as("id"), col(textCol)), col("id"))
+      .select(col("id"), split(trim(col(textCol)), "\\s+").as("toks")))
 
   /** LAZY checkpoint + origin sever — the per-pass materialization
     * rides the NEXT consumer's job (pair count / encode output) instead

@@ -67,7 +67,11 @@ object CurationPipeline {
     // the gate stage reads it from three branches (features, exact-dedup
     // hash groups, the final projection), and six regex passes per doc
     // are exactly the thing not to run three times.
-    val extracted = html.select(col(idCol),
+    // fan a small corpus out across the session's parallelism before
+    // the extraction regexes (a one-split scan would otherwise run the
+    // whole map-only S1/S2 kernel chain serially; no-op at scale —
+    // see Dedup.fanOutSmall)
+    val extracted = Dedup.fanOutSmall(html, col(idCol)).select(col(idCol),
       TextAnalysis.htmlToText(col(htmlCol)).as("text"))
       .localCheckpoint(false)
 
@@ -129,19 +133,15 @@ object CurationPipeline {
       .select(col(idCol), col("split"))
     val kept = Dedup.dropNearDups(unitDeduped, clusters, idCol)
 
-    // S7: token counts once, then pack each split independently (the
-    // per-split packOffsets calls share the checkpointed token relation;
-    // each collects ≤`buckets` prefix rows)
+    // S7: token counts once, then ONE grouped two-phase pass packs all
+    // splits independently (bit-identical to the former per-split
+    // packOffsets calls; one driver round-trip instead of three — r20)
     val withTok = TextAnalysis.withTokenCounts(kept)
       .join(split, Seq(idCol))
       .select(col(idCol), col("split"),
         col("ws_tokens").cast("long").as("ws_tokens"))
-      .localCheckpoint(false)
-    Seq("train", "val", "test").map { sp =>
-      SequencePack.packOffsets(withTok.filter(col("split") === sp),
-          idCol, binSize = binSize)
-        .withColumn("split", lit(sp))
-    }.reduce(_ unionByName _)
+    SequencePack.packOffsetsBy(withTok, Seq("split"), idCol,
+        binSize = binSize)
       .select(col(idCol), col("split"), col("ws_tokens"), col("offset"),
         col("bin"))
   }

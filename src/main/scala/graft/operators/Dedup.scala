@@ -58,18 +58,17 @@ object Dedup {
     * hash-partitioning by id is reused by downstream per-doc aggregates.
     */
   private def shingleRows(docs: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"),
-      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
-    val w = Window.partitionBy("id").orderBy("pos")
-    val cnt = Window.partitionBy("id")
-    toks
-      .withColumn("n_toks", count(lit(1)).over(cnt))
-      .withColumn("s", concat_ws(" ",
-        (0 until n).map(j => lead(col("tok"), j).over(w)): _*))
-      .filter(col("pos") <= greatest(col("n_toks") - n, lit(0)))
-      .select("id", "s").distinct()
-  }
+      n: Int): DataFrame =
+    // one codegen'd kernel pass per doc (GramFunctions.wordShingleArray):
+    // the set arrives already distinct, so the explode is map-only and
+    // the whole relation needs NO exchange at all. The r19 relational
+    // formulation (posexplode + count/lead windows + distinct) shuffled
+    // the full token stream once and the shingle rows a second time —
+    // byte-identical output (TextHash.hash60 twins prove the kernel),
+    // measured at sf0.1 as 2 Exchanges removed from every consumer.
+    fanOutSmall(docs, col(idCol)).select(col(idCol).as("id"),
+      explode(graft.functions.GramFunctions
+        .wordShingleArray(col(textCol), n)).as("s"))
 
   /** The shared inverted-index relation of the set-similarity family:
     * (id, shingle, sz) rows — per-doc distinct word n-gram shingles with
@@ -129,6 +128,28 @@ object Dedup {
       df.checkpoint(false)
     else df.localCheckpoint(false)
 
+  /** SIZE-ADAPTIVE fan-out for map-heavy kernel stages: a small corpus
+    * parquet arrives as one file split (`maxPartitionBytes`/
+    * `openCostInBytes` floors), which would run every per-row kernel
+    * (shingle set, minhash, simhash, HTML extraction) serially on one
+    * core for the whole downstream chain. When the OPTIMIZER'S size
+    * estimate says the relation is small (< 4 MB x defaultParallelism),
+    * hash-repartition it across the session's parallelism — bounded
+    * cost by construction, since only provably-small inputs are ever
+    * shuffled. At production scale the estimate exceeds the threshold
+    * and this is a NO-OP: no extra exchange on a 100 TB corpus, which a
+    * constant repartition would impose. (Guide §2: derive partitioning
+    * from input size, never from a constant tuned for one deployment.)
+    */
+  private[graft] def fanOutSmall(df: DataFrame, key: Column): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val threshold = BigInt(par.toLong) * (4L << 20)
+    val small =
+      try df.queryExecution.optimizedPlan.stats.sizeInBytes < threshold
+      catch { case _: Throwable => false }
+    if (small && par > 1) df.repartition(par, key) else df
+  }
+
   /** The [[shingles]] relation WITHOUT the per-doc `sz` window — for
     * consumers that aggregate their own per-doc totals
     * ([[Relevance.noveltyScores]]): the window's shuffle+sort by id is
@@ -142,12 +163,29 @@ object Dedup {
 
   def shingles(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
       textCol: String = "text", maxDocFreq: Option[Long] = None,
-      materialize: Boolean = false): DataFrame = {
-    val rows = shingleRows(docs, idCol, textCol, n)
-    val all = if (materialize) sharedRelation(rows) else rows
-    dfCap(all, "s", maxDocFreq)
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy("id")))
-      .withColumnRenamed("s", "shingle")
+      materialize: Boolean = false): DataFrame = maxDocFreq match {
+    case None =>
+      // uncapped: sz is the kernel array's size, attached BEFORE the
+      // explode — the whole relation is one map stage, no exchange
+      // (the capped branch still needs the per-id window because sz
+      // counts the POST-cap universe there)
+      val rows = fanOutSmall(docs, col(idCol))
+        .select(col(idCol).as("id"), graft.functions.GramFunctions
+          .wordShingleArray(col(textCol), n).as("_arr"))
+        .select(col("id"), explode(col("_arr")).as("shingle"),
+          size(col("_arr")).cast("long").as("sz"))
+        .select(col("id"), col("shingle"), col("sz"))
+      if (materialize) sharedRelation(rows) else rows
+    case cap @ Some(_) =>
+      // materialize AFTER the cap + sz window (r20): a self-joining
+      // consumer then scans the final relation twice instead of
+      // replaying the hot-set aggregate + window once per join side
+      // (the kernel made the pre-cap rows cheap; the cap machinery is
+      // now the expensive part worth sharing)
+      val capped = dfCap(shingleRows(docs, idCol, textCol, n), "s", cap)
+        .withColumn("sz", count(lit(1)).over(Window.partitionBy("id")))
+        .withColumnRenamed("s", "shingle")
+      if (materialize) sharedRelation(capped) else capped
   }
 
   /** Pair intersection counts with both sides' set sizes carried through
@@ -347,17 +385,15 @@ object Dedup {
     */
   private def alignedIslandRuns(docs: DataFrame, n: Int, idCol: String,
       textCol: String, maxDocFreq: Option[Long]): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"),
-      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
-    val w = Window.partitionBy("id").orderBy("pos")
-    val cnt = Window.partitionBy("id")
+    // positioned shingles from the per-row kernel (every occurrence,
+    // 0-based start): map-only explode instead of the token posexplode
+    // + count/lead windows — one Exchange removed ahead of the
+    // self-join, byte-identical (id, pos, s) rows
     val psh = sharedRelation(dfCap(
-      toks
-        .withColumn("n_toks", count(lit(1)).over(cnt))
-        .withColumn("s", concat_ws(" ",
-          (0 until n).map(j => lead(col("tok"), j).over(w)): _*))
-        .filter(col("pos") <= greatest(col("n_toks") - n, lit(0)))
-        .select("id", "pos", "s"),
+      fanOutSmall(docs, col(idCol)).select(col(idCol).as("id"),
+          explode(graft.functions.GramFunctions
+            .wordShinglePositions(col(textCol), n)).as("ps"))
+        .select(col("id"), col("ps.pos").as("pos"), col("ps.s").as("s")),
       "s", maxDocFreq))
     val aligned = psh.as("a")
       .join(psh.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
@@ -513,15 +549,16 @@ object Dedup {
     * minhash quality.
     */
   def minHashSignatures(docs: DataFrame, n: Int = 3, numHashes: Int = 16,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = shingleRows(docs, idCol, textCol, n)
-      .select(col("id"), TextHash.hash60(col("s")).as("h"))
-    val consts = TextHash.mixConstants(numHashes)
-    val mins = (0 until numHashes).map(k =>
-      min(TextHash.mixSeeded(col("h"), k, consts)).as(s"h$k"))
-    sh.groupBy("id").agg(mins.head, mins.tail: _*)
-      .select(col("id"), array((0 until numHashes).map(k => col(s"h$k")): _*).as("sig"))
-  }
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    // one codegen'd kernel per doc (hash60 + k affine mixes + k running
+    // mins over the distinct shingle set — GramFunctions.minHashSig):
+    // map-only, where the relational formulation paid the shingle
+    // window exchanges plus a per-id aggregate exchange. Values are
+    // bit-identical (same hash60, same mix constants, min over the
+    // same set).
+    fanOutSmall(docs, col(idCol))
+      .select(col(idCol).as("id"), graft.functions.GramFunctions
+        .minHashSig(col(textCol), n, numHashes).as("sig"))
 
   /** MinHash+LSH candidate pairs: band the signature (bands x rowsPerBand
     * = numHashes), equi-join on (band, band-key), score candidates by
@@ -607,18 +644,13 @@ object Dedup {
     * single hash aggregate, then bit packing — all codegen'd.
     */
   def simHashes(docs: DataFrame, bits: Int = 16, shingleN: Int = 2,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val hashed = shingleRows(docs, idCol, textCol, shingleN)
-      .select(col("id"), TextHash.hash60(col("s")).as("h"))
-    val bitSums = (0 until bits).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-        .as(s"b$b"))
-    hashed.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("id"),
-        (0 until bits).map(b =>
-          when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-          .as("simhash"))
-  }
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    // per-row kernel (GramFunctions.simHashPacked): the +1/-1 bit sums
+    // over the distinct-shingle hash60s and the sign packing in one
+    // map pass — no shingle explode, no per-id aggregate exchange.
+    fanOutSmall(docs, col(idCol))
+      .select(col(idCol).as("id"), graft.functions.GramFunctions
+        .simHashPacked(col(textCol), shingleN, bits).as("simhash"))
 
   /** SimHash near-dup pairs: Hamming distance <= maxHamming. The self-join
     * is blocked on signature bytes (a pair within hamming<=maxHamming for

@@ -47,12 +47,25 @@ object TrainShards {
     * non-null; every other column rides along untouched.
     */
   def shardAssign(docs: DataFrame, idCol: String = "doc_id",
+      numShards: Int = 8, buckets: Int = 256): DataFrame =
+    shardAssignBy(docs, Nil, idCol, numShards, buckets)
+
+  /** [[shardAssign]] computed INDEPENDENTLY within each distinct value
+    * of `partitionCols` (string/integral columns), in one pass: bucket
+    * counts per (group, bucket), rank reset per group — bit-identical
+    * to one [[shardAssign]] call per group unioned, at one driver
+    * round-trip instead of one per group (the `c4_shards` shape: three
+    * splits dealt in a single two-phase pass).
+    */
+  def shardAssignBy(docs: DataFrame, partitionCols: Seq[String],
+      idCol: String = "doc_id",
       numShards: Int = 8, buckets: Int = 256): DataFrame = {
     require(numShards >= 1, s"numShards must be >= 1, got $numShards")
-    val reserved = Set("shard", "shard_pos", "_skey", "_bucket", "_boff")
+    val reserved = Set("shard", "shard_pos", "_skey", "_bucket", "_boff", "_grp")
     require(!docs.columns.exists(reserved),
       s"input must not carry reserved shard columns ${reserved.mkString(",")}")
     val spark = docs.sparkSession
+    val pcols = partitionCols.map(col)
     // materialize once: both phases (bucket counts, rank) re-read the
     // input, and its lineage may be an expensive packing chain
     val base = docs.withColumn("_skey", TextHash.hash60(col(idCol)))
@@ -61,28 +74,42 @@ object TrainShards {
     // passes, no sampling (unlike repartitionByRange boundaries)
     val width = (1L << 60) / buckets + 1L
     val bucketExpr = expr(s"CAST(_skey DIV ${width}L AS BIGINT)").as("_bucket")
+    val grpExpr =
+      if (partitionCols.isEmpty) lit("")
+      else concat_ws("", partitionCols.map(c =>
+        coalesce(col(c).cast("string"), lit(" null"))): _*)
 
-    // phase 1: per-bucket counts -> driver (<= buckets rows) -> offsets
-    val counts = base.select(bucketExpr).groupBy("_bucket").count()
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // phase 1: per-(group, bucket) counts -> driver -> offsets with the
+    // accumulator reset at each group boundary
+    val counts = base.select(grpExpr.as("_grp"), bucketExpr)
+      .groupBy("_grp", "_bucket").count()
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    var curGrp: String = null
     var acc = 0L
-    val offsets = counts.map { case (b, n) => val row = (b, acc); acc += n; row }
+    val offsets = counts.map { case (g, b, n) =>
+      if (g != curGrp) { curGrp = g; acc = 0L }
+      val row = (g, b, acc); acc += n; row
+    }
     if (offsets.isEmpty) {
       return docs.withColumn("shard", lit(0L)).withColumn("shard_pos", lit(0L))
     }
     val offsetDf = spark.createDataFrame(offsets.toSeq)
-      .toDF("_bucket", "_boff")
+      .toDF("_grp", "_bucket", "_boff")
 
-    // phase 2: within-bucket rank (ties impossible on unique ids; the id
-    // tiebreak keeps the order total even if hash60 ever collides)
-    val w = Window.partitionBy("_bucket").orderBy(col("_skey"), col(idCol))
+    // phase 2: within-(group, bucket) rank (ties impossible on unique
+    // ids; the id tiebreak keeps the order total even if hash60 ever
+    // collides)
+    val w = Window.partitionBy((pcols :+ col("_bucket")): _*)
+      .orderBy(col("_skey"), col(idCol))
     base.withColumn("_bucket", bucketExpr)
-      .join(broadcast(offsetDf), Seq("_bucket"))
+      .withColumn("_grp", grpExpr)
+      .join(broadcast(offsetDf), Seq("_grp", "_bucket"))
       .withColumn("_rank",
         (row_number().over(w).cast("long") - 1L) + col("_boff"))
       .withColumn("shard", pmod(col("_rank"), lit(numShards.toLong)))
       .withColumn("shard_pos", expr(s"_rank DIV ${numShards}L"))
-      .drop("_skey", "_bucket", "_boff", "_rank")
+      .drop("_skey", "_bucket", "_boff", "_grp", "_rank")
   }
 
   /** Write the assigned shards exactly-once: one `shard=<k>` directory
