@@ -102,19 +102,25 @@ object SparkEntry {
       lit(null).cast("string").as("dropoff_datetime"),
       lit(null).cast("double").as("fare_amount"))
     // l_linenumber alone is NOT unique in the synthetic table; extend to
-    // a total order so both engines pick the same "first" lineitem
-    val endRank = Window.partitionBy(col("l_orderkey"), col("l_shipdate"))
-      .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
-        col("l_extendedprice"))
+    // a total order so both engines pick the same "first" lineitem.
+    // min(struct(...)) — lexicographic, the same 4-column ascending
+    // order as the former row_number window — aggregates with partial
+    // map-side reduction and NO sort (r20: the window ran Sort+Exchange+
+    // Sort twice, once per consumer branch of `ends`); any residual tie
+    // is a full duplicate of the 4 ordering columns and the output reads
+    // only l_extendedprice, the last of them, so the winner row is
+    // identical either way.
     val ends = Tables.lineitem(s, dir)
-      .withColumn("_rn", row_number().over(endRank)).filter(col("_rn") === 1)
+      .groupBy(col("l_orderkey"), col("l_shipdate"))
+      .agg(min(struct(col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_extendedprice"))).as("_m"))
       .select(
         col("l_orderkey").cast("string").as("trip_id"),
         lit("trip_end").as("data_type"),
         lit(null).cast("string").as("pickup_datetime"),
         lit(null).cast("double").as("estimated_fare_amount"),
         col("l_shipdate").cast("string").as("dropoff_datetime"),
-        col("l_extendedprice").as("fare_amount"))
+        col("_m.l_extendedprice").as("fare_amount"))
     val sAttrs = Seq("pickup_datetime", "estimated_fare_amount")
     val eAttrs = Seq("dropoff_datetime", "fare_amount")
     val completed = starts

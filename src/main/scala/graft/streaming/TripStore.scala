@@ -127,10 +127,20 @@ object TripStore {
     * row_number needs no further tiebreak.
     */
   def finalState(items: DataFrame): DataFrame = {
-    val w = Window.partitionBy(Keys.map(col): _*)
-      .orderBy(col(OrderCol).desc, col("processed_at").desc_nulls_last)
-    items.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn")
+    // max_by over (status_rank, processed_at with null as '' — the
+    // store's own _ord encoding, '' sorting below every timestamp
+    // string exactly like desc_nulls_last) replaces the former
+    // row_number window: a hash aggregate with map-side partial
+    // reduction and no sort, winner row identical (remaining ties are
+    // identical rows — see class doc). One exchange either way; the
+    // two sorts disappear (r20).
+    val cols = items.columns
+    items
+      .groupBy(Keys.map(col): _*)
+      .agg(max_by(struct(cols.map(col): _*),
+        struct(col(OrderCol), coalesce(col("processed_at"), lit(""))))
+        .as("_w"))
+      .select(cols.map(c => col(s"_w.$c").as(c)): _*)
   }
 
   /** The full item stream for a raw wire-JSON source: RAW items for
