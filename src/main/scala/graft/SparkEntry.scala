@@ -269,6 +269,9 @@ object SparkEntry {
         "</body></html>"))
   }
 
+  private[graft] def tripStoreItemsForScratch(s: SparkSession, dir: String) =
+    tripStoreItems(s, dir)
+
   /** Scratch-only accessor for the c4 html corpus (optimization round
     * instrumentation; remove with Scratch2).
     */

@@ -173,6 +173,20 @@ object GramHashes {
     new GenericArrayData(out)
   }
 
+  /** [[hash60]] straight off a UTF8String's bytes (identical: md5 over
+    * the same UTF-8 byte sequence, no intermediate java.lang.String).
+    */
+  def hash60(u: UTF8String): Long = {
+    val d = md.get()
+    d.reset()
+    val b = d.digest(u.getBytes)
+    val v = ((b(0) & 0xffL) << 56) | ((b(1) & 0xffL) << 48) |
+      ((b(2) & 0xffL) << 40) | ((b(3) & 0xffL) << 32) |
+      ((b(4) & 0xffL) << 24) | ((b(5) & 0xffL) << 16) |
+      ((b(6) & 0xffL) << 8) | (b(7) & 0xffL)
+    v >>> 4
+  }
+
   /** Whitespace tokens of `trim(text)` split on `\s+` — byte-identical
     * to Spark's `split(trim(text), "\\s+")` (UTF8String.trim strips
     * ASCII 0x20 exactly like StringTrim; the split is the same Java
@@ -461,6 +475,26 @@ case class SimHashPacked(child: Expression, n: Int, bits: Int)
     copy(child = newChild)
 }
 
+/** [[TextHash.hash60]] as ONE codegen'd call — the relational
+  * formulation (conv(substring(md5(x),1,15),16,10)) materializes the
+  * 32-char hex string and re-parses it per row; this computes the same
+  * 60 bits straight from the digest. Used by [[TextHash.hash60]]
+  * itself, so every hashing call site in the engine gets the kernel.
+  */
+case class Hash60(child: Expression) extends GramExpression {
+  override def dataType: DataType = DataTypes.LongType
+  override def prettyName: String = "hash60"
+
+  override def nullSafeEval(t: Any): Any =
+    GramHashes.hash60(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GramHashes.hash60($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Min gram hash of a text column (whole-document rolling fingerprint). */
 case class MinGramHash(child: Expression, k: Int) extends GramExpression {
   override def dataType: DataType = DataTypes.LongType
@@ -493,4 +527,6 @@ object GramFunctions {
     Bridge.column(MinHashSig(Bridge.expression(text), n, numHashes))
   def simHashPacked(text: Column, n: Int, bits: Int): Column =
     Bridge.column(SimHashPacked(Bridge.expression(text), n, bits))
+  def hash60(s: Column): Column =
+    Bridge.column(Hash60(Bridge.expression(s)))
 }

@@ -19,9 +19,14 @@ object TextHash {
 
   val Mersenne61 = (1L << 61) - 1
 
-  /** 60-bit deterministic hash of a string column, identical in DuckDB. */
+  /** 60-bit deterministic hash of a string column, identical in DuckDB.
+    * Computed by the native [[GramExpressions.Hash60]] kernel (one
+    * codegen'd md5 + bit extract per row — the relational
+    * conv(substring(md5)) twin materialized and re-parsed the hex
+    * string); values are bit-identical, proven by the full oracle.
+    */
   def hash60(s: Column): Column =
-    conv(substring(md5(s.cast("string")), 1, 15), 16, 10).cast("long")
+    GramFunctions.hash60(s.cast("string"))
 
   /** Seeded variant: k independent hash functions via seed-prefixing —
     * h_i(x) = hash60(i || ':' || x). Engine-portable and uniform (md5

@@ -254,19 +254,21 @@ object Relevance {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(lambda > 0 && lambda < 1, s"lambda must be in (0,1), got $lambda")
-    val toks = docs.select(col(idCol).as("id"),
-      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
+    val ta = split(trim(col(textCol)), "\\s+")
     // '' only appears as the sole token of an all-whitespace doc (split
     // of a trimmed string), so excluding it from the unigram model
     // cannot create position gaps in any doc that has transitions
-    val clean = toks.filter(col("tok") =!= "")
+    val clean = docs.select(col(idCol).as("id"), explode(ta).as("tok"))
+      .filter(col("tok") =!= "")
     val uni = clean.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
     val total = clean.agg(count(lit(1)).as("n_total"))
-    val bg = toks
-      .withColumn("next",
-        lead(col("tok"), 1).over(Window.partitionBy("id").orderBy("pos")))
-      .filter(col("next").isNotNull)
-      .select(col("id"), col("tok").as("l"), col("next").as("r"))
+    // adjacent pairs by zipping each doc's token array against its own
+    // 1-shifted slice — the same (id, l, r) multiset the per-doc lead
+    // window produced, with no token-stream exchange (r20)
+    val bg = docs.select(col(idCol).as("id"), explode(arrays_zip(
+        slice(ta, lit(1), size(ta) - 1).as("l"),
+        slice(ta, lit(2), size(ta) - 1).as("r"))).as("p"))
+      .select(col("id"), col("p.l").as("l"), col("p.r").as("r"))
     val bi = bg.groupBy(col("l"), col("r")).agg(count(lit(1)).as("c2"))
     bg.join(bi, Seq("l", "r"))
       .join(uni.select(col("tok").as("l"), col("c1").as("c1l")), Seq("l"))
@@ -471,9 +473,14 @@ object Relevance {
       textCol: String = "text", bigrams: Boolean = false): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val toks = dsirToks(docs, isTarget, buckets, idCol, textCol, bigrams)
+    // the B-row model is read twice (totals head + the broadcast scoring
+    // join); lazily materialized so the tokenize+hash pass under it runs
+    // once, not once per read (r20 — the pass ran 3x: totals, broadcast
+    // build, scoring side)
     val model = toks.groupBy(col("bucket"))
       .agg(sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
         sum(when(col("tgt"), 0L).otherwise(1L)).as("cr"))
+      .localCheckpoint(false)
     // totals to the driver: 2 longs, bounded — inlined as literals so
     // no 1-row broadcast join appears in the plan
     val t = model.agg(sum(col("ct")), sum(col("cr"))).head()
