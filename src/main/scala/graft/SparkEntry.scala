@@ -269,16 +269,6 @@ object SparkEntry {
         "</body></html>"))
   }
 
-  private[graft] def tripStoreItemsForScratch(s: SparkSession, dir: String) =
-    tripStoreItems(s, dir)
-
-  /** Scratch-only accessor for the c4 html corpus (optimization round
-    * instrumentation; remove with Scratch2).
-    */
-  private[graft] def c4HtmlCorpusForScratch(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    docNearDupCorpus(s, dir).select(col("doc_id"),
-      c4Html(col("doc_id"), col("text")).as("html"))
-
   /** Embedding corpus with identical copies of every 25th vector.
     * `private[graft]`: [[Bench]] reuses it to compute ANN ground truth
     * on the same corpus the banded contract query retrieves from.
