@@ -92,7 +92,8 @@ object SparkEntry {
     * shared by [[tripStoreFinal]]'s relational twin and
     * [[tripStoreLookup]]'s on-disk store.
     */
-  private def tripStoreItems(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private def tripStoreItems(s: SparkSession, dir: String,
+      shareEnds: Boolean = false): (DataFrame, DataFrame) = {
     import graft.streaming.TripStore
     val starts = Tables.orders(s, dir).select(
       col("o_orderkey").cast("string").as("trip_id"),
@@ -121,6 +122,15 @@ object SparkEntry {
         lit(null).cast("double").as("estimated_fare_amount"),
         col("l_shipdate").cast("string").as("dropoff_datetime"),
         col("_m.l_extendedprice").as("fare_amount"))
+      // LAZY-shared ONLY for the store build (r21): there `ends` is
+      // evaluated in four SEPARATE sequential jobs (each generation's
+      // probe + merge), so one materialization pays for three reads.
+      // trip_store_final's two references live in ONE plan whose
+      // branches execute concurrently on otherwise-idle cores — a
+      // checkpoint there just serializes the union behind a cache-write
+      // barrier (measured flat-to-worse), so the final-state path keeps
+      // the duplicate subtree.
+      .transform(d => if (shareEnds) d.localCheckpoint(false) else d)
     val sAttrs = Seq("pickup_datetime", "estimated_fare_amount")
     val eAttrs = Seq("dropoff_datetime", "fare_amount")
     val completed = starts
@@ -165,15 +175,28 @@ object SparkEntry {
     tripStoreDirs.computeIfAbsent(dir, _ => {
       import graft.operators.KeyedUpsertSink
       import graft.streaming.TripStore
-      val (raw, matcher) = tripStoreItems(s, dir)
+      val (raw, matcher) = tripStoreItems(s, dir, shareEnds = true)
       val ord = struct(col("status_rank"),
         coalesce(col("processed_at"), lit(""))).as("_ord")
       val storeDir = java.nio.file.Files
         .createTempDirectory("trip_store_lookup").toString
       Seq(raw, matcher).zipWithIndex.foreach { case (items, i) =>
-        KeyedUpsertSink.upsertBatch(items.withColumn("_ord", ord), storeDir,
+        // LAZY-checkpoint each generation's batch before handing it to
+        // the sink (r21): the upsert evaluates its batch twice — the
+        // bucket probe, then the merge+write — and THIS caller's batch
+        // is a full orders-scan ∪ lineitem-aggregate (≈2.5-3 s to
+        // compute at sf0.1). The checkpoint materializes once inside
+        // the probe job and the merge reads blocks: measured 6.4 s →
+        // 2.9 s (gen0) and 6.3 s → 3.5 s (gen1) per generation. This is
+        // a CALLER decision, not the sink's: r20 measured that caching
+        // inside the generic sink loses when batches are small/cheap
+        // (the streaming micro-batch case) — only a batch whose
+        // recompute dwarfs one cache write should opt in.
+        val batch = items.withColumn("_ord", ord).localCheckpoint(false)
+        KeyedUpsertSink.upsertBatch(batch, storeDir,
           TripStore.Keys, "_ord", batchId = i.toLong, versionWins = true,
           numBuckets = 32, bucketCols = Seq("trip_id"))
+        org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(batch)
       }
       storeDir
     })

@@ -149,9 +149,24 @@ object CorpusSelect {
     val repText = corpus.select(col(idCol).as("rep_id"),
       col(textCol).as("_rep_text"))
     withRep.join(repText, Seq("rep_id"))
-      .withColumn("bucket", TextHash.hash60(col("_rep_text")) % 100)
-      .withColumn("split", when(col("bucket") < trainPct, "train")
-        .when(col("bucket") < trainPct + valPct, "val").otherwise("test"))
+      .withColumn("bucket", splitBucket(col("_rep_text")))
+      .withColumn("split", splitOfBucket(col("bucket"), trainPct, valPct))
       .drop("_rep_text", "cluster_id")
   }
+
+  /** The split-bucket hash and the bucket→split mapping as SHARED single
+    * definitions: [[leakageSafeSplit]] applies them to the cluster
+    * representative's text; a consumer restricted to representatives/
+    * singletons (whose rep text IS their own text — see
+    * [[CurationPipeline.splitAndPack]]) may apply them map-only to its
+    * own text and get the identical assignment without the two
+    * rep-lookup joins.
+    */
+  private[graft] def splitBucket(text: Column): Column =
+    TextHash.hash60(text) % 100
+
+  private[graft] def splitOfBucket(bucket: Column, trainPct: Int = 80,
+      valPct: Int = 10): Column =
+    when(bucket < trainPct, "train")
+      .when(bucket < trainPct + valPct, "val").otherwise("test")
 }

@@ -92,18 +92,25 @@ object CurationPipeline {
       // boundaries or the kernel/gate lineage runs multiplicatively
       .localCheckpoint(false)
 
-    // S3: corpus-wide boilerplate-unit removal
-    val deboilered = Dedup.dropBoilerplateUnits(curated, minDocFreq,
+    // S3+S4 FUSED (r21): corpus-wide boilerplate-unit removal and
+    // intra-doc unit dedup in ONE unit pass
+    // (Dedup.dropBoilerThenDedupUnits — value-identical to the chained
+    // operators, the intermediate rebuild+re-split cancelled out; the
+    // two-pass plan paid a second explode, a window, two extra per-doc
+    // aggregates, three extra anchor joins and a checkpoint).
+    // Checkpointed: three downstream consumers (pair join, split, pack)
+    // would each replay the explode/aggregate lineage otherwise.
+    val unitDeduped = Dedup.dropBoilerThenDedupUnits(curated, minDocFreq,
         idCol = idCol)
       .select(col(idCol), col("text_clean").as("text"))
       .localCheckpoint(false)
 
-    // S4: intra-doc unit dedup. Checkpointed: three downstream
-    // consumers (pair join, split, pack) would each replay the
-    // explode/window lineage of BOTH unit passes otherwise.
-    val unitDeduped = Dedup.dedupUnitsWithinDocs(deboilered, idCol = idCol)
+    // the S3-only intermediate, for stage-by-stage inspection
+    // ([[Stages.deboilered]], CurationPipelineSpec): LAZY and UNCONSUMED
+    // by the fused product path — evaluating `packed` never computes it
+    val deboilered = Dedup.dropBoilerplateUnits(curated, minDocFreq,
+        idCol = idCol)
       .select(col(idCol), col("text_clean").as("text"))
-      .localCheckpoint(false)
 
     // S5: near-dup clusters over the cleaned text
     val clusters = Dedup.nearDupClusters(
@@ -129,15 +136,25 @@ object CurationPipeline {
     */
   private[graft] def splitAndPack(unitDeduped: DataFrame,
       clusters: DataFrame, idCol: String, binSize: Long): DataFrame = {
-    val split = CorpusSelect.leakageSafeSplit(unitDeduped, clusters, idCol)
-      .select(col(idCol), col("split"))
     val kept = Dedup.dropNearDups(unitDeduped, clusters, idCol)
 
+    // S6' (r21): the packed relation only carries KEPT docs — cluster
+    // representatives and singletons, whose leakage-safe split bucket is
+    // by definition the hash of their OWN text (rep_id == id for every
+    // kept doc: dropNearDups removes exactly the rows with
+    // cluster_id != id). So the split is a map-only projection here —
+    // the full leakageSafeSplit's two rep-lookup joins and the id-join
+    // back are the price of labeling DROPPED members, which this
+    // consumer never reads. Same bucket/split single definitions
+    // (CorpusSelect.splitBucket/splitOfBucket), so the assignment is
+    // bit-identical to the joined form (spec-pinned: CurationPipelineSpec
+    // "composed run equals chaining the public stage operators").
     // S7: token counts once, then ONE grouped two-phase pass packs all
     // splits independently (bit-identical to the former per-split
     // packOffsets calls; one driver round-trip instead of three — r20)
     val withTok = TextAnalysis.withTokenCounts(kept)
-      .join(split, Seq(idCol))
+      .withColumn("split",
+        CorpusSelect.splitOfBucket(CorpusSelect.splitBucket(col("text"))))
       .select(col(idCol), col("split"),
         col("ws_tokens").cast("long").as("ws_tokens"))
     SequencePack.packOffsetsBy(withTok, Seq("split"), idCol,

@@ -856,6 +856,53 @@ object Dedup {
         coalesce(col("n_units") - col("n_kept"), lit(0L)).as("n_dropped"))
   }
 
+  /** [[dropBoilerplateUnits]] ∘ [[dedupUnitsWithinDocs]] FUSED into one
+    * unit pass — the composition [[CurationPipeline]] runs between its
+    * gate and near-dup stages, without materializing the intermediate
+    * deboilered corpus: one explode, the corpus-df aggregate, the
+    * boiler anti-join, and then BOTH the intra-doc keep-first dedup and
+    * the rebuild inside a single per-doc aggregate (`array_distinct`
+    * over the pos-sorted unit array keeps exactly the first occurrence
+    * of each unit — the same row `row_number() = 1` keeps).
+    *
+    * Value-identical to the two-pass chain (spec-pinned in
+    * CurationPipelineSpec and the c4 oracles): re-splitting the
+    * boilerplate-cleaned rebuild on `sepRegex` yields the surviving
+    * units in their original order (units contain no separator match,
+    * and the canonical `". "` join is exactly one separator), so
+    * running the intra-doc keep-first on the surviving units directly
+    * is the same computation with the rebuild+re-split cancelled out.
+    * Returns only `(idCol, text_clean)` — the c4 chain reads nothing
+    * else; the standalone operators keep their audit columns.
+    *
+    * Cost (r21): the two-pass chain paid 2 explodes, 4 per-doc
+    * aggregates, a window, 4 anchor joins and a checkpoint; this pass
+    * pays 1 explode, 2 aggregates, 1 broadcast anti-join, 1 anchor
+    * join. Same 100 TB shape as the parents: nothing pairwise, Σdf
+    * bounded by corpus tokens.
+    */
+  private[graft] def dropBoilerThenDedupUnits(docs: DataFrame,
+      minDocFreq: Long, sepRegex: String = "\\.\\s+",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
+    val units = docUnits(docs, sepRegex, idCol, textCol)
+    val boiler = units.select("id", "unit").distinct()
+      .groupBy("unit").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocFreq).select("unit")
+    // the boiler set is tiny by construction (units common to >=
+    // minDocFreq docs) — broadcast, same stance as [[dfCap]]
+    val kept = units.join(broadcast(boiler), Seq("unit"), "left_anti")
+    kept.groupBy("id")
+      .agg(concat_ws(". ", array_distinct(transform(
+          sort_array(collect_list(struct(col("pos"), col("unit")))),
+          e => e.getField("unit")))).as("text_clean"))
+      // docs-relation anchor, as in both parents: a doc whose every unit
+      // was boilerplate (or that had no units) survives with empty text
+      .join(docs.select(col(idCol).as("id")), Seq("id"), "right")
+      .select(col("id").as(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** Eager lineage-truncating materialization for iterative fixpoints:
     * RELIABLE `checkpoint()` when the context has a checkpoint dir (the
     * cluster deploy — survives executor loss), executor-local
@@ -910,11 +957,17 @@ object Dedup {
     // at sf0.1)
     // ids normalized to LongType up front so BOTH paths (driver
     // union-find and distributed fixpoint) return the identical schema
-    val edges = iterCheckpoint(
-      pairs.select(col("id_a").cast("long").as("src"),
-          col("id_b").cast("long").as("dst"))
-        .unionByName(pairs.select(col("id_b").cast("long").as("src"),
-          col("id_a").cast("long").as("dst"))))
+    // LAZY checkpoint + count: the sizing count is the materializing
+    // job, so the edge list truncates its lineage without paying the
+    // eager checkpoint's separate job barrier first (r21 — one driver
+    // round-trip saved per caller; the collect/fixpoint below reads
+    // cached blocks either way)
+    val edges = org.apache.spark.sql.graftbridge.Bridge.severOrigin(
+      sharedRelation(
+        pairs.select(col("id_a").cast("long").as("src"),
+            col("id_b").cast("long").as("dst"))
+          .unionByName(pairs.select(col("id_b").cast("long").as("src"),
+            col("id_a").cast("long").as("dst")))))
     if (edges.count() <= driverMaxEdges) return unionFindClusters(edges)
     minLabelClusters(edges)._1
   }

@@ -176,6 +176,39 @@ class SinkSpec extends AnyFunSuite with SparkTestBase {
     assert(snap() === s2, "same-batch-id re-run corrupted the store")
   }
 
+  test("S4 merge null-orderCol pin: nulls rank below every value (desc NULLS LAST)") {
+    // pins the r21 max_by merge to the former row_number window's
+    // `orderCol.desc` (= NULLS LAST) semantics: a null-ordered row loses
+    // to any non-null one on BOTH protocol shapes, in-batch and
+    // batch-over-store, and an all-null key keeps a (deterministic) row
+    def snap(dir: String): Seq[(String, String, Double)] =
+      KeyedUpsertSink.readStore(spark, dir).get
+        .select("k", "ts", "value").as[(String, String, Double)]
+        .collect().toSeq.sorted
+    for (vw <- Seq(false, true)) {
+      val dir = tmp() + s"/nullord_$vw"
+      val b1 = Seq(
+        ("a", null.asInstanceOf[String], 1.0), // null ts loses in-batch
+        ("a", "2024-01-01", 2.0),
+        ("b", null.asInstanceOf[String], 3.0) // all-null key survives
+      ).toDF("k", "ts", "value")
+      KeyedUpsertSink.upsertBatch(b1, dir, Seq("k"), "ts", batchId = 0L,
+        versionWins = vw)
+      assert(snap(dir) === Seq(("a", "2024-01-01", 2.0), ("b", null, 3.0)),
+        s"in-batch null ordering diverged (versionWins=$vw)")
+      // batch-over-store: under versionWins a null-ts batch row must NOT
+      // regress the stored non-null row (rank by ts first); under
+      // put-overwrite the batch side wins regardless of ts
+      val b2 = Seq(("a", null.asInstanceOf[String], 9.0))
+        .toDF("k", "ts", "value")
+      KeyedUpsertSink.upsertBatch(b2, dir, Seq("k"), "ts", batchId = 1L,
+        versionWins = vw)
+      val expectA = if (vw) ("a", "2024-01-01", 2.0) else ("a", null, 9.0)
+      assert(snap(dir) === Seq(expectA, ("b", null, 3.0)),
+        s"batch-over-store null ordering diverged (versionWins=$vw)")
+    }
+  }
+
   test("S4 bucketed upsert: untouched buckets stay byte-identical; only touched buckets rewrite") {
     import java.security.MessageDigest
     val dir = tmp() + "/bucketed"
